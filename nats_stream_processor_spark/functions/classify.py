@@ -1,0 +1,136 @@
+"""Arrow-vectorized classifier UDFs — the production execution path for the
+sentiment/topic stages (U1/U2).
+
+Why pandas UDFs and not pure Column expressions: the stand-in classifiers
+are expressible as built-in expressions (see sentiment.py / topics.py, kept
+as the executable spec + SQL oracle twins), but Catalyst duplicates
+projection expressions into downstream filters and grouping keys
+(PushDownPredicate / CollapseProject do not share heavy subtrees), which
+multiplies the ~20 keyword-count subexpressions per reference — measured
+>100x slowdown on the composed pipeline. A pandas UDF evaluates ONCE per
+row in an ArrowEvalPython node whose outputs are plain attributes, so the
+plan stays small and the work stays linear. This also mirrors the reference
+architecture, where both models are opaque per-message functions
+(reference: src/sentiment.py:91-174, src/topic_classifier.py:100-200) — the
+Spark mapping called for in SURVEY.md §2A (U1/U2: per-executor state inside
+a pandas_udf, Arrow batches replacing per-message calls).
+
+Values are bit-identical to the Column/SQL twins (floats rounded to
+FLOAT_ROUND_DP on every path), which the test suite asserts.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..config import FLOAT_ROUND_DP
+from .sentiment import NEGATIVE_WORDS, NEUTRAL_BIAS, POSITIVE_WORDS
+from .text import TOKEN_RE
+from .topics import LABELS, SCORE_OFFSET, TOPIC_KEYWORDS
+
+SENTIMENT_SCHEMA = StructType([
+    StructField("sentiment", StringType()),
+    StructField("confidence", DoubleType()),
+    StructField("probabilities", StructType([
+        StructField("negative", DoubleType()),
+        StructField("neutral", DoubleType()),
+        StructField("positive", DoubleType()),
+    ])),
+])
+
+TOPICS_SCHEMA = StructType([
+    StructField("topics", ArrayType(StringType())),
+    StructField("top_topic", StringType()),
+    StructField("top_confidence", DoubleType()),
+])
+
+_TOKEN = re.compile(TOKEN_RE)
+_NEG = frozenset(NEGATIVE_WORDS)
+_POS = frozenset(POSITIVE_WORDS)
+# keyword -> topic-label index (keywords are disjoint across labels)
+_KW2LABEL: dict[str, int] = {
+    w: i for i, lab in enumerate(LABELS) for w in TOPIC_KEYWORDS[lab]
+}
+_NLAB = len(LABELS)
+
+
+def _token_counts(text: str) -> tuple[int, int, np.ndarray]:
+    """(neg_count, pos_count, per-label keyword counts) for one document."""
+    neg = pos = 0
+    lab = np.zeros(_NLAB, dtype=np.int64)
+    if text:
+        for t in _TOKEN.findall(text.lower()):
+            if t in _NEG:
+                neg += 1
+            if t in _POS:
+                pos += 1
+            i = _KW2LABEL.get(t)
+            if i is not None:
+                lab[i] += 1
+    return neg, pos, lab
+
+
+def sentiment_batch(texts: pd.Series, dp: int = FLOAT_ROUND_DP) -> pd.DataFrame:
+    """Vectorized sentiment over a batch; same math as sentiment_struct."""
+    n = len(texts)
+    neg = np.zeros(n)
+    pos = np.zeros(n)
+    for i, t in enumerate(texts.fillna("")):
+        ng, ps, _ = _token_counts(t)
+        neg[i], pos[i] = ng, ps
+    neu = np.full(n, NEUTRAL_BIAS)
+    logits = np.stack([neg, neu, pos], axis=1)  # index order = label ids
+    mx = logits.max(axis=1, keepdims=True)
+    e = np.exp(logits - mx)
+    probs = np.round(e / e.sum(axis=1, keepdims=True), dp)
+    idx = logits.argmax(axis=1)  # first max wins, like np.argmax in reference
+    labels = np.array(["negative", "neutral", "positive"])[idx]
+    conf = probs.max(axis=1)
+    return pd.DataFrame({
+        "sentiment": labels,
+        "confidence": conf,
+        "probabilities": [
+            {"negative": p[0], "neutral": p[1], "positive": p[2]} for p in probs
+        ],
+    })
+
+
+def topics_batch(texts: pd.Series, dp: int = FLOAT_ROUND_DP) -> pd.DataFrame:
+    """Vectorized topics over a batch; same math as topics_struct."""
+    rows_topics: list[list[str]] = []
+    rows_top: list[str] = []
+    rows_conf: list[float] = []
+    for t in texts.fillna(""):
+        _, _, lab = _token_counts(t)
+        mx = int(lab.max())
+        top = LABELS[int(lab.argmax())]  # first max = alphabetical tie-break
+        above = [LABELS[i] for i in range(_NLAB) if lab[i] >= 1]
+        if top not in above:  # U2d: top always included
+            above = sorted(above + [top])
+        rows_topics.append(above)
+        rows_top.append(top)
+        rows_conf.append(round(1.0 / (1.0 + np.exp(SCORE_OFFSET - float(mx))), dp))
+    return pd.DataFrame(
+        {"topics": rows_topics, "top_topic": rows_top, "top_confidence": rows_conf}
+    )
+
+
+@F.pandas_udf(SENTIMENT_SCHEMA)
+def sentiment_udf(texts: pd.Series) -> pd.DataFrame:
+    return sentiment_batch(texts)
+
+
+@F.pandas_udf(TOPICS_SCHEMA)
+def topics_udf(texts: pd.Series) -> pd.DataFrame:
+    return topics_batch(texts)

@@ -1,0 +1,135 @@
+"""Driver-mimic harness: run every registry query on Spark AND its DuckDB
+oracle, compare row-count + sorted-column schema + order-insensitive value
+hash. Run locally before every commit:
+
+    python tools/check_oracle.py [--sf /root/testdata/sf0.01] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon(v):
+    """Canonicalize a value for cross-engine comparison."""
+    import datetime
+    import decimal
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return canon(float(v))
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def table_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--explain", action="store_true")
+    args = ap.parse_args()
+
+    import duckdb
+    from nats_stream_processor_spark import registry
+    from nats_stream_processor_spark.session import get_spark
+
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+
+    names = args.names or list(registry.REGISTRY)
+    failures = 0
+    for name in names:
+        e = registry.REGISTRY[name]
+        t0 = time.time()
+        try:
+            sdf = e.fn(spark, args.sf)
+            if args.explain:
+                sdf.explain("formatted")
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            print(f"FAIL {name}: spark error: {ex}")
+            failures += 1
+            continue
+        if e.oracle is None:
+            print(f"ok?  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            if len(srows) == 0:
+                print(f"WARN {name}: zero rows")
+            continue
+        try:
+            cur = con.execute(e.oracle)
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as ex:
+            print(f"FAIL {name}: duckdb error: {str(ex)[:300]}")
+            failures += 1
+            continue
+        problems = []
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"schema {sorted(scols)} != {sorted(ocols)}")
+        if len(srows) != len(orows):
+            problems.append(f"rowcount {len(srows)} != {len(orows)}")
+        if not problems:
+            sh, oh = table_hash(scols, srows), table_hash(ocols, orows)
+            if sh != oh:
+                problems.append(f"hash {sh} != {oh}")
+                # diff aid: show first mismatching canonical line
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                ls = sorted("|".join(canon(r[i]) for i in order_s) for r in srows)
+                lo = sorted("|".join(canon(r[i]) for i in order_o) for r in orows)
+                for a, b in zip(ls, lo):
+                    if a != b:
+                        print(f"  spark : {a[:200]}\n  oracle: {b[:200]}")
+                        break
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            failures += 1
+        else:
+            print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
