@@ -38,7 +38,11 @@ NEGATIVE_WORDS = (
     "slow", "small", "dup", "hate", "bad", "terrible", "worst", "sad",
     "awful", "error", "fail", "broken",
 )
-NEUTRAL_BIAS = 1.0  # constant "neutral" logit
+# Constant "neutral" logit. Below 1.0 so a single lexicon hit decides the
+# class (at 1.0 a one-hit text ties the bias and the numpy-argmax tie-break
+# would label it neutral, unlike the reference model on its smoke corpus
+# "This is a great day!" -> positive, docker-compose.yml:31).
+NEUTRAL_BIAS = 0.5
 
 LABELS = ("negative", "neutral", "positive")  # index order = reference id2label
 

@@ -124,6 +124,7 @@ def topics_sql_columns(dp: int = FLOAT_ROUND_DP) -> dict[str, str]:
     topics = f"list_sort(list_distinct(({above}) || [{top}]))"
     return {
         "topics_str": f"array_to_string({topics}, ',')",
+        "topics_list": topics,
         "top_topic": top,
         "top_confidence": sig,
     }

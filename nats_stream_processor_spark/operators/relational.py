@@ -1,0 +1,121 @@
+"""Reusable relational operators the reference lacks (SURVEY.md §2B) built
+as compositions of DataFrame primitives so Catalyst keeps full visibility
+(predicate pushdown, join selection, AQE) — no RDDs, no collect().
+
+Scale notes are attached per operator; everything here is shuffle-safe and
+was designed for the 1000-executor / 100 TB posture first, then verified on
+local[32].
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dsum(col: Column | str, scale: str = "decimal(25,6)") -> Column:
+    """Exact cross-engine sum of a money-ish double column.
+
+    Doubles summed in different orders (Spark partial aggregation vs a
+    single-threaded oracle) diverge in the last few ulps; casting to decimal
+    first makes the sum order-independent and bit-comparable. The decimal
+    fits in 64-bit unscaled form at this precision, so Tungsten keeps it in
+    its fast path — negligible cost vs a double sum at any scale.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(scale)), 4).cast("double")
+
+
+def dsum_sql(expr: str, scale: str = "DECIMAL(25,6)") -> str:
+    """DuckDB twin of :func:`dsum`.
+
+    The round(., 4) before the double cast is what makes the comparison
+    exact: a high-scale decimal sum has an unscaled int128 value above
+    2^53, and DuckDB's decimal->double conversion then double-rounds
+    (int->double, then /10^scale) while Spark rounds once. Rounding to
+    scale 4 first keeps the unscaled value under 2^53 at our magnitudes,
+    making the conversion a single correctly-rounded division in both
+    engines; the decimal round itself detects ties exactly and both
+    engines round half away from zero. (A plain decimal downcast would
+    NOT work: DuckDB truncates on scale reduction, Spark rounds.)
+    """
+    return f"CAST(round(sum(CAST({expr} AS {scale})), 4) AS DOUBLE)"
+
+
+def davg(col: Column | str, scale: str = "decimal(25,6)") -> Column:
+    """Exact-sum average: decimal sum divided by count, both deterministic."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(scale)), 4).cast("double") / F.count(c)
+
+
+def davg_sql(expr: str, scale: str = "DECIMAL(25,6)") -> str:
+    return f"CAST(round(sum(CAST({expr} AS {scale})), 4) AS DOUBLE) / count({expr})"
+
+
+def topk_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Per-group top-k via ``row_number`` over a window.
+
+    Scale: one shuffle on the partition keys; Spark's WindowExec sorts
+    within partitions only. For skewed groups the rank short-circuits
+    (``WindowGroupLimit`` pushes k down into the sort since Spark 3.5), so
+    a hot key costs O(n log k), not a full sort.
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    right_cols: Sequence[str],
+    tie_breaker: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: for each left row, the single right row with the
+    greatest ``right_time`` <= ``left_time`` sharing the equi keys ``on``.
+
+    Implementation: equi join with the range predicate, then ``row_number``
+    per left row ordered by right_time desc (``tie_breaker`` desc makes the
+    pick deterministic when right_time ties). Catalyst plans the equi part
+    as a regular (broadcast/sort-merge) join and pushes the range condition
+    into the join, so this scales like any equi join — the window only sees
+    each left row's candidate set.
+
+    At extreme right-side cardinality per key, prefer bucketing both sides
+    on ``on`` so the join is shuffle-free; the window reuses the join's
+    partitioning (no second shuffle) because its partition keys include the
+    join keys.
+    """
+    rt = F.col(f"__r.{right_time}")
+    order = [rt.desc()]
+    if tie_breaker:
+        order.append(F.col(f"__r.{tie_breaker}").desc())
+    # A synthetic unique id keeps the dedup window narrow (partition by one
+    # long) regardless of the caller's schema.
+    lid = left.alias("__l").withColumn("__lid", F.monotonically_increasing_id())
+    r = right.alias("__r")
+    cond = [lid[k] == r[k] for k in on] + [rt <= F.col(f"__l.{left_time}")]
+    joined = lid.join(r, cond, "left")
+    w = Window.partitionBy("__lid").orderBy(*order)
+    out = (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *[F.col(f"__l.{c}") for c in left.columns],
+            *[F.col(f"__r.{c}").alias(c) for c in right_cols],
+        )
+    )
+    return out

@@ -1,0 +1,184 @@
+"""Event-time queries over the ``events`` table: tumbling / sliding /
+session windows, the reference's 20-second rate ticks (M3,
+reference: src/service.py:174-253), and the as-of join.
+
+These run identically in batch (here, oracle-checked) and on a streaming
+DataFrame (streaming/pipeline.py reuses the same window expressions with a
+watermark) — the idiomatic Structured Streaming design where one transform
+serves both modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.relational import asof_join, dsum, dsum_sql
+from ..registry import register, table
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events, {dsum_sql('value', 'DECIMAL(18,2)')} AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("window-tumbling", "streaming-twin"),
+)
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window. In streaming mode the same expression
+    runs with ``withWatermark`` bounding state; window state is partitioned
+    by (window, event_type) so it scales horizontally."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             dsum("value", "decimal(18,2)").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "sum_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "events_sliding_windows",
+    oracle="""
+    WITH b AS (
+        SELECT *,
+               date_trunc('hour', ts)
+                 + CASE WHEN extract(minute FROM ts) >= 30
+                        THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+                 AS slide0
+        FROM events),
+    exploded AS (
+        SELECT unnest([slide0, slide0 - INTERVAL 30 MINUTE]) AS window_start,
+               event_type
+        FROM b)
+    SELECT window_start, count(*) AS n_events
+    FROM exploded GROUP BY 1 ORDER BY 1
+    """,
+    tags=("window-sliding", "streaming-twin"),
+)
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h length, 30 min slide): each event lands in 2
+    windows. Spark expands rows by length/slide before the agg — shuffle
+    volume scales with the overlap factor, which is why the slide should
+    never be tiny relative to the length at 100 TB."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "events_session_windows",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 10 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events),
+    numbered AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM flagged)
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 10 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    tags=("window-session", "streaming-twin"),
+)
+def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10 min gap) per user. The oracle reproduces Spark's
+    merge semantics via gaps-and-islands: a session extends while the next
+    event starts strictly inside [last_ts, last_ts + gap)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "rate_ticks_20s",
+    oracle="""
+    WITH ticks AS (
+        SELECT date_trunc('minute', ts)
+                 + (CAST(extract(second FROM ts) AS INT) // 20) * INTERVAL 20 SECOND
+                 AS tick_start,
+               count(*) AS n_processed
+        FROM events GROUP BY 1)
+    SELECT tick_start, n_processed,
+           round(n_processed / 20.0, 6) AS rate_per_s,
+           n_processed - lag(n_processed) OVER (ORDER BY tick_start) AS delta_vs_prev
+    FROM ticks ORDER BY tick_start
+    """,
+    tags=("M3", "rate-agg"),
+)
+def q_rate_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 20-second stats tick (processed/s + delta vs previous
+    tick, reference: src/service.py:174-253) as an event-time tumbling
+    window — in streaming this is exactly `inputRowsPerSecond` from the
+    StreamingQueryListener, exposed here as a queryable aggregate."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+    w = Window.orderBy("tick_start")
+    ticks = (
+        ev.groupBy(F.window("ts", "20 seconds").alias("w"))
+        .agg(F.count("*").alias("n_processed"))
+        .select(F.col("w.start").alias("tick_start"), "n_processed")
+    )
+    return (
+        ticks.select(
+            "tick_start", "n_processed",
+            F.round(F.col("n_processed") / 20.0, 6).alias("rate_per_s"),
+            (F.col("n_processed") - F.lag("n_processed").over(w)).alias("delta_vs_prev"),
+        )
+        .orderBy("tick_start")
+    )
+
+
+@register(
+    "asof_join_latest_order",
+    oracle="""
+    SELECT event_id, user_id, o_orderkey AS asof_orderkey,
+           o_totalprice AS asof_totalprice
+    FROM events LEFT JOIN orders
+      ON o_custkey = user_id AND o_orderdate <= ts
+    QUALIFY row_number() OVER (PARTITION BY event_id
+                               ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    ORDER BY event_id
+    """,
+    tags=("join", "asof"),
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each event picks the most recent order of the
+    matching customer (operators/relational.py asof_join: equi+range join
+    then per-left-row row_number)."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "user_id")
+    out = asof_join(
+        ev, o, on=["user_id"], left_time="ts", right_time="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"], tie_breaker="o_orderkey",
+    )
+    return (
+        out.select(
+            "event_id", "user_id",
+            F.col("o_orderkey").alias("asof_orderkey"),
+            F.col("o_totalprice").alias("asof_totalprice"),
+        )
+        .orderBy("event_id")
+    )

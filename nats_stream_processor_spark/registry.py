@@ -5,6 +5,14 @@ an equivalent DuckDB oracle SQL string (or None for non-SQL-expressible
 ops, which the driver checks rows-only). Keys map 1:1 onto SURVEY.md §2's
 operator inventory; every computed column is aliased identically on both
 sides so the driver's sorted-column value-hash comparison is meaningful.
+
+Query definitions live in the ``queries`` subpackage (imported at the
+bottom of this module), grouped by domain:
+
+- ``queries.enrich``     — the reference pipeline (SURVEY.md §2A)
+- ``queries.relational`` — joins/aggs/windows/set-ops (§2B)
+- ``queries.events``     — time windows, as-of joins, rate ticks (§2B + M3)
+- ``queries.llm``        — dedup / similarity / text analysis (north star)
 """
 
 from __future__ import annotations
@@ -13,14 +21,6 @@ from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-from .functions.classify import sentiment_udf, topics_udf
-from .functions.sentiment import sentiment_count_sql_defs, sentiment_sql_columns
-from .functions.text import tokens_sql
-from .functions.topics import topic_count_sql_defs, topics_sql_columns
-from .operators.enrich import enrich_posts, enriched_route_counts
-from .session import load_tables
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -42,139 +42,24 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a driver parquet table, normalizing engine-specific quirks.
+
+    events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects by default; we read nanos as long (session conf, safe to
+    set at runtime) and truncate to microsecond timestamps — exactly what
+    DuckDB does when it coerces TIMESTAMP_NS to its native microsecond
+    TIMESTAMP, so oracle comparisons line up. `ts div 1000` is exact integer
+    division (a double roundtrip would lose precision at 2024-epoch nanos).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+        return (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
-
-
-# A CTE prelude shared by every classifier oracle: tokenize once, count once.
-CLASSIFIER_CTE = (
-    "WITH d AS (SELECT *, {toks} AS toks FROM documents), "
-    "c AS (SELECT *, {scnt}, {tcnt} FROM d)"
-).format(
-    toks=tokens_sql("coalesce(text, '')"),
-    scnt=sentiment_count_sql_defs("toks"),
-    tcnt=topic_count_sql_defs("toks"),
-)
-_S = sentiment_sql_columns()
-_T = topics_sql_columns()
-
-
-# ------------------------------------------------------------------ §2A:
-# the reference pipeline, batch form, over the documents corpus.
-
-
-@register(
-    "enrich_flagship",
-    oracle=f"""
-    {CLASSIFIER_CTE},
-    enriched AS (
-        SELECT {_S['sentiment']} AS sentiment, {_T['top_topic']} AS top_topic,
-               {_S['confidence']} AS confidence
-        FROM c
-        WHERE length(trim(coalesce(text, ''))) > 0 AND {_S['confidence']} >= 0.4
-    )
-    SELECT sentiment, top_topic, count(*) AS n_posts,
-           round(avg(confidence), 6) AS avg_confidence
-    FROM enriched GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-    tags=("flagship", "U1", "U2", "F5", "P2", "M4", "M5"),
-)
-def q_enrich_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return enriched_route_counts(_t(spark, sf_dir, "documents"), text_col="text")
-
-
-@register(
-    "sentiment_classify",
-    oracle=f"""
-    {CLASSIFIER_CTE}
-    SELECT doc_id, {_S['sentiment']} AS sentiment, {_S['confidence']} AS confidence,
-           {_S['p_negative']} AS p_negative, {_S['p_neutral']} AS p_neutral,
-           {_S['p_positive']} AS p_positive
-    FROM c ORDER BY doc_id
-    """,
-    tags=("U1", "U1a", "U1b"),
-)
-def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", sentiment_udf(F.col("text")).alias("s"))
-        .select(
-            "doc_id",
-            F.col("s.sentiment").alias("sentiment"),
-            F.col("s.confidence").alias("confidence"),
-            F.col("s.probabilities.negative").alias("p_negative"),
-            F.col("s.probabilities.neutral").alias("p_neutral"),
-            F.col("s.probabilities.positive").alias("p_positive"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-@register(
-    "topic_classify",
-    oracle=f"""
-    {CLASSIFIER_CTE}
-    SELECT doc_id, {_T['topics_str']} AS topics_str, {_T['top_topic']} AS top_topic,
-           {_T['top_confidence']} AS top_confidence
-    FROM c ORDER BY doc_id
-    """,
-    tags=("U2", "U2a", "U2b", "U2c", "U2d"),
-)
-def q_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", topics_udf(F.col("text")).alias("t"))
-        .select(
-            "doc_id",
-            F.array_join(F.col("t.topics"), ",").alias("topics_str"),
-            F.col("t.top_topic").alias("top_topic"),
-            F.col("t.top_confidence").alias("top_confidence"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-@register(
-    "confidence_gate",
-    oracle=f"""
-    {CLASSIFIER_CTE}
-    SELECT doc_id, {_S['sentiment']} AS sentiment, {_S['confidence']} AS confidence
-    FROM c WHERE {_S['confidence']} >= 0.4 ORDER BY doc_id
-    """,
-    tags=("F5",),
-)
-def q_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "documents")
-        .withColumn("s", sentiment_udf(F.col("text")))
-        .filter(F.col("s.confidence") >= 0.4)
-        .select(
-            "doc_id",
-            F.col("s.sentiment").alias("sentiment"),
-            F.col("s.confidence").alias("confidence"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-@register(
-    "route_subject",
-    oracle=f"""
-    {CLASSIFIER_CTE}
-    SELECT doc_id,
-           'bluesky.posts.enriched' || '.' || {_S['sentiment']} || '.' || {_T['top_topic']}
-             AS route_subject
-    FROM c WHERE length(trim(coalesce(text, ''))) > 0 AND {_S['confidence']} >= 0.4
-    ORDER BY doc_id
-    """,
-    tags=("P3",),
-)
-def q_route_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        enrich_posts(_t(spark, sf_dir, "documents"), text_col="text")
-        .select("doc_id", "route_subject")
-        .orderBy("doc_id")
-    )
 
 
 def queries() -> dict[str, QueryFn]:
@@ -183,3 +68,11 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: e.oracle for name, e in REGISTRY.items() if e.oracle is not None}
+
+
+# Populate the registry (import side effects; keep at module bottom).
+from .queries import enrich as _q_enrich  # noqa: E402,F401
+from .queries import relational as _q_relational  # noqa: E402,F401
+from .queries import events as _q_events  # noqa: E402,F401
+from .queries import metrics as _q_metrics  # noqa: E402,F401
+from .queries import llm as _q_llm  # noqa: E402,F401

@@ -60,6 +60,57 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
+def check_one(spark, con, name: str, sf_dir: str, explain: bool = False) -> str | None:
+    """Run one registry query vs its oracle; return a failure description or
+    None on pass. Rows-only entries pass when they produce >= 1 row."""
+    from nats_stream_processor_spark import registry
+
+    e = registry.REGISTRY[name]
+    try:
+        sdf = e.fn(spark, sf_dir)
+        if explain:
+            sdf.explain("formatted")
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+    except Exception as ex:
+        return f"spark error: {str(ex)[:400]}"
+    if e.oracle is None:
+        return None if len(srows) > 0 else "rows-only query returned zero rows"
+    try:
+        cur = con.execute(e.oracle)
+        ocols = [d[0] for d in cur.description]
+        orows = cur.fetchall()
+    except Exception as ex:
+        return f"duckdb error: {str(ex)[:400]}"
+    problems = []
+    if sorted(scols) != sorted(ocols):
+        problems.append(f"schema {sorted(scols)} != {sorted(ocols)}")
+    if len(srows) != len(orows):
+        problems.append(f"rowcount {len(srows)} != {len(orows)}")
+    if not problems:
+        sh, oh = table_hash(scols, srows), table_hash(ocols, orows)
+        if sh != oh:
+            problems.append(f"hash {sh} != {oh}")
+            order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+            order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+            ls = sorted("|".join(canon(r[i]) for i in order_s) for r in srows)
+            lo = sorted("|".join(canon(r[i]) for i in order_o) for r in orows)
+            for a, b in zip(ls, lo):
+                if a != b:
+                    problems.append(f"first diff: spark={a[:150]} oracle={b[:150]}")
+                    break
+    return "; ".join(problems) if problems else None
+
+
+def make_duck(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
@@ -67,66 +118,24 @@ def main() -> int:
     ap.add_argument("--explain", action="store_true")
     args = ap.parse_args()
 
-    import duckdb
     from nats_stream_processor_spark import registry
     from nats_stream_processor_spark.session import get_spark
 
     spark = get_spark()
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+    con = make_duck(args.sf)
 
     names = args.names or list(registry.REGISTRY)
     failures = 0
     for name in names:
-        e = registry.REGISTRY[name]
         t0 = time.time()
-        try:
-            sdf = e.fn(spark, args.sf)
-            if args.explain:
-                sdf.explain("formatted")
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception as ex:
-            print(f"FAIL {name}: spark error: {ex}")
-            failures += 1
-            continue
-        if e.oracle is None:
-            print(f"ok?  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
-            if len(srows) == 0:
-                print(f"WARN {name}: zero rows")
-            continue
-        try:
-            cur = con.execute(e.oracle)
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
-        except Exception as ex:
-            print(f"FAIL {name}: duckdb error: {str(ex)[:300]}")
-            failures += 1
-            continue
-        problems = []
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"schema {sorted(scols)} != {sorted(ocols)}")
-        if len(srows) != len(orows):
-            problems.append(f"rowcount {len(srows)} != {len(orows)}")
-        if not problems:
-            sh, oh = table_hash(scols, srows), table_hash(ocols, orows)
-            if sh != oh:
-                problems.append(f"hash {sh} != {oh}")
-                # diff aid: show first mismatching canonical line
-                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
-                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
-                ls = sorted("|".join(canon(r[i]) for i in order_s) for r in srows)
-                lo = sorted("|".join(canon(r[i]) for i in order_o) for r in orows)
-                for a, b in zip(ls, lo):
-                    if a != b:
-                        print(f"  spark : {a[:200]}\n  oracle: {b[:200]}")
-                        break
-        if problems:
-            print(f"FAIL {name}: " + "; ".join(problems))
+        problem = check_one(spark, con, name, args.sf, explain=args.explain)
+        oracle = registry.REGISTRY[name].oracle
+        if problem:
+            print(f"FAIL {name}: {problem}")
             failures += 1
         else:
-            print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            kind = "PASS" if oracle is not None else "ok? (rows-only)"
+            print(f"{kind} {name} ({time.time()-t0:.1f}s)")
     spark.stop()
     return 1 if failures else 0
 
