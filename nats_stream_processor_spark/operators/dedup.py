@@ -1,0 +1,178 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four tiers, all shuffle-safe and expressed as DataFrame programs:
+
+- exact:   normalize -> md5 key -> groupBy (one shuffle on the hash key).
+- minhash: token-3-gram shingles -> K=32 minhash signature -> 8 bands of 4
+           -> band-bucket self-join for candidates -> exact Jaccard verify.
+           The standard LSH pipeline: candidate generation is a shuffle on
+           (band, bucket) — never an O(n^2) cross join — and the exact
+           verify only touches candidate pairs.
+- simhash: 60-bit simhash -> 4 chunks of 15 bits -> chunk-bucket join
+           (pigeonhole guarantees recall for hamming distance <= 3) ->
+           popcount verify.
+- n-gram:  blocked pairwise token-bigram Jaccard (block = `source` here;
+           at 100 TB the block key is whatever bounds the quadratic term:
+           LSH bucket, length band, URL host...).
+
+Everything is deterministic (md5-derived hashes, pinned permutation
+parameters — functions/hashing.py), so each stage has an exact DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    MERSENNE_P,
+    hash32_col,
+    hash32_sql_duck,
+    minhash_params,
+)
+from ..functions.text import tokens_col
+
+MINHASH_K = 32
+LSH_BANDS = 8
+LSH_ROWS = 4  # K / BANDS
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4
+SIMHASH_CHUNK_BITS = 15  # BITS / CHUNKS; pigeonhole recall for dist <= 3
+
+_PARAMS = minhash_params(MINHASH_K)
+
+
+def normalized_key(text: Column) -> Column:
+    """Exact-dedup key: md5 of the lower-cased, trimmed text."""
+    return F.md5(F.lower(F.trim(text)))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group by content hash; keep the minimum id as canonical survivor.
+    One shuffle on a 32-byte key regardless of document size."""
+    return (
+        df.select(normalized_key(F.col(text_col)).alias("content_key"),
+                  F.col(id_col))
+        .groupBy("content_key")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct token n-gram shingles; short docs fall back to the whole
+    token string so they still carry one shingle."""
+    toks = tokens_col(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams)
+        .otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def shingles_sql(toks_expr: str, n: int = 3) -> str:
+    gram = " || ' ' || ".join(f"{toks_expr}[i+{j}]" for j in range(n))
+    return (
+        f"list_distinct(CASE WHEN len({toks_expr}) >= {n} THEN "
+        f"list_transform(range(1, len({toks_expr}) - {n - 2}), i -> {gram}) "
+        # coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+        # array_join([]) is ''
+        f"ELSE [coalesce(array_to_string({toks_expr}, ' '), '')] END)"
+    )
+
+
+def shingle_ids_col(sh: Column) -> Column:
+    return F.array_distinct(F.transform(sh, hash32_col))
+
+
+def shingle_ids_sql(sh_expr: str) -> str:
+    return f"list_distinct(list_transform({sh_expr}, s -> {hash32_sql_duck('s')}))"
+
+
+def _perm(a: int, b: int):
+    # Closure factory: F.transform inspects the lambda's arity, so binding
+    # a/b as default args would make it look like a 3-parameter lambda.
+    return lambda x: (a * x + b) % MERSENNE_P
+
+
+def minhash_signature_col(sids: Column) -> Column:
+    """K minimums over pinned affine permutations of the shingle-id set."""
+    return F.array(*[
+        F.array_min(F.transform(sids, _perm(a, b))) for a, b in _PARAMS
+    ])
+
+
+def minhash_signature_sql(sids_expr: str) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform({sids_expr}, x -> ({a} * x + {b}) % {MERSENNE_P}))"
+        for a, b in _PARAMS
+    )
+    return f"[{mins}]"
+
+
+def minhash_band_explode(df: DataFrame, id_col: str, sig_col: str) -> DataFrame:
+    """One row per (doc, band) with the band's bucket key — the unit that
+    shuffles. Equal (band, bucket) => candidate pair."""
+    bands = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.array_join(
+                    F.slice(F.col(sig_col), b * LSH_ROWS + 1, LSH_ROWS), "_"
+                ).alias("bucket"),
+            ),
+        )
+    )
+    return df.select(F.col(id_col), bands.alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+    )
+
+
+def jaccard(a_ids: Column, b_ids: Column, dp: int = 6) -> Column:
+    inter = F.size(F.array_intersect(a_ids, b_ids))
+    union = F.size(F.array_union(a_ids, b_ids))
+    return F.round(inter / F.greatest(union, F.lit(1)), dp)
+
+
+def token_hashes_spark_sql(text_expr: str) -> str:
+    """60-bit per-token hashes, Spark SQL dialect. Projected once per row
+    (a named column) so the 60 per-bit folds below don't recompute md5."""
+    toks = f"regexp_extract_all(lower({text_expr}), '[a-z0-9]+', 0)"
+    return f"transform({toks}, t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))"
+
+
+def token_hashes_duck_sql(text_expr: str) -> str:
+    toks = f"regexp_extract_all(lower({text_expr}), '[a-z0-9]+')"
+    return f"list_transform({toks}, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
+
+
+def simhash_spark_sql(hs_col: str = "tok_hashes") -> str:
+    """60-bit simhash folded directly into a packed BIGINT:
+    bit i = sign of sum over tokens of (+1 if bit i of hash60(token) else -1);
+    simhash = sum of set bits << i. Term-frequency weighted (duplicate
+    tokens count). Nested higher-order functions — stays JVM-side."""
+    bit_sum = (
+        f"aggregate({hs_col}, 0L, (acc, h) -> acc + "
+        "(CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END))"
+    )
+    return (
+        f"aggregate(sequence(0, {SIMHASH_BITS - 1}), 0L, (acc2, i) -> acc2 + "
+        f"(CASE WHEN {bit_sum} > 0 THEN shiftleft(1L, i) ELSE 0L END))"
+    )
+
+
+def simhash_duck_sql(hs_col: str = "tok_hashes") -> str:
+    bit_sum = (
+        f"coalesce(list_sum(list_transform({hs_col}, "
+        "h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)), 0)"
+    )
+    return (
+        f"coalesce(list_sum(list_transform(range(0, {SIMHASH_BITS}), "
+        f"i -> CASE WHEN {bit_sum} > 0 THEN (CAST(1 AS BIGINT) << i) "
+        f"ELSE CAST(0 AS BIGINT) END)), 0)"
+    )

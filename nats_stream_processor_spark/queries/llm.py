@@ -1,8 +1,487 @@
-"""LLM-training-data pipeline queries (north star): deduplication,
-similarity search, text analysis, multimodal plumbing.
+"""LLM-training-data pipeline queries (north star): deduplication families,
+similarity search, text analysis, multimodal plumbing — over the
+``documents`` and ``embeddings`` tables.
 
-Populated incrementally; operators live in operators/dedup.py,
-operators/similarity.py, operators/textstats.py, operators/multimodal.py.
+Every query is deterministic (md5-derived hashing, pinned LSH parameters)
+and oracle-checked; the oracle SQL is generated from the same Python
+constants as the Spark expressions (operators/{dedup,similarity,textstats}).
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import similarity as sim
+from ..operators.dedup import (
+    LSH_BANDS,
+    LSH_ROWS,
+    SIMHASH_CHUNK_BITS,
+    SIMHASH_CHUNKS,
+    exact_dedup,
+    jaccard,
+    minhash_band_explode,
+    minhash_signature_col,
+    minhash_signature_sql,
+    shingle_ids_col,
+    shingle_ids_sql,
+    shingles_col,
+    shingles_sql,
+    simhash_duck_sql,
+    simhash_spark_sql,
+    token_hashes_duck_sql,
+    token_hashes_spark_sql,
+)
+from ..operators.multimodal import media_metadata, with_payload
+from ..operators.textstats import (
+    fingerprint_col,
+    fingerprint_sql,
+    lang_id_cols,
+    lang_id_sql,
+    quality_cols,
+    quality_sql,
+    token_stats_cols,
+    token_stats_sql,
+)
+from ..registry import register, table
+
+NEAR_DUP_JACCARD = 0.5
+EMB_NEAR_DUP_COS = 0.4
+SIMHASH_MAX_DIST = 3
+BIGRAM_JACCARD = 0.3
+
+
+# ------------------------------------------------------------ text analysis
+
+
+@register(
+    "text_token_stats",
+    oracle=(lambda ts: f"""
+    SELECT doc_id, {ts['n_chars']} AS n_chars, {ts['n_ws_tokens']} AS n_ws_tokens,
+           {ts['n_re_tokens']} AS n_re_tokens, {ts['est_bpe_tokens']} AS est_bpe_tokens,
+           {ts['n_punct']} AS n_punct
+    FROM documents ORDER BY doc_id
+    """)(token_stats_sql("text")),
+    tags=("llm", "token-count"),
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, regex word tokens, chars, a
+    BPE-ish estimate (~4 chars/token). Pure JVM expressions — this is the
+    shape of a corpus-stats pass that must run over every document at
+    100 TB, so no Python in the loop."""
+    d = table(spark, sf_dir, "documents")
+    tc = token_stats_cols(F.col("text"))
+    return d.select("doc_id", *[tc[k].alias(k) for k in
+                                ["n_chars", "n_ws_tokens", "n_re_tokens",
+                                 "est_bpe_tokens", "n_punct"]]).orderBy("doc_id")
+
+
+@register(
+    "text_quality_scores",
+    oracle=(lambda qs: f"""
+    SELECT doc_id, {qs['punct_ratio']} AS punct_ratio,
+           {qs['stopword_ratio']} AS stopword_ratio,
+           {qs['quality_score']} AS quality_score,
+           {qs['quality_bucket']} AS quality_bucket
+    FROM documents ORDER BY doc_id
+    """)(quality_sql("text")),
+    tags=("llm", "quality"),
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (length/punctuation/stopword mix). Rational
+    arithmetic only, so the oracle matches bit-for-bit."""
+    d = table(spark, sf_dir, "documents")
+    qc = quality_cols(F.col("text"))
+    return d.select("doc_id", *[qc[k].alias(k) for k in
+                                ["punct_ratio", "stopword_ratio",
+                                 "quality_score", "quality_bucket"]]).orderBy("doc_id")
+
+
+@register(
+    "text_lang_id",
+    oracle=(lambda ls: f"""
+    SELECT {ls['pred_lang']} AS pred_lang, count(*) AS n_docs
+    FROM documents GROUP BY 1 ORDER BY 1
+    """)(lang_id_sql("text")),
+    tags=("llm", "lang-id"),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID, aggregated to a per-language census."""
+    d = table(spark, sf_dir, "documents")
+    lc = lang_id_cols(F.col("text"))
+    return (
+        d.select(lc["pred_lang"].alias("pred_lang"))
+        .groupBy("pred_lang").agg(F.count("*").alias("n_docs"))
+        .orderBy("pred_lang")
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id, {fingerprint_sql('text')} AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("llm", "fingerprint"),
+)
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial (Rabin-Karp) fingerprint over the token stream."""
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", fingerprint_col(F.col("text")).alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+# -------------------------------------------------------------------- dedup
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS content_key,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY 1 ORDER BY content_key
+    """,
+    tags=("llm", "dedup-exact"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash; min doc_id survives. One shuffle on a
+    32-byte key — at 100 TB this is the cheapest pass and always runs
+    before any near-dup stage."""
+    return (
+        exact_dedup(table(spark, sf_dir, "documents"), "text", "doc_id")
+        .orderBy("content_key")
+    )
+
+
+_SH_CTE = f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+s AS (SELECT doc_id, {shingle_ids_sql(shingles_sql('toks'))} AS sids FROM t),
+sig AS (SELECT doc_id, sids, {minhash_signature_sql('sids')} AS sig FROM s),
+bands AS (
+    SELECT doc_id, sids, band_idx,
+           array_to_string(list_slice(sig, band_idx * {LSH_ROWS} + 1,
+                                      (band_idx + 1) * {LSH_ROWS}), '_') AS bucket
+    FROM sig CROSS JOIN (SELECT unnest(range(0, {LSH_BANDS})) AS band_idx) u),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    {_SH_CTE}
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(sa.sids, sb.sids))
+                 / CAST(greatest(len(list_distinct(sa.sids || sb.sids)), 1) AS DOUBLE),
+                 6) AS jaccard
+    FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b
+    WHERE round(len(list_intersect(sa.sids, sb.sids))
+                / CAST(greatest(len(list_distinct(sa.sids || sb.sids)), 1) AS DOUBLE),
+                6) >= {NEAR_DUP_JACCARD}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm", "dedup-minhash-lsh"),
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection, the canonical web-scale pipeline:
+    shingle -> K=32 signature -> 8 bands of 4 -> band-bucket join for
+    candidates -> exact Jaccard >= 0.5 verify. The only shuffles are on
+    (band, bucket) and on doc_id for the verify join — never O(n^2).
+    (cf. reference has only exact-key windowed dedup, src/nats_client.py:244-266)."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", shingle_ids_col(shingles_col(F.col("text"))).alias("sids")
+    )
+    sig = sh.select("doc_id", "sids", minhash_signature_col(F.col("sids")).alias("sig"))
+    bands = minhash_band_explode(sig, "doc_id", "sig")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sids").alias("sids_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sids").alias("sids_b"))
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b",
+                jaccard(F.col("sids_a"), F.col("sids_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= NEAR_DUP_JACCARD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_SIMHASH_CTE = f"""
+WITH h AS (SELECT doc_id, {token_hashes_duck_sql('text')} AS tok_hashes
+           FROM documents),
+sh AS (SELECT doc_id, {simhash_duck_sql()} AS simhash FROM h),
+chunks AS (
+    SELECT doc_id, simhash, chunk_idx,
+           (simhash >> (chunk_idx * {SIMHASH_CHUNK_BITS}))
+             & {(1 << SIMHASH_CHUNK_BITS) - 1} AS chunk_val
+    FROM sh CROSS JOIN (SELECT unnest(range(0, {SIMHASH_CHUNKS})) AS chunk_idx) u)
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    {_SIMHASH_CTE}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+         AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_DIST}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm", "dedup-simhash"),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 60-bit signatures, 4 chunks of 15 bits (pigeonhole
+    guarantees recall for hamming distance <= 3), popcount verify. Shuffle
+    is on (chunk, value) — candidate sets only."""
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        d.withColumn("tok_hashes", F.expr(token_hashes_spark_sql("text")))
+        .select("doc_id", F.expr(simhash_spark_sql()).alias("simhash"))
+    )
+    chunks = (
+        sh.select("doc_id", "simhash",
+                  F.posexplode(F.sequence(F.lit(0), F.lit(SIMHASH_CHUNKS - 1)))
+                  .alias("_", "chunk_idx"))
+        .select(
+            "doc_id", "simhash", "chunk_idx",
+            # F.shiftright only takes a literal shift amount; expr form
+            # accepts the per-row chunk_idx
+            F.expr(f"shiftright(simhash, chunk_idx * {SIMHASH_CHUNK_BITS})"
+                   f" & {(1 << SIMHASH_CHUNK_BITS) - 1}").alias("chunk_val"),
+        )
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+               & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_DIST)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source,
+                      regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+               FROM documents),
+    g AS (SELECT doc_id, source,
+                 {shingle_ids_sql(shingles_sql('toks', 2))} AS grams FROM t)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.grams, b.grams))
+                 / CAST(greatest(len(list_distinct(a.grams || b.grams)), 1) AS DOUBLE),
+                 6) AS jaccard
+    FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.grams, b.grams))
+                / CAST(greatest(len(list_distinct(a.grams || b.grams)), 1) AS DOUBLE),
+                6) >= {BIGRAM_JACCARD}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm", "dedup-ngram"),
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise token-bigram Jaccard. The block key (`source`)
+    bounds the quadratic term — the pattern for any pairwise-verify stage
+    at scale (block by LSH bucket / length band / host...)."""
+    d = table(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id", "source",
+        shingle_ids_col(shingles_col(F.col("text"), 2)).alias("grams"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(b, (F.col("a.source") == F.col("b.source"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            jaccard(F.col("a.grams"), F.col("b.grams")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= BIGRAM_JACCARD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------- similarity
+
+_EMB_CTE = f"""
+WITH e AS (SELECT vec_id, label, {sim.as_double_sql('embedding')} AS demb
+           FROM embeddings),
+n AS (SELECT vec_id, label, demb, {sim.norm_sql('demb')} AS nrm FROM e)
+"""
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+    {_EMB_CTE},
+    q AS (SELECT * FROM n WHERE vec_id < 10),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round({sim.dot_sql('q.demb', 'c.demb')} / (q.nrm * c.nrm), 6) AS cosine
+        FROM q JOIN n c ON c.vec_id != q.vec_id)
+    SELECT query_id, neighbor_id, cosine, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored)
+    WHERE rn <= 5 ORDER BY query_id, rn
+    """,
+    tags=("llm", "ann-brute-force"),
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors: broadcast the query
+    set, fold dot products JVM-side, rank per query. The corpus never
+    shuffles — the plan is broadcast-join + window on the (tiny) scored
+    set, which is exactly the exact-kNN baseline you run at any scale."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("demb"))
+    n = e.select("vec_id", "demb", sim.norm(F.col("demb")).alias("nrm"))
+    q = n.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("demb").alias("q_demb"),
+        F.col("nrm").alias("q_nrm"))
+    scored = (
+        F.broadcast(q).crossJoin(n)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            sim.cosine(sim.dot(F.col("q_demb"), F.col("demb")),
+                       F.col("q_nrm"), F.col("nrm")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .orderBy("query_id", "rn")
+    )
+
+
+@register(
+    "sim_ann_lsh",
+    oracle=f"""
+    {_EMB_CTE},
+    b AS (SELECT vec_id, label, demb, nrm,
+                 {sim.lsh_bucket_sql('demb')} AS bucket FROM n),
+    q AS (SELECT * FROM b WHERE vec_id < 10),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round({sim.dot_sql('q.demb', 'c.demb')} / (q.nrm * c.nrm), 6) AS cosine
+        FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id != q.vec_id)
+    SELECT query_id, neighbor_id, cosine, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored)
+    WHERE rn <= 5 ORDER BY query_id, rn
+    """,
+    tags=("llm", "ann-lsh"),
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: sign-random-projection buckets on both sides,
+    exact cosine only within the query's bucket. Candidates shrink by
+    ~2^planes; recall < 1 (single hash table — production unions several).
+    The shuffle is on the bucket id, not the vectors."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("demb"))
+    n = e.select("vec_id", "demb", sim.norm(F.col("demb")).alias("nrm"),
+                 sim.lsh_bucket(F.col("demb")).alias("bucket"))
+    q = n.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("demb").alias("q_demb"),
+        F.col("nrm").alias("q_nrm"), F.col("bucket").alias("q_bucket"))
+    scored = (
+        F.broadcast(q)
+        .join(n, (F.col("bucket") == F.col("q_bucket"))
+              & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            sim.cosine(sim.dot(F.col("q_demb"), F.col("demb")),
+                       F.col("q_nrm"), F.col("nrm")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .orderBy("query_id", "rn")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    {_EMB_CTE},
+    b AS (SELECT vec_id, demb, nrm, {sim.lsh_bucket_sql('demb')} AS bucket FROM n)
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+           round({sim.dot_sql('a.demb', 'c.demb')} / (a.nrm * c.nrm), 6) AS cosine
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE round({sim.dot_sql('a.demb', 'c.demb')} / (a.nrm * c.nrm), 6) >= 0.4
+    ORDER BY vec_a, vec_b
+    """,
+    tags=("llm", "dedup-embedding"),
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: LSH-blocked pairwise cosine >= 0.4.
+    Same blocked-quadratic pattern as the text near-dup stages."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("demb"))
+    n = e.select("vec_id", "demb", sim.norm(F.col("demb")).alias("nrm"),
+                 sim.lsh_bucket(F.col("demb")).alias("bucket"))
+    a, c = n.alias("a"), n.alias("c")
+    return (
+        a.join(c, (F.col("a.bucket") == F.col("c.bucket"))
+               & (F.col("a.vec_id") < F.col("c.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("c.vec_id").alias("vec_b"),
+            sim.cosine(sim.dot(F.col("a.demb"), F.col("c.demb")),
+                       F.col("a.nrm"), F.col("c.nrm")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.4)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# --------------------------------------------------------------- multimodal
+
+
+@register(
+    "media_metadata",
+    oracle="""
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS media_hash,
+           CAST(64 + CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 1920 AS INT)
+             AS fake_width,
+           CAST(64 + (CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) // 1920) % 1080
+                AS INT) AS fake_height,
+           'stub_ok' AS decode_status
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal", "pandas-udf"),
+)
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: binary payload column -> Arrow-batched
+    mapInPandas metadata extraction (decode step STUBBED deterministically —
+    operators/multimodal.py decode_media). The oracle reproduces the stub
+    arithmetic, so schema, batching and values are all verified."""
+    d = with_payload(table(spark, sf_dir, "documents"))
+    return media_metadata(d).orderBy("doc_id")
