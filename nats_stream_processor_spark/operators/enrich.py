@@ -87,7 +87,14 @@ def enriched_route_counts(df: DataFrame, text_col: str | None = None,
         )
         .agg(
             F.count("*").alias("n_posts"),
-            F.round(F.avg(F.col("sentiment.confidence")), 6).alias("avg_confidence"),
+            # decimal-sum average: confidence is a 6dp-rounded double, so
+            # the decimal(10,6) cast recovers the exact value and the sum
+            # is order-independent across partitions (a double avg would
+            # flip the 6th decimal depending on partial-agg order)
+            F.round(
+                F.sum(F.col("sentiment.confidence").cast("decimal(10,6)"))
+                .cast("double") / F.count("*"), 6,
+            ).alias("avg_confidence"),
         )
         .orderBy("sentiment", "top_topic")
     )

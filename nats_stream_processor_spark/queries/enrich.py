@@ -15,7 +15,7 @@ from ..functions.sentiment import sentiment_count_sql_defs, sentiment_sql_column
 from ..functions.text import tokens_sql
 from ..functions.topics import topic_count_sql_defs, topics_sql_columns
 from ..operators.enrich import enrich_posts, enriched_route_counts
-from ..registry import register, table
+from ..registry import register, spread, table
 
 # A CTE prelude shared by every classifier oracle: tokenize once, count once.
 CLASSIFIER_CTE = (
@@ -41,13 +41,14 @@ _T = topics_sql_columns()
         WHERE length(trim(coalesce(text, ''))) > 0 AND {_S['confidence']} >= 0.4
     )
     SELECT sentiment, top_topic, count(*) AS n_posts,
-           round(avg(confidence), 6) AS avg_confidence
+           round(CAST(sum(CAST(confidence AS DECIMAL(10,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_confidence
     FROM enriched GROUP BY 1, 2 ORDER BY 1, 2
     """,
     tags=("flagship", "U1", "U2", "F5", "P2", "M4", "M5"),
 )
 def q_enrich_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return enriched_route_counts(table(spark, sf_dir, "documents"), text_col="text")
+    return enriched_route_counts(spread(table(spark, sf_dir, "documents")), text_col="text")
 
 
 @register(
@@ -63,7 +64,7 @@ def q_enrich_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        table(spark, sf_dir, "documents")
+        spread(table(spark, sf_dir, "documents"))
         .select("doc_id", sentiment_udf(F.col("text")).alias("s"))
         .select(
             "doc_id",
@@ -89,7 +90,7 @@ def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        table(spark, sf_dir, "documents")
+        spread(table(spark, sf_dir, "documents"))
         .select("doc_id", topics_udf(F.col("text")).alias("t"))
         .select(
             "doc_id",
@@ -112,7 +113,7 @@ def q_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        table(spark, sf_dir, "documents")
+        spread(table(spark, sf_dir, "documents"))
         .withColumn("s", sentiment_udf(F.col("text")))
         .filter(F.col("s.confidence") >= 0.4)
         .select(
@@ -138,7 +139,7 @@ def q_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_route_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        enrich_posts(table(spark, sf_dir, "documents"), text_col="text")
+        enrich_posts(spread(table(spark, sf_dir, "documents")), text_col="text")
         .select("doc_id", "route_subject")
         .orderBy("doc_id")
     )

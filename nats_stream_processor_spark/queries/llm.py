@@ -43,7 +43,7 @@ from ..operators.textstats import (
     token_stats_cols,
     token_stats_sql,
 )
-from ..registry import register, table
+from ..registry import register, spread, table
 
 NEAR_DUP_JACCARD = 0.5
 EMB_NEAR_DUP_COS = 0.4
@@ -69,7 +69,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE-ish estimate (~4 chars/token). Pure JVM expressions — this is the
     shape of a corpus-stats pass that must run over every document at
     100 TB, so no Python in the loop."""
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     tc = token_stats_cols(F.col("text"))
     return d.select("doc_id", *[tc[k].alias(k) for k in
                                 ["n_chars", "n_ws_tokens", "n_re_tokens",
@@ -90,7 +90,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring (length/punctuation/stopword mix). Rational
     arithmetic only, so the oracle matches bit-for-bit."""
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     qc = quality_cols(F.col("text"))
     return d.select("doc_id", *[qc[k].alias(k) for k in
                                 ["punct_ratio", "stopword_ratio",
@@ -107,7 +107,7 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID, aggregated to a per-language census."""
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     lc = lang_id_cols(F.col("text"))
     return (
         d.select(lc["pred_lang"].alias("pred_lang"))
@@ -127,7 +127,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling polynomial (Rabin-Karp) fingerprint over the token stream."""
     return (
-        table(spark, sf_dir, "documents")
+        spread(table(spark, sf_dir, "documents"))
         .select("doc_id", fingerprint_col(F.col("text")).alias("fingerprint"))
         .orderBy("doc_id")
     )
@@ -195,9 +195,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, bucket) and on doc_id for the verify join — never O(n^2).
     (cf. reference has only exact-key windowed dedup, src/nats_client.py:244-266)."""
     d = table(spark, sf_dir, "documents")
-    sh = d.select(
+    # The shingle-id set feeds three plan branches (banding + both sides of
+    # the verify join); without persist Spark evaluates the md5-heavy
+    # shingling 3x. At cluster scale this would be a checkpoint/cached
+    # table between the signature and verify stages.
+    sh = spread(d).select(
         "doc_id", shingle_ids_col(shingles_col(F.col("text"))).alias("sids")
-    )
+    ).persist()
     sig = sh.select("doc_id", "sids", minhash_signature_col(F.col("sids")).alias("sig"))
     bands = minhash_band_explode(sig, "doc_id", "sig")
     a, b = bands.alias("a"), bands.alias("b")
@@ -251,8 +255,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     is on (chunk, value) — candidate sets only."""
     d = table(spark, sf_dir, "documents")
     sh = (
-        d.withColumn("tok_hashes", F.expr(token_hashes_spark_sql("text")))
+        spread(d).withColumn("tok_hashes", F.expr(token_hashes_spark_sql("text")))
         .select("doc_id", F.expr(simhash_spark_sql()).alias("simhash"))
+        .persist()  # both sides of the chunk self-join read the signatures
     )
     chunks = (
         sh.select("doc_id", "simhash",
@@ -307,7 +312,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds the quadratic term — the pattern for any pairwise-verify stage
     at scale (block by LSH bucket / length band / host...)."""
     d = table(spark, sf_dir, "documents")
-    g = d.select(
+    g = spread(d).select(
         "doc_id", "source",
         shingle_ids_col(shingles_col(F.col("text"), 2)).alias("grams"),
     )
@@ -483,5 +488,5 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas metadata extraction (decode step STUBBED deterministically —
     operators/multimodal.py decode_media). The oracle reproduces the stub
     arithmetic, so schema, batching and values are all verified."""
-    d = with_payload(table(spark, sf_dir, "documents"))
+    d = with_payload(spread(table(spark, sf_dir, "documents")))
     return media_metadata(d).orderBy("doc_id")

@@ -62,6 +62,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism.
+
+    The driver's small test tables are single-row-group parquet files, so a
+    scan yields ONE input partition and every CPU-heavy per-row stage
+    (shingling, signatures, classifier UDFs) runs on one core. At real
+    scale the scan produces many splits and this becomes a cheap/no-op
+    shuffle; here it's what lets local[32] actually use 32 cores. Apply it
+    before CPU-bound per-row work, never before joins/aggs that manage
+    their own partitioning.
+    """
+    spark = df.sparkSession
+    return df.repartition(n or spark.sparkContext.defaultParallelism)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: e.fn for name, e in REGISTRY.items()}
 
