@@ -1,0 +1,134 @@
+"""The reference's end-to-end streaming pipeline on Structured Streaming.
+
+Batch/streaming symmetry is the design center: the enrichment transform is
+the SAME code as the batch path (operators/enrich.enrich_posts) — this
+module only adds the streaming-specific pieces:
+
+- JSON decode of raw message payloads (F2: permissive parse, drop nulls —
+  reference: src/nats_client.py:192-206);
+- event-time watermark + dropDuplicatesWithinWatermark (D1: the JetStream
+  600 s duplicate_window, reference: src/nats_client.py:99,244-266 — the
+  watermark bounds dedup state exactly like the server-side window);
+- the foreachBatch sink with subject routing and idempotent publish
+  (P3/S3/R1, reference: src/nats_client.py:220-286). The publisher is a
+  callable so tests (and non-NATS deployments) inject their own; retries
+  are safe because the Nats-Msg-Id key makes re-publish idempotent (A0:
+  checkpoint replay + idempotent sink = effectively-once, an improvement
+  over the reference's ack-after-failed-publish hole, SURVEY.md §3 EP2.7).
+
+At scale: dedup state is partitioned by the key columns and bounded by the
+watermark; maxOffsetsPerTrigger (S2) caps micro-batch admission the way
+max_ack_pending=100 caps the reference's in-flight messages.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..config import DEDUP_WINDOW_SECONDS
+from ..operators.enrich import enrich_posts
+
+# Declared input schema (RawPost, reference: src/types.py:27-33 + the
+# fallback fields of src/service.py:152-172). cid nullable (the mock
+# generator omits it, docker-compose.yml:31-32).
+RAW_POST_SCHEMA = (
+    "uri string, cid string, author string, text string, "
+    "record struct<text: string>, content string, body string, "
+    "message string, created_at string"
+)
+
+
+def decode_posts(raw: DataFrame, value_col: str = "value",
+                 schema: str | StructType = RAW_POST_SCHEMA) -> DataFrame:
+    """F1+F2: empty-payload filter, permissive JSON parse, null drop.
+    Malformed JSON becomes a NULL struct (PERMISSIVE) and is dropped —
+    the reference acks-and-drops the same way."""
+    payload = F.col(value_col).cast("string")
+    return (
+        raw.filter(F.length(F.trim(payload)) > 0)
+        .select(F.from_json(payload, schema).alias("p"))
+        .filter(F.col("p").isNotNull() & F.col("p.uri").isNotNull())
+        .select("p.*")
+    )
+
+
+def enrich_stream(
+    posts: DataFrame,
+    event_time_col: str | None = None,
+    dedup_window_s: int = DEDUP_WINDOW_SECONDS,
+) -> DataFrame:
+    """Streaming enrichment: the batch transform + watermarked dedup.
+
+    ``event_time_col=None`` stamps processing time (the reference has no
+    event-time logic; its dedup window is wall-clock at the broker).
+    """
+    enriched = enrich_posts(posts, dedup=False)
+    ts = F.col(event_time_col) if event_time_col else F.col("processed_at")
+    enriched = enriched.withColumn("__event_ts", ts.cast("timestamp"))
+    if not enriched.isStreaming:
+        return enriched.dropDuplicates(["uri", "cid"]).drop("__event_ts")
+    return (
+        enriched.withWatermark("__event_ts", f"{dedup_window_s} seconds")
+        .dropDuplicatesWithinWatermark(["uri", "cid"])
+        .drop("__event_ts")
+    )
+
+
+Publisher = Callable[[str, str, str | None], None]
+"""(subject, json_payload, msg_id) -> None. msg_id is None when uri/cid
+are missing (the reference skips the dedup header then,
+src/nats_client.py:248-252)."""
+
+
+def make_publish_batch(publisher: Publisher):
+    """foreachBatch function: serialize each enriched row to JSON and hand
+    it to the publisher with its routing subject + idempotency key.
+
+    collect() here is per-micro-batch on purpose: the publisher owns the
+    connection (driver-side). For high-throughput sinks swap this for
+    batch_df.foreachPartition with an executor-side connection pool — the
+    surrounding contract (subject, payload, msg_id) is identical.
+    """
+
+    def publish_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch_df.withColumn(
+                "__payload", F.to_json(F.struct(*[
+                    c for c in batch_df.columns if c != "route_subject"
+                ]))
+            )
+            .select(
+                "route_subject", "__payload",
+                F.when(
+                    F.col("uri").isNotNull() & F.col("cid").isNotNull(),
+                    F.concat_ws(":", "uri", "cid"),
+                ).alias("__msg_id"),
+            )
+            .collect()
+        )
+        for r in rows:
+            publisher(r["route_subject"], r["__payload"], r["__msg_id"])
+
+    return publish_batch
+
+
+def start_enrichment_query(
+    posts_stream: DataFrame,
+    publisher: Publisher,
+    checkpoint_dir: str,
+    trigger_seconds: float | None = None,
+):
+    """Wire decode -> enrich -> dedup -> routed publish and start it."""
+    enriched = enrich_stream(posts_stream)
+    writer = (
+        enriched.writeStream.outputMode("append")
+        .foreachBatch(make_publish_batch(publisher))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -1,0 +1,174 @@
+"""Structured Streaming tests: the reference's streaming semantics on a
+file source + memory/foreachBatch sinks (the mock-ingest pattern of the
+reference's docker-compose smoke loop, SURVEY.md §5).
+
+Covers: JSON decode drops malformed rows (F2), the full enrich transform
+running in a stream, watermarked dedup (D1), subject routing + idempotency
+keys in the sink (P3/S3), observe()-based counters + listener metrics
+(M1/M3), and windowed aggregation in append mode (M3 analog).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from nats_stream_processor_spark.streaming.metrics import (
+    MetricsListener,
+    observe_pipeline_counters,
+)
+from nats_stream_processor_spark.streaming.pipeline import (
+    RAW_POST_SCHEMA,
+    decode_posts,
+    enrich_stream,
+    make_publish_batch,
+    start_enrichment_query,
+)
+from nats_stream_processor_spark.streaming.windows import tumbling_counts
+
+POSTS = [
+    {"uri": "at://test/1", "cid": "c1", "text": "This is a great day!"},
+    {"uri": "at://test/2", "cid": "c2", "text": "I hate this weather"},
+    {"uri": "at://test/3", "cid": "c3", "text": "love hate"},      # gated (F5)
+    {"uri": "at://test/4", "cid": "c4", "text": "   "},            # empty (F4)
+    {"uri": "at://test/1", "cid": "c1", "text": "This is a great day!"},  # dup (D1)
+    {"uri": "at://test/5", "cid": "c5",
+     "text": "great technology news on the stream today"},
+]
+
+
+def write_json_lines(path, rows):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write((r if isinstance(r, str) else json.dumps(r)) + "\n")
+
+
+@pytest.fixture()
+def posts_dir(tmp_path):
+    d = tmp_path / "in"
+    write_json_lines(d / "posts.jsonl", POSTS + ["{not valid json"])
+    return d
+
+
+def test_stream_enrich_dedup_and_routing(spark, posts_dir, tmp_path):
+    raw = (
+        spark.readStream.format("text")
+        .load(str(posts_dir))
+        .withColumnRenamed("value", "value")
+    )
+    posts = decode_posts(raw)
+    published: list[tuple] = []
+
+    def publisher(subject, payload, msg_id):
+        published.append((subject, json.loads(payload), msg_id))
+
+    q = start_enrichment_query(posts, publisher,
+                               str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    by_uri = {p[1]["uri"]: p for p in published}
+    # 6 raw + 1 malformed -> malformed dropped (F2), empty dropped (F4),
+    # gated dropped (F5), duplicate dropped (D1) => 3 published
+    assert len(published) == 3
+    assert set(by_uri) == {"at://test/1", "at://test/2", "at://test/5"}
+    subject, doc, msg_id = by_uri["at://test/1"]
+    assert subject.startswith("bluesky.posts.enriched.positive.")
+    assert msg_id == "at://test/1:c1"
+    assert doc["sentiment"]["sentiment"] == "positive"
+    assert doc["topics"]["top_topic"] in subject
+    neg_subject = by_uri["at://test/2"][0]
+    assert neg_subject.startswith("bluesky.posts.enriched.negative.")
+
+
+def test_stream_restart_does_not_republish(spark, posts_dir, tmp_path):
+    # A0: checkpoint replay — restarting the query over the same source
+    # publishes nothing new (offsets committed).
+    raw = spark.readStream.format("text").load(str(posts_dir))
+    posts = decode_posts(raw)
+    out: list = []
+
+    def publisher(subject, payload, msg_id):
+        out.append(msg_id)
+
+    ckpt = str(tmp_path / "ckpt2")
+    q = start_enrichment_query(posts, publisher, ckpt)
+    q.processAllAvailable(); q.stop()
+    n_first = len(out)
+    assert n_first == 3
+
+    q2 = start_enrichment_query(posts, publisher, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    assert len(out) == n_first  # nothing re-published
+
+
+def test_observe_counters_and_listener(spark, posts_dir, tmp_path):
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        raw = spark.readStream.format("text").load(str(posts_dir))
+        posts = decode_posts(raw)
+        observed = observe_pipeline_counters(posts, "pipeline")
+        q = (observed.writeStream.format("memory")
+             .queryName("obs_test").outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt3"))
+             .start())
+        q.processAllAvailable()
+        # listener delivery is async; give it a moment
+        for _ in range(40):
+            if any(r.observed_metrics.get("pipeline") for r in listener.records):
+                break
+            time.sleep(0.25)
+        q.stop()
+    finally:
+        spark.streams.removeListener(listener)
+    obs = [r.observed_metrics["pipeline"] for r in listener.records
+           if "pipeline" in r.observed_metrics]
+    assert obs, f"no observed metrics in {listener.records}"
+    m = obs[0]
+    # 6 decoded posts (malformed dropped before observe)
+    assert m["n_processed"] == 6
+    assert m["n_empty_text"] == 1
+    assert listener.totals()["total_input_rows"] >= 6
+
+
+def test_streaming_tumbling_window_append(spark, tmp_path):
+    rows = [
+        {"uri": f"at://w/{i}", "cid": str(i), "text": "great day",
+         "created_at": f"2024-01-01T00:00:{i:02d}"}
+        for i in range(5)
+    ] + [
+        {"uri": "at://w/99", "cid": "99", "text": "great day",
+         "created_at": "2024-01-01T01:00:00"}  # advances the watermark
+    ]
+    d = tmp_path / "win_in"
+    write_json_lines(d / "rows.jsonl", rows)
+    raw = spark.readStream.format("text").load(str(d))
+    posts = decode_posts(raw).withColumn(
+        "ts", F.to_timestamp("created_at"))
+    ticks = tumbling_counts(posts, "ts", "20 seconds", "10 seconds")
+    q = (ticks.writeStream.format("memory").queryName("ticks_test")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt4"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    got = {r["tick_start"].isoformat(): r["n_processed"]
+           for r in spark.sql("SELECT * FROM ticks_test").collect()}
+    # first window [00:00:00, 00:00:20) closed by the 01:00 watermark row
+    assert got.get("2024-01-01T00:00:00") == 5
+
+
+def test_enrich_stream_batch_mode_parity(spark):
+    # The same enrich_stream function runs on a batch DataFrame (symmetry).
+    df = spark.createDataFrame(
+        [("at://b/1", "c1", "great day"), ("at://b/1", "c1", "great day")],
+        "uri string, cid string, text string",
+    )
+    out = enrich_stream(df).collect()
+    assert len(out) == 1  # batch-mode dedup
+    assert out[0]["sentiment"]["sentiment"] == "positive"
