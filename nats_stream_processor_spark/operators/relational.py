@@ -75,6 +75,38 @@ def topk_per_group(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe equi join: explode the hot-key side into ``salt_buckets``
+    copies of the (small) right side and scatter left rows across buckets,
+    so one hot key spreads over N tasks instead of one straggler.
+
+    AQE's skew-join splitting (enabled in SparkEngineConf) handles most
+    skew automatically at runtime; explicit salting remains the tool when
+    a single key exceeds what one task can hold even after AQE splits —
+    the classic null-key / celebrity-key case at 100 TB.
+    """
+    salted_left = left.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    salted_right = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = salted_left.join(
+        salted_right,
+        (salted_left[on] == salted_right[on])
+        & (salted_left["__salt"] == salted_right["__salt"]),
+        how,
+    )
+    return (out.drop(salted_right[on])
+            .drop(salted_left["__salt"]).drop(salted_right["__salt"]))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

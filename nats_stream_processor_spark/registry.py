@@ -91,3 +91,4 @@ from .queries import relational as _q_relational  # noqa: E402,F401
 from .queries import events as _q_events  # noqa: E402,F401
 from .queries import metrics as _q_metrics  # noqa: E402,F401
 from .queries import llm as _q_llm  # noqa: E402,F401
+from .queries import advanced as _q_advanced  # noqa: E402,F401

@@ -1,0 +1,105 @@
+"""Tests for the advanced operators: stateful streaming counters, salted
+(skew-safe) joins, stream-stream joins."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from nats_stream_processor_spark.operators.relational import salted_join
+from nats_stream_processor_spark.streaming.stateful import running_label_counts
+
+
+def test_salted_join_matches_plain_join(spark):
+    # skewed left: 90% of rows share one key
+    left = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id") % 50)
+        .alias("k"), F.col("id").alias("v"))
+    right = spark.createDataFrame(
+        [(i, f"dim_{i}") for i in range(50)], "k long, name string")
+    plain = left.join(right, "k").groupBy("name").count()
+    salted = salted_join(left, right, "k").groupBy("name").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (99, "b")], "k long, v string")
+    right = spark.createDataFrame([(1, "dim")], "k long, name string")
+    rows = {r["v"]: r["name"] for r in
+            salted_join(left, right, "k", how="left").collect()}
+    assert rows == {"a": "dim", "b": None}
+
+
+def test_stateful_running_counts(spark, tmp_path):
+    # two input files processed as separate micro-batches via maxFilesPerTrigger
+    d = tmp_path / "state_in"
+    d.mkdir()
+    with open(d / "b1.jsonl", "w") as f:
+        for lab in ["pos", "pos", "neg"]:
+            f.write(json.dumps({"label_in": lab}) + "\n")
+    raw = (
+        spark.readStream.format("json")
+        .schema("label_in string")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(d))
+    )
+    counts = running_label_counts(raw, "label_in")
+    q = (counts.writeStream.format("memory").queryName("state_test")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+         .start())
+    q.processAllAvailable()
+    got = {r["label"]: r["n_total"]
+           for r in spark.sql("SELECT * FROM state_test").collect()}
+    assert got == {"pos": 2, "neg": 1}
+    # second batch: state accumulates across batches
+    with open(d / "b2.jsonl", "w") as f:
+        for lab in ["pos", "neu"]:
+            f.write(json.dumps({"label_in": lab}) + "\n")
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM state_test").collect()
+    latest = {}
+    for r in rows:  # update mode appends; last row per label wins
+        latest[r["label"]] = r["n_total"]
+    assert latest == {"pos": 3, "neg": 1, "neu": 1}
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Interval stream-stream join with watermarks on both sides: clicks
+    join views of the same user within 10 minutes (state bounded by the
+    time-range condition — SURVEY.md §2B range/interval joins)."""
+    vd = tmp_path / "views"; cd = tmp_path / "clicks"
+    vd.mkdir(); cd.mkdir()
+    with open(vd / "v.jsonl", "w") as f:
+        f.write(json.dumps({"user": 1, "view_ts": "2024-01-01T00:00:00"}) + "\n")
+        f.write(json.dumps({"user": 2, "view_ts": "2024-01-01T00:00:00"}) + "\n")
+    with open(cd / "c.jsonl", "w") as f:
+        f.write(json.dumps({"user": 1, "click_ts": "2024-01-01T00:05:00"}) + "\n")
+        f.write(json.dumps({"user": 2, "click_ts": "2024-01-01T02:00:00"}) + "\n")
+    views = (spark.readStream.format("json").schema("user long, view_ts string")
+             .load(str(vd))
+             .select("user", F.to_timestamp("view_ts").alias("view_ts"))
+             .withWatermark("view_ts", "1 hour"))
+    clicks = (spark.readStream.format("json").schema("user long, click_ts string")
+              .load(str(cd))
+              .select(F.col("user").alias("c_user"),
+                      F.to_timestamp("click_ts").alias("click_ts"))
+              .withWatermark("click_ts", "1 hour"))
+    joined = views.join(
+        clicks,
+        (F.col("user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    q = (joined.writeStream.format("memory").queryName("ssj_test")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT user FROM ssj_test").collect()
+    # user 1 clicked within 10 min -> joins; user 2 clicked 2h later -> no
+    assert [r["user"] for r in rows] == [1]
