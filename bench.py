@@ -32,6 +32,7 @@ HEADLINE = [
     "window_topk_orders_per_segment",
     "events_tumbling_hourly",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_fast",
     "sim_cosine_topk",
     "text_token_stats",
 ]

@@ -86,7 +86,22 @@ def shingles_sql(toks_expr: str, n: int = 3) -> str:
 
 
 def shingle_ids_col(sh: Column) -> Column:
+    """md5-derived shingle ids — cross-engine portable for the oracle.
+    md5 is ~5x more CPU than xxhash64 (measured at sf0.1: 4.7s vs 0.9s for
+    the shingle stage); production uses shingle_ids_fast_col."""
     return F.array_distinct(F.transform(sh, hash32_col))
+
+
+def shingle_ids_fast_col(sh: Column) -> Column:
+    """xxhash64 shingle ids — the production hash (whole-stage codegen,
+    single pass, no hex round-trip). Not DuckDB-reproducible, so queries
+    built on it are rows-only checked; every other stage of the LSH
+    pipeline is identical to the portable variant."""
+    # mask to 32 bits so the affine minhash permutations (a < 2^29) stay
+    # inside signed-64 arithmetic, same contract as hash32_col
+    return F.array_distinct(
+        F.transform(sh, lambda s: F.xxhash64(s).bitwiseAND(F.lit((1 << 32) - 1)))
+    )
 
 
 def shingle_ids_sql(sh_expr: str) -> str:

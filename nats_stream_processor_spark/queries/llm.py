@@ -24,6 +24,7 @@ from ..operators.dedup import (
     minhash_signature_col,
     minhash_signature_sql,
     shingle_ids_col,
+    shingle_ids_fast_col,
     shingle_ids_sql,
     shingles_col,
     shingles_sql,
@@ -221,6 +222,47 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= NEAR_DUP_JACCARD)
         .orderBy("doc_a", "doc_b")
     )
+
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str, ids_col_fn) -> DataFrame:
+    """Shared MinHash+LSH pipeline, parameterized by the shingle-id hash."""
+    d = table(spark, sf_dir, "documents")
+    sh = spread(d).select(
+        "doc_id", ids_col_fn(shingles_col(F.col("text"))).alias("sids")
+    ).persist()
+    sig = sh.select("doc_id", "sids", minhash_signature_col(F.col("sids")).alias("sig"))
+    bands = minhash_band_explode(sig, "doc_id", "sig")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sids").alias("sids_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sids").alias("sids_b"))
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b",
+                jaccard(F.col("sids_a"), F.col("sids_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= NEAR_DUP_JACCARD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_minhash_lsh_fast",
+    oracle=None,  # xxhash64 shingle ids are not DuckDB-reproducible
+    tags=("llm", "dedup-minhash-lsh", "production-hash"),
+)
+def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-hash MinHash+LSH variant: identical pipeline to
+    dedup_minhash_lsh but shingle ids via xxhash64 (codegen, ~5x less CPU
+    than the oracle-portable md5 path). Rows-only checked; the md5 twin
+    pins the semantics."""
+    return _minhash_pairs(spark, sf_dir, shingle_ids_fast_col)
 
 
 _SIMHASH_CTE = f"""
