@@ -1,0 +1,83 @@
+"""Service entry point — the Spark analog of the reference's `main.py`
+(reference: main.py:26-52 → src/service.py StreamProcessorService).
+
+    python -m nats_stream_processor_spark \
+        --servers mem://demo --input-stream bluesky-posts \
+        --output-stream bluesky-posts-enriched \
+        --checkpoint /tmp/nsp-ckpt [--trigger-seconds 1] [--max-batch 100000]
+
+Startup sequence (EP1 parity, SURVEY.md §3):
+1. SparkSession (replaces asyncio loop + model init — models load lazily
+   per worker inside the UDFs, L1);
+2. connector registration + output-stream DDL (S4);
+3. decode → enrich → watermarked dedup → routed idempotent publish (EP2);
+4. blocks on the streaming query; SIGINT/SIGTERM stop the query
+   gracefully (reference: src/service.py:69-70, 258-297).
+"""
+
+from __future__ import annotations
+
+import argparse
+import signal
+import sys
+
+from .config import MAX_OFFSETS_PER_TRIGGER
+from .session import get_spark
+from .sources import nats as nats_src
+from .streaming.pipeline import decode_posts, enrich_stream
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="nats_stream_processor_spark")
+    ap.add_argument("--servers", default="mem://default")
+    ap.add_argument("--input-stream", default="bluesky-posts")
+    ap.add_argument("--output-stream", default="bluesky-posts-enriched")
+    ap.add_argument("--subject-prefix", default="bluesky.posts.")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--trigger-seconds", type=float, default=None)
+    ap.add_argument("--max-batch", type=int, default=MAX_OFFSETS_PER_TRIGGER)
+    ap.add_argument("--once", action="store_true",
+                    help="process available data then exit (smoke/test mode)")
+    args = ap.parse_args(argv)
+
+    spark = get_spark()
+    nats_src.register(spark)
+    nats_src.ensure_output_stream(args.servers, args.output_stream)
+
+    raw = (
+        spark.readStream.format("nats")
+        .option("servers", args.servers)
+        .option("stream", args.input_stream)
+        .option("subjectPrefix", args.subject_prefix)
+        .option("maxBatchSize", str(args.max_batch))
+        .load()
+    )
+    enriched = enrich_stream(decode_posts(raw))
+    writer = (
+        enriched.writeStream.format("nats")
+        .option("servers", args.servers)
+        .option("stream", args.output_stream)
+        .option("checkpointLocation", args.checkpoint)
+        .outputMode("append")
+    )
+    if args.trigger_seconds:
+        writer = writer.trigger(processingTime=f"{args.trigger_seconds} seconds")
+    query = writer.start()
+
+    def _stop(signum, frame):  # graceful shutdown (reference: src/service.py:266-297)
+        query.stop()
+
+    signal.signal(signal.SIGINT, _stop)
+    signal.signal(signal.SIGTERM, _stop)
+
+    if args.once:
+        query.processAllAvailable()
+        query.stop()
+    else:
+        query.awaitTermination()
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

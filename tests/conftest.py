@@ -18,7 +18,13 @@ def spark():
 
     # Small local session for tests: few cores/partitions keeps JVM startup
     # and shuffle overhead low at sf0.001 while exercising the same plans.
-    spark = get_spark(SparkEngineConf(master="local[4]", shuffle_partitions=4))
+    spark = get_spark(
+        SparkEngineConf(master="local[4]", shuffle_partitions=4),
+        **{
+            # static conf: saveAsTable targets (bucketed-join tests)
+            "spark.sql.warehouse.dir": "/tmp/spark_graft_warehouse",
+        },
+    )
     yield spark
     spark.stop()
 

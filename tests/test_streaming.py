@@ -172,3 +172,30 @@ def test_enrich_stream_batch_mode_parity(spark):
     out = enrich_stream(df).collect()
     assert len(out) == 1  # batch-mode dedup
     assert out[0]["sentiment"]["sentiment"] == "positive"
+
+
+def test_rate_source_mock_ingest(spark, tmp_path):
+    """The reference's mock-ingest smoke loop (docker-compose.yml:16-34) on
+    Spark's rate source: synthesize alternating positive/negative posts at
+    a fixed rate, run the full enrichment, check both classes flow through."""
+    rate = (spark.readStream.format("rate")
+            .option("rowsPerSecond", "50").load())
+    posts = rate.select(
+        F.concat(F.lit("at://mock/"), F.col("value")).alias("uri"),
+        F.col("value").cast("string").alias("cid"),
+        F.when(F.col("value") % 2 == 0, "This is a great day!")
+        .otherwise("I hate this weather").alias("text"),
+    )
+    out: list = []
+
+    def publisher(subject, payload, msg_id):
+        out.append(subject)
+
+    q = start_enrichment_query(posts, publisher, str(tmp_path / "rate_ckpt"))
+    deadline = time.time() + 30
+    while time.time() < deadline and len(out) < 10:
+        time.sleep(0.5)
+    q.stop()
+    assert len(out) >= 10
+    assert any(".positive." in s for s in out)
+    assert any(".negative." in s for s in out)
