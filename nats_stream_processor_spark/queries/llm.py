@@ -532,3 +532,101 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, so schema, batching and values are all verified."""
     d = with_payload(spread(table(spark, sf_dir, "documents")))
     return media_metadata(d).orderBy("doc_id")
+
+
+IVF_NLIST = 16   # coarse centroids (vectors with vec_id < 16, deterministic)
+IVF_NPROBE = 2   # lists probed per query
+
+_IVF_CTE = f"""
+WITH e AS (SELECT vec_id, {sim.as_double_sql('embedding')} AS demb
+           FROM embeddings),
+n AS (SELECT vec_id, demb, {sim.norm_sql('demb')} AS nrm FROM e),
+cent AS (SELECT vec_id AS cent_id, demb AS c_demb, nrm AS c_nrm
+         FROM n WHERE vec_id < {IVF_NLIST}),
+assign AS (
+    SELECT vec_id, demb, nrm, cent_id
+    FROM (SELECT n.vec_id, n.demb, n.nrm, cent.cent_id,
+                 row_number() OVER (
+                     PARTITION BY n.vec_id
+                     ORDER BY {sim.dot_sql('n.demb', 'cent.c_demb')}
+                              / (n.nrm * cent.c_nrm) DESC, cent.cent_id) AS rc
+          FROM n CROSS JOIN cent)
+    WHERE rc = 1),
+probes AS (
+    SELECT vec_id AS query_id, demb AS q_demb, nrm AS q_nrm, cent_id
+    FROM (SELECT n.vec_id, n.demb, n.nrm, cent.cent_id,
+                 row_number() OVER (
+                     PARTITION BY n.vec_id
+                     ORDER BY {sim.dot_sql('n.demb', 'cent.c_demb')}
+                              / (n.nrm * cent.c_nrm) DESC, cent.cent_id) AS rc
+          FROM n CROSS JOIN cent)
+    WHERE rc <= {IVF_NPROBE} AND vec_id < 10)
+"""
+
+
+@register(
+    "sim_ann_ivf",
+    oracle=f"""
+    {_IVF_CTE},
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               round({sim.dot_sql('p.q_demb', 'a.demb')} / (p.q_nrm * a.nrm), 6)
+                 AS cosine
+        FROM probes p JOIN assign a
+          ON a.cent_id = p.cent_id AND a.vec_id != p.query_id)
+    SELECT query_id, neighbor_id, cosine, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM (SELECT DISTINCT query_id, neighbor_id, cosine FROM scored))
+    WHERE rn <= 5 ORDER BY query_id, rn
+    """,
+    tags=("llm", "ann-ivf"),
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into nlist=16 inverted
+    lists (nearest centroid by cosine; centroids pinned deterministically
+    as the first 16 vectors — production would k-means them, the plan
+    shape is identical), probe the query's nprobe=2 nearest lists, exact
+    cosine inside the probed lists only.
+
+    Scale shape: centroids broadcast everywhere; the corpus shuffles ONCE
+    on its assigned list id (the inverted index build); each query touches
+    nprobe/nlist of the data. This is the standard billion-vector layout
+    (IVF-Flat) — swap the exact inner scan for PQ codes to go further."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("demb"))
+    n = e.select("vec_id", "demb", sim.norm(F.col("demb")).alias("nrm"))
+    cent = (n.filter(F.col("vec_id") < IVF_NLIST)
+            .select(F.col("vec_id").alias("cent_id"),
+                    F.col("demb").alias("c_demb"), F.col("nrm").alias("c_nrm")))
+    scored_cent = (
+        n.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "demb", "nrm", "cent_id",
+            (sim.dot(F.col("demb"), F.col("c_demb"))
+             / (F.col("nrm") * F.col("c_nrm"))).alias("c_cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cent_id")
+    ranked = scored_cent.withColumn("rc", F.row_number().over(w))
+    assign = ranked.filter(F.col("rc") == 1).select("vec_id", "demb", "nrm", "cent_id")
+    probes = (ranked.filter((F.col("rc") <= IVF_NPROBE) & (F.col("vec_id") < 10))
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("demb").alias("q_demb"),
+                      F.col("nrm").alias("q_nrm"),
+                      F.col("cent_id").alias("p_cent_id")))
+    scored = (
+        F.broadcast(probes)
+        .join(assign, (F.col("cent_id") == F.col("p_cent_id"))
+              & (F.col("vec_id") != F.col("query_id")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                sim.cosine(sim.dot(F.col("q_demb"), F.col("demb")),
+                           F.col("q_nrm"), F.col("nrm")).alias("cosine"))
+        .distinct()
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 5)
+        .orderBy("query_id", "rn")
+    )
