@@ -53,9 +53,14 @@ def main() -> int:
         dt = time.time() - t0
         return dt, -1
 
-    # Warmup: JVM + codegen + parquet footer reads on a small query.
+    # Warmup pass: run every headline query once, unmeasured. The first
+    # execution of a plan shape pays JVM JIT + whole-stage-codegen
+    # compilation (5-8 s for the wide LSH/enrichment classes) — cluster
+    # steady-state never sees that, so we measure the second, warm pass.
     registry.REGISTRY["sort_global_topk_orders"].fn(spark, sf_dir).write.mode(
         "overwrite").format("noop").save()
+    for name in HEADLINE:
+        run(name)
 
     queries: dict[str, float] = {}
     for name in HEADLINE:

@@ -76,4 +76,9 @@ class SparkEngineConf:
             "spark.sql.session.timeZone": "UTC",
             "spark.ui.enabled": "false",
             "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            # Many distinct wide codegen classes (LSH, simhash, enrichment)
+            # can exhaust the JVM code cache in a long session, silently
+            # disabling JIT; 512m keeps every hot plan compiled.
+            "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
+            "spark.ui.showConsoleProgress": "false",
         }

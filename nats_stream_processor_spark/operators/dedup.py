@@ -108,6 +108,66 @@ def shingle_ids_sql(sh_expr: str) -> str:
     return f"list_distinct(list_transform({sh_expr}, s -> {hash32_sql_duck('s')}))"
 
 
+# Polynomial combine multiplier for token-hash shingles. Bounds: a token
+# hash h < 2^32, so h * COMB < 2^49; after each % MERSENNE_P the accumulator
+# is < 2^31 and acc * COMB + h < 2^49 — exact signed-64 arithmetic in both
+# Spark and DuckDB, no overflow.
+SHINGLE_COMB = 65599
+
+
+def token_hashes_32_col(text: Column, fast: bool = False) -> Column:
+    """One 32-bit hash per token: md5-derived (portable, oracle-checkable)
+    or xxhash64-masked (production, whole-stage codegen)."""
+    toks = tokens_col(text)
+    if fast:
+        return F.transform(
+            toks, lambda t: F.xxhash64(t).bitwiseAND(F.lit((1 << 32) - 1)))
+    return F.transform(toks, hash32_col)
+
+
+def shingle_ids_tok_col(hs: Column, n: int = 3) -> Column:
+    """Numeric n-gram shingle ids from per-token hashes.
+
+    Hashing per *token* instead of per shingle string does 1/n-th the md5
+    work and skips the per-gram concat allocation entirely: the shingle id
+    is an exact-int64 polynomial combine of n consecutive token hashes.
+    Short docs (< n tokens) fall back to a fold over all token hashes so
+    they still carry one shingle. Ids land in [0, 2^31-1), satisfying the
+    minhash permutation bound (< 2^32)."""
+    def gram(i: Column) -> Column:
+        e = F.element_at(hs, i)
+        for j in range(1, n):
+            e = (e * SHINGLE_COMB + F.element_at(hs, i + j)) % MERSENNE_P
+        return e
+
+    grams = F.transform(F.sequence(F.lit(1), F.size(hs) - (n - 1)), gram)
+    whole = F.aggregate(
+        hs, F.lit(0).cast("long"),
+        lambda acc, h: (acc * SHINGLE_COMB + h) % MERSENNE_P)
+    return F.array_distinct(
+        F.when(F.size(hs) >= n, grams).otherwise(F.array(whole)))
+
+
+def token_hashes_32_duck_sql(toks_expr: str) -> str:
+    return f"list_transform({toks_expr}, t -> {hash32_sql_duck('t')})"
+
+
+def shingle_ids_tok_sql(hs_expr: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`shingle_ids_tok_col`. ``hs_expr`` should be a
+    projected column (one md5 pass), not an inline expression — it is
+    referenced ~2n times here."""
+    e = f"{hs_expr}[i]"
+    for j in range(1, n):
+        e = f"(({e}) * {SHINGLE_COMB} + {hs_expr}[i+{j}]) % {MERSENNE_P}"
+    whole = (f"list_reduce([CAST(0 AS BIGINT)] || {hs_expr}, "
+             f"(acc, h) -> (acc * {SHINGLE_COMB} + h) % {MERSENNE_P})")
+    return (
+        f"list_distinct(CASE WHEN len({hs_expr}) >= {n} THEN "
+        f"list_transform(range(1, len({hs_expr}) - {n - 2}), i -> {e}) "
+        f"ELSE [{whole}] END)"
+    )
+
+
 def _perm(a: int, b: int):
     # Closure factory: F.transform inspects the lambda's arity, so binding
     # a/b as default args would make it look like a 3-parameter lambda.

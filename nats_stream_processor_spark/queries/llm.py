@@ -23,13 +23,12 @@ from ..operators.dedup import (
     minhash_band_explode,
     minhash_signature_col,
     minhash_signature_sql,
-    shingle_ids_col,
-    shingle_ids_fast_col,
-    shingle_ids_sql,
-    shingles_col,
-    shingles_sql,
+    shingle_ids_tok_col,
+    shingle_ids_tok_sql,
     simhash_duck_sql,
     simhash_spark_sql,
+    token_hashes_32_col,
+    token_hashes_32_duck_sql,
     token_hashes_duck_sql,
     token_hashes_spark_sql,
 )
@@ -159,7 +158,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SH_CTE = f"""
 WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
            FROM documents),
-s AS (SELECT doc_id, {shingle_ids_sql(shingles_sql('toks'))} AS sids FROM t),
+h AS (SELECT doc_id, {token_hashes_32_duck_sql('toks')} AS hs FROM t),
+s AS (SELECT doc_id, {shingle_ids_tok_sql('hs')} AS sids FROM h),
 sig AS (SELECT doc_id, sids, {minhash_signature_sql('sids')} AS sig FROM s),
 bands AS (
     SELECT doc_id, sids, band_idx,
@@ -201,7 +201,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingling 3x. At cluster scale this would be a checkpoint/cached
     # table between the signature and verify stages.
     sh = spread(d).select(
-        "doc_id", shingle_ids_col(shingles_col(F.col("text"))).alias("sids")
+        "doc_id",
+        shingle_ids_tok_col(token_hashes_32_col(F.col("text"))).alias("sids"),
     ).persist()
     sig = sh.select("doc_id", "sids", minhash_signature_col(F.col("sids")).alias("sig"))
     bands = minhash_band_explode(sig, "doc_id", "sig")
@@ -225,11 +226,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _minhash_pairs(spark: SparkSession, sf_dir: str, ids_col_fn) -> DataFrame:
-    """Shared MinHash+LSH pipeline, parameterized by the shingle-id hash."""
+def _minhash_pairs(spark: SparkSession, sf_dir: str, fast: bool) -> DataFrame:
+    """Shared MinHash+LSH pipeline, parameterized by the token hash."""
     d = table(spark, sf_dir, "documents")
     sh = spread(d).select(
-        "doc_id", ids_col_fn(shingles_col(F.col("text"))).alias("sids")
+        "doc_id",
+        shingle_ids_tok_col(
+            token_hashes_32_col(F.col("text"), fast=fast)).alias("sids"),
     ).persist()
     sig = sh.select("doc_id", "sids", minhash_signature_col(F.col("sids")).alias("sig"))
     bands = minhash_band_explode(sig, "doc_id", "sig")
@@ -259,10 +262,10 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, ids_col_fn) -> DataFrame:
 )
 def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production-hash MinHash+LSH variant: identical pipeline to
-    dedup_minhash_lsh but shingle ids via xxhash64 (codegen, ~5x less CPU
-    than the oracle-portable md5 path). Rows-only checked; the md5 twin
-    pins the semantics."""
-    return _minhash_pairs(spark, sf_dir, shingle_ids_fast_col)
+    dedup_minhash_lsh but token hashes via xxhash64 (codegen, no hex
+    round-trip vs the oracle-portable md5 path). Rows-only checked; the
+    md5 twin pins the semantics."""
+    return _minhash_pairs(spark, sf_dir, fast=True)
 
 
 _SIMHASH_CTE = f"""
@@ -335,8 +338,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT doc_id, source,
                       regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
                FROM documents),
-    g AS (SELECT doc_id, source,
-                 {shingle_ids_sql(shingles_sql('toks', 2))} AS grams FROM t)
+    g AS (SELECT doc_id, source, {shingle_ids_tok_sql('hs', 2)} AS grams
+          FROM (SELECT doc_id, source, {token_hashes_32_duck_sql('toks')} AS hs
+                FROM t))
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            round(len(list_intersect(a.grams, b.grams))
                  / CAST(greatest(len(list_distinct(a.grams || b.grams)), 1) AS DOUBLE),
@@ -356,7 +360,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     g = spread(d).select(
         "doc_id", "source",
-        shingle_ids_col(shingles_col(F.col("text"), 2)).alias("grams"),
+        shingle_ids_tok_col(token_hashes_32_col(F.col("text")), 2).alias("grams"),
     )
     a, b = g.alias("a"), g.alias("b")
     return (
