@@ -127,10 +127,23 @@ def topics_batch(texts: pd.Series, dp: int = FLOAT_ROUND_DP) -> pd.DataFrame:
 
 
 @F.pandas_udf(SENTIMENT_SCHEMA)
-def sentiment_udf(texts: pd.Series) -> pd.DataFrame:
+def _sentiment_udf_raw(texts: pd.Series) -> pd.DataFrame:
     return sentiment_batch(texts)
 
 
 @F.pandas_udf(TOPICS_SCHEMA)
-def topics_udf(texts: pd.Series) -> pd.DataFrame:
+def _topics_udf_raw(texts: pd.Series) -> pd.DataFrame:
     return topics_batch(texts)
+
+
+# Marked non-deterministic as an OPTIMIZER FENCE, not because values vary:
+# without it, Catalyst pushes the F5 confidence gate (which references the
+# sentiment struct) below the pre-UDF repartition and re-evaluates the UDF
+# on the filter path — the model then runs twice per row, and the first run
+# lands on the scan's (possibly single) input partitions instead of the
+# spread ones. Non-deterministic expressions are never duplicated or moved
+# across Exchange/Filter boundaries, so each classifier runs exactly once,
+# after the repartition — the reference's stage ordering (service.py
+# short-circuit) preserved by construction.
+sentiment_udf = _sentiment_udf_raw.asNondeterministic()
+topics_udf = _topics_udf_raw.asNondeterministic()
