@@ -38,6 +38,57 @@ HEADLINE = [
 ]
 
 
+def stream_posts_per_sec(spark, sf_dir: str) -> tuple[float, int]:
+    """The reference's headline metric, measured on OUR streaming path:
+    documents corpus as JSON posts -> file-source stream (availableNow) ->
+    permissive decode -> sentiment -> gate -> topics -> enrich ->
+    watermarked dedup -> foreachBatch sink. Returns (posts/s, n_posts).
+    Runs twice and reports the warm pass (cluster steady state never pays
+    the one-time streaming-plan codegen)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nats_stream_processor_spark.streaming.pipeline import (
+        decode_posts,
+        enrich_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        src = f"{tmp}/src"
+        (docs.selectExpr(
+            "concat('at://bench/', cast(doc_id AS string)) AS uri",
+            "cast(doc_id AS string) AS cid",
+            "'did:plc:bench' AS author",
+            "text",
+        ).select(F.to_json(F.struct("uri", "cid", "author", "text"))
+                 .alias("value"))
+         .write.mode("overwrite").text(src))
+
+        def one_pass(i: int) -> float:
+            enriched = enrich_stream(decode_posts(
+                spark.readStream.format("text").load(src)))
+            t0 = time.time()
+            q = (enriched.writeStream
+                 .foreachBatch(lambda bdf, bid: bdf.write.format("noop")
+                               .mode("overwrite").save())
+                 .option("checkpointLocation", f"{tmp}/ckpt{i}")
+                 .trigger(availableNow=True)
+                 .start())
+            q.awaitTermination()
+            return time.time() - t0
+
+        one_pass(0)
+        dt = one_pass(1)
+        return round(n / dt, 1), n
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from nats_stream_processor_spark import registry
@@ -70,6 +121,7 @@ def main() -> int:
     # Enrichment throughput vs the reference's per-pod posts/s claim.
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     enrich_rows_per_sec = round(n_docs / max(queries["enrich_flagship"], 1e-9), 1)
+    stream_rps, _ = stream_posts_per_sec(spark, sf_dir)
 
     out = {
         "metric": "headline_total_sec",
@@ -77,7 +129,11 @@ def main() -> int:
         "unit": "sec",
         "queries": queries,
         "sf": sf_dir,
-        "rows_per_sec": {"enrich_flagship_docs": enrich_rows_per_sec},
+        # streaming_posts: apples-to-apples with BASELINE.md's 20-40
+        # posts/s/pod (~8.6/s/core) — same decode->classify->gate->
+        # classify->enrich->dedup pipeline, on Structured Streaming.
+        "rows_per_sec": {"enrich_flagship_docs": enrich_rows_per_sec,
+                         "streaming_posts": stream_rps},
     }
     print(json.dumps(out))
     spark.stop()
