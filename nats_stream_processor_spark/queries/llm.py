@@ -98,6 +98,73 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_mix_stats",
+    oracle=(lambda ts: f"""
+    WITH s AS (SELECT source, lang, count(*) AS n_docs,
+                      sum({ts['est_bpe_tokens']}) AS sum_est_tokens
+               FROM documents GROUP BY 1, 2)
+    SELECT source, lang, n_docs, sum_est_tokens,
+           round(sum_est_tokens / CAST(sum(sum_est_tokens) OVER () AS DOUBLE),
+                 6) AS token_share
+    FROM s ORDER BY source, lang
+    """)(token_stats_sql("text")),
+    tags=("llm", "corpus-mix"),
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix accounting: per (source, lang) document and estimated
+    token counts plus each cell's share of the global token budget — the
+    table every data-mixture decision reads. The global-share window runs
+    over the already-aggregated source×lang grid (tens of rows at any
+    corpus size), so the empty-frame window is not a scale hazard."""
+    d = table(spark, sf_dir, "documents")
+    est = token_stats_cols(F.col("text"))["est_bpe_tokens"]
+    s = d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(est).alias("sum_est_tokens"),
+    )
+    w = Window.partitionBy()
+    return s.select(
+        "source", "lang", "n_docs", "sum_est_tokens",
+        F.round(F.col("sum_est_tokens")
+                / F.sum("sum_est_tokens").over(w).cast("double"), 6)
+        .alias("token_share"),
+    ).orderBy("source", "lang")
+
+
+@register(
+    "quality_filter_pipeline",
+    oracle=(lambda ts, qs: f"""
+    SELECT doc_id,
+           CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 'empty'
+                WHEN {ts['n_re_tokens']} < 5 THEN 'too_short'
+                WHEN {qs['punct_ratio']} > 0.3 THEN 'too_noisy'
+                WHEN {qs['stopword_ratio']} < 0.05 THEN 'not_natural'
+                ELSE 'keep' END AS verdict
+    FROM documents ORDER BY doc_id
+    """)(token_stats_sql("text"), quality_sql("text")),
+    tags=("llm", "quality-filter"),
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality-filter chain with per-document verdicts: empty →
+    too-short → too-noisy (punctuation ratio) → not-natural (stopword
+    ratio) → keep, first matching reason wins. Ratios compared after the
+    same 6-dp rounding on both engines so threshold decisions can't
+    diverge. One scan, pure JVM expressions — the shape of a curation
+    pass over every document at 100 TB."""
+    d = spread(table(spark, sf_dir, "documents"))
+    ts = token_stats_cols(F.col("text"))
+    qs = quality_cols(F.col("text"))
+    verdict = (
+        F.when(F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) == 0, "empty")
+        .when(ts["n_re_tokens"] < 5, "too_short")
+        .when(qs["punct_ratio"] > 0.3, "too_noisy")
+        .when(qs["stopword_ratio"] < 0.05, "not_natural")
+        .otherwise("keep")
+    )
+    return d.select("doc_id", verdict.alias("verdict")).orderBy("doc_id")
+
+
+@register(
     "text_lang_id",
     oracle=(lambda ls: f"""
     SELECT {ls['pred_lang']} AS pred_lang, count(*) AS n_docs
