@@ -72,6 +72,49 @@ def media_metadata(df: DataFrame, payload_col: str = "payload",
     return df.select(id_col, payload_col).mapInPandas(extract, MEDIA_META_SCHEMA)
 
 
+FRAME_COUNT = 4     # frames sampled per media item (fake 4 "fps")
+FRAME_WINDOW = 64   # bytes hashed per frame
+
+MEDIA_FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("byte_offset", LongType()),
+    StructField("frame_hash", StringType()),
+    StructField("ts_ms", IntegerType()),
+])
+
+
+def sample_frames(df: DataFrame, payload_col: str = "payload",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Frame sampling over binary media: k=FRAME_COUNT evenly-spaced byte
+    offsets per payload, one output row per frame (a 1→N mapInPandas —
+    the video analog of posexplode). A real deployment seeks ffmpeg to
+    those offsets; here the "frame" is the md5 of the hex of a
+    FRAME_WINDOW-byte slice (deterministic, oracle-reproducible), and the
+    fan-out/batching/schema are the production shape. The payload is
+    dropped on output — at 100 TB the frame rows shuffle, the binaries
+    never do."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(p)
+                n = len(p)
+                for j in range(FRAME_COUNT):
+                    off = (j * n) // FRAME_COUNT
+                    window = p[off:off + FRAME_WINDOW]
+                    rows.append((
+                        did, j, off,
+                        hashlib.md5(window.hex().encode()).hexdigest(),
+                        j * 250,
+                    ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_FRAME_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(sample, MEDIA_FRAME_SCHEMA)
+
+
 def with_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Derive a binary payload column from text (the test corpus has no real
     media; utf-8 bytes stand in so the binary-column path is exercised

@@ -98,6 +98,33 @@ def lsh_bucket(demb: Column, planes: list[list[float]] | None = None) -> Column:
     return bucket
 
 
+LSH_TABLES = 8  # hash tables unioned for recall (multi-probe tradeoff)
+
+
+def lsh_buckets_multi(demb: Column, tables: int = LSH_TABLES,
+                      planes: int = LSH_PLANES) -> Column:
+    """Array of per-table sign-random-projection bucket ids (each table its
+    own pinned hyperplane set). Candidates = collision in ANY table:
+    recall 1-(1-p^b)^L instead of p^b — compute traded for recall by L,
+    the standard multi-table LSH layout."""
+    all_planes = hyperplanes(tables * planes)
+    return F.array(*[
+        lsh_bucket(demb, all_planes[t * planes:(t + 1) * planes])
+        for t in range(tables)
+    ])
+
+
+def lsh_buckets_multi_sql(demb_expr: str, tables: int = LSH_TABLES,
+                          planes: int = LSH_PLANES,
+                          dim: int = EMBED_DIM) -> str:
+    all_planes = hyperplanes(tables * planes)
+    exprs = [
+        lsh_bucket_sql(demb_expr, all_planes[t * planes:(t + 1) * planes], dim)
+        for t in range(tables)
+    ]
+    return "[" + ", ".join(exprs) + "]"
+
+
 def lsh_bucket_sql(demb_expr: str, planes: list[list[float]] | None = None,
                    dim: int = EMBED_DIM) -> str:
     planes = planes or hyperplanes()
