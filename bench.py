@@ -34,7 +34,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_fast",
     "sim_cosine_topk",
+    "sim_ann_ivf",
     "text_token_stats",
+    "quality_filter_pipeline",
+    "media_frame_sample",
 ]
 
 
