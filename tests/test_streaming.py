@@ -199,3 +199,40 @@ def test_rate_source_mock_ingest(spark, tmp_path):
     assert len(out) >= 10
     assert any(".positive." in s for s in out)
     assert any(".negative." in s for s in out)
+
+
+def test_stateful_running_counts_v2(spark, tmp_path):
+    """transformWithStateInPandas twin of test_stateful_running_counts.
+    The v2 state protocol serializes via protobuf, which this container
+    lacks — the processor/plan construction is still exercised; execution
+    runs wherever protobuf is installed."""
+    from nats_stream_processor_spark.streaming import stateful
+
+    if stateful.running_label_counts_v2 is None:
+        pytest.skip("Spark without transformWithState")
+    # Plan construction must succeed regardless of protobuf.
+    raw = (spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+           .selectExpr("CAST(value % 2 AS STRING) AS label_in"))
+    counts = stateful.running_label_counts_v2(raw, "label_in")
+    assert counts.isStreaming and set(counts.columns) == {"label", "n_total", "n_batch"}
+    if not stateful.HAVE_PROTOBUF:
+        pytest.skip("protobuf not installed; v2 execution unavailable here")
+    d = tmp_path / "tws_in"
+    d.mkdir()
+    with open(d / "b1.jsonl", "w") as f:
+        for lab in ["pos", "pos", "neg"]:
+            f.write(json.dumps({"label_in": lab}) + "\n")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                   "org.apache.spark.sql.execution.streaming.state."
+                   "RocksDBStateStoreProvider")
+    src = (spark.readStream.format("json").schema("label_in string")
+           .option("maxFilesPerTrigger", "1").load(str(d)))
+    q = (stateful.running_label_counts_v2(src, "label_in")
+         .writeStream.format("memory").queryName("tws_test")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt_tws")).start())
+    q.processAllAvailable()
+    q.stop()
+    got = {r["label"]: r["n_total"]
+           for r in spark.sql("SELECT * FROM tws_test").collect()}
+    assert got == {"pos": 2, "neg": 1}
