@@ -32,16 +32,8 @@ def hash32_col(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
-def hash32_sql_spark(expr: str) -> str:
-    return f"CAST(conv(substr(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
-
-
 def hash32_sql_duck(expr: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
-
-
-def hash60_sql_spark(expr: str) -> str:
-    return f"CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
 
 
 def hash60_sql_duck(expr: str) -> str:

@@ -58,56 +58,6 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct token n-gram shingles; short docs fall back to the whole
-    token string so they still carry one shingle."""
-    toks = tokens_col(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
-    )
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, grams)
-        .otherwise(F.array(F.array_join(toks, " ")))
-    )
-
-
-def shingles_sql(toks_expr: str, n: int = 3) -> str:
-    gram = " || ' ' || ".join(f"{toks_expr}[i+{j}]" for j in range(n))
-    return (
-        f"list_distinct(CASE WHEN len({toks_expr}) >= {n} THEN "
-        f"list_transform(range(1, len({toks_expr}) - {n - 2}), i -> {gram}) "
-        # coalesce: DuckDB's array_to_string([]) is NULL where Spark's
-        # array_join([]) is ''
-        f"ELSE [coalesce(array_to_string({toks_expr}, ' '), '')] END)"
-    )
-
-
-def shingle_ids_col(sh: Column) -> Column:
-    """md5-derived shingle ids — cross-engine portable for the oracle.
-    md5 is ~5x more CPU than xxhash64 (measured at sf0.1: 4.7s vs 0.9s for
-    the shingle stage); production uses shingle_ids_fast_col."""
-    return F.array_distinct(F.transform(sh, hash32_col))
-
-
-def shingle_ids_fast_col(sh: Column) -> Column:
-    """xxhash64 shingle ids — the production hash (whole-stage codegen,
-    single pass, no hex round-trip). Not DuckDB-reproducible, so queries
-    built on it are rows-only checked; every other stage of the LSH
-    pipeline is identical to the portable variant."""
-    # mask to 32 bits so the affine minhash permutations (a < 2^29) stay
-    # inside signed-64 arithmetic, same contract as hash32_col
-    return F.array_distinct(
-        F.transform(sh, lambda s: F.xxhash64(s).bitwiseAND(F.lit((1 << 32) - 1)))
-    )
-
-
-def shingle_ids_sql(sh_expr: str) -> str:
-    return f"list_distinct(list_transform({sh_expr}, s -> {hash32_sql_duck('s')}))"
-
-
 # Polynomial combine multiplier for token-hash shingles. Bounds: a token
 # hash h < 2^32, so h * COMB < 2^49; after each % MERSENNE_P the accumulator
 # is < 2^31 and acc * COMB + h < 2^49 — exact signed-64 arithmetic in both
