@@ -164,6 +164,49 @@ def jaccard(a_ids: Column, b_ids: Column, dp: int = 6) -> Column:
     return F.round(inter / F.greatest(union, F.lit(1)), dp)
 
 
+def connected_components(edges: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b", max_iter: int = 25) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    cluster step that turns near-dup PAIRS into dedup GROUPS (keep the
+    minimum id per component, drop the rest).
+
+    Each iteration: every node adopts min(own label, neighbors' labels);
+    converges in O(graph diameter) rounds — near-dup clusters are short
+    chains, so typically <= 5. Per round: one shuffle on the join key and
+    an eager localCheckpoint to truncate lineage (at cluster scale, a
+    reliable checkpoint dir; this is the GraphX/GraphFrames CC pattern
+    without the library dependency). The driver-side loop carries only a
+    convergence count, never data."""
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+              .withColumn("comp", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a").agg(F.min("comp").alias("ncomp"))
+        )
+        new = (
+            labels.join(neigh, labels["node"] == neigh["a"], "left")
+            .select(
+                "node",
+                F.least(F.col("comp"),
+                        F.coalesce("ncomp", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n").join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp")).count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), "comp")
+
+
 def token_hashes_spark_sql(text_expr: str) -> str:
     """60-bit per-token hashes, Spark SQL dialect. Projected once per row
     (a named column) so the 60 per-bit folds below don't recompute md5."""

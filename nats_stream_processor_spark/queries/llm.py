@@ -18,6 +18,7 @@ from ..operators.dedup import (
     LSH_ROWS,
     SIMHASH_CHUNK_BITS,
     SIMHASH_CHUNKS,
+    connected_components,
     exact_dedup,
     jaccard,
     minhash_band_explode,
@@ -291,6 +292,48 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_a", "doc_b")
     )
 
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    {_SH_CTE.replace("WITH ", "WITH RECURSIVE ", 1)},
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b
+        WHERE round(len(list_intersect(sa.sids, sb.sids))
+                    / CAST(greatest(len(list_distinct(sa.sids || sb.sids)), 1)
+                           AS DOUBLE), 6) >= {NEAR_DUP_JACCARD}),
+    nodes AS (SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION SELECT doc_b AS doc_id FROM pairs)),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+    SELECT src AS doc_id, min(dst) AS comp,
+           CAST(src = min(dst) AS BOOLEAN) AS keep
+    FROM reach GROUP BY src ORDER BY doc_id
+    """,
+    tags=("llm", "dedup-components", "iterative"),
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIR graph -> dedup GROUPS: connected components by
+    iterative min-label propagation (operators/dedup.py
+    connected_components), keep = the minimum doc_id per component. This
+    is the step that makes pair detection actionable at 100 TB — transitive
+    duplicates (a~b, b~c but a!~c) collapse into one cluster with one
+    survivor. The oracle replays the fixpoint as a DuckDB recursive CTE
+    (transitive closure -> min reachable id), so even the iterative
+    algorithm is value-checked."""
+    pairs = _minhash_pairs(spark, sf_dir, fast=False).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    return comp.select(
+        "doc_id", "comp",
+        (F.col("doc_id") == F.col("comp")).alias("keep"),
+    ).orderBy("doc_id")
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str, fast: bool) -> DataFrame:

@@ -103,3 +103,17 @@ def test_stream_stream_join(spark, tmp_path):
     rows = spark.sql("SELECT user FROM ssj_test").collect()
     # user 1 clicked within 10 min -> joins; user 2 clicked 2h later -> no
     assert [r["user"] for r in rows] == [1]
+
+
+def test_connected_components_transitive(spark):
+    """a~b, b~c (a!~c) must collapse into one cluster with survivor a;
+    isolated pair keeps its own min; the fixpoint must handle a 4-chain
+    (two propagation rounds)."""
+    from nats_stream_processor_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
