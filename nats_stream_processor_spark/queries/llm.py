@@ -166,6 +166,73 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "train_val_split",
+    oracle="""
+    WITH s AS (
+        SELECT source,
+               CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) % 100 < 95
+                    THEN 'train' ELSE 'val' END AS split
+        FROM documents)
+    SELECT source, split, count(*) AS n_docs
+    FROM s GROUP BY 1, 2 ORDER BY source, split
+    """,
+    tags=("llm", "split"),
+)
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 95/5 train/val split by id hash (md5(doc_id) % 100),
+    summarized per source. Hash-mod splitting — never rand() — is the
+    reproducible-at-any-scale pattern: membership is a pure function of
+    the id, stable across reruns, engines, and partitionings, and new
+    documents land in a split without reshuffling old ones."""
+    from ..functions.hashing import hash32_col
+    d = table(spark, sf_dir, "documents")
+    split = F.when(
+        hash32_col(F.col("doc_id").cast("string")) % 100 < 95, "train"
+    ).otherwise("val")
+    return (
+        d.select("source", split.alias("split"))
+        .groupBy("source", "split").agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "split")
+    )
+
+
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+URL_RE = "https?://[^\\s]+"
+
+
+@register(
+    "text_redact_pii",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{URL_RE}')) AS INT) AS n_urls,
+           md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{URL_RE}', '<URL>', 'g')) AS redacted_md5
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("llm", "redact"),
+)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-pattern scrubbing (emails, URLs) with per-document match counts
+    and a hash of the redacted text (the hash keeps the oracle row narrow
+    while still value-checking every byte of the rewrite). Pure JVM regex —
+    the shape of a full-corpus redaction pass."""
+    d = spread(table(spark, sf_dir, "documents"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+        URL_RE, "<URL>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), 0))
+        .cast("int").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(URL_RE), 0))
+        .cast("int").alias("n_urls"),
+        F.md5(redacted).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
     "text_lang_id",
     oracle=(lambda ls: f"""
     SELECT {ls['pred_lang']} AS pred_lang, count(*) AS n_docs
