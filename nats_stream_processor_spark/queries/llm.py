@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 
 from ..operators import similarity as sim
 from ..operators.dedup import (
+    MERSENNE_P as _MERSENNE_P,
+    SHINGLE_COMB as _SHINGLE_COMB,
     LSH_BANDS,
     LSH_ROWS,
     SIMHASH_CHUNK_BITS,
@@ -194,6 +196,58 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", split.alias("split"))
         .groupBy("source", "split").agg(F.count("*").alias("n_docs"))
         .orderBy("source", "split")
+    )
+
+
+@register(
+    "text_repetition_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+               FROM documents),
+    h AS (SELECT doc_id, {token_hashes_32_duck_sql('toks')} AS hs FROM t),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(hs)),
+                        i -> (hs[i] * {_SHINGLE_COMB} + hs[i+1]) % {_MERSENNE_P}))
+                   AS gram
+          FROM h WHERE len(hs) >= 2),
+    c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2),
+    r AS (SELECT doc_id, round(max(n) / CAST(sum(n) AS DOUBLE), 6)
+                   AS top_bigram_share,
+                 sum(n) AS n_bigrams
+          FROM c GROUP BY 1)
+    SELECT d.doc_id, coalesce(r.top_bigram_share, 0.0) AS top_bigram_share,
+           coalesce(r.n_bigrams, 0) AS n_bigrams
+    FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    tags=("llm", "repetition"),
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/spam signal: share of the most frequent token bigram
+    among all bigram occurrences (high = repeated template text). Uses
+    NON-distinct numeric bigram ids, exploded and counted — the
+    explode -> partial-count -> per-doc max/sum shape that distributes:
+    the shuffle key is (doc_id, gram), never the document text."""
+    d = spread(table(spark, sf_dir, "documents"))
+    hs = token_hashes_32_col(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(hs) - 1),
+        lambda i: (F.element_at(hs, i) * _SHINGLE_COMB
+                   + F.element_at(hs, i + 1)) % _MERSENNE_P,
+    )
+    g = (d.select("doc_id", F.explode(
+            F.when(F.size(hs) >= 2, grams).otherwise(F.array())).alias("gram")))
+    r = (g.groupBy("doc_id", "gram").agg(F.count("*").alias("n"))
+         .groupBy("doc_id")
+         .agg(F.round(F.max("n") / F.sum("n").cast("double"), 6)
+              .alias("top_bigram_share"),
+              F.sum("n").alias("n_bigrams")))
+    return (
+        d.select("doc_id").join(r, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("top_bigram_share", F.lit(0.0)).alias("top_bigram_share"),
+                F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"))
+        .orderBy("doc_id")
     )
 
 
