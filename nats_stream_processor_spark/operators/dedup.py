@@ -177,12 +177,15 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     reliable checkpoint dir; this is the GraphX/GraphFrames CC pattern
     without the library dependency). The driver-side loop carries only a
     convergence count, never data."""
+    import warnings
+
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.localCheckpoint(eager=True)
     labels = (sym.select(F.col("a").alias("node")).distinct()
               .withColumn("comp", F.col("node"))
               .localCheckpoint(eager=True))
+    changed = -1
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -204,6 +207,13 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        # Wrong labels are worse than slow labels: surface non-convergence
+        # loudly instead of returning a silently-truncated fixpoint.
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter (rounds "
+            "needed = graph diameter)", RuntimeWarning, stacklevel=2)
     return labels.select(F.col("node").alias("doc_id"), "comp")
 
 
