@@ -182,3 +182,47 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+    SELECT stage, n_users FROM (
+        SELECT 'x1_view' AS stage, count(*) AS n_users FROM v
+        UNION ALL SELECT 'x2_click', count(*) FROM c
+        UNION ALL SELECT 'x3_purchase', count(*) FROM p)
+    ORDER BY stage
+    """,
+    tags=("events", "funnel"),
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: a user counts for a stage only if the
+    event happens strictly AFTER their first event of the previous stage
+    (first view -> first subsequent click -> first subsequent purchase).
+    Every shuffle is on user_id (stage filters cut rows before each join),
+    so the funnel scales with active users, not event volume."""
+    e = table(spark, sf_dir, "events")
+    v = (e.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    c = (e.filter(F.col("event_type") == "click").join(v, "user_id")
+         .filter(F.col("ts") > F.col("t_view"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (e.filter(F.col("event_type") == "purchase").join(c, "user_id")
+         .filter(F.col("ts") > F.col("t_click"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+    counts = (
+        v.agg(F.count("*").alias("n_users")).select(F.lit("x1_view").alias("stage"), "n_users")
+        .unionAll(c.agg(F.count("*").alias("n_users"))
+                  .select(F.lit("x2_click").alias("stage"), "n_users"))
+        .unionAll(p.agg(F.count("*").alias("n_users"))
+                  .select(F.lit("x3_purchase").alias("stage"), "n_users"))
+    )
+    return counts.orderBy("stage")
