@@ -226,3 +226,51 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select(F.lit("x3_purchase").alias("stage"), "n_users"))
     )
     return counts.orderBy("stage")
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH cohort AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS w0
+        FROM events WHERE event_type = 'signup' GROUP BY 1),
+    activity AS (
+        SELECT DISTINCT c.w0, e.user_id,
+               CAST(floor(date_diff('day', CAST(c.w0 AS DATE),
+                          CAST(date_trunc('week', e.ts) AS DATE)) / 7.0) AS INT)
+                 AS weeks_since
+        FROM events e JOIN cohort c ON c.user_id = e.user_id
+        WHERE e.ts >= c.w0)
+    SELECT CAST(w0 AS DATE) AS cohort_week, weeks_since,
+           count(*) AS n_active_users
+    FROM activity GROUP BY 1, 2 ORDER BY cohort_week, weeks_since
+    """,
+    tags=("events", "retention"),
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users bucketed by signup week, counted
+    once per (cohort, weeks-since-signup) they were active in. Shuffles on
+    user_id (cohort join + the distinct), then on the small cohort grid —
+    the cohort matrix stays tiny no matter the event volume."""
+    e = table(spark, sf_dir, "events")
+    cohort = (e.filter(F.col("event_type") == "signup")
+              .groupBy("user_id")
+              .agg(F.date_trunc("week", F.min("ts")).alias("w0")))
+    activity = (
+        e.join(cohort, "user_id")
+        .filter(F.col("ts") >= F.col("w0"))
+        .select(
+            "w0", "user_id",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")).cast("date"),
+                           F.col("w0").cast("date")) / 7.0
+            ).cast("int").alias("weeks_since"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy(F.col("w0").cast("date").alias("cohort_week"),
+                         "weeks_since")
+        .agg(F.count("*").alias("n_active_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )
