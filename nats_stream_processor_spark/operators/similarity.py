@@ -125,6 +125,114 @@ def lsh_buckets_multi_sql(demb_expr: str, tables: int = LSH_TABLES,
     return "[" + ", ".join(exprs) + "]"
 
 
+# ---------------------------------------------------------------- PQ (ADC)
+# Product quantization: split the 64-dim vector into PQ_M subspaces of
+# PQ_SUB dims, encode each as the index of its nearest codebook centroid
+# (PQ_K entries), and score queries against CODES with an asymmetric
+# distance table — 8 bytes per vector instead of 256, the layout that
+# makes billion-vector scans memory-resident. Codebooks are pinned
+# pseudo-random here (production k-means them offline; the plan and the
+# arithmetic are identical) and embedded as literals in both engines.
+
+PQ_M = 8    # subspaces
+PQ_SUB = EMBED_DIM // PQ_M
+PQ_K = 16   # centroids per subspace -> 4-bit codes
+
+
+def pq_codebook_from(vectors: list[list[float]]) -> list[list[list[float]]]:
+    """codebook[s][c] = subspace slice s of training vector c. Centroids
+    must live in the data distribution (pinned uniform [-1,1] codebooks
+    measured recall ~0 on these ~N(0, 0.125) embeddings); production runs
+    k-means per subspace — the first-k pinning keeps it deterministic with
+    the identical plan shape. After training, codebooks are always tiny
+    driver-side constants broadcast into the encode expressions."""
+    return [
+        [list(v[s * PQ_SUB:(s + 1) * PQ_SUB]) for v in vectors[:PQ_K]]
+        for s in range(PQ_M)
+    ]
+
+
+def _l2_col(a: Column, w: list[float]) -> Column:
+    """Squared L2 to a literal vector; left-to-right fold, same order as
+    the SQL twin."""
+    return F.aggregate(
+        F.zip_with(a, plane_lit(w), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def pq_codes(demb: Column, cb: list[list[list[float]]]) -> Column:
+    """array<int> of PQ_M 1-based centroid indices (argmin squared-L2 per
+    subspace; first-minimum tie-break via array_position)."""
+    codes = []
+    for s in range(PQ_M):
+        sl = F.slice(demb, s * PQ_SUB + 1, PQ_SUB)
+        dists = F.array(*[_l2_col(sl, cb[s][c]) for c in range(PQ_K)])
+        codes.append(F.array_position(dists, F.array_min(dists)).cast("int"))
+    return F.array(*codes)
+
+
+def pq_lut_cols(q_demb: Column, cb: list[list[list[float]]]) -> list[Column]:
+    """Per-query ADC lookup tables: lut[s][c] = l2(q_slice_s, centroid)."""
+    return [
+        F.array(*[_l2_col(F.slice(q_demb, s * PQ_SUB + 1, PQ_SUB),
+                          cb[s][c]) for c in range(PQ_K)])
+        for s in range(PQ_M)
+    ]
+
+
+def pq_adc_dist(codes: Column, luts: list[Column], dp: int = 6) -> Column:
+    """Asymmetric distance: sum_s lut[s][code[s]] (left-assoc sum, same
+    order as the SQL twin)."""
+    total = F.element_at(luts[0], F.element_at(codes, 1))
+    for s in range(1, PQ_M):
+        total = total + F.element_at(luts[s], F.element_at(codes, s + 1))
+    return F.round(total, dp)
+
+
+# --- DuckDB twins. The oracle string must be static across scale factors,
+# so it derives the SAME codebook from the table (list-of-lists cb3 on a
+# single cross-joined row) instead of baking literals.
+
+def _l2_expr_sql(a_expr: str, b_expr: str, dim: int = PQ_SUB) -> str:
+    terms = (f"list_transform(range(1, {dim + 1}), "
+             f"i -> ({a_expr}[i] - {b_expr}[i]) * ({a_expr}[i] - {b_expr}[i]))")
+    return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {terms}), "
+            f"(acc, v) -> acc + v)")
+
+
+def pq_cb_cte_sql(e_cte: str = "e") -> str:
+    """CTE fragment producing cbrow(cb3): cb3[s+1][c] = centroid vector."""
+    return f"""
+    cb AS (SELECT sx.s AS s, {e_cte}.vec_id AS c,
+                  list_slice({e_cte}.demb, sx.s * {PQ_SUB} + 1,
+                             (sx.s + 1) * {PQ_SUB}) AS cvec
+           FROM {e_cte} CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS s) sx
+           WHERE {e_cte}.vec_id < {PQ_K}),
+    cbl AS (SELECT s, list(cvec ORDER BY c) AS cents FROM cb GROUP BY s),
+    cbrow AS (SELECT list(cents ORDER BY s) AS cb3 FROM cbl)"""
+
+
+def pq_codes_sql(demb_expr: str, cb3: str = "cb3") -> str:
+    parts = []
+    for s in range(PQ_M):
+        sl = f"list_slice({demb_expr}, {s * PQ_SUB + 1}, {(s + 1) * PQ_SUB})"
+        dists = (f"list_transform(range(1, {PQ_K + 1}), "
+                 f"k -> {_l2_expr_sql(sl, f'{cb3}[{s + 1}][k]')})")
+        parts.append(
+            f"CAST(list_position({dists}, list_min({dists})) AS INT)")
+    return "[" + ", ".join(parts) + "]"
+
+
+def pq_adc_dist_sql(q_demb_expr: str, codes_expr: str, cb3: str = "cb3",
+                    dp: int = 6) -> str:
+    terms = []
+    for s in range(PQ_M):
+        sl = (f"list_slice({q_demb_expr}, {s * PQ_SUB + 1}, "
+              f"{(s + 1) * PQ_SUB})")
+        terms.append(_l2_expr_sql(sl, f"{cb3}[{s + 1}][{codes_expr}[{s + 1}]]"))
+    return f"round({' + '.join(terms)}, {dp})"
+
+
 def lsh_bucket_sql(demb_expr: str, planes: list[list[float]] | None = None,
                    dim: int = EMBED_DIM) -> str:
     planes = planes or hyperplanes()

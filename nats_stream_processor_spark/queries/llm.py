@@ -900,3 +900,72 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .orderBy("query_id", "rn")
     )
+
+
+@register(
+    "sim_ann_pq",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {sim.as_double_sql('embedding')} AS demb
+               FROM embeddings),
+    {sim.pq_cb_cte_sql('e')},
+    c AS (SELECT vec_id, {sim.pq_codes_sql('demb')} AS codes
+          FROM e CROSS JOIN cbrow),
+    q AS (SELECT vec_id AS query_id, demb FROM e WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, x.vec_id AS neighbor_id,
+               {sim.pq_adc_dist_sql('q.demb', 'x.codes')} AS adist
+        FROM c x CROSS JOIN q CROSS JOIN cbrow
+        WHERE x.vec_id != q.query_id)
+    SELECT query_id, neighbor_id, adist, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adist, neighbor_id) AS rn
+        FROM scored)
+    WHERE rn <= 5 ORDER BY query_id, rn
+    """,
+    tags=("llm", "ann-pq"),
+)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (PQ-Flat with ADC): corpus vectors encoded
+    once into 8 4-bit codes (nearest codebook centroid per 8-dim
+    subspace), queries scored against CODES via per-query lookup tables —
+    the scan touches 8 small ints per vector, never the floats. This is
+    the memory layout that makes billion-vector scans feasible; compose
+    with sim_ann_ivf's inverted lists for IVF-PQ. Codebook = subspace
+    slices of the first 16 vectors (production k-means offline; after
+    training the codebook is always a tiny driver-side constant broadcast
+    into the encode expression — the 16-row collect here IS that step).
+    The oracle derives the identical centroids from the table, so the
+    approximate distances are value-checked.
+
+    Measured recall@5 vs exact L2 is ~0.2 here: the synthetic embeddings
+    are i.i.d. (no cluster structure), so distance concentration caps
+    what 4-bit-per-subspace codes can separate — real embedding corpora
+    plus k-means codebooks recover the 0.7-0.95 PQ literature numbers;
+    the machinery (encode, ADC, ranking) is what this query pins."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("demb"))
+    train = (e.filter(F.col("vec_id") < sim.PQ_K).orderBy("vec_id")
+             .select("demb").collect())
+    cb = sim.pq_codebook_from([[float(x) for x in r.demb] for r in train])
+    corpus = spread(e).select(
+        "vec_id", sim.pq_codes(F.col("demb"), cb).alias("codes"))
+    luts = sim.pq_lut_cols(F.col("demb"), cb)
+    q = (e.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("query_id"),
+                 *[luts[s].alias(f"lut{s}") for s in range(sim.PQ_M)]))
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            sim.pq_adc_dist(
+                F.col("codes"),
+                [F.col(f"lut{s}") for s in range(sim.PQ_M)]).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .orderBy("query_id", "rn")
+    )

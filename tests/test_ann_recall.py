@@ -30,3 +30,21 @@ def test_ann_recall_vs_brute_force(spark, name, min_recall):
     approx = pairs(spark, name)
     recall = len(approx & exact) / len(exact)
     assert recall >= min_recall, f"{name} recall {recall:.2f} < {min_recall}"
+
+
+def test_pq_recall_vs_exact_l2(spark):
+    """PQ ranks by L2 (not cosine), so its floor is measured against the
+    exact squared-L2 top-5. ~0.2 measured on these i.i.d. synthetic
+    embeddings (no cluster structure -> distance concentration); the floor
+    guards against machinery regressions, not literature-grade recall."""
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+    exact = set()
+    for qid in range(10):
+        q = vecs[qid]
+        d = sorted(((sum((a - b) ** 2 for a, b in zip(q, vecs[v])), v)
+                    for v in vecs if v != qid))
+        exact |= {(qid, v) for _, v in d[:5]}
+    approx = pairs(spark, "sim_ann_pq")
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.1, f"pq recall {recall:.2f}"
