@@ -969,3 +969,79 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .orderBy("query_id", "rn")
     )
+
+
+@register(
+    "sim_ann_ivf_pq",
+    oracle=f"""
+    {_IVF_CTE},
+    {sim.pq_cb_cte_sql('e')},
+    codes AS (SELECT vec_id, {sim.pq_codes_sql('demb')} AS codes
+              FROM e CROSS JOIN cbrow),
+    scored AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+               {sim.pq_adc_dist_sql('p.q_demb', 'x.codes')} AS adist
+        FROM probes p
+        JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id != p.query_id
+        JOIN codes x ON x.vec_id = a.vec_id
+        CROSS JOIN cbrow)
+    SELECT query_id, neighbor_id, adist, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adist, neighbor_id) AS rn
+        FROM scored)
+    WHERE rn <= 5 ORDER BY query_id, rn
+    """,
+    tags=("llm", "ann-ivf-pq"),
+)
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the complete billion-vector ANN layout: coarse-quantize
+    into nlist inverted lists (sim_ann_ivf's assignment), store 4-bit PQ
+    codes per vector (sim_ann_pq's encoding), and answer a query by
+    probing its nprobe nearest lists and ADC-scoring only the CODES in
+    those lists. Per query the scan touches nprobe/nlist of the corpus at
+    8 small ints per vector — centroids and the query's lookup tables are
+    the only floats in flight. Both approximations are value-checked by
+    the composed oracle."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("demb"))
+    n = e.select("vec_id", "demb", sim.norm(F.col("demb")).alias("nrm"))
+    cent = (n.filter(F.col("vec_id") < IVF_NLIST)
+            .select(F.col("vec_id").alias("cent_id"),
+                    F.col("demb").alias("c_demb"), F.col("nrm").alias("c_nrm")))
+    ranked = (
+        n.crossJoin(F.broadcast(cent))
+        .select("vec_id", "demb", "nrm", "cent_id",
+                (sim.dot(F.col("demb"), F.col("c_demb"))
+                 / (F.col("nrm") * F.col("c_nrm"))).alias("c_cos"))
+        .withColumn("rc", F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cent_id")))
+    )
+    train = (e.filter(F.col("vec_id") < sim.PQ_K).orderBy("vec_id")
+             .select("demb").collect())
+    cb = sim.pq_codebook_from([[float(x) for x in r.demb] for r in train])
+    assign = (ranked.filter(F.col("rc") == 1)
+              .select("vec_id", "cent_id",
+                      sim.pq_codes(F.col("demb"), cb).alias("codes")))
+    luts = sim.pq_lut_cols(F.col("q_demb"), cb)
+    probes = (ranked.filter((F.col("rc") <= IVF_NPROBE) & (F.col("vec_id") < 10))
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("demb").alias("q_demb"),
+                      F.col("cent_id").alias("p_cent_id"))
+              .select("query_id", "p_cent_id",
+                      *[luts[s].alias(f"lut{s}") for s in range(sim.PQ_M)]))
+    scored = (
+        F.broadcast(probes)
+        .join(assign, (F.col("cent_id") == F.col("p_cent_id"))
+              & (F.col("vec_id") != F.col("query_id")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                sim.pq_adc_dist(
+                    F.col("codes"),
+                    [F.col(f"lut{s}") for s in range(sim.PQ_M)]).alias("adist"))
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .orderBy("query_id", "rn")
+    )
