@@ -35,6 +35,8 @@ HEADLINE = [
     "dedup_minhash_lsh_fast",
     "sim_cosine_topk",
     "sim_ann_ivf",
+    "events_funnel",
+    "dedup_components",
     "text_token_stats",
     "quality_filter_pipeline",
     "media_frame_sample",
@@ -103,8 +105,11 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     def run(name: str) -> tuple[float, int]:
-        df = registry.REGISTRY[name].fn(spark, sf_dir)
+        # Time construction + execution: iterative queries (connected
+        # components) and trained ones (PQ codebook collect) do real work
+        # while BUILDING the DataFrame, not just in the final action.
         t0 = time.time()
+        df = registry.REGISTRY[name].fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         dt = time.time() - t0
         return dt, -1
