@@ -64,8 +64,16 @@ def main(argv: list[str] | None = None) -> int:
         writer = writer.trigger(processingTime=f"{args.trigger_seconds} seconds")
     query = writer.start()
 
-    def _stop(signum, frame):  # graceful shutdown (reference: src/service.py:266-297)
-        query.stop()
+    # Graceful shutdown (reference: src/service.py:266-297). Python signal
+    # handlers only run on the main thread between bytecodes, and a bare
+    # awaitTermination() blocks inside a py4j Java call where they never
+    # fire — so the handler just sets a flag and the main thread polls with
+    # a timeout, stopping the query itself (the asyncio-handler analog).
+    stop_requested = False
+
+    def _stop(signum, frame):
+        nonlocal stop_requested
+        stop_requested = True
 
     signal.signal(signal.SIGINT, _stop)
     signal.signal(signal.SIGTERM, _stop)
@@ -74,7 +82,11 @@ def main(argv: list[str] | None = None) -> int:
         query.processAllAvailable()
         query.stop()
     else:
-        query.awaitTermination()
+        while not query.awaitTermination(timeout=1):
+            if stop_requested:
+                query.stop()
+                query.awaitTermination()
+                break
     spark.stop()
     return 0
 

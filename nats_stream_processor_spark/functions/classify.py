@@ -65,30 +65,32 @@ _KW2LABEL: dict[str, int] = {
 _NLAB = len(LABELS)
 
 
-def _token_counts(text: str) -> tuple[int, int, np.ndarray]:
-    """(neg_count, pos_count, per-label keyword counts) for one document."""
-    neg = pos = 0
-    lab = np.zeros(_NLAB, dtype=np.int64)
-    if text:
-        for t in _TOKEN.findall(text.lower()):
-            if t in _NEG:
-                neg += 1
-            if t in _POS:
-                pos += 1
-            i = _KW2LABEL.get(t)
-            if i is not None:
-                lab[i] += 1
-    return neg, pos, lab
+def _exploded_tokens(texts: pd.Series) -> pd.Series:
+    """One row per token occurrence, indexed by source-row position.
+
+    pandas `.str` tokenization + explode keeps the whole batch in C loops;
+    the previous per-row `re.findall` Python loop was the hottest Python in
+    the streaming path (VERDICT r1 #7)."""
+    return (
+        texts.reset_index(drop=True).fillna("")
+        .str.lower().str.findall(_TOKEN).explode().dropna()
+    )
+
+
+def _occurrence_counts(ex: pd.Series, n: int, vocab: frozenset) -> np.ndarray:
+    """Per-row occurrence counts (with multiplicity) of tokens in vocab."""
+    hits = ex[ex.isin(vocab)]
+    out = np.zeros(n, dtype=np.float64)
+    np.add.at(out, hits.index.to_numpy(dtype=np.int64), 1)
+    return out
 
 
 def sentiment_batch(texts: pd.Series, dp: int = FLOAT_ROUND_DP) -> pd.DataFrame:
     """Vectorized sentiment over a batch; same math as sentiment_struct."""
     n = len(texts)
-    neg = np.zeros(n)
-    pos = np.zeros(n)
-    for i, t in enumerate(texts.fillna("")):
-        ng, ps, _ = _token_counts(t)
-        neg[i], pos[i] = ng, ps
+    ex = _exploded_tokens(texts)
+    neg = _occurrence_counts(ex, n, _NEG)
+    pos = _occurrence_counts(ex, n, _POS)
     neu = np.full(n, NEUTRAL_BIAS)
     logits = np.stack([neg, neu, pos], axis=1)  # index order = label ids
     mx = logits.max(axis=1, keepdims=True)
@@ -108,21 +110,33 @@ def sentiment_batch(texts: pd.Series, dp: int = FLOAT_ROUND_DP) -> pd.DataFrame:
 
 def topics_batch(texts: pd.Series, dp: int = FLOAT_ROUND_DP) -> pd.DataFrame:
     """Vectorized topics over a batch; same math as topics_struct."""
+    n = len(texts)
+    ex = _exploded_tokens(texts)
+    # n x n_labels keyword-occurrence matrix in one scatter-add pass
+    lab_idx = ex.map(_KW2LABEL).dropna()
+    counts = np.zeros((n, _NLAB), dtype=np.int64)
+    np.add.at(
+        counts,
+        (lab_idx.index.to_numpy(dtype=np.int64),
+         lab_idx.to_numpy(dtype=np.int64)),
+        1,
+    )
+    mx = counts.max(axis=1)
+    top_idx = counts.argmax(axis=1)  # first max = alphabetical tie-break
+    labels_arr = np.array(LABELS)
+    hit = counts >= 1
     rows_topics: list[list[str]] = []
     rows_top: list[str] = []
-    rows_conf: list[float] = []
-    for t in texts.fillna(""):
-        _, _, lab = _token_counts(t)
-        mx = int(lab.max())
-        top = LABELS[int(lab.argmax())]  # first max = alphabetical tie-break
-        above = [LABELS[i] for i in range(_NLAB) if lab[i] >= 1]
+    for i in range(n):
+        top = LABELS[top_idx[i]]
+        above = list(labels_arr[hit[i]])
         if top not in above:  # U2d: top always included
             above = sorted(above + [top])
         rows_topics.append(above)
         rows_top.append(top)
-        rows_conf.append(round(1.0 / (1.0 + np.exp(SCORE_OFFSET - float(mx))), dp))
+    conf = np.round(1.0 / (1.0 + np.exp(SCORE_OFFSET - mx.astype(np.float64))), dp)
     return pd.DataFrame(
-        {"topics": rows_topics, "top_topic": rows_top, "top_confidence": rows_conf}
+        {"topics": rows_topics, "top_topic": rows_top, "top_confidence": conf}
     )
 
 

@@ -62,8 +62,13 @@ def _weighted_avg_udf():
     # the active SparkSession, which doesn't exist at import time
     @pandas_udf("double")
     def weighted_avg_price(price: pd.Series, qty: pd.Series) -> float:
-        # grouped-agg pandas UDF: Arrow hands each group's columns as Series
-        return float((price * qty).sum() / qty.sum())
+        # grouped-agg pandas UDF: Arrow hands each group's columns as Series.
+        # Exact integer accumulation (prices are 2-dp money, quantities are
+        # integer-valued) so the result is independent of partition/row
+        # order — a plain float sum flips the 6th decimal across runs.
+        cents = price.mul(100).round().astype("int64")
+        q = qty.round().astype("int64")
+        return float(int((cents * q).sum()) / (100.0 * int(q.sum())))
 
     return weighted_avg_price
 
@@ -72,8 +77,10 @@ def _weighted_avg_udf():
     "grouped_agg_weighted_avg",
     oracle="""
     SELECT l_returnflag,
-           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6)
-             AS wavg_price
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                 / (100.0 * CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                                 AS BIGINT)), 6) AS wavg_price
     FROM lineitem GROUP BY 1 ORDER BY 1
     """,
     tags=("pandas-udf", "grouped-agg"),

@@ -46,7 +46,7 @@ from ..operators.textstats import (
     token_stats_cols,
     token_stats_sql,
 )
-from ..registry import register, spread, table
+from ..registry import pin, register, spread, table
 
 NEAR_DUP_JACCARD = 0.5
 EMB_NEAR_DUP_COS = 0.4
@@ -104,7 +104,7 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_mix_stats",
     oracle=(lambda ts: f"""
     WITH s AS (SELECT source, lang, count(*) AS n_docs,
-                      sum({ts['est_bpe_tokens']}) AS sum_est_tokens
+                      CAST(sum({ts['est_bpe_tokens']}) AS BIGINT) AS sum_est_tokens
                FROM documents GROUP BY 1, 2)
     SELECT source, lang, n_docs, sum_est_tokens,
            round(sum_est_tokens / CAST(sum(sum_est_tokens) OVER () AS DOUBLE),
@@ -392,7 +392,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = spread(d).select(
         "doc_id",
         shingle_ids_tok_col(token_hashes_32_col(F.col("text"))).alias("sids"),
-    ).persist()
+    )
+    sh = pin(sh)
     sig = sh.select("doc_id", "sids", minhash_signature_col(F.col("sids")).alias("sig"))
     bands = minhash_band_explode(sig, "doc_id", "sig")
     a, b = bands.alias("a"), bands.alias("b")
@@ -464,7 +465,8 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, fast: bool) -> DataFrame:
         "doc_id",
         shingle_ids_tok_col(
             token_hashes_32_col(F.col("text"), fast=fast)).alias("sids"),
-    ).persist()
+    )
+    sh = pin(sh)
     sig = sh.select("doc_id", "sids", minhash_signature_col(F.col("sids")).alias("sig"))
     bands = minhash_band_explode(sig, "doc_id", "sig")
     a, b = bands.alias("a"), bands.alias("b")
@@ -533,7 +535,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         spread(d).withColumn("tok_hashes", F.expr(token_hashes_spark_sql("text")))
         .select("doc_id", F.expr(simhash_spark_sql()).alias("simhash"))
-        .persist()  # both sides of the chunk self-join read the signatures
+        
     )
     chunks = (
         sh.select("doc_id", "simhash",

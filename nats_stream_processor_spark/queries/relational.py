@@ -150,9 +150,10 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentiles",
     oracle="""
     SELECT o_orderpriority,
-           list_transform(quantile_cont(CAST(o_totalprice AS DOUBLE),
-                                        [0.25, 0.5, 0.75, 0.9]),
-                          q -> round(q, 6)) AS price_quantiles,
+           round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25), 6) AS p25,
+           round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 6) AS p50,
+           round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75), 6) AS p75,
+           round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9), 6) AS p90,
            count(*) AS n_orders
     FROM orders GROUP BY 1 ORDER BY 1
     """,
@@ -161,15 +162,16 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark `percentile` == DuckDB
     quantile_cont). At 100 TB prefer percentile_approx (GK sketch, bounded
-    memory) — kept exact here for oracle comparability."""
+    memory) — kept exact here for oracle comparability. Scalar columns (not
+    an array) so the driver's pandas canonicalizer can sort the result."""
     return (
         table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            F.expr(
-                "transform(percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.9D)),"
-                " q -> round(q, 6))"
-            ).alias("price_quantiles"),
+            F.expr("round(percentile(o_totalprice, 0.25D), 6)").alias("p25"),
+            F.expr("round(percentile(o_totalprice, 0.5D), 6)").alias("p50"),
+            F.expr("round(percentile(o_totalprice, 0.75D), 6)").alias("p75"),
+            F.expr("round(percentile(o_totalprice, 0.9D), 6)").alias("p90"),
             F.count("*").alias("n_orders"),
         )
         .orderBy("o_orderpriority")

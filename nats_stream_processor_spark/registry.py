@@ -34,10 +34,39 @@ class QueryEntry:
 
 REGISTRY: dict[str, QueryEntry] = {}
 
+# DataFrames persisted by query builders (minhash/simhash signature tables
+# feed multiple plan branches). Harnesses run the whole registry in ONE
+# session, so without release the cached partitions would accumulate across
+# 74 queries; each registry invocation releases the previous query's pins,
+# bounding cache residency to one query at a time. (A query can't unpersist
+# its own pins — the action happens later, in the caller.)
+_PINNED: list[DataFrame] = []
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """persist() a shared intermediate, released on the next registry call."""
+    df.persist()
+    _PINNED.append(df)
+    return df
+
+
+def release_pins() -> None:
+    while _PINNED:
+        try:
+            _PINNED.pop().unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
+
 
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     def deco(fn: QueryFn) -> QueryFn:
-        REGISTRY[name] = QueryEntry(fn=fn, oracle=oracle, tags=tags)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_pins()
+            return fn(spark, sf_dir)
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
+        REGISTRY[name] = QueryEntry(fn=wrapped, oracle=oracle, tags=tags)
         return fn
     return deco
 

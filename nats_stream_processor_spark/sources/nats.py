@@ -39,6 +39,7 @@ one source per stream/subject-filter.
 from __future__ import annotations
 
 import base64
+import fcntl
 import json
 import os
 import shutil
@@ -120,21 +121,31 @@ class MemStream:
     def publish(self, subject: str, data: bytes, headers: dict | None = None,
                 ts: float = 0.0) -> bool:
         headers = headers or {}
-        existing = self._lines()
-        msg_id = headers.get("Nats-Msg-Id")
-        if msg_id is not None:
-            # duplicate_window dedup (reference: src/nats_client.py:99);
-            # the file-backed window is unbounded, fine for tests
-            if any(d["headers"].get("Nats-Msg-Id") == msg_id for d in existing):
-                return False
-        seq = (existing[-1]["seq"] + 1) if existing else 1
-        line = json.dumps({
-            "subject": subject, "data": base64.b64encode(data).decode(),
-            "seq": seq, "ts": ts, "headers": headers,
-        })
-        with open(self.path, "a") as f:
-            f.write(line + "\n")
-        return True
+        # The nats sink runs one writer per partition in parallel Python
+        # worker processes; an exclusive flock around read+append keeps the
+        # per-stream sequence monotonic and the Nats-Msg-Id duplicate scan
+        # race-free (the real broker serializes publishes server-side).
+        with open(self.path + ".lock", "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            try:
+                existing = self._lines()
+                msg_id = headers.get("Nats-Msg-Id")
+                if msg_id is not None:
+                    # duplicate_window dedup (reference: src/nats_client.py:99);
+                    # the file-backed window is unbounded, fine for tests
+                    if any(d["headers"].get("Nats-Msg-Id") == msg_id
+                           for d in existing):
+                        return False
+                seq = (existing[-1]["seq"] + 1) if existing else 1
+                line = json.dumps({
+                    "subject": subject, "data": base64.b64encode(data).decode(),
+                    "seq": seq, "ts": ts, "headers": headers,
+                })
+                with open(self.path, "a") as f:
+                    f.write(line + "\n")
+                return True
+            finally:
+                fcntl.flock(lockf, fcntl.LOCK_UN)
 
     def fetch(self, start_seq: int, max_msgs: int,
               subject_prefix: str | None = None) -> list[MemMessage]:

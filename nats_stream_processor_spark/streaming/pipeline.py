@@ -69,13 +69,23 @@ def enrich_stream(
     enriched = enrich_posts(posts, dedup=False)
     ts = F.col(event_time_col) if event_time_col else F.col("processed_at")
     enriched = enriched.withColumn("__event_ts", ts.cast("timestamp"))
+    # Dedup only rows with BOTH identity parts. The reference skips the
+    # Nats-Msg-Id header (i.e. does no dedup) when uri/cid are missing
+    # (src/nats_client.py:248-252); a keyed dedup here would treat NULL cid
+    # as equal and collapse distinct posts sharing a uri. NULL-key rows
+    # pass straight through via union.
+    has_key = F.col("uri").isNotNull() & F.col("cid").isNotNull()
     if not enriched.isStreaming:
-        return enriched.dropDuplicates(["uri", "cid"]).drop("__event_ts")
-    return (
-        enriched.withWatermark("__event_ts", f"{dedup_window_s} seconds")
+        deduped = enriched.filter(has_key).dropDuplicates(["uri", "cid"])
+        return deduped.unionByName(enriched.filter(~has_key)).drop("__event_ts")
+    deduped = (
+        enriched.filter(has_key)
+        .withWatermark("__event_ts", f"{dedup_window_s} seconds")
         .dropDuplicatesWithinWatermark(["uri", "cid"])
-        .drop("__event_ts")
     )
+    passthrough = enriched.filter(~has_key).withWatermark(
+        "__event_ts", f"{dedup_window_s} seconds")
+    return deduped.unionByName(passthrough).drop("__event_ts")
 
 
 Publisher = Callable[[str, str, str | None], None]
