@@ -139,19 +139,23 @@ def minhash_signature_sql(sids_expr: str) -> str:
     return f"[{mins}]"
 
 
-def minhash_band_explode(df: DataFrame, id_col: str, sig_col: str) -> DataFrame:
+def minhash_band_explode(df: DataFrame, id_col: str, sig_col: str,
+                         bands_n: int = LSH_BANDS,
+                         rows_n: int = LSH_ROWS) -> DataFrame:
     """One row per (doc, band) with the band's bucket key — the unit that
-    shuffles. Equal (band, bucket) => candidate pair."""
-    bands = F.explode(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
-            lambda b: F.struct(
-                b.alias("band"),
-                F.array_join(
-                    F.slice(F.col(sig_col), b * LSH_ROWS + 1, LSH_ROWS), "_"
-                ).alias("bucket"),
-            ),
+    shuffles. Equal (band, bucket) => candidate pair. band/row counts are
+    the recall knob: fewer rows per band => more candidates => higher
+    recall at lower Jaccard thresholds (P[candidate] = 1-(1-j^r)^b)."""
+    def _mk(rows_n):
+        return lambda b: F.struct(
+            b.alias("band"),
+            F.array_join(
+                F.slice(F.col(sig_col), b * rows_n + 1, rows_n), "_"
+            ).alias("bucket"),
         )
+
+    bands = F.explode(
+        F.transform(F.sequence(F.lit(0), F.lit(bands_n - 1)), _mk(rows_n))
     )
     return df.select(F.col(id_col), bands.alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")

@@ -52,6 +52,10 @@ NEAR_DUP_JACCARD = 0.5
 EMB_NEAR_DUP_COS = 0.4
 SIMHASH_MAX_DIST = 3
 BIGRAM_JACCARD = 0.3
+# LSH banding for the 0.3-threshold bigram stage: 16 bands x 2 rows of the
+# K=32 signature (vs 8x4 for the 0.5-threshold trigram stage).
+NGRAM_BANDS = 16
+NGRAM_ROWS = 2
 
 
 # ------------------------------------------------------------ text analysis
@@ -568,41 +572,70 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH t AS (SELECT doc_id, source,
-                      regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+    WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
                FROM documents),
-    g AS (SELECT doc_id, source, {shingle_ids_tok_sql('hs', 2)} AS grams
-          FROM (SELECT doc_id, source, {token_hashes_32_duck_sql('toks')} AS hs
-                FROM t))
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(len(list_intersect(a.grams, b.grams))
-                 / CAST(greatest(len(list_distinct(a.grams || b.grams)), 1) AS DOUBLE),
-                 6) AS jaccard
-    FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
-    WHERE round(len(list_intersect(a.grams, b.grams))
-                / CAST(greatest(len(list_distinct(a.grams || b.grams)), 1) AS DOUBLE),
-                6) >= {BIGRAM_JACCARD}
+    g AS (SELECT doc_id, {shingle_ids_tok_sql('hs', 2)} AS grams
+          FROM (SELECT doc_id, {token_hashes_32_duck_sql('toks')} AS hs
+                FROM t)),
+    sig AS (SELECT doc_id, grams, {minhash_signature_sql('grams')} AS sig FROM g),
+    bands AS (
+        SELECT doc_id, band_idx,
+               array_to_string(list_slice(sig, band_idx * {NGRAM_ROWS} + 1,
+                                          (band_idx + 1) * {NGRAM_ROWS}), '_')
+                 AS bucket
+        FROM sig CROSS JOIN
+             (SELECT unnest(range(0, {NGRAM_BANDS})) AS band_idx) u),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(ga.grams, gb.grams))
+                 / CAST(greatest(len(list_distinct(ga.grams || gb.grams)), 1)
+                        AS DOUBLE), 6) AS jaccard
+    FROM cand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b
+    WHERE round(len(list_intersect(ga.grams, gb.grams))
+                / CAST(greatest(len(list_distinct(ga.grams || gb.grams)), 1)
+                       AS DOUBLE), 6) >= {BIGRAM_JACCARD}
     ORDER BY doc_a, doc_b
     """,
     tags=("llm", "dedup-ngram"),
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked pairwise token-bigram Jaccard. The block key (`source`)
-    bounds the quadratic term — the pattern for any pairwise-verify stage
-    at scale (block by LSH bucket / length band / host...)."""
+    """Token-bigram Jaccard near-dup with MinHash-LSH candidate blocking.
+
+    r1 blocked on `source` — a handful of values, so the within-block
+    pairwise term was O((n/k)^2), a scale-killer at 100x (VERDICT r1 #5).
+    Now candidates come from the same band-bucket scheme as
+    dedup_minhash_lsh but tuned for the lower 0.3 threshold: 16 bands of 2
+    rows over the K=32 signature (P[candidate] = 1-(1-j^2)^16 ~ 0.78 at
+    j=0.3, ~0.04 at j=0.05), so shuffles are on (band, bucket) and doc_id
+    only — never all-pairs within any block. The oracle replays the exact
+    banding, so the approximate candidate set is value-checked too."""
     d = table(spark, sf_dir, "documents")
     g = spread(d).select(
-        "doc_id", "source",
+        "doc_id",
         shingle_ids_tok_col(token_hashes_32_col(F.col("text")), 2).alias("grams"),
     )
-    a, b = g.alias("a"), g.alias("b")
-    return (
-        a.join(b, (F.col("a.source") == F.col("b.source"))
+    g = pin(g)  # feeds banding + both verify sides
+    sig = g.select("doc_id", minhash_signature_col(F.col("grams")).alias("sig"))
+    bands = minhash_band_explode(sig, "doc_id", "sig",
+                                 bands_n=NGRAM_BANDS, rows_n=NGRAM_ROWS)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-            jaccard(F.col("a.grams"), F.col("b.grams")).alias("jaccard"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
+    return (
+        cand.join(ga, "doc_a").join(gb, "doc_b")
+        .select("doc_a", "doc_b",
+                jaccard(F.col("grams_a"), F.col("grams_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= BIGRAM_JACCARD)
         .orderBy("doc_a", "doc_b")
     )
