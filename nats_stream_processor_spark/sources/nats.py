@@ -20,12 +20,12 @@ Reference parity (all citations into /root/reference):
   (src/nats_client.py:81-102): LIMITS retention, discard OLD, max_msgs
   5M, file storage, 600 s duplicate window.
 
-Transport: nats-py (asyncio) behind an import guard — this container
-doesn't ship it, so the JetStream transport raises a clear error while
-everything else (offset bookkeeping, batching, serialization, the Spark
-plumbing) runs against the in-memory broker below, which the unit tests
-drive. `servers="mem://<name>"` selects the fake; any other URL requires
-nats-py.
+Transport: any non-`mem://` URL goes through nats_transport.py, a real
+nats-py client path (sequence-range pull fetch, idempotent publish, stream
+DDL) exercised in tests against a scripted fake `nats` module — the
+container ships neither nats-py nor a broker. `servers="mem://<name>"`
+selects the file-backed stand-in below, which the streaming e2e tests
+drive.
 
 Scale: a single JetStream stream is consumed as ONE ordered partition
 (sequence numbers are per-stream; parallel reads would break ordering and
@@ -175,22 +175,25 @@ def mem_reset(server: str) -> None:
         shutil.rmtree(d)
 
 
-def ensure_output_stream(server: str, stream: str) -> MemStream | None:
+def ensure_output_stream(
+    server: str, stream: str,
+    subject_prefix: str = "bluesky.posts.enriched",
+) -> MemStream | None:
     """S4: CREATE-STREAM-IF-NOT-EXISTS. Mirrors the reference's stream DDL
-    (src/nats_client.py:81-102). Real-NATS path requires nats-py."""
+    (src/nats_client.py:81-102): LIMITS retention, discard OLD, max_msgs
+    5M, FILE storage, 600 s duplicate window."""
     if server.startswith("mem://"):
         return mem_stream(server, stream)
-    if not HAVE_NATS:  # pragma: no cover
+    if not HAVE_NATS:
         raise ImportError(
             "nats-py is required for a real NATS connection "
             "(pip install nats-py); use servers='mem://<name>' for the "
             "in-memory broker"
         )
-    raise NotImplementedError(
-        "real JetStream DDL: js.add_stream(name=..., retention=LIMITS, "
-        "discard=OLD, max_msgs=5_000_000, duplicate_window=600) — "
-        "requires a running broker"
-    )  # pragma: no cover
+    from .nats_transport import JetStreamTransport
+    with JetStreamTransport(server) as t:
+        t.ensure_stream(stream, subject_prefix)
+    return None
 
 
 class NatsStreamReader(SimpleDataSourceStreamReader):
@@ -201,6 +204,7 @@ class NatsStreamReader(SimpleDataSourceStreamReader):
         self.stream = options.get("stream", "bluesky-posts")
         self.subject_prefix = options.get("subjectprefix") or None
         self.max_batch = int(options.get("maxbatchsize", DEFAULT_MAX_BATCH))
+        self._transport = None
         if not self.server.startswith("mem://") and not HAVE_NATS:
             raise ImportError(
                 "nats-py is required for a real NATS connection; "
@@ -210,14 +214,29 @@ class NatsStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:  # noqa: N802
         return {"seq": 1}  # DeliverPolicy.ALL (reference: src/nats_client.py:152)
 
+    def _subject_filter(self) -> str | None:
+        # option subjectPrefix="bluesky.posts." -> JetStream filter
+        # "bluesky.posts.>" (the reference subscribes "<subject>.>",
+        # src/nats_client.py:137)
+        if not self.subject_prefix:
+            return None
+        return self.subject_prefix.rstrip(".") + ".>"
+
     def _fetch(self, start_seq: int, max_msgs: int) -> list[MemMessage]:
         if self.server.startswith("mem://"):
             return mem_stream(self.server, self.stream).fetch(
                 start_seq, max_msgs, self.subject_prefix)
-        raise NotImplementedError(
-            "real JetStream fetch: pull-subscribe with "
-            "OptStartSeq=start_seq, batch=max_msgs"
-        )  # pragma: no cover
+        from .nats_transport import JetStreamTransport
+        if self._transport is None:
+            # one connection for the life of the reader (driver-side)
+            self._transport = JetStreamTransport(self.server).connect()
+        return self._transport.fetch(
+            self.stream, start_seq, max_msgs, self._subject_filter())
+
+    def stop(self) -> None:
+        if self._transport is not None:
+            self._transport.close()
+            self._transport = None
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         import datetime
@@ -280,36 +299,41 @@ class NatsStreamWriter(DataSourceStreamWriter):
                 "use servers='mem://<name>' for tests"
             )
 
-    def _publish(self, subject: str, data: bytes, msg_id: str | None) -> bool:
-        if self.server.startswith("mem://"):
-            headers = {"Nats-Msg-Id": msg_id} if msg_id else {}
-            return mem_stream(self.server, self.stream).publish(
-                subject, data, headers)
-        raise NotImplementedError(
-            "real JetStream publish: js.publish(subject, data, "
-            "headers={'Nats-Msg-Id': msg_id}, timeout=5)"
-        )  # pragma: no cover
+    def _row_to_message(self, row) -> tuple[str, bytes, str | None]:
+        d = row.asDict(recursive=True)
+        subject = d.get("route_subject") or d.get("subject") or self.default_subject
+        msg_id = d.get("msg_id")
+        if msg_id is None and d.get("uri") is not None and d.get("cid") is not None:
+            msg_id = f"{d['uri']}:{d['cid']}"  # reference: src/nats_client.py:248
+        payload = d.get("value")
+        if payload is None:
+            payload = json.dumps(
+                {k: v for k, v in d.items()
+                 if k not in ("route_subject", "msg_id")},
+                default=str).encode()
+        elif isinstance(payload, str):
+            payload = payload.encode()
+        return subject, payload, msg_id
 
     def write(self, iterator) -> NatsCommitMessage:
-        n_pub = n_dup = 0
-        for row in iterator:
-            d = row.asDict(recursive=True)
-            subject = d.get("route_subject") or d.get("subject") or self.default_subject
-            msg_id = d.get("msg_id")
-            if msg_id is None and d.get("uri") is not None and d.get("cid") is not None:
-                msg_id = f"{d['uri']}:{d['cid']}"  # reference: src/nats_client.py:248
-            payload = d.get("value")
-            if payload is None:
-                payload = json.dumps(
-                    {k: v for k, v in d.items()
-                     if k not in ("route_subject", "msg_id")},
-                    default=str).encode()
-            elif isinstance(payload, str):
-                payload = payload.encode()
-            if self._publish(subject, payload, msg_id):
-                n_pub += 1
-            else:
-                n_dup += 1
+        """Executor-side publish: this runs in each writer partition's
+        Python worker with its own connection — no data crosses the driver
+        (the queue-group fan-out analog, reference README.md:505-517)."""
+        if self.server.startswith("mem://"):
+            n_pub = n_dup = 0
+            stream = mem_stream(self.server, self.stream)
+            for row in iterator:
+                subject, payload, msg_id = self._row_to_message(row)
+                headers = {"Nats-Msg-Id": msg_id} if msg_id else {}
+                if stream.publish(subject, payload, headers):
+                    n_pub += 1
+                else:
+                    n_dup += 1
+            return NatsCommitMessage(n_published=n_pub, n_duplicates=n_dup)
+        from .nats_transport import JetStreamTransport
+        items = [self._row_to_message(row) for row in iterator]
+        with JetStreamTransport(self.server) as t:
+            n_pub, n_dup = t.publish_many(items)
         return NatsCommitMessage(n_published=n_pub, n_duplicates=n_dup)
 
     def commit(self, messages, batch_id) -> None:
