@@ -24,7 +24,7 @@ import sys
 from .config import MAX_OFFSETS_PER_TRIGGER
 from .session import get_spark
 from .sources import nats as nats_src
-from .streaming.pipeline import decode_posts, enrich_stream
+from .streaming.pipeline import NatsSink, decode_posts, start_enrichment_query
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -52,17 +52,12 @@ def main(argv: list[str] | None = None) -> int:
         .option("maxBatchSize", str(args.max_batch))
         .load()
     )
-    enriched = enrich_stream(decode_posts(raw))
-    writer = (
-        enriched.writeStream.format("nats")
-        .option("servers", args.servers)
-        .option("stream", args.output_stream)
-        .option("checkpointLocation", args.checkpoint)
-        .outputMode("append")
+    query = start_enrichment_query(
+        decode_posts(raw),
+        NatsSink(servers=args.servers, stream=args.output_stream),
+        args.checkpoint,
+        trigger_seconds=args.trigger_seconds,
     )
-    if args.trigger_seconds:
-        writer = writer.trigger(processingTime=f"{args.trigger_seconds} seconds")
-    query = writer.start()
 
     # Graceful shutdown (reference: src/service.py:266-297). Python signal
     # handlers only run on the main thread between bytecodes, and a bare

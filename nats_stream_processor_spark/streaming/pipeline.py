@@ -9,10 +9,11 @@ module only adds the streaming-specific pieces:
 - event-time watermark + dropDuplicatesWithinWatermark (D1: the JetStream
   600 s duplicate_window, reference: src/nats_client.py:99,244-266 — the
   watermark bounds dedup state exactly like the server-side window);
-- the foreachBatch sink with subject routing and idempotent publish
-  (P3/S3/R1, reference: src/nats_client.py:220-286). The publisher is a
-  callable so tests (and non-NATS deployments) inject their own; retries
-  are safe because the Nats-Msg-Id key makes re-publish idempotent (A0:
+- the routed idempotent publish (P3/S3/R1, reference:
+  src/nats_client.py:220-286). The default sink is the executor-side
+  format("nats") DataSource writer (NatsSink below); tests inject a
+  callable, which routes through the driver-side debug_sink. Retries are
+  safe because the Nats-Msg-Id key makes re-publish idempotent (A0:
   checkpoint replay + idempotent sink = effectively-once, an improvement
   over the reference's ack-after-failed-publish hole, SURVEY.md §3 EP2.7).
 
@@ -24,6 +25,7 @@ max_ack_pending=100 caps the reference's in-flight messages.
 from __future__ import annotations
 
 from collections.abc import Callable
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -94,51 +96,46 @@ are missing (the reference skips the dedup header then,
 src/nats_client.py:248-252)."""
 
 
-def make_publish_batch(publisher: Publisher):
-    """foreachBatch function: serialize each enriched row to JSON and hand
-    it to the publisher with its routing subject + idempotency key.
+@dataclass
+class NatsSink:
+    """Executor-side publish target: each writer partition opens its own
+    connection and publishes directly (sources/nats.py NatsStreamWriter) —
+    no micro-batch ever crosses the driver. This is the production sink;
+    a bare callable routes through the driver-side debug publisher
+    (streaming/debug_sink.py) and is for tests/bespoke sinks only."""
 
-    collect() here is per-micro-batch on purpose: the publisher owns the
-    connection (driver-side). For high-throughput sinks swap this for
-    batch_df.foreachPartition with an executor-side connection pool — the
-    surrounding contract (subject, payload, msg_id) is identical.
-    """
-
-    def publish_batch(batch_df: DataFrame, batch_id: int) -> None:
-        rows = (
-            batch_df.withColumn(
-                "__payload", F.to_json(F.struct(*[
-                    c for c in batch_df.columns if c != "route_subject"
-                ]))
-            )
-            .select(
-                "route_subject", "__payload",
-                F.when(
-                    F.col("uri").isNotNull() & F.col("cid").isNotNull(),
-                    F.concat_ws(":", "uri", "cid"),
-                ).alias("__msg_id"),
-            )
-            .collect()
-        )
-        for r in rows:
-            publisher(r["route_subject"], r["__payload"], r["__msg_id"])
-
-    return publish_batch
+    servers: str
+    stream: str
+    default_subject: str = "bluesky.posts.enriched"
 
 
 def start_enrichment_query(
     posts_stream: DataFrame,
-    publisher: Publisher,
+    sink: "NatsSink | Publisher",
     checkpoint_dir: str,
     trigger_seconds: float | None = None,
 ):
-    """Wire decode -> enrich -> dedup -> routed publish and start it."""
+    """Wire decode -> enrich -> dedup -> routed publish and start it.
+
+    ``sink`` is a :class:`NatsSink` (default, scale-safe: the format("nats")
+    DataSourceStreamWriter publishes from executor workers) or a Publisher
+    callable (driver-side foreachBatch — test/debug path)."""
     enriched = enrich_stream(posts_stream)
-    writer = (
-        enriched.writeStream.outputMode("append")
-        .foreachBatch(make_publish_batch(publisher))
-        .option("checkpointLocation", checkpoint_dir)
-    )
+    if isinstance(sink, NatsSink):
+        writer = (
+            enriched.writeStream.format("nats")
+            .option("servers", sink.servers)
+            .option("stream", sink.stream)
+            .option("defaultSubject", sink.default_subject)
+            .outputMode("append")
+        )
+    else:
+        from .debug_sink import make_publish_batch
+        writer = (
+            enriched.writeStream.outputMode("append")
+            .foreachBatch(make_publish_batch(sink))
+        )
+    writer = writer.option("checkpointLocation", checkpoint_dir)
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()

@@ -175,3 +175,35 @@ def test_writestream_format_nats(spark, tmp_path):
     assert len(msgs) == 2  # duplicate deduped upstream
     assert all(m.headers.get("Nats-Msg-Id") for m in msgs)
     assert {json.loads(m.data)["uri"] for m in msgs} == {"at://t/1", "at://t/9"}
+
+
+def test_start_enrichment_query_default_natssink(spark, tmp_path):
+    """The production sink path: start_enrichment_query with a NatsSink
+    publishes executor-side via format('nats') — no driver collect."""
+    from nats_stream_processor_spark.streaming.pipeline import NatsSink
+
+    register(spark)
+    server = "mem://sinkdefault"
+    mem_reset(server)
+    seed_posts(server, "bluesky-posts", [
+        {"uri": "at://t/1", "cid": "c1", "text": "This is a great day!"},
+        {"uri": "at://t/2", "cid": "c2", "text": "I hate this weather"},
+        {"uri": "at://t/2", "cid": "c2", "text": "I hate this weather"},
+    ])
+    raw = (spark.readStream.format("nats")
+           .option("servers", server).option("stream", "bluesky-posts").load())
+    ensure_output_stream(server, "bluesky-posts-enriched")
+    q = start_enrichment_query(
+        decode_posts(raw),
+        NatsSink(servers=server, stream="bluesky-posts-enriched"),
+        str(tmp_path / "sink_default_ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = mem_stream(server, "bluesky-posts-enriched")
+    msgs = out.messages
+    assert len(msgs) == 2  # dup dropped upstream by watermarked dedup
+    assert all(m.headers.get("Nats-Msg-Id") for m in msgs)
+    assert all(m.subject.startswith("bluesky.posts.enriched.") for m in msgs)
+    body = json.loads(msgs[0].data)
+    assert "sentiment" in body and "topics" in body

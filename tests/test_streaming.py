@@ -20,11 +20,11 @@ from nats_stream_processor_spark.streaming.metrics import (
     MetricsListener,
     observe_pipeline_counters,
 )
+from nats_stream_processor_spark.streaming.debug_sink import make_publish_batch
 from nats_stream_processor_spark.streaming.pipeline import (
     RAW_POST_SCHEMA,
     decode_posts,
     enrich_stream,
-    make_publish_batch,
     start_enrichment_query,
 )
 from nats_stream_processor_spark.streaming.windows import tumbling_counts
