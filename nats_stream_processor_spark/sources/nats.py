@@ -27,13 +27,14 @@ container ships neither nats-py nor a broker. `servers="mem://<name>"`
 selects the file-backed stand-in below, which the streaming e2e tests
 drive.
 
-Scale: a single JetStream stream is consumed as ONE ordered partition
-(sequence numbers are per-stream; parallel reads would break ordering and
-ack bookkeeping — the reference has the same property via its single
-durable consumer). Parallelism comes after the source: repartition before
-the CPU stages, exactly like the queue-group fan-out the reference uses
-across pods (README.md:505-517). For multi-stream topologies, register
-one source per stream/subject-filter.
+Scale: the default reader (NatsPartitionedStreamReader) splits each
+micro-batch's sequence range into N InputPartitions read in parallel
+executor workers — the deterministic analog of the reference's queue-group
+fan-out across pods (README.md:505-517). Per-message ORDER within the
+batch is not total across partitions (neither is the queue group's);
+pipelines needing order sort on `seq`. option("simple", "true") selects
+the single-partition driver-prefetch reader. For multi-stream topologies,
+register one source per stream/subject-filter.
 """
 
 from __future__ import annotations
@@ -46,9 +47,12 @@ import shutil
 from collections.abc import Iterator
 from dataclasses import dataclass
 
+from pyspark.errors import PySparkNotImplementedError
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
+    InputPartition,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
@@ -160,6 +164,10 @@ class MemStream:
                 break
         return out
 
+    def last_seq(self) -> int:
+        lines = self._lines()
+        return lines[-1]["seq"] if lines else 0
+
 
 def mem_stream(server: str, stream: str) -> MemStream:
     name = server.removeprefix("mem://")
@@ -194,6 +202,24 @@ def ensure_output_stream(
     with JetStreamTransport(server) as t:
         t.ensure_stream(stream, subject_prefix)
     return None
+
+
+def _msgs_to_rows(msgs: list) -> list[tuple]:
+    """Map fetched messages onto NATS_SCHEMA tuples (shared by both
+    readers)."""
+    import datetime
+
+    return [
+        (
+            m.subject,
+            m.data,
+            m.seq,
+            datetime.datetime.fromtimestamp(m.ts, tz=datetime.timezone.utc)
+            .replace(tzinfo=None),
+            m.headers,
+        )
+        for m in msgs
+    ]
 
 
 class NatsStreamReader(SimpleDataSourceStreamReader):
@@ -239,42 +265,130 @@ class NatsStreamReader(SimpleDataSourceStreamReader):
             self._transport = None
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
-        import datetime
-
         msgs = self._fetch(start["seq"], self.max_batch)
         if not msgs:
             return iter([]), start
         end = {"seq": msgs[-1].seq + 1}
-        rows = [
-            (
-                m.subject,
-                m.data,
-                m.seq,
-                datetime.datetime.fromtimestamp(m.ts, tz=datetime.timezone.utc)
-                .replace(tzinfo=None),
-                m.headers,
-            )
-            for m in msgs
-        ]
-        return iter(rows), end
+        return iter(_msgs_to_rows(msgs)), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:  # noqa: N802
         # deterministic replay for recovery (same sequence range re-read)
-        import datetime
-
         msgs = self._fetch(start["seq"], end["seq"] - start["seq"])
-        return iter([
-            (
-                m.subject, m.data, m.seq,
-                datetime.datetime.fromtimestamp(m.ts, tz=datetime.timezone.utc)
-                .replace(tzinfo=None),
-                m.headers,
-            )
-            for m in msgs if m.seq < end["seq"]
-        ])
+        return iter(_msgs_to_rows([m for m in msgs if m.seq < end["seq"]]))
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the Spark checkpoint (A0)
+
+
+@dataclass
+class SeqRangePartition(InputPartition):
+    """One executor-read slice of a micro-batch: stream sequences
+    [start_seq, end_seq)."""
+
+    start_seq: int
+    end_seq: int
+
+
+class NatsPartitionedStreamReader(DataSourceStreamReader):
+    """Partitioned source: each micro-batch's sequence range splits into N
+    `SeqRangePartition`s fetched in parallel executor workers — the Spark
+    analog of the reference's queue-group fan-out across pods
+    (reference README.md:505-517), but deterministic: a partition is a seq
+    RANGE, so replay after failure re-reads exactly the same messages
+    (queue groups give no such guarantee).
+
+    Driver-side: initialOffset/latestOffset/partitions (one cheap
+    stream-info call per trigger). Executor-side: read(partition) opens its
+    own connection per task (mem:// reads the shared file-backed broker).
+    Offsets are identical to the simple reader ({"seq": next unread}), so
+    checkpoints written by one are readable by the other.
+    """
+
+    def __init__(self, options: dict):
+        self.server = options.get("servers", "mem://default")
+        self.stream = options.get("stream", "bluesky-posts")
+        self.subject_prefix = options.get("subjectprefix") or None
+        self.max_batch = int(options.get("maxbatchsize", DEFAULT_MAX_BATCH))
+        self.num_partitions = int(options.get("numpartitions", 8))
+        self._transport = None
+        self._prev_end: int | None = None
+        if not self.server.startswith("mem://") and not HAVE_NATS:
+            raise ImportError(
+                "nats-py is required for a real NATS connection; "
+                "use servers='mem://<name>' for tests"
+            )
+
+    def __getstate__(self):
+        # The reader ships to executor workers for read(); the transport
+        # (event-loop thread + socket) stays on the driver.
+        state = self.__dict__.copy()
+        state["_transport"] = None
+        return state
+
+    def _subject_filter(self) -> str | None:
+        if not self.subject_prefix:
+            return None
+        return self.subject_prefix.rstrip(".") + ".>"
+
+    def _last_seq(self) -> int:
+        if self.server.startswith("mem://"):
+            return mem_stream(self.server, self.stream).last_seq()
+        from .nats_transport import JetStreamTransport
+        if self._transport is None:
+            self._transport = JetStreamTransport(self.server).connect()
+        return self._transport.last_seq(self.stream)
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"seq": 1}  # DeliverPolicy.ALL
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        # Admission control (S2): advance at most max_batch sequences per
+        # trigger. The cap is relative to the previous latestOffset this
+        # process returned; the first trigger after a restart is uncapped
+        # (the Python API doesn't surface the checkpointed start here).
+        last = self._last_seq()
+        end = last + 1
+        if self._prev_end is not None:
+            end = min(end, self._prev_end + self.max_batch)
+            end = max(end, self._prev_end)
+        self._prev_end = end
+        return {"seq": end}
+
+    def partitions(self, start: dict, end: dict) -> list[SeqRangePartition]:
+        s, e = start["seq"], end["seq"]
+        total = e - s
+        if total <= 0:
+            return [SeqRangePartition(s, s)]
+        n = min(self.num_partitions, total)
+        step, rem = divmod(total, n)
+        parts, cur = [], s
+        for i in range(n):
+            size = step + (1 if i < rem else 0)
+            parts.append(SeqRangePartition(cur, cur + size))
+            cur += size
+        return parts
+
+    def read(self, partition: SeqRangePartition) -> Iterator[tuple]:
+        lo, hi = partition.start_seq, partition.end_seq
+        if hi <= lo:
+            return iter([])
+        if self.server.startswith("mem://"):
+            msgs = mem_stream(self.server, self.stream).fetch(
+                lo, hi - lo, self.subject_prefix)
+        else:
+            from .nats_transport import JetStreamTransport
+            with JetStreamTransport(self.server) as t:
+                msgs = t.fetch(self.stream, lo, hi - lo,
+                               self._subject_filter())
+        return iter(_msgs_to_rows([m for m in msgs if m.seq < hi]))
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the Spark checkpoint (A0)
+
+    def stop(self) -> None:
+        if self._transport is not None:
+            self._transport.close()
+            self._transport = None
 
 
 @dataclass
@@ -351,6 +465,17 @@ class NatsDataSource(DataSource):
 
     def schema(self) -> StructType:
         return NATS_SCHEMA
+
+    def streamReader(self, schema: StructType) -> NatsPartitionedStreamReader:  # noqa: N802
+        # Default: partitioned executor-side reads. option("simple","true")
+        # falls back to the single-partition driver-side prefetch reader
+        # (Spark catches this error and calls simpleStreamReader).
+        if self.options.get("simple", "false").lower() == "true":
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader"},
+            )
+        return NatsPartitionedStreamReader(self.options)
 
     def simpleStreamReader(self, schema: StructType) -> NatsStreamReader:  # noqa: N802
         return NatsStreamReader(self.options)

@@ -207,3 +207,77 @@ def test_start_enrichment_query_default_natssink(spark, tmp_path):
     assert all(m.subject.startswith("bluesky.posts.enriched.") for m in msgs)
     body = json.loads(msgs[0].data)
     assert "sentiment" in body and "topics" in body
+
+
+def test_partitioned_reader_seq_ranges():
+    """DataSourceStreamReader path: offsets, admission cap, and the split
+    of a batch range into multiple InputPartitions (queue-group analog)."""
+    from nats_stream_processor_spark.sources.nats import (
+        NatsPartitionedStreamReader,
+        SeqRangePartition,
+    )
+
+    server, stream = "mem://parts", "bluesky-posts"
+    mem_reset(server)
+    seed_posts(server, stream, [
+        {"uri": f"at://t/{i}", "cid": str(i), "text": "great"}
+        for i in range(10)
+    ])
+    r = NatsPartitionedStreamReader({
+        "servers": server, "stream": stream,
+        "maxbatchsize": "6", "numpartitions": "4",
+    })
+    assert r.initialOffset() == {"seq": 1}
+    first = r.latestOffset()
+    assert first == {"seq": 11}  # first trigger uncapped (no prev end)
+    parts = r.partitions({"seq": 1}, first)
+    assert len(parts) == 4
+    assert parts[0] == SeqRangePartition(1, 4)  # 10 seqs -> 3/3/2/2
+    assert parts[-1].end_seq == 11
+    # ranges tile the batch exactly
+    assert [p.start_seq for p in parts[1:]] == [p.end_seq for p in parts[:-1]]
+    rows = [row for p in parts for row in r.read(p)]
+    assert [row[2] for row in rows] == list(range(1, 11))
+    # admission cap applies from the second trigger on
+    seed_posts(server, stream, [
+        {"uri": f"at://t/{i}", "cid": str(i), "text": "great"}
+        for i in range(10, 30)
+    ])
+    second = r.latestOffset()
+    assert second == {"seq": 17}  # 11 + maxbatchsize
+    # idle stream: offset is stable, single empty partition
+    r2 = NatsPartitionedStreamReader({"servers": server, "stream": stream})
+    empty = r2.partitions({"seq": 31}, {"seq": 31})
+    assert len(empty) == 1 and list(r2.read(empty[0])) == []
+
+
+def test_partitioned_reader_e2e_and_restart(spark, tmp_path):
+    """format('nats') now defaults to the partitioned reader: a micro-batch
+    over 40 messages runs with numPartitions=4 input partitions, results
+    match, and a checkpoint restart replays nothing."""
+    register(spark)
+    server = "mem://parts_e2e"
+    mem_reset(server)
+    seed_posts(server, "bluesky-posts", [
+        {"uri": f"at://t/{i}", "cid": f"c{i}", "text": "This is a great day!"}
+        for i in range(40)
+    ])
+    ckpt = str(tmp_path / "parts_ckpt")
+    seen: list[int] = []
+
+    def run_once():
+        raw = (spark.readStream.format("nats")
+               .option("servers", server).option("stream", "bluesky-posts")
+               .option("numPartitions", "4").load())
+        q = (raw.writeStream.foreachBatch(
+                lambda df, _bid: seen.extend(
+                    r["seq"] for r in df.select("seq").collect()))
+             .outputMode("append").option("checkpointLocation", ckpt).start())
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    assert sorted(seen) == list(range(1, 41))
+    # restart over the same checkpoint: no replay
+    run_once()
+    assert len(seen) == 40
