@@ -1,0 +1,231 @@
+"""Deterministic sampled k-means for ANN index training (IVF centroids,
+PQ codebooks) — replacing the first-K-vectors stand-ins (VERDICT r1 #6).
+
+Training shape, the one faiss-style systems use at any scale: Lloyd's
+iterations over a BOUNDED sample (vec_id < sample_n — at 100 TB, a
+hash-sample with the same bound), with only K centroids ever reaching the
+driver (collected once per iteration to be re-embedded as broadcast
+literals in the next assignment plan — after training, centroids/codebooks
+are tiny driver-side constants by definition). The per-iteration
+assignment is a crossJoin against K literal centroids (JVM expressions,
+no Python), the update is one posexplode + groupBy((cluster, dim)) shuffle
+of the sample only.
+
+Cross-engine determinism (so the DuckDB oracle can REPLAY training and
+value-check the resulting index, not just row-count it):
+
+- init = first K sample vectors (no RNG);
+- fixed iteration count (no convergence test on floats);
+- centroid means via the dsum discipline (operators/relational.py):
+  cast elements to DECIMAL(25,6), exact order-independent sum,
+  round(.,4) BEFORE the double cast, divide by count, round(.,6) —
+  bit-identical in Spark and DuckDB regardless of partition order;
+- assignment picks the FIRST best centroid (array_position of the
+  max/min == row_number ORDER BY score, cent_id) with identical
+  left-to-right fold arithmetic on both sides;
+- empty clusters keep their previous centroid (both sides).
+
+The SQL generators below emit the same fixpoint as chained CTEs, one block
+per iteration, so the oracle string stays static across scale factors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import similarity as sim
+
+IVF_TRAIN_ITERS = 2
+PQ_TRAIN_ITERS = 2
+TRAIN_SAMPLE_N = 256
+
+
+def _mean6(sum_col, n_col):
+    """The dsum-pattern mean: exact decimal sum -> round4 -> double -> /n
+    -> round6."""
+    return F.round(F.round(sum_col, 4).cast("double") / n_col, 6)
+
+
+def _dim_means(assigned: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Per-(key, dim) decimal-exact means of the `vec` array column."""
+    ex = assigned.select(*key_cols, F.posexplode("vec").alias("i", "v"))
+    return (
+        ex.groupBy(*key_cols, "i")
+        .agg(F.sum(F.col("v").cast("decimal(25,6)")).alias("sm"),
+             F.count("*").alias("n"))
+        .select(*key_cols, "i", _mean6(F.col("sm"), F.col("n")).alias("m"))
+    )
+
+
+def train_ivf_centroids(e: DataFrame, k: int, iters: int = IVF_TRAIN_ITERS,
+                        sample_n: int = TRAIN_SAMPLE_N) -> list[list[float]]:
+    """Spherical-ish k-means on cosine score: centroids[c] = dim-list.
+
+    Assignment score = dot(v, cent) / ||cent|| (the per-vector norm is
+    constant within the argmax, so it is dropped on BOTH sides)."""
+    sample = e.filter(F.col("vec_id") < sample_n).select(
+        "vec_id", F.col("demb").alias("vec"))
+    init = (e.filter(F.col("vec_id") < k).orderBy("vec_id")
+            .select("demb").collect())
+    cents = [[float(x) for x in r.demb] for r in init]
+    dim = len(cents[0])
+    for _ in range(iters):
+        scores = F.array(*[
+            sim.dot(F.col("vec"), sim.plane_lit(c))
+            / sim.norm(sim.plane_lit(c))
+            for c in cents
+        ])
+        assigned = sample.select(
+            "vec",
+            (F.array_position(scores, F.array_max(scores)) - 1)
+            .cast("int").alias("cent_id"),
+        )
+        rows = _dim_means(assigned, ["cent_id"]).collect()
+        new: dict[int, list[float]] = {}
+        for r in rows:
+            new.setdefault(r.cent_id, [0.0] * dim)[r.i] = float(r.m)
+        cents = [new.get(c, cents[c]) for c in range(k)]
+    return cents
+
+
+def ivf_train_cte_sql(k: int, iters: int = IVF_TRAIN_ITERS,
+                      sample_n: int = TRAIN_SAMPLE_N,
+                      dim: int = sim.EMBED_DIM, e_cte: str = "e") -> str:
+    """DuckDB replay of train_ivf_centroids. Emits CTE blocks ending in
+    ``tcent(cent_id, c_demb)`` = the trained centroids."""
+    parts = [
+        f"tsmp AS (SELECT vec_id, demb FROM {e_cte} WHERE vec_id < {sample_n})",
+        f"tc0 AS (SELECT vec_id AS cent_id, demb AS c_demb FROM {e_cte} "
+        f"WHERE vec_id < {k})",
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        score = (f"{sim.dot_sql('s.demb', 'c.c_demb', dim)} "
+                 f"/ {sim.norm_sql('c.c_demb', dim)}")
+        parts += [
+            f"""ta{t} AS (
+    SELECT vec_id, demb, cent_id FROM (
+        SELECT s.vec_id, s.demb, c.cent_id,
+               row_number() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {score} DESC, c.cent_id) AS r
+        FROM tsmp s CROSS JOIN tc{p} c) WHERE r = 1)""",
+            f"""ts{t} AS (
+    SELECT cent_id, i, sum(CAST(demb[i] AS DECIMAL(25,6))) AS sm,
+           count(*) AS n
+    FROM ta{t} CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) ix
+    GROUP BY cent_id, i)""",
+            f"""tn{t} AS (
+    SELECT cent_id,
+           list(round(CAST(round(sm, 4) AS DOUBLE) / n, 6) ORDER BY i)
+             AS c_demb
+    FROM ts{t} GROUP BY cent_id)""",
+            f"""tc{t} AS (
+    SELECT cent_id, c_demb FROM tn{t}
+    UNION ALL
+    SELECT cent_id, c_demb FROM tc{p}
+    WHERE cent_id NOT IN (SELECT cent_id FROM tn{t}))""",
+        ]
+    parts.append(
+        f"tcent AS (SELECT cent_id, c_demb FROM tc{iters})")
+    return ",\n".join(parts)
+
+
+def train_pq_codebook(e: DataFrame, iters: int = PQ_TRAIN_ITERS,
+                      sample_n: int = TRAIN_SAMPLE_N) -> list[list[list[float]]]:
+    """Per-subspace k-means (PQ_M independent codebooks of PQ_K centroids,
+    squared-L2 assignment). Returns cb[s][c] = PQ_SUB-dim centroid."""
+    m, sub, kk = sim.PQ_M, sim.PQ_SUB, sim.PQ_K
+    init = (e.filter(F.col("vec_id") < kk).orderBy("vec_id")
+            .select("demb").collect())
+    cb = sim.pq_codebook_from([[float(x) for x in r.demb] for r in init])
+    # one row per (vec, subspace): the unit the assignment works on
+    slices = e.filter(F.col("vec_id") < sample_n).select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("s"),
+                     F.slice("demb", s * sub + 1, sub).alias("vec"))
+            for s in range(m)
+        ])).alias("sv"),
+    ).select("vec_id", "sv.s", "sv.vec")
+    for _ in range(iters):
+        # per-subspace argmin against that subspace's literal centroids
+        dists = F.array(*[
+            F.when(F.col("s") == s_ix,
+                   F.array(*[sim._l2_col(F.col("vec"), cb[s_ix][c])
+                             for c in range(kk)]))
+            for s_ix in range(m)
+        ])
+        # dists: per-row pick the branch for its subspace (array of arrays
+        # with one non-null entry); element_at(s+1) selects it
+        assigned = slices.select(
+            "s", "vec",
+            (F.array_position(
+                F.element_at(dists, F.col("s") + 1),
+                F.array_min(F.element_at(dists, F.col("s") + 1)))
+             - 1).cast("int").alias("c"),
+        )
+        rows = _dim_means(assigned, ["s", "c"]).collect()
+        new: dict[tuple[int, int], list[float]] = {}
+        for r in rows:
+            new.setdefault((r.s, r.c), [0.0] * sub)[r.i] = float(r.m)
+        cb = [
+            [new.get((s, c), cb[s][c]) for c in range(kk)]
+            for s in range(m)
+        ]
+    return cb
+
+
+def pq_train_cb_cte_sql(iters: int = PQ_TRAIN_ITERS,
+                        sample_n: int = TRAIN_SAMPLE_N,
+                        e_cte: str = "e") -> str:
+    """DuckDB replay of train_pq_codebook, ending in ``cbrow(cb3)`` —
+    the same shape sim.pq_cb_cte_sql produces, so downstream encode/ADC
+    SQL is unchanged."""
+    m, sub, kk = sim.PQ_M, sim.PQ_SUB, sim.PQ_K
+    l2 = sim._l2_expr_sql("s.vec", "c.cvec", sub)
+    parts = [
+        f"""psl AS (
+    SELECT vec_id, sx.s AS s,
+           list_slice(demb, sx.s * {sub} + 1, (sx.s + 1) * {sub}) AS vec
+    FROM {e_cte} CROSS JOIN (SELECT unnest(range(0, {m})) AS s) sx
+    WHERE vec_id < {sample_n})""",
+        f"""pc0 AS (
+    SELECT sx.s AS s, {e_cte}.vec_id AS c,
+           list_slice({e_cte}.demb, sx.s * {sub} + 1, (sx.s + 1) * {sub})
+             AS cvec
+    FROM {e_cte} CROSS JOIN (SELECT unnest(range(0, {m})) AS s) sx
+    WHERE {e_cte}.vec_id < {kk})""",
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts += [
+            f"""pa{t} AS (
+    SELECT vec_id, s, vec, c FROM (
+        SELECT s.vec_id, s.s, s.vec, c.c,
+               row_number() OVER (PARTITION BY s.vec_id, s.s
+                                  ORDER BY {l2}, c.c) AS r
+        FROM psl s JOIN pc{p} c ON c.s = s.s) WHERE r = 1)""",
+            f"""ps{t} AS (
+    SELECT s, c, i, sum(CAST(vec[i] AS DECIMAL(25,6))) AS sm,
+           count(*) AS n
+    FROM pa{t} CROSS JOIN (SELECT unnest(range(1, {sub + 1})) AS i) ix
+    GROUP BY s, c, i)""",
+            f"""pn{t} AS (
+    SELECT s, c,
+           list(round(CAST(round(sm, 4) AS DOUBLE) / n, 6) ORDER BY i)
+             AS cvec
+    FROM ps{t} GROUP BY s, c)""",
+            f"""pc{t} AS (
+    SELECT s, c, cvec FROM pn{t}
+    UNION ALL
+    SELECT o.s, o.c, o.cvec FROM pc{p} o
+    WHERE NOT EXISTS (SELECT 1 FROM pn{t} x
+                      WHERE x.s = o.s AND x.c = o.c))""",
+        ]
+    parts += [
+        f"cbl AS (SELECT s, list(cvec ORDER BY c) AS cents FROM pc{iters} "
+        f"GROUP BY s)",
+        "cbrow AS (SELECT list(cents ORDER BY s) AS cb3 FROM cbl)",
+    ]
+    return ",\n".join(parts)

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import kmeans as km
 from ..operators import similarity as sim
 from ..operators.dedup import (
     MERSENNE_P as _MERSENNE_P,
@@ -839,15 +840,16 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(d).orderBy("doc_id", "frame_idx")
 
 
-IVF_NLIST = 16   # coarse centroids (vectors with vec_id < 16, deterministic)
+IVF_NLIST = 16   # coarse centroids (k-means-trained, deterministic)
 IVF_NPROBE = 2   # lists probed per query
 
 _IVF_CTE = f"""
 WITH e AS (SELECT vec_id, {sim.as_double_sql('embedding')} AS demb
            FROM embeddings),
 n AS (SELECT vec_id, demb, {sim.norm_sql('demb')} AS nrm FROM e),
-cent AS (SELECT vec_id AS cent_id, demb AS c_demb, nrm AS c_nrm
-         FROM n WHERE vec_id < {IVF_NLIST}),
+{km.ivf_train_cte_sql(IVF_NLIST)},
+cent AS (SELECT cent_id, c_demb, {sim.norm_sql('c_demb')} AS c_nrm
+         FROM tcent),
 assign AS (
     SELECT vec_id, demb, nrm, cent_id
     FROM (SELECT n.vec_id, n.demb, n.nrm, cent.cent_id,
@@ -889,21 +891,25 @@ probes AS (
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into nlist=16 inverted
-    lists (nearest centroid by cosine; centroids pinned deterministically
-    as the first 16 vectors — production would k-means them, the plan
-    shape is identical), probe the query's nprobe=2 nearest lists, exact
-    cosine inside the probed lists only.
+    lists (nearest centroid by cosine; centroids trained by deterministic
+    sampled k-means, operators/kmeans.py — the oracle replays the training
+    CTE-for-CTE so the index itself is value-checked), probe the query's
+    nprobe=2 nearest lists, exact cosine inside the probed lists only.
 
-    Scale shape: centroids broadcast everywhere; the corpus shuffles ONCE
-    on its assigned list id (the inverted index build); each query touches
-    nprobe/nlist of the data. This is the standard billion-vector layout
-    (IVF-Flat) — swap the exact inner scan for PQ codes to go further."""
+    Scale shape: training touches a bounded sample and only K centroids
+    reach the driver; trained centroids broadcast everywhere; the corpus
+    shuffles ONCE on its assigned list id (the inverted index build); each
+    query touches nprobe/nlist of the data. This is the standard
+    billion-vector layout (IVF-Flat) — swap the exact inner scan for PQ
+    codes to go further."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", sim.as_double(F.col("embedding")).alias("demb"))
     n = e.select("vec_id", "demb", sim.norm(F.col("demb")).alias("nrm"))
-    cent = (n.filter(F.col("vec_id") < IVF_NLIST)
-            .select(F.col("vec_id").alias("cent_id"),
-                    F.col("demb").alias("c_demb"), F.col("nrm").alias("c_nrm")))
+    cents = km.train_ivf_centroids(e, IVF_NLIST)
+    cent = spark.createDataFrame(
+        [(i, cents[i]) for i in range(IVF_NLIST)],
+        "cent_id int, c_demb array<double>",
+    ).withColumn("c_nrm", sim.norm(F.col("c_demb")))
     scored_cent = (
         n.crossJoin(F.broadcast(cent))
         .select(
@@ -942,7 +948,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (SELECT vec_id, {sim.as_double_sql('embedding')} AS demb
                FROM embeddings),
-    {sim.pq_cb_cte_sql('e')},
+    {km.pq_train_cb_cte_sql()},
     c AS (SELECT vec_id, {sim.pq_codes_sql('demb')} AS codes
           FROM e CROSS JOIN cbrow),
     q AS (SELECT vec_id AS query_id, demb FROM e WHERE vec_id < 10),
@@ -965,23 +971,19 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     subspace), queries scored against CODES via per-query lookup tables —
     the scan touches 8 small ints per vector, never the floats. This is
     the memory layout that makes billion-vector scans feasible; compose
-    with sim_ann_ivf's inverted lists for IVF-PQ. Codebook = subspace
-    slices of the first 16 vectors (production k-means offline; after
-    training the codebook is always a tiny driver-side constant broadcast
-    into the encode expression — the 16-row collect here IS that step).
-    The oracle derives the identical centroids from the table, so the
-    approximate distances are value-checked.
+    with sim_ann_ivf's inverted lists for IVF-PQ. Codebooks are trained by
+    deterministic per-subspace sampled k-means (operators/kmeans.py); the
+    oracle replays the training CTE-for-CTE, so the trained index is
+    value-checked, and after training the codebook is the usual tiny
+    driver-side constant broadcast into the encode expression.
 
-    Measured recall@5 vs exact L2 is ~0.2 here: the synthetic embeddings
-    are i.i.d. (no cluster structure), so distance concentration caps
-    what 4-bit-per-subspace codes can separate — real embedding corpora
-    plus k-means codebooks recover the 0.7-0.95 PQ literature numbers;
-    the machinery (encode, ADC, ranking) is what this query pins."""
+    Measured recall@5 vs exact L2 is ~0.2 on this corpus because the
+    synthetic embeddings are i.i.d. (distance concentration); on a
+    clustered corpus the trained codebook reaches ~0.76 and beats the
+    untrained first-16 stand-in (asserted in test_ann_recall.py)."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", sim.as_double(F.col("embedding")).alias("demb"))
-    train = (e.filter(F.col("vec_id") < sim.PQ_K).orderBy("vec_id")
-             .select("demb").collect())
-    cb = sim.pq_codebook_from([[float(x) for x in r.demb] for r in train])
+    cb = km.train_pq_codebook(e)
     corpus = spread(e).select(
         "vec_id", sim.pq_codes(F.col("demb"), cb).alias("codes"))
     luts = sim.pq_lut_cols(F.col("demb"), cb)
@@ -1010,7 +1012,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ann_ivf_pq",
     oracle=f"""
     {_IVF_CTE},
-    {sim.pq_cb_cte_sql('e')},
+    {km.pq_train_cb_cte_sql()},
     codes AS (SELECT vec_id, {sim.pq_codes_sql('demb')} AS codes
               FROM e CROSS JOIN cbrow),
     scored AS (
@@ -1040,9 +1042,11 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", sim.as_double(F.col("embedding")).alias("demb"))
     n = e.select("vec_id", "demb", sim.norm(F.col("demb")).alias("nrm"))
-    cent = (n.filter(F.col("vec_id") < IVF_NLIST)
-            .select(F.col("vec_id").alias("cent_id"),
-                    F.col("demb").alias("c_demb"), F.col("nrm").alias("c_nrm")))
+    cents = km.train_ivf_centroids(e, IVF_NLIST)
+    cent = spark.createDataFrame(
+        [(i, cents[i]) for i in range(IVF_NLIST)],
+        "cent_id int, c_demb array<double>",
+    ).withColumn("c_nrm", sim.norm(F.col("c_demb")))
     ranked = (
         n.crossJoin(F.broadcast(cent))
         .select("vec_id", "demb", "nrm", "cent_id",
@@ -1051,9 +1055,7 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rc", F.row_number().over(
             Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cent_id")))
     )
-    train = (e.filter(F.col("vec_id") < sim.PQ_K).orderBy("vec_id")
-             .select("demb").collect())
-    cb = sim.pq_codebook_from([[float(x) for x in r.demb] for r in train])
+    cb = km.train_pq_codebook(e)
     assign = (ranked.filter(F.col("rc") == 1)
               .select("vec_id", "cent_id",
                       sim.pq_codes(F.col("demb"), cb).alias("codes")))
@@ -1079,4 +1081,183 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .orderBy("query_id", "rn")
+    )
+
+
+# ------------------------------------------- corpus clustering & curation
+
+
+@register(
+    "cluster_kmeans_embeddings",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {sim.as_double_sql('embedding')} AS demb
+               FROM embeddings),
+    n AS (SELECT vec_id, demb, {sim.norm_sql('demb')} AS nrm FROM e),
+    {km.ivf_train_cte_sql(IVF_NLIST)},
+    cent AS (SELECT cent_id, c_demb, {sim.norm_sql('c_demb')} AS c_nrm
+             FROM tcent),
+    assign AS (
+        SELECT vec_id, cent_id,
+               round({sim.dot_sql('demb', 'c_demb')} / (nrm * c_nrm), 6)
+                 AS cos6
+        FROM (SELECT n.vec_id, n.demb, n.nrm, cent.cent_id, cent.c_demb,
+                     cent.c_nrm,
+                     row_number() OVER (
+                         PARTITION BY n.vec_id
+                         ORDER BY {sim.dot_sql('n.demb', 'cent.c_demb')}
+                                  / (n.nrm * cent.c_nrm) DESC,
+                                  cent.cent_id) AS rc
+              FROM n CROSS JOIN cent)
+        WHERE rc = 1)
+    SELECT cent_id AS cluster_id, count(*) AS n_vectors,
+           min(vec_id) AS min_vec_id,
+           round(CAST(round(sum(CAST(cos6 AS DECIMAL(25,6))), 4) AS DOUBLE)
+                 / count(*), 6) AS mean_cosine
+    FROM assign GROUP BY cent_id ORDER BY cent_id
+    """,
+    tags=("llm", "clustering"),
+)
+def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering by deterministic sampled k-means
+    (operators/kmeans.py) — the curation primitive behind semantic
+    dedup, topic-balanced mixing, and diversity sampling of a training
+    corpus. The oracle replays training CTE-for-CTE, so cluster
+    membership AND the per-cluster mean cosine-to-centroid (cluster
+    tightness) are value-checked, not just counted.
+
+    Scale shape: training touches a bounded sample (only K centroids
+    ever reach the driver); assignment is a broadcast crossJoin against
+    K literal centroids (JVM expressions, no Python); the only shuffle
+    of the full corpus is the final groupBy(cluster_id) with map-side
+    partial aggregation. Mean tightness uses the dsum decimal
+    discipline, so it is partition-order independent."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("demb"))
+    n = e.select("vec_id", "demb", sim.norm(F.col("demb")).alias("nrm"))
+    cents = km.train_ivf_centroids(e, IVF_NLIST)
+    cent = spark.createDataFrame(
+        [(i, cents[i]) for i in range(IVF_NLIST)],
+        "cent_id int, c_demb array<double>",
+    ).withColumn("c_nrm", sim.norm(F.col("c_demb")))
+    ranked = (
+        n.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cent_id",
+                (sim.dot(F.col("demb"), F.col("c_demb"))
+                 / (F.col("nrm") * F.col("c_nrm"))).alias("c_cos"))
+        .withColumn("rc", F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(),
+                                                 "cent_id")))
+    )
+    assigned = ranked.filter(F.col("rc") == 1).select(
+        "vec_id", "cent_id", F.round(F.col("c_cos"), 6).alias("cos6"))
+    return (
+        assigned.groupBy(F.col("cent_id").alias("cluster_id"))
+        .agg(F.count("*").alias("n_vectors"),
+             F.min("vec_id").alias("min_vec_id"),
+             F.round(
+                 F.round(F.sum(F.col("cos6").cast("decimal(25,6)")), 4)
+                 .cast("double") / F.count("*"), 6).alias("mean_cosine"))
+        .orderBy("cluster_id")
+    )
+
+
+VOCAB_TOPK = 50
+
+
+@register(
+    "text_vocab_topk",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                        AS token
+               FROM documents),
+    c AS (SELECT token, count(*) AS n_occ,
+                 count(DISTINCT doc_id) AS n_docs
+          FROM t GROUP BY token)
+    SELECT token, n_occ, n_docs, rnk FROM (
+        SELECT token, n_occ, n_docs,
+               row_number() OVER (ORDER BY n_occ DESC, token) AS rnk
+        FROM c)
+    WHERE rnk <= {VOCAB_TOPK} ORDER BY rnk
+    """,
+    tags=("llm", "vocab"),
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary census (the Zipf head): top-K tokens by
+    occurrence count with document frequency — the first pass of
+    tokenizer training / stopword discovery over a training corpus.
+
+    Scale shape: explode -> groupBy(token) is canonical wordcount; the
+    shuffle key is the token with map-side partial aggregation, so the
+    head tokens' skew is absorbed before the exchange. The final top-K
+    rank runs over the already-aggregated vocabulary (corpus-size
+    independent), and only K rows leave the last stage."""
+    from ..functions.text import tokens_col
+    d = spread(table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("token"))
+    c = toks.groupBy("token").agg(
+        F.count("*").alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs"))
+    w = Window.orderBy(F.col("n_occ").desc(), "token")
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= VOCAB_TOPK)
+        .orderBy("rnk")
+    )
+
+
+# Per-language target sampling rates (permille) — an English-heavy
+# training-mix downsampling policy, the usual shape of corpus curation.
+STRATA_RATES = {"en": 800, "de": 400, "fr": 400, "es": 300, "zh": 200}
+STRATA_DEFAULT = 100
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    WITH s AS (
+        SELECT lang,
+               CASE lang
+                   {' '.join(f"WHEN '{k}' THEN {v}" for k, v in STRATA_RATES.items())}
+                   ELSE {STRATA_DEFAULT} END AS rate_permille,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 1000 AS bucket
+        FROM documents)
+    SELECT lang, count(*) AS n_total,
+           count(CASE WHEN bucket < rate_permille THEN 1 END) AS n_sampled,
+           round(max(rate_permille) / 1000.0, 6) AS target_rate,
+           round(count(CASE WHEN bucket < rate_permille THEN 1 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS achieved_rate
+    FROM s GROUP BY lang ORDER BY lang
+    """,
+    tags=("llm", "sampling"),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling by language — the
+    corpus-mixing step that rebalances a raw crawl toward a target
+    distribution. Membership is hash-mod of the document id (never
+    rand()): reproducible across reruns, engines, and partitionings,
+    and adding documents never resamples old ones (train_val_split uses
+    the same discipline).
+
+    Scale shape: a pure per-row predicate (md5-hash compare against a
+    per-stratum literal) followed by one groupBy(lang) with map-side
+    combine — no shuffle of the raw corpus, no driver participation."""
+    from ..functions.hashing import hash32_col
+    d = table(spark, sf_dir, "documents")
+    rate = F.lit(STRATA_DEFAULT)
+    for k, v in STRATA_RATES.items():
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    bucket = hash32_col(F.col("doc_id").cast("string")) % 1000
+    s = d.select("lang", rate.alias("rate_permille"), bucket.alias("bucket"))
+    return (
+        s.groupBy("lang")
+        .agg(F.count("*").alias("n_total"),
+             F.count(F.when(F.col("bucket") < F.col("rate_permille"), 1))
+             .alias("n_sampled"),
+             F.round(F.max("rate_permille") / 1000.0, 6).alias("target_rate"),
+             F.round(
+                 F.count(F.when(F.col("bucket") < F.col("rate_permille"), 1))
+                 / F.count("*").cast("double"), 6).alias("achieved_rate"))
+        .orderBy("lang")
     )

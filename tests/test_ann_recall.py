@@ -2,16 +2,31 @@
 
 Oracle parity proves each ANN query computes ITS OWN definition correctly;
 this asserts the definitions are *good* — the approximate neighbor sets
-actually recover most of the exact top-k. Bounds are set below measured
-values (IVF ≈ 0.92-0.94, multi-table LSH ≈ 0.64-0.66 on the test corpus)
-with slack for corpus regeneration.
+actually recover most of the exact top-k.
+
+Two corpora:
+
+- The driver's synthetic embeddings are i.i.d. (no cluster structure), so
+  distance concentration caps what ANY space-partitioning index can do —
+  the floors there guard machinery, not literature numbers. (r1's
+  IVF ≈ 0.92 on this corpus was an artifact of the first-16-vectors
+  centroid stand-in: queries 0-9 WERE centroids 0-9, so each query's
+  neighbors landed in its own list. k-means-trained centroids remove the
+  artifact; honest i.i.d. recall at nprobe=2/nlist=16 measures ≈ 0.72.)
+- A deterministic CLUSTERED corpus (64 planted clusters), where training
+  must discover structure: trained centroids/codebooks must beat the
+  untrained first-K stand-ins and clear literature-grade floors.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from nats_stream_processor_spark import registry
+from nats_stream_processor_spark.operators import kmeans as km
+from nats_stream_processor_spark.operators import similarity as sim
 
 SF = "/root/testdata/sf0.01"
 
@@ -22,7 +37,7 @@ def pairs(spark, name):
 
 
 @pytest.mark.parametrize("name,min_recall", [
-    ("sim_ann_ivf", 0.8),   # nprobe=2/nlist=16 — probes 1/8 of the corpus
+    ("sim_ann_ivf", 0.6),   # nprobe=2/nlist=16, i.i.d. corpus: ~0.72 measured
     ("sim_ann_lsh", 0.5),   # L=8 tables x 4 planes, union of collisions
 ])
 def test_ann_recall_vs_brute_force(spark, name, min_recall):
@@ -34,9 +49,9 @@ def test_ann_recall_vs_brute_force(spark, name, min_recall):
 
 def test_pq_recall_vs_exact_l2(spark):
     """PQ ranks by L2 (not cosine), so its floor is measured against the
-    exact squared-L2 top-5. ~0.2 measured on these i.i.d. synthetic
-    embeddings (no cluster structure -> distance concentration); the floor
-    guards against machinery regressions, not literature-grade recall."""
+    exact squared-L2 top-5. ~0.2 measured on the i.i.d. embeddings; the
+    floor guards against machinery regressions — the clustered-corpus test
+    below is where codebook quality is asserted."""
     rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
     vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
     exact = set()
@@ -48,3 +63,107 @@ def test_pq_recall_vs_exact_l2(spark):
     approx = pairs(spark, "sim_ann_pq")
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.1, f"pq recall {recall:.2f}"
+
+
+# ------------------------------------------------- clustered-corpus training
+
+
+N_VECS, N_CLUSTERS, DIM, NOISE = 400, 64, 64, 0.2
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """Deterministic corpus with planted cluster structure + its exact
+    neighbor sets."""
+    rng = np.random.RandomState(7)
+    centers = rng.randn(N_CLUSTERS, DIM)
+    cl = rng.randint(0, N_CLUSTERS, size=N_VECS)
+    V = centers[cl] + NOISE * rng.randn(N_VECS, DIM)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in V[i]]) for i in range(N_VECS)],
+        "vec_id long, demb array<double>",
+    )
+    return V, df
+
+
+def _exact_cosine_top5(V):
+    c = (V @ V.T) / (np.linalg.norm(V, axis=1)[:, None]
+                     * np.linalg.norm(V, axis=1)[None, :])
+    np.fill_diagonal(c, -9)
+    return {(q, v) for q in range(10) for v in np.argsort(-c[q])[:5]}, c
+
+
+def _ivf_recall(V, cents, nprobe):
+    cents = np.asarray(cents)
+    exact, cos_all = _exact_cosine_top5(V)
+    cosc = (V @ cents.T) / (np.linalg.norm(V, axis=1)[:, None]
+                            * np.linalg.norm(cents, axis=1)[None, :])
+    assign = cosc.argmax(1)
+    hit = 0
+    for q in range(10):
+        probes = np.argsort(-cosc[q])[:nprobe]
+        cand = [v for v in range(len(V)) if v != q and assign[v] in probes]
+        top = sorted(cand, key=lambda v: -cos_all[q][v])[:5]
+        hit += len({(q, v) for v in top} & exact)
+    return hit / len(exact)
+
+
+def test_ivf_kmeans_training_beats_untrained(clustered):
+    """On clustered data, trained coarse centroids put each query's
+    neighbors in its probed list at nprobe=1 — the untrained first-K
+    stand-in misses clusters that no early vector happens to cover."""
+    V, df = clustered
+    trained = km.train_ivf_centroids(df, 16)
+    untrained = [list(map(float, V[i])) for i in range(16)]
+    r_trained = _ivf_recall(V, trained, nprobe=1)
+    r_untrained = _ivf_recall(V, untrained, nprobe=1)
+    # 16 coarse centroids over 64 planted clusters (~4 clusters/list):
+    # 0.90 measured at nprobe=1; untrained first-16 measures lower.
+    assert r_trained >= 0.85, f"trained IVF recall {r_trained:.2f}"
+    assert r_trained > r_untrained, (
+        f"training gave no lift: {r_trained:.2f} <= {r_untrained:.2f}")
+
+
+def _pq_recall(V, cb):
+    cbn = np.array(cb)
+    m, _, sub = cbn.shape
+    d2 = ((V[:, None, :] - V[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    exact = {(q, v) for q in range(10) for v in np.argsort(d2[q])[:5]}
+    codes = np.empty((len(V), m), dtype=int)
+    for s in range(m):
+        sl = V[:, s * sub:(s + 1) * sub]
+        codes[:, s] = ((sl[:, None, :] - cbn[s][None, :, :]) ** 2).sum(-1).argmin(1)
+    hit = 0
+    for q in range(10):
+        adc = np.zeros(len(V))
+        for s in range(m):
+            lut = ((V[q, s * sub:(s + 1) * sub][None, :] - cbn[s]) ** 2).sum(-1)
+            adc += lut[codes[:, s]]
+        adc[q] = np.inf
+        hit += len({(q, int(v)) for v in np.argsort(adc)[:5]} & exact)
+    return hit / len(exact)
+
+
+def test_pq_kmeans_training_beats_untrained(clustered):
+    """Trained per-subspace codebooks separate the 64 planted clusters
+    (recall ~0.76 measured); the first-16-vectors codebook measures ~0.68.
+    Floors sit below measurement with slack for corpus regeneration."""
+    V, df = clustered
+    cb_trained = km.train_pq_codebook(df)
+    cb_untrained = sim.pq_codebook_from(
+        [[float(x) for x in V[i]] for i in range(sim.PQ_K)])
+    r_trained = _pq_recall(V, cb_trained)
+    r_untrained = _pq_recall(V, cb_untrained)
+    assert r_trained >= 0.65, f"trained PQ recall {r_trained:.2f}"
+    assert r_trained > r_untrained, (
+        f"training gave no lift: {r_trained:.2f} <= {r_untrained:.2f}")
+
+
+def test_trained_centroids_are_deterministic(clustered):
+    """Training must be replayable (the DuckDB oracle re-derives it):
+    two runs produce bit-identical centroids."""
+    _, df = clustered
+    a = km.train_ivf_centroids(df, 8, iters=1, sample_n=128)
+    b = km.train_ivf_centroids(df, 8, iters=1, sample_n=128)
+    assert a == b
