@@ -3,13 +3,18 @@ PQ codebooks) — replacing the first-K-vectors stand-ins (VERDICT r1 #6).
 
 Training shape, the one faiss-style systems use at any scale: Lloyd's
 iterations over a BOUNDED sample (vec_id < sample_n — at 100 TB, a
-hash-sample with the same bound), with only K centroids ever reaching the
-driver (collected once per iteration to be re-embedded as broadcast
-literals in the next assignment plan — after training, centroids/codebooks
-are tiny driver-side constants by definition). The per-iteration
-assignment is a crossJoin against K literal centroids (JVM expressions,
-no Python), the update is one posexplode + groupBy((cluster, dim)) shuffle
-of the sample only.
+hash-sample with the same bound). The default trainers collect the sample
+ONCE (one narrow filtered scan; the sample is bounded by construction, so
+this is the standard faiss architecture — index training happens where the
+sample fits, and only the tiny trained centroids/codebooks flow back into
+the distributed plan as broadcast constants) and run Lloyd's iterations
+in-process with IEEE-double arithmetic that is fold-for-fold identical to
+the engines' (see Cross-engine determinism). The *_distributed variants
+keep the all-Spark formulation — per-iteration assignment as a crossJoin
+against K literal centroids, update as one posexplode + groupBy((cluster,
+dim)) shuffle of the sample — for the case where the training sample
+itself must exceed driver memory; a parity test pins both trainers to the
+same output on the real tables.
 
 Cross-engine determinism (so the DuckDB oracle can REPLAY training and
 value-check the resulting index, not just row-count it):
@@ -31,6 +36,9 @@ per iteration, so the oracle string stays static across scale factors.
 
 from __future__ import annotations
 
+import math
+from decimal import ROUND_HALF_UP, Decimal, localcontext
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -39,6 +47,73 @@ from . import similarity as sim
 IVF_TRAIN_ITERS = 2
 PQ_TRAIN_ITERS = 2
 TRAIN_SAMPLE_N = 256
+
+_D6 = Decimal("0.000001")
+_D4 = Decimal("0.0001")
+
+
+def _dec6(x: float) -> Decimal:
+    """Mirror of Spark's CAST(double AS DECIMAL(25,6)): shortest-repr
+    (BigDecimal.valueOf == Python repr) then HALF_UP to 6 dp."""
+    return Decimal(repr(x)).quantize(_D6, rounding=ROUND_HALF_UP)
+
+
+def _round6(x: float) -> float:
+    """Mirror of Spark/DuckDB round(double, 6) (HALF_UP on the shortest
+    decimal repr — NOT Python's banker's round)."""
+    return float(Decimal(repr(x)).quantize(_D6, rounding=ROUND_HALF_UP))
+
+
+def _dot_py(a: list[float], b: list[float]) -> float:
+    """Left-to-right fold, the exact op order of sim.dot / sim.dot_sql —
+    CPython floats are IEEE doubles, so results are bit-identical."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _l2_py(a: list[float], b: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = x - y
+        acc = acc + d * d
+    return acc
+
+
+def _py_means(assigned: list[tuple[tuple, list[float]]],
+              dim: int) -> dict[tuple, list[float]]:
+    """In-process twin of _dim_means: per-(key, dim) decimal-exact sums,
+    round4 -> double -> /n -> round6."""
+    sums: dict[tuple, list[Decimal]] = {}
+    counts: dict[tuple, int] = {}
+    with localcontext() as ctx:
+        ctx.prec = 38
+        for key, vec in assigned:
+            s = sums.get(key)
+            if s is None:
+                s = sums[key] = [Decimal(0)] * dim
+                counts[key] = 0
+            counts[key] += 1
+            for i, v in enumerate(vec):
+                s[i] += _dec6(v)
+    return {
+        key: [
+            _round6(
+                float(s[i].quantize(_D4, rounding=ROUND_HALF_UP))
+                / counts[key])
+            for i in range(dim)
+        ]
+        for key, s in sums.items()
+    }
+
+
+def _collect_sample(e: DataFrame, sample_n: int) -> list[list[float]]:
+    """One narrow job: the bounded training sample, ordered by vec_id."""
+    rows = (e.filter(F.col("vec_id") < sample_n)
+            .select("vec_id", "demb").collect())
+    rows.sort(key=lambda r: r.vec_id)
+    return [[float(x) for x in r.demb] for r in rows]
 
 
 def _mean6(sum_col, n_col):
@@ -63,7 +138,34 @@ def train_ivf_centroids(e: DataFrame, k: int, iters: int = IVF_TRAIN_ITERS,
     """Spherical-ish k-means on cosine score: centroids[c] = dim-list.
 
     Assignment score = dot(v, cent) / ||cent|| (the per-vector norm is
-    constant within the argmax, so it is dropped on BOTH sides)."""
+    constant within the argmax, so it is dropped on BOTH sides). Default
+    path: collect the bounded sample once, iterate in-process (identical
+    arithmetic — see module docstring); the oracle CTE replays it
+    value-for-value."""
+    vecs = _collect_sample(e, sample_n)
+    cents = [list(v) for v in vecs[:k]]
+    dim = len(cents[0])
+    for _ in range(iters):
+        norms = [math.sqrt(_dot_py(c, c)) for c in cents]
+        assigned = []
+        for v in vecs:
+            best_c, best_s = 0, None
+            for ci in range(k):
+                s = _dot_py(v, cents[ci]) / norms[ci]
+                if best_s is None or s > best_s:  # first-best == Spark's
+                    best_s, best_c = s, ci        # array_position tiebreak
+            assigned.append(((best_c,), v))
+        means = _py_means(assigned, dim)
+        cents = [means.get((c,), cents[c]) for c in range(k)]
+    return cents
+
+
+def train_ivf_centroids_distributed(
+        e: DataFrame, k: int, iters: int = IVF_TRAIN_ITERS,
+        sample_n: int = TRAIN_SAMPLE_N) -> list[list[float]]:
+    """All-Spark Lloyd's for samples too large to collect: per-iteration
+    assignment against K literal centroids, decimal-mean update shuffle.
+    Same arithmetic as the in-process default (parity test pins them)."""
     sample = e.filter(F.col("vec_id") < sample_n).select(
         "vec_id", F.col("demb").alias("vec"))
     init = (e.filter(F.col("vec_id") < k).orderBy("vec_id")
@@ -134,7 +236,40 @@ def ivf_train_cte_sql(k: int, iters: int = IVF_TRAIN_ITERS,
 def train_pq_codebook(e: DataFrame, iters: int = PQ_TRAIN_ITERS,
                       sample_n: int = TRAIN_SAMPLE_N) -> list[list[list[float]]]:
     """Per-subspace k-means (PQ_M independent codebooks of PQ_K centroids,
-    squared-L2 assignment). Returns cb[s][c] = PQ_SUB-dim centroid."""
+    squared-L2 assignment). Returns cb[s][c] = PQ_SUB-dim centroid.
+    Default path: one sample collect, in-process iterations (identical
+    arithmetic; oracle CTE replays it)."""
+    m, sub, kk = sim.PQ_M, sim.PQ_SUB, sim.PQ_K
+    vecs = _collect_sample(e, sample_n)
+    cb = sim.pq_codebook_from(vecs)
+    slices = [
+        [(v[s * sub:(s + 1) * sub]) for s in range(m)]
+        for v in vecs
+    ]
+    for _ in range(iters):
+        assigned = []
+        for sl in slices:
+            for s in range(m):
+                v = sl[s]
+                best_c, best_d = 0, None
+                for c in range(kk):
+                    d = _l2_py(v, cb[s][c])
+                    if best_d is None or d < best_d:  # first-min tiebreak
+                        best_d, best_c = d, c
+                assigned.append(((s, best_c), v))
+        means = _py_means(assigned, sub)
+        cb = [
+            [means.get((s, c), cb[s][c]) for c in range(kk)]
+            for s in range(m)
+        ]
+    return cb
+
+
+def train_pq_codebook_distributed(
+        e: DataFrame, iters: int = PQ_TRAIN_ITERS,
+        sample_n: int = TRAIN_SAMPLE_N) -> list[list[list[float]]]:
+    """All-Spark twin of train_pq_codebook for oversized samples (see
+    train_ivf_centroids_distributed)."""
     m, sub, kk = sim.PQ_M, sim.PQ_SUB, sim.PQ_K
     init = (e.filter(F.col("vec_id") < kk).orderBy("vec_id")
             .select("demb").collect())

@@ -160,22 +160,48 @@ def _l2_col(a: Column, w: list[float]) -> Column:
         F.lit(0.0), lambda acc, v: acc + v)
 
 
-def pq_codes(demb: Column, cb: list[list[list[float]]]) -> Column:
+def _dlit(w: float) -> str:
+    """Exact double literal for Spark SQL: repr() is shortest-roundtrip and
+    string->double cast is correctly rounded, so the value is bit-preserved."""
+    return f"CAST('{repr(w)}' AS DOUBLE)"
+
+
+def _arr_lit(ws: list[float]) -> str:
+    return "array(" + ", ".join(_dlit(w) for w in ws) + ")"
+
+
+def _l2_fold_expr(a: str, b: str) -> str:
+    """Spark-SQL twin of _l2_col — same HOFs (zip_with + aggregate), same
+    left-to-right fold, hence bit-identical doubles."""
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def pq_codes(demb: str, cb: list[list[list[float]]]) -> Column:
     """array<int> of PQ_M 1-based centroid indices (argmin squared-L2 per
-    subspace; first-minimum tie-break via array_position)."""
-    codes = []
+    subspace; first-minimum tie-break via array_position). `demb` is a
+    column NAME: the whole expression is built as ONE SQL string parsed
+    server-side — the per-element Column-DSL version cost ~4 s of py4j
+    round-trips per build (measured r2) for the 128 literal centroids."""
+    parts = []
     for s in range(PQ_M):
-        sl = F.slice(demb, s * PQ_SUB + 1, PQ_SUB)
-        dists = F.array(*[_l2_col(sl, cb[s][c]) for c in range(PQ_K)])
-        codes.append(F.array_position(dists, F.array_min(dists)).cast("int"))
-    return F.array(*codes)
+        sl = f"slice({demb}, {s * PQ_SUB + 1}, {PQ_SUB})"
+        dists = "array(" + ", ".join(
+            _l2_fold_expr(sl, _arr_lit(cb[s][c])) for c in range(PQ_K)) + ")"
+        parts.append(
+            f"CAST(array_position({dists}, array_min({dists})) AS INT)")
+    return F.expr("array(" + ", ".join(parts) + ")")
 
 
-def pq_lut_cols(q_demb: Column, cb: list[list[list[float]]]) -> list[Column]:
-    """Per-query ADC lookup tables: lut[s][c] = l2(q_slice_s, centroid)."""
+def pq_lut_cols(q_demb: str, cb: list[list[list[float]]]) -> list[Column]:
+    """Per-query ADC lookup tables: lut[s][c] = l2(q_slice_s, centroid).
+    `q_demb` is a column name (single-SQL-string build, see pq_codes)."""
     return [
-        F.array(*[_l2_col(F.slice(q_demb, s * PQ_SUB + 1, PQ_SUB),
-                          cb[s][c]) for c in range(PQ_K)])
+        F.expr("array(" + ", ".join(
+            _l2_fold_expr(
+                f"slice({q_demb}, {s * PQ_SUB + 1}, {PQ_SUB})",
+                _arr_lit(cb[s][c]))
+            for c in range(PQ_K)) + ")")
         for s in range(PQ_M)
     ]
 

@@ -985,8 +985,8 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", sim.as_double(F.col("embedding")).alias("demb"))
     cb = km.train_pq_codebook(e)
     corpus = spread(e).select(
-        "vec_id", sim.pq_codes(F.col("demb"), cb).alias("codes"))
-    luts = sim.pq_lut_cols(F.col("demb"), cb)
+        "vec_id", sim.pq_codes("demb", cb).alias("codes"))
+    luts = sim.pq_lut_cols("demb", cb)
     q = (e.filter(F.col("vec_id") < 10)
          .select(F.col("vec_id").alias("query_id"),
                  *[luts[s].alias(f"lut{s}") for s in range(sim.PQ_M)]))
@@ -1058,8 +1058,8 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = km.train_pq_codebook(e)
     assign = (ranked.filter(F.col("rc") == 1)
               .select("vec_id", "cent_id",
-                      sim.pq_codes(F.col("demb"), cb).alias("codes")))
-    luts = sim.pq_lut_cols(F.col("q_demb"), cb)
+                      sim.pq_codes("demb", cb).alias("codes")))
+    luts = sim.pq_lut_cols("q_demb", cb)
     probes = (ranked.filter((F.col("rc") <= IVF_NPROBE) & (F.col("vec_id") < 10))
               .select(F.col("vec_id").alias("query_id"),
                       F.col("demb").alias("q_demb"),

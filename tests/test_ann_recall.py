@@ -167,3 +167,15 @@ def test_trained_centroids_are_deterministic(clustered):
     a = km.train_ivf_centroids(df, 8, iters=1, sample_n=128)
     b = km.train_ivf_centroids(df, 8, iters=1, sample_n=128)
     assert a == b
+
+
+def test_inprocess_and_distributed_trainers_agree(clustered):
+    """The in-process default trainer and the all-Spark distributed twin
+    must be fold-for-fold arithmetic-identical (bit-equal floats), so the
+    oracle CTE replay covers both."""
+    _, df = clustered
+    assert (km.train_ivf_centroids(df, 8, iters=2, sample_n=128)
+            == km.train_ivf_centroids_distributed(df, 8, iters=2,
+                                                  sample_n=128))
+    assert (km.train_pq_codebook(df, iters=1, sample_n=128)
+            == km.train_pq_codebook_distributed(df, iters=1, sample_n=128))
