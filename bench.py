@@ -126,8 +126,10 @@ def main() -> int:
     for name in HEADLINE:
         run(name)
 
+    # min-of-3 measured passes: host-load spikes (r2 measured a 15x
+    # inflation on a single query inside one pass) outlast a 2-pass window.
     queries: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             dt, _ = run(name)
             queries[name] = round(min(dt, queries.get(name, dt)), 3)
