@@ -1261,3 +1261,143 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / F.count("*").cast("double"), 6).alias("achieved_rate"))
         .orderBy("lang")
     )
+
+
+DECON_NGRAM = 8   # token n-gram width for eval-overlap (GPT-3 used 13)
+EVAL_SET_MAX_ID = 20  # doc_id < 20 stands in for the benchmark suite
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+               FROM documents),
+    h AS (SELECT doc_id, {{th}} AS hs FROM t),
+    s AS (SELECT doc_id, {{sh}} AS g8 FROM h),
+    ev AS (SELECT list(DISTINCT g) AS evg
+           FROM (SELECT unnest(g8) AS g FROM s WHERE doc_id < {EVAL_SET_MAX_ID}))
+    SELECT doc_id, len(g8) AS n_grams,
+           len(list_intersect(g8, evg)) AS n_overlap,
+           CAST(len(list_intersect(g8, evg)) > 0 AS INT) AS contaminated
+    FROM s CROSS JOIN ev
+    WHERE doc_id >= {EVAL_SET_MAX_ID}
+    ORDER BY doc_id
+    """.format(th=token_hashes_32_duck_sql("toks"),
+               sh=shingle_ids_tok_sql("hs", n=DECON_NGRAM)),
+    tags=("llm", "decontamination"),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    token 8-gram with the eval set (docs with doc_id < 20 stand in for
+    the benchmark suite). The canonical pre-training hygiene pass
+    (GPT-3/PaLM style n-gram overlap).
+
+    Scale shape: the eval set is small by definition, so its distinct
+    gram ids collapse to ONE collect_set row that broadcasts; each corpus
+    document then checks membership with array_intersect against its own
+    (already-distinct) gram array — one scan of the corpus, zero
+    shuffles, no explode of corpus grams."""
+    d = table(spark, sf_dir, "documents")
+    sh = spread(d).select(
+        "doc_id",
+        shingle_ids_tok_col(
+            token_hashes_32_col(F.col("text")), n=DECON_NGRAM).alias("g8"),
+    )
+    ev = (sh.filter(F.col("doc_id") < EVAL_SET_MAX_ID)
+          .select(F.explode("g8").alias("g"))
+          .agg(F.collect_set("g").alias("evg")))
+    return (
+        sh.filter(F.col("doc_id") >= EVAL_SET_MAX_ID)
+        .crossJoin(F.broadcast(ev))
+        .select(
+            "doc_id",
+            F.size("g8").alias("n_grams"),
+            F.size(F.array_intersect("g8", "evg")).alias("n_overlap"),
+            (F.size(F.array_intersect("g8", "evg")) > 0)
+            .cast("int").alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+GOPHER_MIN_TOKENS = 10
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MAX_PUNCT = 0.2
+GOPHER_MIN_STOP = 0.02
+
+
+@register(
+    "quality_gopher_rules",
+    oracle=(lambda ts, qs: f"""
+    WITH g AS (
+        SELECT doc_id,
+               {ts['n_re_tokens']} AS n_tokens,
+               round(coalesce(list_sum(list_transform(
+                         regexp_extract_all(lower(text), '[a-z0-9]+'),
+                         t -> length(t))), 0)
+                     / CAST(greatest({ts['n_re_tokens']}, 1) AS DOUBLE), 6)
+                 AS mean_tok_len,
+               {qs['punct_ratio']} AS punct_ratio,
+               {qs['stopword_ratio']} AS stopword_ratio
+        FROM documents)
+    SELECT doc_id, n_tokens, mean_tok_len,
+           CAST(n_tokens < {GOPHER_MIN_TOKENS}
+                OR n_tokens > {GOPHER_MAX_TOKENS} AS INT) AS flag_length,
+           CAST(mean_tok_len < {GOPHER_MIN_MEAN_LEN}
+                OR mean_tok_len > {GOPHER_MAX_MEAN_LEN} AS INT) AS flag_mean_len,
+           CAST(punct_ratio > {GOPHER_MAX_PUNCT} AS INT) AS flag_symbol,
+           CAST(stopword_ratio < {GOPHER_MIN_STOP} AS INT) AS flag_stopword,
+           CAST(NOT (n_tokens < {GOPHER_MIN_TOKENS}
+                     OR n_tokens > {GOPHER_MAX_TOKENS}
+                     OR mean_tok_len < {GOPHER_MIN_MEAN_LEN}
+                     OR mean_tok_len > {GOPHER_MAX_MEAN_LEN}
+                     OR punct_ratio > {GOPHER_MAX_PUNCT}
+                     OR stopword_ratio < {GOPHER_MIN_STOP}) AS INT) AS keep
+    FROM g ORDER BY doc_id
+    """)(token_stats_sql("text"), quality_sql("text")),
+    tags=("llm", "quality-gopher"),
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition-free quality rules as independent boolean
+    flags (token-count bounds, mean token length in [3,10], symbol
+    ratio, stopword floor) plus the conjunction `keep` — the rule-based
+    filter family every pre-training corpus pass applies. All ratios are
+    6-dp-rounded BEFORE threshold comparison on both engines so boundary
+    decisions cannot diverge. One scan, pure JVM expressions."""
+    from ..operators.textstats import tokens_col
+    d = spread(table(spark, sf_dir, "documents"))
+    ts = token_stats_cols(F.col("text"))
+    qs = quality_cols(F.col("text"))
+    toks = tokens_col(F.col("text"))
+    n_tok = ts["n_re_tokens"]
+    mean_len = F.round(
+        F.coalesce(
+            F.aggregate(F.transform(toks, F.length),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x),
+            F.lit(0).cast("long"))
+        / F.greatest(n_tok, F.lit(1)).cast("double"), 6)
+    g = d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        mean_len.alias("mean_tok_len"),
+        qs["punct_ratio"].alias("punct_ratio"),
+        qs["stopword_ratio"].alias("stopword_ratio"),
+    )
+    flag_length = (F.col("n_tokens") < GOPHER_MIN_TOKENS) | (
+        F.col("n_tokens") > GOPHER_MAX_TOKENS)
+    flag_mean = (F.col("mean_tok_len") < GOPHER_MIN_MEAN_LEN) | (
+        F.col("mean_tok_len") > GOPHER_MAX_MEAN_LEN)
+    flag_symbol = F.col("punct_ratio") > GOPHER_MAX_PUNCT
+    flag_stop = F.col("stopword_ratio") < GOPHER_MIN_STOP
+    return g.select(
+        "doc_id", "n_tokens", "mean_tok_len",
+        flag_length.cast("int").alias("flag_length"),
+        flag_mean.cast("int").alias("flag_mean_len"),
+        flag_symbol.cast("int").alias("flag_symbol"),
+        flag_stop.cast("int").alias("flag_stopword"),
+        (~(flag_length | flag_mean | flag_symbol | flag_stop))
+        .cast("int").alias("keep"),
+    ).orderBy("doc_id")

@@ -722,6 +722,40 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_pricing_metrics",
+    oracle="""
+    WITH a AS (
+        SELECT l_returnflag,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(25,6))), 4) AS DOUBLE) AS sum_qty,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))), 4) AS DOUBLE) AS sum_price,
+               CAST(round(sum(CAST(l_discount AS DECIMAL(25,6))), 4) AS DOUBLE) AS sum_disc
+        FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, metric, value
+    FROM (UNPIVOT a ON sum_qty, sum_price, sum_disc
+          INTO NAME metric VALUE value)
+    ORDER BY l_returnflag, metric
+    """,
+    tags=("unpivot",),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-flag aggregates -> long (metric, value)
+    rows via the native `DataFrame.unpivot` (Spark's Expand node — one
+    pass, no join). The aggregate runs first, so the unpivot touches only
+    the tiny grouped result, never the fact table."""
+    li = table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        dsum("l_discount").alias("sum_disc"),
+    )
+    return (
+        agg.unpivot(["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"],
+                    "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    )
+
+
+@register(
     "json_extract_events",
     oracle="""
     SELECT event_type,
