@@ -38,6 +38,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-batch", type=int, default=MAX_OFFSETS_PER_TRIGGER)
     ap.add_argument("--once", action="store_true",
                     help="process available data then exit (smoke/test mode)")
+    ap.add_argument("--health-port", type=int, default=None,
+                    help="serve /health /ready /metrics on this port "
+                         "(reference src/health.py:7-25; 0 = ephemeral)")
     args = ap.parse_args(argv)
 
     spark = get_spark()
@@ -52,12 +55,24 @@ def main(argv: list[str] | None = None) -> int:
         .option("maxBatchSize", str(args.max_batch))
         .load()
     )
+    from .streaming.metrics import MetricsListener
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+
     query = start_enrichment_query(
         decode_posts(raw),
         NatsSink(servers=args.servers, stream=args.output_stream),
         args.checkpoint,
         trigger_seconds=args.trigger_seconds,
     )
+
+    health = None
+    if args.health_port is not None:
+        from .streaming.health import HealthServer
+        health = HealthServer(listener, port=args.health_port,
+                              ready_check=lambda: query.isActive).start()
+        print(f"health endpoints on http://127.0.0.1:{health.port}",
+              file=sys.stderr)
 
     # Graceful shutdown (reference: src/service.py:266-297). Python signal
     # handlers only run on the main thread between bytecodes, and a bare
@@ -82,6 +97,8 @@ def main(argv: list[str] | None = None) -> int:
                 query.stop()
                 query.awaitTermination()
                 break
+    if health is not None:
+        health.stop()
     spark.stop()
     return 0
 

@@ -99,3 +99,69 @@ def test_http_endpoints():
             assert json.load(e) == {"ready": False}
     finally:
         srv.stop()
+
+
+def test_cli_serves_health_endpoints(spark, tmp_path):
+    """EP1+H1 end-to-end: `python -m ... --once --health-port 0` serves
+    /health /ready /metrics while the streaming query drains the mem://
+    broker (reference service wiring, src/service.py + src/health.py)."""
+    import json as _json
+    import threading
+    import time
+
+    from nats_stream_processor_spark.sources.nats import mem_reset, mem_stream
+    import nats_stream_processor_spark.__main__ as cli
+    from nats_stream_processor_spark.streaming.health import HealthServer
+
+    server = "mem://cli-health-test"
+    mem_reset(server)
+    ms = mem_stream(server, "bluesky-posts")
+    for i in range(10):
+        p = {"uri": f"at://u/{i}", "cid": f"c{i}", "author": "did:plc:x",
+             "text": f"lovely post number {i} about coffee and friends"}
+        ms.publish(f"bluesky.posts.c{i}", _json.dumps(p).encode(),
+                   ts=time.time())
+
+    scraped: dict = {}
+
+    def watch() -> None:
+        for _ in range(240):
+            time.sleep(0.25)
+            if "port" in scraped:
+                try:
+                    for ep in ("/health", "/ready", "/metrics"):
+                        with urllib.request.urlopen(
+                                f"http://127.0.0.1:{scraped['port']}{ep}",
+                                timeout=2) as r:
+                            scraped[ep] = (r.status, r.read().decode())
+                    return
+                except Exception:
+                    pass
+
+    orig_start = HealthServer.start
+
+    def patched_start(self):
+        scraped["port"] = self.port
+        return orig_start(self)
+
+    # cli.main() ends with spark.stop(), which would kill the shared
+    # session fixture (getOrCreate returns the same session) — no-op it.
+    orig_stop = type(spark).stop
+    HealthServer.start = patched_start
+    type(spark).stop = lambda self: None
+    try:
+        t = threading.Thread(target=watch, daemon=True)
+        t.start()
+        rc = cli.main(["--servers", server,
+                       "--checkpoint", str(tmp_path / "ckpt"),
+                       "--once", "--health-port", "0"])
+        t.join(timeout=10)
+    finally:
+        HealthServer.start = orig_start
+        type(spark).stop = orig_stop
+
+    assert rc == 0
+    assert scraped["/health"][0] == 200
+    assert _json.loads(scraped["/health"][1]) == {"status": "ok"}
+    assert scraped["/ready"][0] == 200
+    assert "stream_processor_posts_processed_total" in scraped["/metrics"][1]
