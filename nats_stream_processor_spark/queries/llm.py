@@ -1401,3 +1401,61 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         (~(flag_length | flag_mean | flag_symbol | flag_stop))
         .cast("int").alias("keep"),
     ).orderBy("doc_id")
+
+
+PACK_SEQ_LEN = 2048   # training sequence length (tokens)
+PACK_SHARDS = 8       # writer shards (≈ #output files; 100k+ at 100 TB)
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) % {PACK_SHARDS} AS shard,
+               coalesce(CAST(ceil(length(text) / 4.0) AS BIGINT), 0) AS tok
+        FROM documents),
+    c AS (
+        SELECT shard, doc_id, tok,
+               sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+        FROM b)
+    SELECT shard, (cum - tok) // {PACK_SEQ_LEN} AS seq_id,
+           count(*) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS sum_tokens
+    FROM c GROUP BY 1, 2 ORDER BY shard, seq_id
+    """,
+    tags=("llm", "packing"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chop): deterministically shard the
+    corpus (hash-mod), order each shard by doc_id, and assign every
+    document to the 2048-token training sequence its first token lands in
+    (running token count // seq_len) — the GPT-style packing layout that
+    turns a document corpus into fixed-length training examples.
+
+    Scale shape: the window is PARTITIONED by shard (at 100 TB you run
+    ~100k shards, one per output file), so each cumulative sum is an
+    independent partition-local scan — no global ordering, no single-
+    partition window. Integer arithmetic only, exact on both engines."""
+    from ..functions.hashing import hash32_col
+    d = spread(table(spark, sf_dir, "documents"))
+    b = d.select(
+        "doc_id",
+        (hash32_col(F.col("doc_id").cast("string")) % PACK_SHARDS)
+        .alias("shard"),
+        F.coalesce(F.ceil(F.length("text") / 4.0).cast("long"), F.lit(0))
+        .alias("tok"),
+    )
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = b.withColumn("cum", F.sum("tok").over(w))
+    return (
+        c.groupBy("shard",
+                  F.expr(f"(cum - tok) div {PACK_SEQ_LEN}").alias("seq_id"))
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("tok").alias("sum_tokens"))
+        .orderBy("shard", "seq_id")
+    )
