@@ -99,3 +99,30 @@ def test_lsh_pipelines_join_not_cross(spark, name):
     over the corpus."""
     p = plan_str(spark, name, "simple")
     assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", p), p
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval gram set must broadcast (one collect_set row); the corpus
+    doc_id bound must be pushed to the parquet scan; corpus grams are
+    never exploded or shuffled."""
+    p = plan_str(spark, "decontaminate_ngram_overlap")
+    assert "BroadcastExchange" in p
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(doc_id,20\)", p)
+
+
+def test_pack_sequences_window_is_shard_partitioned(spark):
+    """The cumulative-sum window must be partitioned by shard — a global
+    (SinglePartition) window would serialize the 100 TB corpus through
+    one task."""
+    p = plan_str(spark, "pack_sequences")
+    assert "Window" in p
+    assert "Exchange SinglePartition" not in p
+    assert re.search(r"Arguments:.*\[shard", p) or "partitionBy" in p or \
+        re.search(r"hashpartitioning\(shard", p)
+
+
+def test_ivf_pq_scoring_joins_codes_not_embeddings(spark):
+    """The IVF-PQ scoring join must see the 4-bit code arrays, not the
+    float embedding column (ADC's whole point)."""
+    p = plan_str(spark, "sim_ann_ivf_pq")
+    assert "BroadcastHashJoin" in p
