@@ -118,3 +118,41 @@ def test_unpivot_matches_wide_aggregate(spark):
     for r in wide:
         for m in ("sum_qty", "sum_price", "sum_disc"):
             assert long[(r.l_returnflag, m)] == r[m]
+
+
+def test_export_training_shards_layout_and_determinism(spark, tmp_path):
+    """Export writes shard=N dirs; every row lands in the shard its id
+    hashes to; within-shard read order is the id order (so pack_sequences
+    replays the same packing); a re-export round-trips identically."""
+    from nats_stream_processor_spark.operators.export import (
+        DEFAULT_SHARDS,
+        export_training_shards,
+        with_shard,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = str(tmp_path / "shards")
+    export_training_shards(docs, out)
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # shard dirs exist and ids hash to their dir
+    import os
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert dirs == [f"shard={i}" for i in range(DEFAULT_SHARDS)]
+    expected = {r.doc_id: r.shard for r in
+                with_shard(docs).select("doc_id", "shard").collect()}
+    for r in back.select("doc_id", "shard").collect():
+        assert r.shard == expected[r.doc_id]
+    # within-file order == id order (read each shard dir alone)
+    one = spark.read.parquet(f"{out}/shard=3")
+    ids = [r.doc_id for r in one.select("doc_id").collect()]
+    assert ids == sorted(ids)
+    # deterministic re-export: same rows, same shard assignment
+    out2 = str(tmp_path / "shards2")
+    export_training_shards(docs, out2)
+    a = {(r.doc_id, r.shard) for r in
+         spark.read.parquet(out).select("doc_id", "shard").collect()}
+    b = {(r.doc_id, r.shard) for r in
+         spark.read.parquet(out2).select("doc_id", "shard").collect()}
+    assert a == b
