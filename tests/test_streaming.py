@@ -27,7 +27,10 @@ from nats_stream_processor_spark.streaming.pipeline import (
     enrich_stream,
     start_enrichment_query,
 )
-from nats_stream_processor_spark.streaming.windows import tumbling_counts
+from nats_stream_processor_spark.streaming.windows import (
+    session_counts,
+    tumbling_counts,
+)
 
 POSTS = [
     {"uri": "at://test/1", "cid": "c1", "text": "This is a great day!"},
@@ -161,6 +164,44 @@ def test_streaming_tumbling_window_append(spark, tmp_path):
            for r in spark.sql("SELECT * FROM ticks_test").collect()}
     # first window [00:00:00, 00:00:20) closed by the 01:00 watermark row
     assert got.get("2024-01-01T00:00:00") == 5
+
+
+def test_streaming_session_window_append(spark, tmp_path):
+    """Session windows on a stream: events within the gap merge into one
+    session per key, a gap splits them, and the watermark row closes the
+    sessions so append mode emits them."""
+    rows = (
+        # author A: 3 events 5 s apart -> ONE session (gap 30 s)
+        [{"uri": f"at://s/a{i}", "cid": f"a{i}", "text": "great day",
+          "author": "did:a",
+          "created_at": f"2024-01-01T00:00:{5 * i:02d}"} for i in range(3)]
+        # author A again 10 min later -> a SECOND session
+        + [{"uri": "at://s/a9", "cid": "a9", "text": "great day",
+            "author": "did:a", "created_at": "2024-01-01T00:10:00"}]
+        # author B: one lone event -> its own session
+        + [{"uri": "at://s/b0", "cid": "b0", "text": "great day",
+            "author": "did:b", "created_at": "2024-01-01T00:00:07"}]
+        # far-future row advances the watermark past everything above
+        + [{"uri": "at://s/z", "cid": "z", "text": "great day",
+            "author": "did:z", "created_at": "2024-01-01T02:00:00"}]
+    )
+    d = tmp_path / "sess_in"
+    write_json_lines(d / "rows.jsonl", rows)
+    raw = spark.readStream.format("text").load(str(d))
+    posts = decode_posts(raw).withColumn("ts", F.to_timestamp("created_at"))
+    sess = session_counts(posts, "ts", "author", gap="30 seconds",
+                          watermark="10 seconds")
+    q = (sess.writeStream.format("memory").queryName("sess_test")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.author, r.session_start.isoformat()): r.n_events
+           for r in spark.sql("SELECT * FROM sess_test").collect()}
+    assert got[("did:a", "2024-01-01T00:00:00")] == 3  # merged session
+    assert got[("did:a", "2024-01-01T00:10:00")] == 1  # split by the gap
+    assert got[("did:b", "2024-01-01T00:00:07")] == 1
 
 
 def test_enrich_stream_batch_mode_parity(spark):
