@@ -1459,3 +1459,85 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("tok").alias("sum_tokens"))
         .orderBy("shard", "seq_id")
     )
+
+
+@register(
+    "dedup_keep_best",
+    oracle=(lambda qs: f"""
+    WITH s AS (
+        SELECT doc_id,
+               md5(lower(trim(text))) AS content_key,
+               {qs['quality_score']} AS q
+        FROM documents),
+    r AS (
+        SELECT doc_id, content_key, q,
+               row_number() OVER (PARTITION BY content_key
+                                  ORDER BY q DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY content_key) AS n_copies
+        FROM s)
+    SELECT content_key, doc_id AS keep_id, q AS keep_quality, n_copies
+    FROM r WHERE rn = 1 ORDER BY content_key
+    """)(quality_sql("text")),
+    tags=("llm", "dedup-keep-best"),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-copy dedup: within each exact-content group keep the
+    HIGHEST-quality copy (quality score, doc_id tie-break) instead of the
+    arbitrary min-id — what a curation pipeline actually wants when
+    duplicates differ in metadata/cleanliness. One shuffle on the content
+    key; the per-group argmax is a WindowGroupLimit (rank-1 filter), not
+    a self-join."""
+    d = spread(table(spark, sf_dir, "documents"))
+    qs = quality_cols(F.col("text"))
+    s = d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_key"),
+        qs["quality_score"].alias("q"),
+    )
+    w = Window.partitionBy("content_key")
+    r = s.select(
+        "doc_id", "content_key", "q",
+        F.row_number().over(
+            w.orderBy(F.col("q").desc(), "doc_id")).alias("rn"),
+        F.count("*").over(w).alias("n_copies"),
+    )
+    return (
+        r.filter(F.col("rn") == 1)
+        .select("content_key", F.col("doc_id").alias("keep_id"),
+                F.col("q").alias("keep_quality"), "n_copies")
+        .orderBy("content_key")
+    )
+
+
+SAMPLE_K_PER_SOURCE = 25
+
+
+@register(
+    "sample_fixed_k_per_source",
+    oracle=f"""
+    WITH r AS (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents)
+    SELECT source, doc_id FROM r WHERE rn <= {SAMPLE_K_PER_SOURCE}
+    ORDER BY source, doc_id
+    """,
+    tags=("llm", "sampling"),
+)
+def q_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k-per-stratum sample (inspection sets, eval
+    slices): order each source's docs by a content-independent hash and
+    take the first k — a reproducible uniform draw with an exact size
+    guarantee, unlike rate-based sampling. Per-group top-k plans as
+    WindowGroupLimit (per-partition heaps), never a global sort."""
+    d = spread(table(spark, sf_dir, "documents"))
+    w = (Window.partitionBy("source")
+         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= SAMPLE_K_PER_SOURCE)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )
