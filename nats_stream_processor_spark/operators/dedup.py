@@ -201,14 +201,17 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
                 "node",
                 F.least(F.col("comp"),
                         F.coalesce("ncomp", F.col("comp"))).alias("comp"),
+                # min-label only decreases, so "changed" == a neighbor
+                # label beat the current one; carrying the flag here lets
+                # the convergence check scan the checkpointed partitions
+                # instead of re-joining new vs old labels every round
+                (F.coalesce("ncomp", F.col("comp"))
+                 < F.col("comp")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n").join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp")).count()
-        )
-        labels = new
+        changed = new.filter("chg").count()
+        labels = new.select("node", "comp")
         if changed == 0:
             break
     if changed != 0:
