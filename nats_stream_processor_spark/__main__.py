@@ -18,6 +18,7 @@ Startup sequence (EP1 parity, SURVEY.md §3):
 from __future__ import annotations
 
 import argparse
+import os
 import signal
 import sys
 
@@ -28,17 +29,28 @@ from .streaming.pipeline import NatsSink, decode_posts, start_enrichment_query
 
 
 def main(argv: list[str] | None = None) -> int:
+    # CLI flags fall back to the reference's env-var names
+    # (src/config.py Settings), so a reference deployment's environment
+    # configures this service unchanged.
+    env = os.environ.get
     ap = argparse.ArgumentParser(prog="nats_stream_processor_spark")
-    ap.add_argument("--servers", default="mem://default")
-    ap.add_argument("--input-stream", default="bluesky-posts")
-    ap.add_argument("--output-stream", default="bluesky-posts-enriched")
-    ap.add_argument("--subject-prefix", default="bluesky.posts.")
+    ap.add_argument("--servers", default=env("NATS_URL", "mem://default"))
+    ap.add_argument("--input-stream",
+                    default=env("INPUT_STREAM", "bluesky-posts"))
+    ap.add_argument("--output-stream",
+                    default=env("OUTPUT_STREAM", "bluesky-posts-enriched"))
+    ap.add_argument("--subject-prefix",
+                    default=env("INPUT_SUBJECT", "bluesky.posts") + ".")
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--trigger-seconds", type=float, default=None)
-    ap.add_argument("--max-batch", type=int, default=MAX_OFFSETS_PER_TRIGGER)
+    ap.add_argument("--max-batch", type=int,
+                    default=int(env("MAX_ACK_PENDING",
+                                    str(MAX_OFFSETS_PER_TRIGGER))))
     ap.add_argument("--once", action="store_true",
                     help="process available data then exit (smoke/test mode)")
-    ap.add_argument("--health-port", type=int, default=None,
+    ap.add_argument("--health-port", type=int,
+                    default=(int(env("HEALTH_CHECK_PORT"))
+                             if env("HEALTH_CHECK_PORT") else None),
                     help="serve /health /ready /metrics on this port "
                          "(reference src/health.py:7-25; 0 = ephemeral)")
     args = ap.parse_args(argv)

@@ -165,3 +165,42 @@ def test_cli_serves_health_endpoints(spark, tmp_path):
     assert _json.loads(scraped["/health"][1]) == {"status": "ok"}
     assert scraped["/ready"][0] == 200
     assert "stream_processor_posts_processed_total" in scraped["/metrics"][1]
+
+
+def test_cli_honors_reference_env_vars(monkeypatch):
+    """A reference deployment's environment (src/config.py Settings names)
+    must configure this service unchanged."""
+    import importlib
+
+    import nats_stream_processor_spark.__main__ as cli
+
+    monkeypatch.setenv("NATS_URL", "nats://broker:4222")
+    monkeypatch.setenv("INPUT_STREAM", "in-s")
+    monkeypatch.setenv("OUTPUT_STREAM", "out-s")
+    monkeypatch.setenv("INPUT_SUBJECT", "custom.posts")
+    monkeypatch.setenv("MAX_ACK_PENDING", "77")
+    monkeypatch.setenv("HEALTH_CHECK_PORT", "8123")
+    importlib.reload(cli)
+
+    import argparse
+    captured = {}
+    orig = argparse.ArgumentParser.parse_args
+
+    def spy(self, argv=None):
+        ns = orig(self, argv)
+        captured.update(vars(ns))
+        raise SystemExit(0)  # stop before any Spark work
+
+    argparse.ArgumentParser.parse_args = spy
+    try:
+        import pytest as _pytest
+        with _pytest.raises(SystemExit):
+            cli.main(["--checkpoint", "/tmp/x"])
+    finally:
+        argparse.ArgumentParser.parse_args = orig
+    assert captured["servers"] == "nats://broker:4222"
+    assert captured["input_stream"] == "in-s"
+    assert captured["output_stream"] == "out-s"
+    assert captured["subject_prefix"] == "custom.posts."
+    assert captured["max_batch"] == 77
+    assert captured["health_port"] == 8123
