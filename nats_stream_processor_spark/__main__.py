@@ -23,6 +23,7 @@ import signal
 import sys
 
 from .config import MAX_OFFSETS_PER_TRIGGER
+from .logging_setup import configure_logging, get_logger
 from .session import get_spark
 from .sources import nats as nats_src
 from .streaming.pipeline import NatsSink, decode_posts, start_enrichment_query
@@ -54,6 +55,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="serve /health /ready /metrics on this port "
                          "(reference src/health.py:7-25; 0 = ephemeral)")
     args = ap.parse_args(argv)
+
+    configure_logging()  # LOG_LEVEL / LOG_FORMAT env, reference names
+    log = get_logger("service")
+    log.info("starting", extra={"context": {
+        "servers": args.servers, "input_stream": args.input_stream,
+        "output_stream": args.output_stream}})
 
     spark = get_spark()
     nats_src.register(spark)

@@ -204,3 +204,27 @@ def test_cli_honors_reference_env_vars(monkeypatch):
     assert captured["subject_prefix"] == "custom.posts."
     assert captured["max_batch"] == 77
     assert captured["health_port"] == 8123
+
+
+def test_json_logging_reference_shape(capsys):
+    """LOG_FORMAT=json emits one JSON object per line with the
+    reference's key shape (timestamp/level/message + bound context)."""
+    import json as _json
+    import logging
+
+    from nats_stream_processor_spark.logging_setup import (
+        configure_logging,
+        get_logger,
+    )
+
+    configure_logging(level="INFO", log_format="json")
+    log = get_logger("t")
+    log.info("hello %s", "world", extra={"context": {"stream": "s1"}})
+    err = capsys.readouterr().err.strip().splitlines()[-1]
+    rec = _json.loads(err)
+    assert rec["message"] == "hello world"
+    assert rec["level"] == "info"
+    assert rec["stream"] == "s1"
+    assert "timestamp" in rec
+    # restore a quiet root logger for the rest of the suite
+    logging.getLogger().handlers = []
