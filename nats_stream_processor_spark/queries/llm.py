@@ -394,10 +394,14 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the verify join); without persist Spark evaluates the md5-heavy
     # shingling 3x. At cluster scale this would be a checkpoint/cached
     # table between the signature and verify stages.
-    sh = spread(d).select(
-        "doc_id",
-        shingle_ids_tok_col(token_hashes_32_col(F.col("text"))).alias("sids"),
-    )
+    # hs is projected as a NAMED column before shingling: element_at in
+    # the shingle fold would otherwise re-evaluate the whole inline
+    # md5-token-hash transform per access (no CSE across HOFs) — measured
+    # 3x the stage cost (r2).
+    sh = (spread(d)
+          .select("doc_id", token_hashes_32_col(F.col("text")).alias("hs"))
+          .select("doc_id",
+                  shingle_ids_tok_col(F.col("hs")).alias("sids")))
     sh = pin(sh)
     sig = sh.select("doc_id", "sids", minhash_signature_col(F.col("sids")).alias("sig"))
     bands = minhash_band_explode(sig, "doc_id", "sig")
@@ -466,11 +470,11 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_pairs(spark: SparkSession, sf_dir: str, fast: bool) -> DataFrame:
     """Shared MinHash+LSH pipeline, parameterized by the token hash."""
     d = table(spark, sf_dir, "documents")
-    sh = spread(d).select(
-        "doc_id",
-        shingle_ids_tok_col(
-            token_hashes_32_col(F.col("text"), fast=fast)).alias("sids"),
-    )
+    sh = (spread(d)
+          .select("doc_id",
+                  token_hashes_32_col(F.col("text"), fast=fast).alias("hs"))
+          .select("doc_id",
+                  shingle_ids_tok_col(F.col("hs")).alias("sids")))
     sh = pin(sh)
     sig = sh.select("doc_id", "sids", minhash_signature_col(F.col("sids")).alias("sig"))
     bands = minhash_band_explode(sig, "doc_id", "sig")
@@ -615,10 +619,10 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     only — never all-pairs within any block. The oracle replays the exact
     banding, so the approximate candidate set is value-checked too."""
     d = table(spark, sf_dir, "documents")
-    g = spread(d).select(
-        "doc_id",
-        shingle_ids_tok_col(token_hashes_32_col(F.col("text")), 2).alias("grams"),
-    )
+    g = (spread(d)
+         .select("doc_id", token_hashes_32_col(F.col("text")).alias("hs"))
+         .select("doc_id",
+                 shingle_ids_tok_col(F.col("hs"), 2).alias("grams")))
     g = pin(g)  # feeds banding + both verify sides
     sig = g.select("doc_id", minhash_signature_col(F.col("grams")).alias("sig"))
     bands = minhash_band_explode(sig, "doc_id", "sig",
@@ -1298,11 +1302,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (already-distinct) gram array — one scan of the corpus, zero
     shuffles, no explode of corpus grams."""
     d = table(spark, sf_dir, "documents")
-    sh = spread(d).select(
-        "doc_id",
-        shingle_ids_tok_col(
-            token_hashes_32_col(F.col("text")), n=DECON_NGRAM).alias("g8"),
-    )
+    sh = (spread(d)
+          .select("doc_id", token_hashes_32_col(F.col("text")).alias("hs"))
+          .select("doc_id",
+                  shingle_ids_tok_col(F.col("hs"), n=DECON_NGRAM)
+                  .alias("g8")))
     ev = (sh.filter(F.col("doc_id") < EVAL_SET_MAX_ID)
           .select(F.explode("g8").alias("g"))
           .agg(F.collect_set("g").alias("evg")))
