@@ -74,20 +74,26 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a driver parquet table, normalizing engine-specific quirks.
 
-    events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects by default; we read nanos as long (session conf, safe to
-    set at runtime) and truncate to microsecond timestamps — exactly what
-    DuckDB does when it coerces TIMESTAMP_NS to its native microsecond
-    TIMESTAMP, so oracle comparisons line up. `ts div 1000` is exact integer
-    division (a double roundtrip would lose precision at 2024-epoch nanos).
+    Some testdata generations store ``events.ts`` as TIMESTAMP(NANOS),
+    which Spark's parquet reader rejects by default; for those we read
+    nanos as long (session conf, safe to set at runtime) and truncate to
+    microsecond timestamps — exactly what DuckDB does when it coerces
+    TIMESTAMP_NS to its native microsecond TIMESTAMP, so oracle
+    comparisons line up. `ts div 1000` is exact integer division (a double
+    roundtrip would lose precision at 2024-epoch nanos). Other generations
+    store ``ts`` as a native microsecond timestamp already — detected from
+    the loaded schema, passed through untouched (cast to session-local
+    TIMESTAMP so event-time windows behave identically either way).
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
-        return (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        from pyspark.sql import types as T
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
