@@ -116,12 +116,22 @@ def main() -> int:
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--explain", action="store_true")
+    ap.add_argument(
+        "--plain", action="store_true",
+        help="use a bare local[*] SparkSession (no engine conf) — mimics "
+        "the round driver's session, catching any accidental dependence "
+        "on our tuned settings (timezone, shuffle partitions, Arrow, "
+        "broadcast thresholds)")
     args = ap.parse_args()
 
     from nats_stream_processor_spark import registry
     from nats_stream_processor_spark.session import get_spark
 
-    spark = get_spark()
+    if args.plain:
+        from pyspark.sql import SparkSession
+        spark = SparkSession.builder.master("local[*]").getOrCreate()
+    else:
+        spark = get_spark()
     con = make_duck(args.sf)
 
     names = args.names or list(registry.REGISTRY)
