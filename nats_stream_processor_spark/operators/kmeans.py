@@ -59,9 +59,21 @@ def _dec6(x: float) -> Decimal:
 
 
 def _round6(x: float) -> float:
-    """Mirror of Spark/DuckDB round(double, 6) (HALF_UP on the shortest
-    decimal repr — NOT Python's banker's round)."""
+    """Mirror of Spark round(double, 6) (HALF_UP on the shortest decimal
+    repr — NOT Python's banker's round)."""
     return float(Decimal(repr(x)).quantize(_D6, rounding=ROUND_HALF_UP))
+
+
+def _round6_stable(x: float) -> float:
+    """In-process twin of sim.round6_stable / round6_stable_sql:
+    floor(x*1e6 + 0.5)/1e6 in pure IEEE-double ops. Engine round()
+    builtins disagree at exact half-boundaries (Spark/Java HALF_UP on the
+    shortest decimal repr vs DuckDB's scaled-double nearbyint — observed:
+    mean 0.0313375 -> 0.031338 vs 0.031337), so the final centroid-mean
+    rounding uses this formula in all three implementations (here, Spark
+    _mean6, the oracle CTEs) and the trained index is bit-identical
+    everywhere."""
+    return math.floor(x * 1e6 + 0.5) / 1e6
 
 
 def _dot_py(a: list[float], b: list[float]) -> float:
@@ -99,7 +111,7 @@ def _py_means(assigned: list[tuple[tuple, list[float]]],
                 s[i] += _dec6(v)
     return {
         key: [
-            _round6(
+            _round6_stable(
                 float(s[i].quantize(_D4, rounding=ROUND_HALF_UP))
                 / counts[key])
             for i in range(dim)
@@ -118,8 +130,8 @@ def _collect_sample(e: DataFrame, sample_n: int) -> list[list[float]]:
 
 def _mean6(sum_col, n_col):
     """The dsum-pattern mean: exact decimal sum -> round4 -> double -> /n
-    -> round6."""
-    return F.round(F.round(sum_col, 4).cast("double") / n_col, 6)
+    -> stable round6 (see _round6_stable for why not F.round)."""
+    return sim.round6_stable(F.round(sum_col, 4).cast("double") / n_col)
 
 
 def _dim_means(assigned: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -219,7 +231,7 @@ def ivf_train_cte_sql(k: int, iters: int = IVF_TRAIN_ITERS,
     GROUP BY cent_id, i)""",
             f"""tn{t} AS (
     SELECT cent_id,
-           list(round(CAST(round(sm, 4) AS DOUBLE) / n, 6) ORDER BY i)
+           list((CAST(floor((CAST(round(sm, 4) AS DOUBLE) / n) * 1e6 + 0.5) AS DOUBLE) / 1e6) ORDER BY i)
              AS c_demb
     FROM ts{t} GROUP BY cent_id)""",
             f"""tc{t} AS (
@@ -348,7 +360,7 @@ def pq_train_cb_cte_sql(iters: int = PQ_TRAIN_ITERS,
     GROUP BY s, c, i)""",
             f"""pn{t} AS (
     SELECT s, c,
-           list(round(CAST(round(sm, 4) AS DOUBLE) / n, 6) ORDER BY i)
+           list((CAST(floor((CAST(round(sm, 4) AS DOUBLE) / n) * 1e6 + 0.5) AS DOUBLE) / 1e6) ORDER BY i)
              AS cvec
     FROM ps{t} GROUP BY s, c)""",
             f"""pc{t} AS (

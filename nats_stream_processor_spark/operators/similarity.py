@@ -81,6 +81,21 @@ def cosine(dot_ab: Column, norm_a: Column, norm_b: Column, dp: int = 6) -> Colum
     return F.round(dot_ab / (norm_a * norm_b), dp)
 
 
+def round6_stable(col: Column) -> Column:
+    """6-dp rounding computed as floor(x*1e6 + 0.5)/1e6 in pure double
+    arithmetic. Unlike engine round() builtins (which disagree at exact
+    half-boundaries because they rescale through decimal differently),
+    every step here is an IEEE double op both engines perform
+    bit-identically, so the rounded value — and any comparison made on
+    it — matches across Spark and DuckDB by construction. Use when a
+    rounded value is emitted per-row or drives a decision boundary."""
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("double") / F.lit(1e6)
+
+
+def round6_stable_sql(expr: str) -> str:
+    return f"(CAST(floor(({expr}) * 1e6 + 0.5) AS DOUBLE) / 1e6)"
+
+
 def plane_lit(weights: list[float]) -> Column:
     return F.array(*[F.lit(w) for w in weights])
 

@@ -274,3 +274,50 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_active_users"))
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+@register(
+    "events_gap_fill",
+    oracle="""
+    WITH ev AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+    b AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+    grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+             FROM b),
+    t AS (SELECT DISTINCT event_type FROM ev),
+    c AS (SELECT event_type, h, count(*) AS n FROM ev GROUP BY 1, 2)
+    SELECT t.event_type, grid.h AS hour_ts,
+           COALESCE(c.n, 0) AS n_events
+    FROM t CROSS JOIN grid
+    LEFT JOIN c ON c.event_type = t.event_type AND c.h = grid.h
+    ORDER BY 1, 2
+    """,
+    tags=("time-series", "gap-fill"),
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense (event_type x hour) grid over the
+    corpus's hour span, zero-filled where no events occurred — the
+    densification step dashboards and forecasting features need before
+    window arithmetic (a lag() over a gappy series silently skips the
+    empty hours).
+
+    Scale shape: the grid is generated from ONE aggregated row
+    (min/max hour -> sequence() -> explode), so its size is
+    hours x types regardless of corpus size — it broadcasts to the
+    hourly-count join, and the only full-corpus shuffle is the
+    partial+final hourly count itself. No events row is ever exploded."""
+    ev = table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type")
+    counts = ev.groupBy("event_type", "h").agg(F.count("*").alias("n"))
+    grid = (
+        ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(F.explode(F.sequence(
+            F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))).alias("h"))
+    )
+    types = ev.select("event_type").distinct()
+    dense = types.crossJoin(F.broadcast(grid))
+    return (
+        dense.join(counts, ["event_type", "h"], "left_outer")
+        .select("event_type", F.col("h").alias("hour_ts"),
+                F.coalesce(F.col("n"), F.lit(0)).alias("n_events"))
+        .orderBy("event_type", "hour_ts")
+    )

@@ -1165,6 +1165,110 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMANTIC_DUP_COS = 0.4  # within-cluster cosine above which a pair is a semantic dup
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {sim.as_double_sql('embedding')} AS demb
+               FROM embeddings),
+    n AS (SELECT vec_id, demb, {sim.norm_sql('demb')} AS nrm FROM e),
+    {km.ivf_train_cte_sql(IVF_NLIST)},
+    cent AS (SELECT cent_id, c_demb, {sim.norm_sql('c_demb')} AS c_nrm
+             FROM tcent),
+    assign AS (
+        SELECT vec_id, demb, nrm, cent_id,
+               {sim.round6_stable_sql('cscore')} AS ccos6
+        FROM (SELECT n.vec_id, n.demb, n.nrm, cent.cent_id,
+                     {sim.dot_sql('n.demb', 'cent.c_demb')}
+                       / (n.nrm * cent.c_nrm) AS cscore,
+                     row_number() OVER (
+                         PARTITION BY n.vec_id
+                         ORDER BY {sim.dot_sql('n.demb', 'cent.c_demb')}
+                                  / (n.nrm * cent.c_nrm) DESC,
+                                  cent.cent_id) AS rc
+              FROM n CROSS JOIN cent)
+        WHERE rc = 1),
+    dropped AS (
+        SELECT DISTINCT a.vec_id
+        FROM assign a JOIN assign b
+          ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+         AND {sim.round6_stable_sql(
+             sim.dot_sql('a.demb', 'b.demb') + ' / (a.nrm * b.nrm)')}
+               >= {SEMANTIC_DUP_COS}
+         AND (b.ccos6 < a.ccos6
+              OR (b.ccos6 = a.ccos6 AND b.vec_id < a.vec_id)))
+    SELECT a.vec_id, a.cent_id AS cluster_id, a.ccos6 AS centroid_cosine,
+           CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+    FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    ORDER BY a.vec_id
+    """,
+    tags=("llm", "dedup-embedding", "clustering"),
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup-style (Abbas et al. 2023, public paper):
+    cluster the corpus with the trained k-means centroids, then find
+    duplicate pairs ONLY within a cluster (cosine >= 0.4) and keep the
+    pair member least similar to its centroid (ties to the lower
+    vec_id) — the cluster is the blocking key, so no all-pairs join ever
+    exists. Emits every vector with its cluster, centroid cosine, and
+    the keep/drop decision; the oracle replays k-means training,
+    assignment, and the dominance rule value-for-value.
+
+    Scale shape: K centroids broadcast (nlist grows ~sqrt(N) at real
+    scale, still broadcastable); the corpus shuffles once on cluster id
+    for the within-cluster self-join and once on vec_id for the final
+    anti-lookup; within-cluster pairwise work is bounded by cluster
+    size, exactly the published SemDeDup layout for web-scale corpora.
+    All comparisons (pair cosine, dominance) happen on 6-dp-rounded
+    doubles on BOTH engines, so the decision boundary is identical."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("demb"))
+    n = e.select("vec_id", "demb", sim.norm(F.col("demb")).alias("nrm"))
+    cents = km.train_ivf_centroids(e, IVF_NLIST)
+    cent = spark.createDataFrame(
+        [(i, cents[i]) for i in range(IVF_NLIST)],
+        "cent_id int, c_demb array<double>",
+    ).withColumn("c_nrm", sim.norm(F.col("c_demb")))
+    ranked = (
+        n.crossJoin(F.broadcast(cent))
+        .select("vec_id", "demb", "nrm", "cent_id",
+                (sim.dot(F.col("demb"), F.col("c_demb"))
+                 / (F.col("nrm") * F.col("c_nrm"))).alias("cscore"))
+        .withColumn("rc", F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(F.col("cscore").desc(),
+                                                 "cent_id")))
+    )
+    assign = pin(ranked.filter(F.col("rc") == 1).select(
+        "vec_id", "demb", "nrm", "cent_id",
+        sim.round6_stable(F.col("cscore")).alias("ccos6")))
+    a, b = assign.alias("a"), assign.alias("b")
+    dominated = (
+        F.col("b.ccos6") < F.col("a.ccos6")
+    ) | ((F.col("b.ccos6") == F.col("a.ccos6"))
+         & (F.col("b.vec_id") < F.col("a.vec_id")))
+    dropped = (
+        a.join(b, (F.col("a.cent_id") == F.col("b.cent_id"))
+               & (F.col("a.vec_id") != F.col("b.vec_id"))
+               & (sim.round6_stable(
+                   sim.dot(F.col("a.demb"), F.col("b.demb"))
+                   / (F.col("a.nrm") * F.col("b.nrm")))
+                  >= SEMANTIC_DUP_COS)
+               & dominated)
+        .select(F.col("a.vec_id").alias("vec_id")).distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        assign.join(dropped, "vec_id", "left_outer")
+        .select("vec_id", F.col("cent_id").alias("cluster_id"),
+                F.col("ccos6").alias("centroid_cosine"),
+                F.when(F.col("is_dup").isNull(), F.lit(1))
+                .otherwise(F.lit(0)).alias("kept"))
+        .orderBy("vec_id")
+    )
+
+
 VOCAB_TOPK = 50
 
 
