@@ -171,9 +171,23 @@ def minhash_band_explode(df: DataFrame, id_col: str, sig_col: str,
 
 
 def jaccard(a_ids: Column, b_ids: Column, dp: int = 6) -> Column:
+    # round6_stable, not F.round: int/int ratios can land exactly on a
+    # 7th-decimal half-boundary (union sizes of the form 2^7*5^j) where
+    # engine round() builtins disagree — and jaccard drives the >=
+    # threshold decision, so the rounding must match bit-for-bit.
+    from .similarity import round6_stable
     inter = F.size(F.array_intersect(a_ids, b_ids))
     union = F.size(F.array_union(a_ids, b_ids))
-    return F.round(inter / F.greatest(union, F.lit(1)), dp)
+    return round6_stable(inter / F.greatest(union, F.lit(1)))
+
+
+def jaccard_sql(a_ids: str, b_ids: str) -> str:
+    """DuckDB twin of :func:`jaccard` (stable 6-dp rounding included)."""
+    from .similarity import round6_stable_sql
+    return round6_stable_sql(
+        f"len(list_intersect({a_ids}, {b_ids}))"
+        f" / CAST(greatest(len(list_distinct({a_ids} || {b_ids})), 1)"
+        f" AS DOUBLE)")
 
 
 def connected_components(edges: DataFrame, src: str = "doc_a",

@@ -21,6 +21,7 @@ from ..functions.hashing import (
     hash32_sql_duck,
 )
 from ..functions.text import TOKEN_RE, tokens_col
+from .similarity import round6_stable, round6_stable_sql
 
 PUNCT_RE = "[^a-zA-Z0-9 ]"
 
@@ -95,10 +96,13 @@ def quality_cols(text: Column, dp: int = 6) -> dict[str, Column]:
     bucket = (
         F.when(score >= 0.75, "high").when(score >= 0.55, "medium").otherwise("low")
     )
+    # round6_stable, not F.round: these are int/int ratios, which can land
+    # exactly on a 7th-decimal half-boundary where engine round() builtins
+    # disagree (see operators/similarity.round6_stable).
     return {
-        "punct_ratio": F.round(punct_ratio, dp),
-        "stopword_ratio": F.round(stop_ratio, dp),
-        "quality_score": F.round(score, dp),
+        "punct_ratio": round6_stable(punct_ratio),
+        "stopword_ratio": round6_stable(stop_ratio),
+        "quality_score": round6_stable(score),
         "quality_bucket": bucket,
     }
 
@@ -122,9 +126,9 @@ def quality_sql(expr: str, dp: int = 6) -> dict[str, str]:
         f"WHEN {score} >= 0.55 THEN 'medium' ELSE 'low' END"
     )
     return {
-        "punct_ratio": f"round({punct}, {dp})",
-        "stopword_ratio": f"round({stop_ratio}, {dp})",
-        "quality_score": f"round({score}, {dp})",
+        "punct_ratio": round6_stable_sql(punct),
+        "stopword_ratio": round6_stable_sql(stop_ratio),
+        "quality_score": round6_stable_sql(score),
         "quality_bucket": bucket,
     }
 

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from ..operators.similarity import round6_stable, round6_stable_sql
 from ..registry import register, table
 
 Z_SCHEMA = "c_custkey long, c_mktsegment string, zscore double"
@@ -75,12 +76,13 @@ def _weighted_avg_udf():
 
 @register(
     "grouped_agg_weighted_avg",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
-           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                          * CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
-                 / (100.0 * CAST(sum(CAST(round(l_quantity) AS BIGINT))
-                                 AS BIGINT)), 6) AS wavg_price
+           {round6_stable_sql(
+               'CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)'
+               ' * CAST(round(l_quantity) AS BIGINT)) AS BIGINT)'
+               ' / (100.0 * CAST(sum(CAST(round(l_quantity) AS BIGINT))'
+               ' AS BIGINT))')} AS wavg_price
     FROM lineitem GROUP BY 1 ORDER BY 1
     """,
     tags=("pandas-udf", "grouped-agg"),
@@ -94,7 +96,7 @@ def q_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     wavg = _weighted_avg_udf()
     return (
         li.groupBy("l_returnflag")
-        .agg(F.round(wavg("l_extendedprice", "l_quantity"), 6)
+        .agg(round6_stable(wavg("l_extendedprice", "l_quantity"))
              .alias("wavg_price"))
         .orderBy("l_returnflag")
     )

@@ -24,6 +24,7 @@ from ..operators.dedup import (
     connected_components,
     exact_dedup,
     jaccard,
+    jaccard_sql,
     minhash_band_explode,
     minhash_signature_col,
     minhash_signature_sql,
@@ -112,8 +113,9 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                       CAST(sum({ts['est_bpe_tokens']}) AS BIGINT) AS sum_est_tokens
                FROM documents GROUP BY 1, 2)
     SELECT source, lang, n_docs, sum_est_tokens,
-           round(sum_est_tokens / CAST(sum(sum_est_tokens) OVER () AS DOUBLE),
-                 6) AS token_share
+           {sim.round6_stable_sql(
+               'sum_est_tokens / CAST(sum(sum_est_tokens) OVER () AS DOUBLE)')}
+             AS token_share
     FROM s ORDER BY source, lang
     """)(token_stats_sql("text")),
     tags=("llm", "corpus-mix"),
@@ -133,8 +135,8 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy()
     return s.select(
         "source", "lang", "n_docs", "sum_est_tokens",
-        F.round(F.col("sum_est_tokens")
-                / F.sum("sum_est_tokens").over(w).cast("double"), 6)
+        sim.round6_stable(F.col("sum_est_tokens")
+                          / F.sum("sum_est_tokens").over(w).cast("double"))
         .alias("token_share"),
     ).orderBy("source", "lang")
 
@@ -216,7 +218,8 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS gram
           FROM h WHERE len(hs) >= 2),
     c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2),
-    r AS (SELECT doc_id, round(max(n) / CAST(sum(n) AS DOUBLE), 6)
+    r AS (SELECT doc_id,
+                 {sim.round6_stable_sql('max(n) / CAST(sum(n) AS DOUBLE)')}
                    AS top_bigram_share,
                  sum(n) AS n_bigrams
           FROM c GROUP BY 1)
@@ -244,7 +247,7 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.size(hs) >= 2, grams).otherwise(F.array())).alias("gram")))
     r = (g.groupBy("doc_id", "gram").agg(F.count("*").alias("n"))
          .groupBy("doc_id")
-         .agg(F.round(F.max("n") / F.sum("n").cast("double"), 6)
+         .agg(sim.round6_stable(F.max("n") / F.sum("n").cast("double"))
               .alias("top_bigram_share"),
               F.sum("n").alias("n_bigrams")))
     return (
@@ -372,13 +375,9 @@ cand AS (
     oracle=f"""
     {_SH_CTE}
     SELECT doc_a, doc_b,
-           round(len(list_intersect(sa.sids, sb.sids))
-                 / CAST(greatest(len(list_distinct(sa.sids || sb.sids)), 1) AS DOUBLE),
-                 6) AS jaccard
+           {jaccard_sql('sa.sids', 'sb.sids')} AS jaccard
     FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b
-    WHERE round(len(list_intersect(sa.sids, sb.sids))
-                / CAST(greatest(len(list_distinct(sa.sids || sb.sids)), 1) AS DOUBLE),
-                6) >= {NEAR_DUP_JACCARD}
+    WHERE {jaccard_sql('sa.sids', 'sb.sids')} >= {NEAR_DUP_JACCARD}
     ORDER BY doc_a, doc_b
     """,
     tags=("llm", "dedup-minhash-lsh"),
@@ -432,9 +431,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AS (
         SELECT doc_a, doc_b
         FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b
-        WHERE round(len(list_intersect(sa.sids, sb.sids))
-                    / CAST(greatest(len(list_distinct(sa.sids || sb.sids)), 1)
-                           AS DOUBLE), 6) >= {NEAR_DUP_JACCARD}),
+        WHERE {jaccard_sql('sa.sids', 'sb.sids')} >= {NEAR_DUP_JACCARD}),
     nodes AS (SELECT DISTINCT doc_id FROM (
         SELECT doc_a AS doc_id FROM pairs
         UNION SELECT doc_b AS doc_id FROM pairs)),
@@ -596,13 +593,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON a.band_idx = b.band_idx AND a.bucket = b.bucket
              AND a.doc_id < b.doc_id)
     SELECT doc_a, doc_b,
-           round(len(list_intersect(ga.grams, gb.grams))
-                 / CAST(greatest(len(list_distinct(ga.grams || gb.grams)), 1)
-                        AS DOUBLE), 6) AS jaccard
+           {jaccard_sql('ga.grams', 'gb.grams')} AS jaccard
     FROM cand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b
-    WHERE round(len(list_intersect(ga.grams, gb.grams))
-                / CAST(greatest(len(list_distinct(ga.grams || gb.grams)), 1)
-                       AS DOUBLE), 6) >= {BIGRAM_JACCARD}
+    WHERE {jaccard_sql('ga.grams', 'gb.grams')} >= {BIGRAM_JACCARD}
     ORDER BY doc_a, doc_b
     """,
     tags=("llm", "dedup-ngram"),
@@ -1102,7 +1095,8 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM tcent),
     assign AS (
         SELECT vec_id, cent_id,
-               round({sim.dot_sql('demb', 'c_demb')} / (nrm * c_nrm), 6)
+               {sim.round6_stable_sql(
+                   sim.dot_sql('demb', 'c_demb') + ' / (nrm * c_nrm)')}
                  AS cos6
         FROM (SELECT n.vec_id, n.demb, n.nrm, cent.cent_id, cent.c_demb,
                      cent.c_nrm,
@@ -1115,8 +1109,9 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE rc = 1)
     SELECT cent_id AS cluster_id, count(*) AS n_vectors,
            min(vec_id) AS min_vec_id,
-           round(CAST(round(sum(CAST(cos6 AS DECIMAL(25,6))), 4) AS DOUBLE)
-                 / count(*), 6) AS mean_cosine
+           {sim.round6_stable_sql(
+               'CAST(round(sum(CAST(cos6 AS DECIMAL(25,6))), 4) AS DOUBLE)'
+               ' / count(*)')} AS mean_cosine
     FROM assign GROUP BY cent_id ORDER BY cent_id
     """,
     tags=("llm", "clustering"),
@@ -1153,14 +1148,14 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                  "cent_id")))
     )
     assigned = ranked.filter(F.col("rc") == 1).select(
-        "vec_id", "cent_id", F.round(F.col("c_cos"), 6).alias("cos6"))
+        "vec_id", "cent_id", sim.round6_stable(F.col("c_cos")).alias("cos6"))
     return (
         assigned.groupBy(F.col("cent_id").alias("cluster_id"))
         .agg(F.count("*").alias("n_vectors"),
              F.min("vec_id").alias("min_vec_id"),
-             F.round(
+             sim.round6_stable(
                  F.round(F.sum(F.col("cos6").cast("decimal(25,6)")), 4)
-                 .cast("double") / F.count("*"), 6).alias("mean_cosine"))
+                 .cast("double") / F.count("*")).alias("mean_cosine"))
         .orderBy("cluster_id")
     )
 
@@ -1334,8 +1329,9 @@ STRATA_DEFAULT = 100
     SELECT lang, count(*) AS n_total,
            count(CASE WHEN bucket < rate_permille THEN 1 END) AS n_sampled,
            round(max(rate_permille) / 1000.0, 6) AS target_rate,
-           round(count(CASE WHEN bucket < rate_permille THEN 1 END)
-                 / CAST(count(*) AS DOUBLE), 6) AS achieved_rate
+           {sim.round6_stable_sql(
+               'count(CASE WHEN bucket < rate_permille THEN 1 END)'
+               ' / CAST(count(*) AS DOUBLE)')} AS achieved_rate
     FROM s GROUP BY lang ORDER BY lang
     """,
     tags=("llm", "sampling"),
@@ -1364,9 +1360,9 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count(F.when(F.col("bucket") < F.col("rate_permille"), 1))
              .alias("n_sampled"),
              F.round(F.max("rate_permille") / 1000.0, 6).alias("target_rate"),
-             F.round(
+             sim.round6_stable(
                  F.count(F.when(F.col("bucket") < F.col("rate_permille"), 1))
-                 / F.count("*").cast("double"), 6).alias("achieved_rate"))
+                 / F.count("*").cast("double")).alias("achieved_rate"))
         .orderBy("lang")
     )
 
@@ -1442,10 +1438,11 @@ GOPHER_MIN_STOP = 0.02
     WITH g AS (
         SELECT doc_id,
                {ts['n_re_tokens']} AS n_tokens,
-               round(coalesce(list_sum(list_transform(
-                         regexp_extract_all(lower(text), '[a-z0-9]+'),
-                         t -> length(t))), 0)
-                     / CAST(greatest({ts['n_re_tokens']}, 1) AS DOUBLE), 6)
+               {sim.round6_stable_sql(
+                   "coalesce(list_sum(list_transform("
+                   "regexp_extract_all(lower(text), '[a-z0-9]+'),"
+                   " t -> length(t))), 0)"
+                   f" / CAST(greatest({ts['n_re_tokens']}, 1) AS DOUBLE)")}
                  AS mean_tok_len,
                {qs['punct_ratio']} AS punct_ratio,
                {qs['stopword_ratio']} AS stopword_ratio
@@ -1480,13 +1477,13 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = quality_cols(F.col("text"))
     toks = tokens_col(F.col("text"))
     n_tok = ts["n_re_tokens"]
-    mean_len = F.round(
+    mean_len = sim.round6_stable(
         F.coalesce(
             F.aggregate(F.transform(toks, F.length),
                         F.lit(0).cast("long"),
                         lambda acc, x: acc + x),
             F.lit(0).cast("long"))
-        / F.greatest(n_tok, F.lit(1)).cast("double"), 6)
+        / F.greatest(n_tok, F.lit(1)).cast("double"))
     g = d.select(
         "doc_id",
         n_tok.alias("n_tokens"),

@@ -22,6 +22,7 @@ from ..operators.relational import (
     dsum_sql,
     topk_per_group,
 )
+from ..operators.similarity import round6_stable, round6_stable_sql
 from ..registry import register, table
 
 
@@ -757,10 +758,11 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "json_extract_events",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
-           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+           {round6_stable_sql(
+               "avg(CAST(json_extract_string(props, '$.k') AS INT))")} AS avg_k,
            max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
     FROM events GROUP BY 1 ORDER BY 1
     """,
@@ -776,7 +778,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(
             F.sum(k).cast("bigint").alias("sum_k"),
-            F.round(F.avg(k), 6).alias("avg_k"),
+            round6_stable(F.avg(k)).alias("avg_k"),
             F.max(k).alias("max_k"),
         )
         .orderBy("event_type")
