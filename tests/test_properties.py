@@ -13,6 +13,7 @@ import math
 import pandas as pd
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from nats_stream_processor_spark.functions.classify import (
     sentiment_batch,
@@ -63,3 +64,56 @@ def test_classifiers_deterministic(batch):
     pd.testing.assert_frame_equal(a, b)
     ta, tb = topics_batch(s), topics_batch(s)
     pd.testing.assert_frame_equal(ta, tb)
+
+
+# --- round6_stable cross-engine contract -------------------------------
+
+# Values whose shortest decimal repr terminates with a 5 in the 7th place
+# but whose double is just BELOW the decimal boundary — the class where
+# Spark round(x, 6) (HALF_UP on shortest repr -> rounds up) and DuckDB
+# round(x, 6) (scaled-double -> rounds down) disagree. 0.0313375 is the
+# centroid mean that exposed this in production; the others are int
+# ratios of the 2^7*5^j-denominator family.
+BOUNDARY_VALUES = [
+    0.0313375,       # observed k-means centroid-mean divergence
+    1.0 / 640.0,     # 0.0015625
+    3.0 / 640.0,     # 0.0046875
+    7.0 / 3200.0,    # 0.0021875
+    1.0 / 128.0,     # 0.0078125 (binary-exact: engines agree either way)
+    -0.0313375,      # negative side of the tie rule
+    0.1234561,       # non-boundary control
+    0.25, 0.0,       # exactly-representable controls
+]
+
+
+def test_round6_stable_matches_duckdb(spark):
+    """The floor-based stable rounding must produce bit-identical doubles
+    in Spark and DuckDB for the half-boundary values where the engines'
+    native round() builtins diverge."""
+    import duckdb
+
+    from nats_stream_processor_spark.operators.similarity import (
+        round6_stable,
+        round6_stable_sql,
+    )
+
+    df = spark.createDataFrame([(v,) for v in BOUNDARY_VALUES], "x double")
+    got_spark = [r.y for r in
+                 df.select(round6_stable(F.col("x")).alias("y")).collect()]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(f"SELECT {round6_stable_sql(repr(v))}").fetchone()[0]
+        for v in BOUNDARY_VALUES
+    ]
+    assert got_spark == got_duck
+    # and the observed production case lands on the DuckDB-native side
+    assert got_spark[0] == 0.031337
+
+
+def test_round6_stable_matches_python_twin():
+    """kmeans._round6_stable (the in-process trainer's rounding) is the
+    same function."""
+    from nats_stream_processor_spark.operators.kmeans import _round6_stable
+
+    for v in BOUNDARY_VALUES:
+        assert _round6_stable(v) == math.floor(v * 1e6 + 0.5) / 1e6
