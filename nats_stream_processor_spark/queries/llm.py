@@ -639,6 +639,68 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUBSTR_SPAN_K = 16  # tokens per span for substring-level dedup
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+               FROM documents),
+    h AS (SELECT doc_id, {token_hashes_32_duck_sql('toks')} AS hs FROM t
+          WHERE len(toks) >= {SUBSTR_SPAN_K}),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(
+                     range(1, len(hs) - {SUBSTR_SPAN_K} + 2),
+                     i -> list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                                      list_slice(hs, i, i + {SUBSTR_SPAN_K} - 1)),
+                         (acc, x) -> (acc * {_SHINGLE_COMB} + x)
+                                     % {_MERSENNE_P}))) AS gram
+          FROM h)
+    SELECT gram AS span_id, count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occurrences, min(doc_id) AS first_doc
+    FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY span_id
+    """,
+    tags=("llm", "dedup-substring"),
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup: K-token (K=16) spans repeated across documents,
+    found by a rolling polynomial hash over per-token hashes — the
+    distributed reformulation of exact-substring training-data dedup
+    (published suffix-array approach; hash-blocking replaces the global
+    suffix sort, which cannot distribute). Doc-level dedup misses these:
+    a boilerplate header pasted into thousands of otherwise-distinct
+    pages is invisible to MinHash yet memorized by a model.
+
+    Scale shape: per doc the span ids are O(n_tokens) JVM expressions
+    (no Python); the only shuffle carries (span_id, doc_id) pairs —
+    partial-aggregated map-side, grouped by span id, never all-pairs.
+    Cross-doc span count and occurrence totals come out of one
+    aggregation; the downstream removal join (not materialized here)
+    would broadcast the flagged span ids back against the corpus."""
+    d = spread(table(spark, sf_dir, "documents"))
+    hs = token_hashes_32_col(F.col("text"))
+    k = SUBSTR_SPAN_K
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(hs) - k + 1),
+        lambda i: F.aggregate(
+            F.slice(hs, i, k), F.lit(0).cast("long"),
+            lambda acc, x: (acc * _SHINGLE_COMB + x) % _MERSENNE_P),
+    )
+    g = (d.select("doc_id", F.explode(
+            F.when(F.size(hs) >= k, grams).otherwise(F.array())).alias("gram")))
+    return (
+        g.groupBy(F.col("gram").alias("span_id"))
+        .agg(F.count_distinct("doc_id").alias("n_docs"),
+             F.count("*").alias("n_occurrences"),
+             F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("span_id")
+    )
+
+
 # --------------------------------------------------------------- similarity
 
 _EMB_CTE = f"""
