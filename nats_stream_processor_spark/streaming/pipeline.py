@@ -71,23 +71,30 @@ def enrich_stream(
     enriched = enrich_posts(posts, dedup=False)
     ts = F.col(event_time_col) if event_time_col else F.col("processed_at")
     enriched = enriched.withColumn("__event_ts", ts.cast("timestamp"))
-    # Dedup only rows with BOTH identity parts. The reference skips the
-    # Nats-Msg-Id header (i.e. does no dedup) when uri/cid are missing
-    # (src/nats_client.py:248-252); a keyed dedup here would treat NULL cid
-    # as equal and collapse distinct posts sharing a uri. NULL-key rows
-    # pass straight through via union.
-    has_key = F.col("uri").isNotNull() & F.col("cid").isNotNull()
-    if not enriched.isStreaming:
-        deduped = enriched.filter(has_key).dropDuplicates(["uri", "cid"])
-        return deduped.unionByName(enriched.filter(~has_key)).drop("__event_ts")
-    deduped = (
-        enriched.filter(has_key)
-        .withWatermark("__event_ts", f"{dedup_window_s} seconds")
-        .dropDuplicatesWithinWatermark(["uri", "cid"])
+    # The reference skips the Nats-Msg-Id header (i.e. does no dedup) when
+    # cid is missing (src/nats_client.py:248-252; uri is never null past
+    # decode_posts), so a keyed dedup must NOT treat NULL cid as equal —
+    # that would collapse distinct posts sharing a uri. Instead of a
+    # deduped branch unioned with a NULL-cid passthrough branch (two
+    # watermarked branches, two source scans, double state machinery),
+    # give each NULL-cid row a unique synthetic key so ONE dedup branch
+    # handles both cases. uuid() is unique per row (and, unlike
+    # monotonically_increasing_id, supported in streaming plans); the
+    # \\x00 prefix cannot collide with a real cid. Replayed NULL-cid rows
+    # get fresh keys — exactly the reference's no-dedup-without-msg-id
+    # behavior.
+    dedup_cid = F.coalesce(
+        F.col("cid"),
+        F.concat(F.lit("\x00nocid\x00"), F.expr("uuid()")))
+    keyed = enriched.withColumn("__dedup_cid", dedup_cid)
+    if not keyed.isStreaming:
+        return keyed.dropDuplicates(["uri", "__dedup_cid"]).drop(
+            "__dedup_cid", "__event_ts")
+    return (
+        keyed.withWatermark("__event_ts", f"{dedup_window_s} seconds")
+        .dropDuplicatesWithinWatermark(["uri", "__dedup_cid"])
+        .drop("__dedup_cid", "__event_ts")
     )
-    passthrough = enriched.filter(~has_key).withWatermark(
-        "__event_ts", f"{dedup_window_s} seconds")
-    return deduped.unionByName(passthrough).drop("__event_ts")
 
 
 Publisher = Callable[[str, str, str | None], None]
