@@ -88,6 +88,36 @@ def test_stream_enrich_dedup_and_routing(spark, posts_dir, tmp_path):
     assert neg_subject.startswith("bluesky.posts.enriched.negative.")
 
 
+def test_stream_null_cid_posts_not_collapsed(spark, tmp_path):
+    # D1 edge: the reference publishes WITHOUT a Nats-Msg-Id header when
+    # cid is missing (src/nats_client.py:248-252) — no dedup. Two distinct
+    # null-cid posts sharing a uri must therefore BOTH be published (the
+    # synthetic per-row dedup key must never collapse them), while the
+    # exact cid-keyed duplicate is still dropped.
+    d = tmp_path / "in_nullcid"
+    write_json_lines(d / "posts.jsonl", [
+        {"uri": "at://n/1", "text": "This is a great day!"},
+        {"uri": "at://n/1", "text": "great technology news today"},
+        {"uri": "at://n/2", "cid": "c2", "text": "I hate this weather"},
+        {"uri": "at://n/2", "cid": "c2", "text": "I hate this weather"},
+    ])
+    raw = spark.readStream.format("text").load(str(d))
+    published: list[tuple] = []
+
+    def publisher(subject, payload, msg_id):
+        published.append((json.loads(payload)["uri"], msg_id))
+
+    q = start_enrichment_query(decode_posts(raw), publisher,
+                               str(tmp_path / "ckpt_nullcid"))
+    q.processAllAvailable()
+    q.stop()
+    uris = sorted(u for u, _ in published)
+    assert uris == ["at://n/1", "at://n/1", "at://n/2"]
+    # null-cid rows publish without a msg id (reference parity)
+    assert [m for u, m in published if u == "at://n/1"] == [None, None]
+    assert [m for u, m in published if u == "at://n/2"] == ["at://n/2:c2"]
+
+
 def test_stream_restart_does_not_republish(spark, posts_dir, tmp_path):
     # A0: checkpoint replay — restarting the query over the same source
     # publishes nothing new (offsets committed).
