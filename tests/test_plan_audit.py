@@ -126,3 +126,33 @@ def test_ivf_pq_scoring_joins_codes_not_embeddings(spark):
     float embedding column (ADC's whole point)."""
     p = plan_str(spark, "sim_ann_ivf_pq")
     assert "BroadcastHashJoin" in p
+
+
+def test_substring_spans_shuffle_excludes_text(spark):
+    """The substring-span aggregation's hash shuffle must carry only
+    (gram/span_id, doc_id) — never the document text. (The round-robin
+    spread() exchange before the per-row hashing legitimately carries
+    text locally; at real scale the scan already yields many splits and
+    that repartition is a no-op — registry.spread.) Text crossing the
+    hash-partitioned aggregation exchange would ship the full 100 TB
+    corpus through the shuffle."""
+    p = plan_str(spark, "dedup_substring_spans")
+    hash_exchanges = [s for s in re.split(r"\n\(\d+\) ", p)
+                      if s.startswith("Exchange") and "hashpartitioning" in s]
+    assert hash_exchanges, p[:400]
+    for section in hash_exchanges:
+        input_line = next(
+            (ln for ln in section.splitlines() if ln.startswith("Input")), "")
+        assert "text#" not in input_line, section[:400]
+
+
+def test_semantic_dedup_pairs_join_on_cluster_id(spark):
+    """SemDeDup's pairwise stage must be an equi-join keyed on the
+    cluster id (the blocking key) — a hash/sort-merge join, never a
+    nested loop over the corpus — and the only nested-loop join in the
+    plan is the broadcast of the 16 trained centroids."""
+    p = plan_str(spark, "dedup_semantic_clusters", "simple")
+    assert re.search(r"hashpartitioning\(cent_id", 
+                     plan_str(spark, "dedup_semantic_clusters")) or \
+        re.search(r"SortMergeJoin|ShuffledHashJoin", p), p
+    assert "CartesianProduct" not in p
