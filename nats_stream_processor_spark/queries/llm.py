@@ -259,6 +259,61 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_token_entropy",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                        AS tok
+               FROM documents),
+    c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY 1, 2),
+    e AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+                 count(*) AS n_distinct, sum(n * ln(n)) AS s
+          FROM c GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(e.n_tokens, 0) AS n_tokens,
+           coalesce(e.n_distinct, 0) AS n_distinct,
+           round(CASE WHEN e.n_tokens > 0
+                      THEN ln(e.n_tokens) - e.s / e.n_tokens
+                      ELSE 0.0 END, 6) AS token_entropy
+    FROM documents d LEFT JOIN e ON e.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    tags=("llm", "text-entropy"),
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram token entropy per document — the cheap perplexity proxy
+    curation pipelines use for gibberish and boilerplate detection (low
+    entropy = repeated tokens/templates, anomalously high = random
+    strings). Computed as H = ln(N) - (sum n*ln(n))/N from per-(doc,
+    token) counts, so the corpus shuffles only (doc_id, token) pairs
+    with map-side partial counting and the per-doc reduce carries three
+    numbers. ln() is transcendental (never terminates at a decimal
+    half-boundary), so plain 6-dp rounding is cross-engine safe — ulp
+    summation noise sits ~7 orders below the rounding grain."""
+    d = spread(table(spark, sf_dir, "documents"))
+    from ..functions.text import tokens_col
+    t = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    c = t.groupBy("doc_id", "tok").agg(F.count("*").alias("n"))
+    e = c.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("n") * F.log(F.col("n"))).alias("s"))
+    return (
+        d.select("doc_id").join(e, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            F.round(
+                F.when(F.col("n_tokens") > 0,
+                       F.log(F.col("n_tokens"))
+                       - F.col("s") / F.col("n_tokens"))
+                .otherwise(F.lit(0.0)), 6).alias("token_entropy"))
+        .orderBy("doc_id")
+    )
+
+
 EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
 URL_RE = "https?://[^\\s]+"
 
