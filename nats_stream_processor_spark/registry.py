@@ -121,9 +121,15 @@ def oracle_sql() -> dict[str, str]:
 
 
 # Populate the registry (import side effects; keep at module bottom).
-from .queries import enrich as _q_enrich  # noqa: E402,F401
-from .queries import relational as _q_relational  # noqa: E402,F401
-from .queries import events as _q_events  # noqa: E402,F401
-from .queries import metrics as _q_metrics  # noqa: E402,F401
+#
+# ORDER MATTERS for external snapshots: harnesses that sample a prefix of the
+# registry see entries in registration order. The LLM dedup/ANN/curation suite
+# and the advanced (subquery/UDTF/stateful) entries register FIRST so a ~50-query
+# prefix covers the north-star operators; the relational basics — which have the
+# longest green history — rotate to the back.
 from .queries import llm as _q_llm  # noqa: E402,F401
 from .queries import advanced as _q_advanced  # noqa: E402,F401
+from .queries import enrich as _q_enrich  # noqa: E402,F401
+from .queries import events as _q_events  # noqa: E402,F401
+from .queries import metrics as _q_metrics  # noqa: E402,F401
+from .queries import relational as _q_relational  # noqa: E402,F401
