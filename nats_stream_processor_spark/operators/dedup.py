@@ -170,7 +170,7 @@ def minhash_band_explode(df: DataFrame, id_col: str, sig_col: str,
     )
 
 
-def jaccard(a_ids: Column, b_ids: Column, dp: int = 6) -> Column:
+def jaccard(a_ids: Column, b_ids: Column) -> Column:
     # round6_stable, not F.round: int/int ratios can land exactly on a
     # 7th-decimal half-boundary (union sizes of the form 2^7*5^j) where
     # engine round() builtins disagree — and jaccard drives the >=

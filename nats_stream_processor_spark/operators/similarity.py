@@ -62,11 +62,44 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def dot_sql(a: str, b: str, dim: int = EMBED_DIM) -> str:
+    """Lambda-fold dot product — same IEEE add sequence as the Spark twin's
+    F.aggregate fold, so the doubles are bit-identical. DuckDB interprets
+    the lambda per element (~12 us/element), which is fine when the dot
+    appears a handful of times; in deeply-inlined CTE chains (the iterative
+    k-means / IVF / PQ oracles) this compact form is REQUIRED — the
+    unrolled variant below makes DuckDB's inlined expression trees blow
+    past its memory budget there."""
     return (
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         f"list_transform(range(1, {dim + 1}), i -> {a}[i] * {b}[i])), "
         f"(acc, v) -> acc + v)"
     )
+
+
+def dot_unrolled_sql(a: str, b: str, dim: int = EMBED_DIM) -> str:
+    """Unrolled left-associated dot: ((0.0 + a[1]*b[1]) + a[2]*b[2])...
+
+    Bit-identical fold order to dot_sql, but flat arithmetic that DuckDB
+    vectorizes natively (~30x faster than the interpreted lambda). Use
+    ONLY where ``a``/``b`` are plain column references in a flat query —
+    each operand is textually repeated ``dim`` times, so nesting this
+    inside iterated/inlined CTEs multiplies planner memory (observed OOM
+    in the k-means-replay oracles)."""
+    e = "CAST(0.0 AS DOUBLE)"
+    for i in range(1, dim + 1):
+        e = f"({e} + {a}[{i}] * {b}[{i}])"
+    return e
+
+
+def dot_weights_sql(weights: list[float], b: str) -> str:
+    """Unrolled dot with one side a Python literal vector, inlined per term
+    (indexing a literal list per element would replicate the whole list
+    dim times in the SQL text). Fold order and operand order match
+    dot(plane_lit(w), demb) on the Spark side exactly."""
+    e = "CAST(0.0 AS DOUBLE)"
+    for i, w in enumerate(weights, start=1):
+        e = f"({e} + {w!r} * {b}[{i}])"
+    return e
 
 
 def norm(a: Column) -> Column:
@@ -88,7 +121,12 @@ def round6_stable(col: Column) -> Column:
     every step here is an IEEE double op both engines perform
     bit-identically, so the rounded value — and any comparison made on
     it — matches across Spark and DuckDB by construction. Use when a
-    rounded value is emitted per-row or drives a decision boundary."""
+    rounded value is emitted per-row or drives a decision boundary.
+
+    Domain: |x| < 2^63/1e6 (~9.2e12). Spark's F.floor returns LONG, so
+    larger magnitudes overflow where DuckDB's floor (DOUBLE out) does
+    not — keep this to ratios/cosines/means and other O(1) values, never
+    raw sums at scale."""
     return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("double") / F.lit(1e6)
 
 
@@ -235,6 +273,9 @@ def pq_adc_dist(codes: Column, luts: list[Column], dp: int = 6) -> Column:
 # single cross-joined row) instead of baking literals.
 
 def _l2_expr_sql(a_expr: str, b_expr: str, dim: int = PQ_SUB) -> str:
+    # Compact lambda fold on purpose — this lands inside the PQ codebook
+    # CTE chains, where an unrolled form overruns DuckDB's planner memory
+    # (see dot_unrolled_sql).
     terms = (f"list_transform(range(1, {dim + 1}), "
              f"i -> ({a_expr}[i] - {b_expr}[i]) * ({a_expr}[i] - {b_expr}[i]))")
     return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {terms}), "
@@ -278,7 +319,7 @@ def lsh_bucket_sql(demb_expr: str, planes: list[list[float]] | None = None,
                    dim: int = EMBED_DIM) -> str:
     planes = planes or hyperplanes()
     terms = [
-        f"(CASE WHEN {dot_sql(plane_sql(w), demb_expr, dim)} >= 0 "
+        f"(CASE WHEN {dot_weights_sql(w, demb_expr)} >= 0 "
         f"THEN {1 << p} ELSE 0 END)"
         for p, w in enumerate(planes)
     ]

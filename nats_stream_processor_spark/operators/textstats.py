@@ -73,7 +73,7 @@ def token_stats_sql(expr: str) -> dict[str, str]:
     }
 
 
-def quality_cols(text: Column, dp: int = 6) -> dict[str, Column]:
+def quality_cols(text: Column) -> dict[str, Column]:
     """Deterministic quality score in [0,1]:
 
     0.4 * min(n_tokens,100)/100        (length credit)
@@ -107,7 +107,7 @@ def quality_cols(text: Column, dp: int = 6) -> dict[str, Column]:
     }
 
 
-def quality_sql(expr: str, dp: int = 6) -> dict[str, str]:
+def quality_sql(expr: str) -> dict[str, str]:
     toks = f"regexp_extract_all(lower({expr}), '{TOKEN_RE}')"
     n_tok = f"len({toks})"
     n_chars = f"greatest(length({expr}), 1)"

@@ -261,7 +261,7 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_token_entropy",
-    oracle="""
+    oracle=f"""
     WITH t AS (SELECT doc_id,
                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
                         AS tok
@@ -273,9 +273,9 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id,
            coalesce(e.n_tokens, 0) AS n_tokens,
            coalesce(e.n_distinct, 0) AS n_distinct,
-           round(CASE WHEN e.n_tokens > 0
+           {sim.round6_stable_sql('''CASE WHEN e.n_tokens > 0
                       THEN ln(e.n_tokens) - e.s / e.n_tokens
-                      ELSE 0.0 END, 6) AS token_entropy
+                      ELSE 0.0 END''')} AS token_entropy
     FROM documents d LEFT JOIN e ON e.doc_id = d.doc_id
     ORDER BY d.doc_id
     """,
@@ -288,9 +288,12 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings). Computed as H = ln(N) - (sum n*ln(n))/N from per-(doc,
     token) counts, so the corpus shuffles only (doc_id, token) pairs
     with map-side partial counting and the per-doc reduce carries three
-    numbers. ln() is transcendental (never terminates at a decimal
-    half-boundary), so plain 6-dp rounding is cross-engine safe — ulp
-    summation noise sits ~7 orders below the rounding grain."""
+    numbers. Rounded with round6_stable on both sides: ln() results are
+    transcendental, but libm implementations aren't required to be
+    correctly rounded, so a 1-ulp Java-vs-DuckDB log() difference landing
+    within an ulp of a 6-dp half-boundary could still diverge under the
+    engines' differing round() builtins — the stable rounding makes the
+    post-rounding path identical regardless."""
     d = spread(table(spark, sf_dir, "documents"))
     from ..functions.text import tokens_col
     t = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
@@ -305,11 +308,11 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
             F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
-            F.round(
+            sim.round6_stable(
                 F.when(F.col("n_tokens") > 0,
                        F.log(F.col("n_tokens"))
                        - F.col("s") / F.col("n_tokens"))
-                .otherwise(F.lit(0.0)), 6).alias("token_entropy"))
+                .otherwise(F.lit(0.0))).alias("token_entropy"))
         .orderBy("doc_id")
     )
 
@@ -772,7 +775,7 @@ n AS (SELECT vec_id, label, demb, {sim.norm_sql('demb')} AS nrm FROM e)
     q AS (SELECT * FROM n WHERE vec_id < 10),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               round({sim.dot_sql('q.demb', 'c.demb')} / (q.nrm * c.nrm), 6) AS cosine
+               round({sim.dot_unrolled_sql('q.demb', 'c.demb')} / (q.nrm * c.nrm), 6) AS cosine
         FROM q JOIN n c ON c.vec_id != q.vec_id)
     SELECT query_id, neighbor_id, cosine, rn FROM (
         SELECT *, row_number() OVER (PARTITION BY query_id
@@ -821,7 +824,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (SELECT * FROM x WHERE vec_id < 10),
     scored AS (
         SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               round({sim.dot_sql('q.demb', 'c.demb')} / (q.nrm * c.nrm), 6) AS cosine
+               round({sim.dot_unrolled_sql('q.demb', 'c.demb')} / (q.nrm * c.nrm), 6) AS cosine
         FROM q JOIN x c ON c.tbl = q.tbl AND c.bucket = q.bucket
                        AND c.vec_id != q.vec_id)
     SELECT query_id, neighbor_id, cosine, rn FROM (
@@ -838,13 +841,18 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (posexplode -> equi-join on (table, bucket) -> distinct), exact
     cosine rerank on candidates only. Recall ~0.65 at the test corpus vs
     0.14 single-table (asserted in test_ann_recall); the shuffle unit is
-    the (table, bucket) row, never the corpus pairwise."""
-    e = table(spark, sf_dir, "embeddings").select(
+    the (table, bucket) row, never the corpus pairwise.
+
+    The exploded signature table ``x`` feeds BOTH join sides (query probe
+    and corpus), so it is pinned: without the persist each side recomputes
+    the L x P hyperplane sign folds over the whole corpus — the dominant
+    cost of this query (observed ~15 s -> ~2 s at sf0.01)."""
+    e = spread(table(spark, sf_dir, "embeddings")).select(
         "vec_id", sim.as_double(F.col("embedding")).alias("demb"))
     n = e.select("vec_id", "demb", sim.norm(F.col("demb")).alias("nrm"),
                  sim.lsh_buckets_multi(F.col("demb")).alias("buckets"))
-    x = n.select("vec_id", "demb", "nrm",
-                 F.posexplode("buckets").alias("tbl", "bucket"))
+    x = pin(n.select("vec_id", "demb", "nrm",
+                     F.posexplode("buckets").alias("tbl", "bucket")))
     q = x.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("demb").alias("q_demb"),
         F.col("nrm").alias("q_nrm"), F.col("tbl").alias("q_tbl"),
@@ -875,9 +883,9 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_EMB_CTE},
     b AS (SELECT vec_id, demb, nrm, {sim.lsh_bucket_sql('demb')} AS bucket FROM n)
     SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-           round({sim.dot_sql('a.demb', 'c.demb')} / (a.nrm * c.nrm), 6) AS cosine
+           round({sim.dot_unrolled_sql('a.demb', 'c.demb')} / (a.nrm * c.nrm), 6) AS cosine
     FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-    WHERE round({sim.dot_sql('a.demb', 'c.demb')} / (a.nrm * c.nrm), 6) >= 0.4
+    WHERE round({sim.dot_unrolled_sql('a.demb', 'c.demb')} / (a.nrm * c.nrm), 6) >= 0.4
     ORDER BY vec_a, vec_b
     """,
     tags=("llm", "dedup-embedding"),
@@ -954,7 +962,13 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(d).orderBy("doc_id", "frame_idx")
 
 
-IVF_NLIST = 16   # coarse centroids (k-means-trained, deterministic)
+# Coarse-quantizer size, pinned to operators.kmeans.IVF_NLIST_FLOOR so the
+# oracle strings (which replay training CTE-for-CTE) stay static per sf. In
+# production, size from the corpus instead: km.ivf_nlist_for(N) ~ sqrt(N/39)
+# snapped to a power of two (16 at every tested sf, 4096 at N=1e9), with the
+# training-sample bound km.train_sample_for(nlist) — train_ivf_centroids(e)
+# with no explicit k does exactly that.
+IVF_NLIST = 16   # == km.IVF_NLIST_FLOOR (asserted in tests)
 IVF_NPROBE = 2   # lists probed per query
 
 _IVF_CTE = f"""
@@ -1409,21 +1423,24 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: explode -> groupBy(token) is canonical wordcount; the
     shuffle key is the token with map-side partial aggregation, so the
-    head tokens' skew is absorbed before the exchange. The final top-K
-    rank runs over the already-aggregated vocabulary (corpus-size
-    independent), and only K rows leave the last stage."""
+    head tokens' skew is absorbed before the exchange. The top-K is
+    orderBy().limit(K) — TakeOrderedAndProject, per-partition K-row
+    heaps then a driver merge of K rows per partition — NOT a global
+    row_number() window, which would sort the entire distinct-token
+    vocabulary (which grows with the corpus) on a single partition.
+    The rank is derived on the K surviving rows only."""
     from ..functions.text import tokens_col
     d = spread(table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("token"))
     c = toks.groupBy("token").agg(
         F.count("*").alias("n_occ"),
         F.countDistinct("doc_id").alias("n_docs"))
-    w = Window.orderBy(F.col("n_occ").desc(), "token")
-    return (
-        c.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= VOCAB_TOPK)
-        .orderBy("rnk")
-    )
+    topk = c.orderBy(F.col("n_occ").desc(), "token").limit(VOCAB_TOPK)
+    # Constant partition key: the window sees only the K surviving rows, so
+    # single-partition execution is the point, not a hazard (and an explicit
+    # key avoids the global-window WindowExec warning).
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("n_occ").desc(), "token")
+    return topk.withColumn("rnk", F.row_number().over(w)).orderBy("rnk")
 
 
 # Per-language target sampling rates (permille) — an English-heavy

@@ -128,20 +128,43 @@ def q_distinct_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketches are implementation-specific; rows-only check
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           count(DISTINCT l_suppkey) AS exact_supps,
+           TRUE AS approx_parts_within_5pct,
+           TRUE AS approx_supps_within_5pct
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
     tags=("agg", "approx"),
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): constant memory per group vs
-    the exact expand-and-dedup — the right tool at 100 TB. Sketch values are
-    engine-specific, so the driver checks rows-only; the exact twin is
-    oracle-checked in agg_distinct_per_segment."""
-    return (
+    the exact expand-and-dedup — the right tool at 100 TB. HLL sketch values
+    are engine-specific, so the raw estimates can't be hash-compared; instead
+    we emit the exact counts (oracle-checkable) plus a Spark-side assertion
+    that the HLL estimate lands within 5% of exact — the oracle emits literal
+    TRUE, so an out-of-tolerance sketch flips the boolean and fails the hash."""
+    hll = (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.countDistinct("l_suppkey").alias("exact_supps"),
             F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
             F.approx_count_distinct("l_suppkey", 0.01).alias("approx_supps"),
+        )
+    )
+    within = lambda approx, exact: (  # noqa: E731
+        F.abs(F.col(approx) - F.col(exact)) / F.col(exact) <= F.lit(0.05)
+    )
+    return (
+        hll.select(
+            "l_returnflag",
+            "exact_parts",
+            "exact_supps",
+            within("approx_parts", "exact_parts").alias("approx_parts_within_5pct"),
+            within("approx_supps", "exact_supps").alias("approx_supps_within_5pct"),
         )
         .orderBy("l_returnflag")
     )

@@ -98,18 +98,33 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def spread(df: DataFrame, n: int | None = None) -> DataFrame:
-    """Round-robin repartition to the session's default parallelism.
+    """Round-robin repartition to the session's default parallelism —
+    ONLY when the input is under-partitioned.
 
     The driver's small test tables are single-row-group parquet files, so a
     scan yields ONE input partition and every CPU-heavy per-row stage
-    (shingling, signatures, classifier UDFs) runs on one core. At real
-    scale the scan produces many splits and this becomes a cheap/no-op
-    shuffle; here it's what lets local[32] actually use 32 cores. Apply it
-    before CPU-bound per-row work, never before joins/aggs that manage
+    (shingling, signatures, classifier UDFs) runs on one core; here the
+    shuffle is what lets local[32] actually use 32 cores. At real scale the
+    scan already produces hundreds of splits, and `repartition(n)` would
+    shuffle every row — including full document text — for nothing. So the
+    repartition is gated: if the plan already yields >= the target number of
+    partitions (or the session conf ``spark.nats_spark.spread.enabled`` is
+    ``false``), the input is returned untouched, plan identity preserved.
+    Apply before CPU-bound per-row work, never before joins/aggs that manage
     their own partitioning.
     """
     spark = df.sparkSession
-    return df.repartition(n or spark.sparkContext.defaultParallelism)
+    try:
+        enabled = spark.conf.get("spark.nats_spark.spread.enabled", "true")
+    except Exception:
+        enabled = "true"
+    if str(enabled).lower() == "false":
+        return df
+    target = n or spark.sparkContext.defaultParallelism
+    # Physical-planning only (no job): asks the scan how many splits it yields.
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def queries() -> dict[str, QueryFn]:

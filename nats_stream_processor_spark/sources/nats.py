@@ -417,8 +417,11 @@ class NatsStreamWriter(DataSourceStreamWriter):
         d = row.asDict(recursive=True)
         subject = d.get("route_subject") or d.get("subject") or self.default_subject
         msg_id = d.get("msg_id")
-        if msg_id is None and d.get("uri") is not None and d.get("cid") is not None:
-            msg_id = f"{d['uri']}:{d['cid']}"  # reference: src/nats_client.py:248
+        if msg_id is None and d.get("uri") and d.get("cid"):
+            # Truthiness on purpose: the reference skips the dedup header for
+            # empty-string uri/cid too (`if post_uri and post_cid`,
+            # src/nats_client.py:248).
+            msg_id = f"{d['uri']}:{d['cid']}"
         payload = d.get("value")
         if payload is None:
             payload = json.dumps(

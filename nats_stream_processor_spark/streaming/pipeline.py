@@ -82,9 +82,12 @@ def enrich_stream(
     # monotonically_increasing_id, supported in streaming plans); the
     # \\x00 prefix cannot collide with a real cid. Replayed NULL-cid rows
     # get fresh keys — exactly the reference's no-dedup-without-msg-id
-    # behavior.
+    # behavior. Empty-string cid counts as missing too: the reference's
+    # header guard is truthiness (`if post_uri and post_cid`,
+    # src/nats_client.py:248-252), so cid='' must not become a real dedup
+    # key (two distinct posts sharing a uri with ''-cids stay distinct).
     dedup_cid = F.coalesce(
-        F.col("cid"),
+        F.nullif(F.col("cid"), F.lit("")),
         F.concat(F.lit("\x00nocid\x00"), F.expr("uuid()")))
     keyed = enriched.withColumn("__dedup_cid", dedup_cid)
     if not keyed.isStreaming:

@@ -156,3 +156,26 @@ def test_semantic_dedup_pairs_join_on_cluster_id(spark):
                      plan_str(spark, "dedup_semantic_clusters")) or \
         re.search(r"SortMergeJoin|ShuffledHashJoin", p), p
     assert "CartesianProduct" not in p
+
+
+def test_spread_is_gated_on_input_partitioning(spark):
+    """spread() must repartition ONLY under-partitioned inputs. On a
+    pre-partitioned input (>= defaultParallelism partitions) it returns
+    the input untouched — plan identity, no gratuitous full-row shuffle
+    (at 100 TB the scan already yields hundreds of splits, and a
+    round-robin repartition there would ship the whole corpus, text
+    included, through one pointless exchange)."""
+    dp = spark.sparkContext.defaultParallelism
+    single = spark.read.parquet(f"{SF}/documents.parquet")
+    assert registry.spread(single) is not single  # 1 split -> repartition
+    assert registry.spread(single).rdd.getNumPartitions() == dp
+
+    pre = single.repartition(dp * 2)
+    assert registry.spread(pre) is pre  # already wide -> identity
+
+    # Session kill-switch: a real cluster's bench can disable it outright.
+    spark.conf.set("spark.nats_spark.spread.enabled", "false")
+    try:
+        assert registry.spread(single) is single
+    finally:
+        spark.conf.set("spark.nats_spark.spread.enabled", "true")
