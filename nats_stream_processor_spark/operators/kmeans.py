@@ -46,7 +46,43 @@ from . import similarity as sim
 
 IVF_TRAIN_ITERS = 2
 PQ_TRAIN_ITERS = 2
+
+# Training-scale floors. These are the values the REGISTRY queries pin so
+# their DuckDB oracle strings (which replay training CTE-for-CTE) stay
+# static per scale factor; the functions below are the production sizing —
+# at the test corpora (500-5,000 vectors) they evaluate exactly to these
+# floors, so pinned queries and auto-sized calls agree at every tested sf.
+IVF_NLIST_FLOOR = 16
 TRAIN_SAMPLE_N = 256
+TRAIN_SAMPLE_CAP = 1 << 18  # 256k vectors: the sample must fit one process
+
+
+def ivf_nlist_for(n_corpus: int) -> int:
+    """Coarse-quantizer size as a function of corpus count — the faiss
+    sizing rule (nlist ~ sqrt(N), >= ~39 training points per centroid),
+    snapped to a power of two and floored at IVF_NLIST_FLOOR so small/test
+    corpora keep the pinned registry constant:
+
+        N = 5e3   -> 16 (floor)     N = 1e9  -> 4096
+        N = 1e6   -> 128            N = 4e10 (100 TB of 2.5 kB docs) -> 16384
+    """
+    if n_corpus <= 0:
+        return IVF_NLIST_FLOOR
+    target = math.sqrt(n_corpus / 39.0)
+    nlist = 1 << max(int(target).bit_length() - 1, 0)  # pow2 <= target
+    return max(IVF_NLIST_FLOOR, min(nlist, 1 << 16))
+
+
+def train_sample_for(nlist: int) -> int:
+    """Training-sample bound for a given nlist: ~39 points per centroid
+    (the faiss minimum before centroids starve), capped where a single
+    trainer process stops being the right tool — beyond the cap, use the
+    *_distributed trainers. At the floor nlist this returns exactly
+    TRAIN_SAMPLE_N, so auto-sized training reproduces the pinned registry
+    constants bit-for-bit at test scale."""
+    if nlist <= IVF_NLIST_FLOOR:
+        return TRAIN_SAMPLE_N
+    return min(39 * nlist, TRAIN_SAMPLE_CAP)
 
 _D6 = Decimal("0.000001")
 _D4 = Decimal("0.0001")
@@ -56,12 +92,6 @@ def _dec6(x: float) -> Decimal:
     """Mirror of Spark's CAST(double AS DECIMAL(25,6)): shortest-repr
     (BigDecimal.valueOf == Python repr) then HALF_UP to 6 dp."""
     return Decimal(repr(x)).quantize(_D6, rounding=ROUND_HALF_UP)
-
-
-def _round6(x: float) -> float:
-    """Mirror of Spark round(double, 6) (HALF_UP on the shortest decimal
-    repr — NOT Python's banker's round)."""
-    return float(Decimal(repr(x)).quantize(_D6, rounding=ROUND_HALF_UP))
 
 
 def _round6_stable(x: float) -> float:
@@ -145,15 +175,27 @@ def _dim_means(assigned: DataFrame, key_cols: list[str]) -> DataFrame:
     )
 
 
-def train_ivf_centroids(e: DataFrame, k: int, iters: int = IVF_TRAIN_ITERS,
-                        sample_n: int = TRAIN_SAMPLE_N) -> list[list[float]]:
+def train_ivf_centroids(e: DataFrame, k: int | None = None,
+                        iters: int = IVF_TRAIN_ITERS,
+                        sample_n: int | None = None) -> list[list[float]]:
     """Spherical-ish k-means on cosine score: centroids[c] = dim-list.
+
+    ``k=None`` auto-sizes from the corpus count (ivf_nlist_for) with a
+    matching sample bound (train_sample_for) — the production path. An
+    explicit ``k`` with default ``sample_n`` keeps the pinned
+    TRAIN_SAMPLE_N so oracle-replayed registry queries stay static.
 
     Assignment score = dot(v, cent) / ||cent|| (the per-vector norm is
     constant within the argmax, so it is dropped on BOTH sides). Default
     path: collect the bounded sample once, iterate in-process (identical
     arithmetic — see module docstring); the oracle CTE replays it
     value-for-value."""
+    if k is None:
+        k = ivf_nlist_for(e.count())
+        if sample_n is None:
+            sample_n = train_sample_for(k)
+    if sample_n is None:
+        sample_n = TRAIN_SAMPLE_N
     vecs = _collect_sample(e, sample_n)
     cents = [list(v) for v in vecs[:k]]
     dim = len(cents[0])
@@ -173,11 +215,18 @@ def train_ivf_centroids(e: DataFrame, k: int, iters: int = IVF_TRAIN_ITERS,
 
 
 def train_ivf_centroids_distributed(
-        e: DataFrame, k: int, iters: int = IVF_TRAIN_ITERS,
-        sample_n: int = TRAIN_SAMPLE_N) -> list[list[float]]:
+        e: DataFrame, k: int | None = None, iters: int = IVF_TRAIN_ITERS,
+        sample_n: int | None = None) -> list[list[float]]:
     """All-Spark Lloyd's for samples too large to collect: per-iteration
     assignment against K literal centroids, decimal-mean update shuffle.
-    Same arithmetic as the in-process default (parity test pins them)."""
+    Same arithmetic as the in-process default (parity test pins them).
+    ``k=None`` auto-sizes exactly like train_ivf_centroids."""
+    if k is None:
+        k = ivf_nlist_for(e.count())
+        if sample_n is None:
+            sample_n = train_sample_for(k)
+    if sample_n is None:
+        sample_n = TRAIN_SAMPLE_N
     sample = e.filter(F.col("vec_id") < sample_n).select(
         "vec_id", F.col("demb").alias("vec"))
     init = (e.filter(F.col("vec_id") < k).orderBy("vec_id")

@@ -179,3 +179,33 @@ def test_inprocess_and_distributed_trainers_agree(clustered):
                                                   sample_n=128))
     assert (km.train_pq_codebook(df, iters=1, sample_n=128)
             == km.train_pq_codebook_distributed(df, iters=1, sample_n=128))
+
+
+def test_ivf_sizing_functions():
+    """The production sizing (nlist ~ sqrt(N/39), pow2-snapped) floors at
+    the pinned registry constant for every tested corpus, and grows at
+    real scale — so pinned oracles and auto-sized training agree at test
+    sf while a 100 TB corpus still gets a sane quantizer."""
+    from nats_stream_processor_spark.queries.llm import IVF_NLIST
+    assert km.IVF_NLIST_FLOOR == IVF_NLIST
+    for n in (0, 500, 5_000, 38_000):  # every tested sf lands on the floor
+        assert km.ivf_nlist_for(n) == km.IVF_NLIST_FLOOR
+    assert km.ivf_nlist_for(1_000_000) == 128
+    assert km.ivf_nlist_for(1_000_000_000) == 4096
+    assert km.ivf_nlist_for(40_000_000_000) == 16384
+    assert km.ivf_nlist_for(10**14) == 1 << 16  # capped
+    # sample bound: >= 39 per centroid, floored and capped
+    assert km.train_sample_for(km.IVF_NLIST_FLOOR) == km.TRAIN_SAMPLE_N
+    assert km.train_sample_for(km.IVF_NLIST_FLOOR) == km.TRAIN_SAMPLE_N
+    assert km.train_sample_for(128) == 39 * 128
+    assert km.train_sample_for(1 << 16) == km.TRAIN_SAMPLE_CAP
+
+
+def test_ivf_auto_sizing_matches_pinned_at_test_scale(clustered):
+    """train_ivf_centroids with k=None must reproduce the pinned-k result
+    on a test-scale corpus (the floor region), so registry queries and the
+    production auto-sized path are the same index here."""
+    _, df = clustered
+    auto = km.train_ivf_centroids(df)
+    pinned = km.train_ivf_centroids(df, km.IVF_NLIST_FLOOR)
+    assert auto == pinned
