@@ -179,3 +179,14 @@ def test_spread_is_gated_on_input_partitioning(spark):
         assert registry.spread(single) is single
     finally:
         spark.conf.set("spark.nats_spark.spread.enabled", "true")
+
+
+def test_vocab_topk_is_take_ordered_not_global_window(spark):
+    """text_vocab_topk's head selection must be TakeOrderedAndProject over
+    the aggregated vocabulary — ranking through an unpartitioned window
+    would single-partition-sort a relation that grows with the corpus."""
+    p = plan_str(spark, "text_vocab_topk", "simple")
+    assert "TakeOrderedAndProject" in p
+    # The rank Window must CONSUME the TakeOrdered output (K rows), i.e.
+    # sit above it in the tree — parents print first in simple mode.
+    assert p.index("Window") < p.index("TakeOrderedAndProject")

@@ -60,6 +60,18 @@ NOTES = {
         "Centroids broadcast; corpus shuffles once on assigned list id; "
         "probes touch nprobe/nlist of the data — the IVF-Flat layout."
     ),
+    "sim_ann_lsh": (
+        "The exploded multi-table signature relation is pinned "
+        "(InMemoryRelation) and feeds BOTH sides of the (table, bucket) "
+        "equi-join, so the L x P hyperplane folds run once over the "
+        "corpus; candidates rerank with exact cosine only."
+    ),
+    "text_vocab_topk": (
+        "Wordcount with map-side partial aggregation on the token key; "
+        "the top-K is TakeOrderedAndProject (per-partition K-row heaps), "
+        "never a global sort or unpartitioned window over the full "
+        "vocabulary — the vocabulary grows with the corpus."
+    ),
     "dedup_components": (
         "Iterative min-label propagation: per round one shuffle on the "
         "neighbor join key, lineage truncated by eager localCheckpoint "
