@@ -1780,3 +1780,231 @@ def q_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id")
         .orderBy("source", "doc_id")
     )
+
+
+# ------------------------------------------------- corpus LM quality score
+
+@register(
+    "text_unigram_lm_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                        AS tok
+               FROM documents),
+    lm AS (SELECT tok, count(*) AS n_tok FROM t GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n_total FROM lm),
+    scored AS (
+        SELECT t.doc_id, count(*) AS n_tokens,
+               sum(ln(CAST(tot.n_total AS DOUBLE))
+                   - ln(CAST(lm.n_tok AS DOUBLE))) AS nll_sum
+        FROM t JOIN lm USING (tok) CROSS JOIN tot
+        GROUP BY t.doc_id)
+    SELECT d.doc_id,
+           coalesce(s.n_tokens, 0) AS n_tokens,
+           {sim.round6_stable_sql(
+               'CASE WHEN s.n_tokens > 0 THEN s.nll_sum / s.n_tokens '
+               'ELSE 0.0 END')} AS lm_nll
+    FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    tags=("llm", "lm-score"),
+)
+def q_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-LM quality score: train a unigram LM over the
+    corpus itself (token -> count / total), then score each document by
+    its mean negative log-likelihood under that LM. Low = head-heavy
+    boilerplate, anomalously high = gibberish/random strings — the
+    standard two-sided cut for crawl filtering (per-doc entropy in
+    text_token_entropy is the within-doc analog).
+
+    Scale shape: the LM is a token-keyed aggregate with map-side partial
+    counting; the grand total is a 1-row aggregate broadcast by
+    crossJoin; scoring joins exploded tokens to the LM on the token key
+    (AQE skew-join splits the stopword head), then one per-doc reduce of
+    three numbers. No driver-side state — the 'model' never leaves the
+    cluster."""
+    from ..functions.text import tokens_col
+    d = spread(table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    lm = t.groupBy("tok").agg(F.count("*").alias("n_tok"))
+    tot = lm.agg(F.sum("n_tok").cast("bigint").alias("n_total"))
+    scored = (
+        t.join(lm, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.log(F.col("n_total").cast("double"))
+                  - F.log(F.col("n_tok").cast("double"))).alias("nll_sum"),
+        )
+    )
+    return (
+        d.select("doc_id").join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            sim.round6_stable(
+                F.when(F.col("n_tokens") > 0,
+                       F.col("nll_sum") / F.col("n_tokens"))
+                .otherwise(F.lit(0.0))).alias("lm_nll"))
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------ token-length histogram
+
+@register(
+    "text_length_histogram",
+    oracle="""
+    WITH n AS (SELECT doc_id,
+                      len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                        AS n_tok
+               FROM documents),
+    b AS (SELECT CASE WHEN n_tok <= 0 THEN -1
+                      ELSE length(bin(n_tok)) - 1 END AS bucket,
+                 n_tok
+          FROM n)
+    SELECT bucket,
+           CASE WHEN bucket < 0 THEN 0
+                ELSE CAST(2 ** bucket AS BIGINT) END AS lo_tokens,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "length-histogram"),
+)
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two token-length histogram — the distribution every
+    sequence-packing and mixture plan reads first (how much of the corpus
+    is short-tail, where does the budget concentrate). Buckets are exact
+    integer math (bit length via bin(), never float log2, whose libm
+    results at exact powers of two are engine-dependent): bucket b holds
+    docs with 2^b <= n_tokens < 2^(b+1); empty docs land in bucket -1.
+    One scan, one tiny aggregate — no joins, no windows."""
+    from ..functions.text import tokens_col
+    d = spread(table(spark, sf_dir, "documents"))
+    n_tok = F.size(tokens_col(F.col("text")))
+    b = d.select(
+        F.when(n_tok <= 0, F.lit(-1))
+        .otherwise(F.length(F.bin(n_tok.cast("bigint"))) - 1)
+        .alias("bucket"),
+        n_tok.alias("n_tok"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tok").cast("bigint").alias("sum_tokens"))
+        .select(
+            "bucket",
+            F.when(F.col("bucket") < 0, F.lit(0))
+            .otherwise(F.pow(F.lit(2.0), F.col("bucket")).cast("bigint"))
+            .alias("lo_tokens"),
+            "n_docs", "sum_tokens")
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------- quality-weighted deterministic sample
+
+@register(
+    "sample_importance_by_quality",
+    oracle=(lambda qs: f"""
+    WITH q AS (SELECT doc_id, source,
+                      {qs['quality_score']} AS quality_score,
+                      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                           AS BIGINT) % 1000 AS bucket
+               FROM documents)
+    SELECT doc_id, source, quality_score,
+           (bucket < CAST(floor(quality_score * 1000.0 + 0.5) AS BIGINT))
+             AS sampled
+    FROM q ORDER BY doc_id
+    """)(quality_sql("text")),
+    tags=("llm", "sampling"),
+)
+def q_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling: each document's acceptance
+    probability IS its quality score (the standard soft alternative to a
+    hard C4 cut — keep some low-quality text, upweight clean text).
+    Membership is hash-mod of doc_id against a per-row threshold, never
+    rand(): reproducible across engines/partitionings, and adding
+    documents never resamples old ones. quality_score is stable-rounded
+    to 6 dp on both engines, so threshold = floor(score*1000 + 0.5) is
+    the same integer on both sides — the sampled bit is deterministic.
+
+    Scale shape: a pure per-row projection (hash + compare), no shuffle
+    at all; the sampled subset feeds downstream pipelines as a filter."""
+    from ..functions.hashing import hash32_col
+    d = spread(table(spark, sf_dir, "documents"))
+    qc = quality_cols(F.col("text"))
+    bucket = hash32_col(F.col("doc_id").cast("string")) % 1000
+    thresh = F.floor(qc["quality_score"] * 1000.0 + 0.5).cast("bigint")
+    return (
+        d.select(
+            "doc_id", "source",
+            qc["quality_score"].alias("quality_score"),
+            (bucket < thresh).alias("sampled"))
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------------- LSH range search
+
+RANGE_SEARCH_TAU = 0.3  # cosine radius, sized to the test corpus's
+# similarity spread (max pairwise cosine ~0.4) so results are non-empty
+
+
+@register(
+    "sim_ann_range_search",
+    oracle=f"""
+    {_EMB_CTE},
+    b AS (SELECT vec_id, demb, nrm,
+                 {sim.lsh_buckets_multi_sql('demb')} AS buckets FROM n),
+    x AS (SELECT vec_id, demb, nrm, i AS tbl, buckets[i + 1] AS bucket
+          FROM b CROSS JOIN (SELECT unnest(range(0, {sim.LSH_TABLES})) AS i) u),
+    q AS (SELECT * FROM x WHERE vec_id < 10),
+    hits AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round({sim.dot_unrolled_sql('q.demb', 'c.demb')}
+                     / (q.nrm * c.nrm), 6) AS cosine
+        FROM q JOIN x c ON c.tbl = q.tbl AND c.bucket = q.bucket
+                       AND c.vec_id != q.vec_id)
+    SELECT query_id, neighbor_id, cosine FROM hits
+    WHERE cosine >= {RANGE_SEARCH_TAU}
+    ORDER BY query_id, neighbor_id
+    """,
+    tags=("llm", "ann-range"),
+)
+def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search — the other half of a similarity-search API
+    next to top-k: ALL candidates within cosine >= tau of each query,
+    however many there are. Same multi-table LSH candidate generation as
+    sim_ann_lsh (pinned signature relation feeding both join sides, the
+    (table, bucket) equi-join as the shuffle unit), but the rerank is a
+    plain filter — no window, no K: result size is data-driven, which is
+    what dedup-style callers (find EVERYTHING near this vector) need."""
+    e = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("demb"))
+    n = e.select("vec_id", "demb", sim.norm(F.col("demb")).alias("nrm"),
+                 sim.lsh_buckets_multi(F.col("demb")).alias("buckets"))
+    x = pin(n.select("vec_id", "demb", "nrm",
+                     F.posexplode("buckets").alias("tbl", "bucket")))
+    q = x.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("demb").alias("q_demb"),
+        F.col("nrm").alias("q_nrm"), F.col("tbl").alias("q_tbl"),
+        F.col("bucket").alias("q_bucket"))
+    hits = (
+        F.broadcast(q)
+        .join(x, (F.col("tbl") == F.col("q_tbl"))
+              & (F.col("bucket") == F.col("q_bucket"))
+              & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            sim.cosine(sim.dot(F.col("q_demb"), F.col("demb")),
+                       F.col("q_nrm"), F.col("nrm")).alias("cosine"),
+        )
+        .distinct()
+    )
+    return (
+        hits.filter(F.col("cosine") >= RANGE_SEARCH_TAU)
+        .orderBy("query_id", "neighbor_id")
+    )

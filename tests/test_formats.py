@@ -44,3 +44,22 @@ def test_partitioned_parquet_write_and_pruning(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     # partition filter must NOT appear as a data filter: pruning happened
     assert "PartitionFilters" in plan or expected == back.count()
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC round-trip (the other columnar format big lakes carry) with a
+    filter that must reach the ORC scan as a pushed predicate."""
+    src = table(spark, SF, "customer")
+    p = str(tmp_path / "customer_orc")
+    src.write.orc(p)
+    back = spark.read.orc(p)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        back.filter(F.col("c_mktsegment") == "BUILDING").select(
+            "c_custkey").explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "c_mktsegment" in plan.split(
+        "PushedFilters")[1].splitlines()[0]
