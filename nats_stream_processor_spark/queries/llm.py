@@ -2008,3 +2008,135 @@ def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.filter(F.col("cosine") >= RANGE_SEARCH_TAU)
         .orderBy("query_id", "neighbor_id")
     )
+
+
+# -------------------------------------------- tokenizer training: BPE pass
+
+BPE_TOP_MERGES = 20
+
+
+@register(
+    "tokenizer_bpe_top_merges",
+    oracle=f"""
+    WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                 AS tok
+               FROM documents),
+    p AS (SELECT unnest(list_transform(range(1, length(tok)),
+                     i -> substr(tok, i, 1) || '|' || substr(tok, i + 1, 1)))
+                 AS pair
+          FROM t WHERE length(tok) >= 2),
+    c AS (SELECT pair, count(*) AS n_occ FROM p GROUP BY pair),
+    k AS (SELECT pair, n_occ FROM c
+          ORDER BY n_occ DESC, pair LIMIT {BPE_TOP_MERGES})
+    SELECT pair, n_occ,
+           row_number() OVER (ORDER BY n_occ DESC, pair) AS rnk
+    FROM k ORDER BY rnk
+    """,
+    tags=("llm", "tokenizer"),
+)
+def q_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first pass of BPE tokenizer training: corpus-weighted adjacent
+    character-pair frequencies inside word tokens — the argmax pair IS
+    the first merge rule, and the top-K table seeds the merge loop
+    (full BPE iterates this counting step after each merge; every
+    iteration is this same shuffle shape over a rewritten symbol
+    stream).
+
+    Scale shape: per-word fan-out is bounded by word length; the pair
+    key gets map-side partial counting before one token-keyed exchange;
+    the head selection is TakeOrderedAndProject like text_vocab_topk
+    (the pair alphabet grows with the corpus's script diversity)."""
+    from ..functions.text import tokens_col
+    d = spread(table(spark, sf_dir, "documents"))
+    toks = d.select(F.explode(tokens_col(F.col("text"))).alias("tok")) \
+            .filter(F.length("tok") >= 2)
+    pairs = toks.select(F.explode(F.expr(
+        "transform(sequence(1, length(tok) - 1), "
+        "i -> concat(substr(tok, i, 1), '|', substr(tok, i + 1, 1)))"
+    )).alias("pair"))
+    c = pairs.groupBy("pair").agg(F.count("*").alias("n_occ"))
+    topk = c.orderBy(F.col("n_occ").desc(), "pair").limit(BPE_TOP_MERGES)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("n_occ").desc(), "pair")
+    return topk.withColumn("rnk", F.row_number().over(w)).orderBy("rnk")
+
+
+# -------------------------------------- cross-modal: quality x semantic cluster
+
+@register(
+    "curation_quality_by_cluster",
+    oracle=(lambda qs: f"""
+    WITH e AS (SELECT vec_id, {sim.as_double_sql('embedding')} AS demb
+               FROM embeddings),
+    n AS (SELECT vec_id, demb, {sim.norm_sql('demb')} AS nrm FROM e),
+    {km.ivf_train_cte_sql(IVF_NLIST)},
+    cent AS (SELECT cent_id, c_demb, {sim.norm_sql('c_demb')} AS c_nrm
+             FROM tcent),
+    assign AS (
+        SELECT vec_id, cent_id
+        FROM (SELECT n.vec_id, cent.cent_id,
+                     row_number() OVER (
+                         PARTITION BY n.vec_id
+                         ORDER BY {sim.dot_sql('n.demb', 'cent.c_demb')}
+                                  / (n.nrm * cent.c_nrm) DESC,
+                                  cent.cent_id) AS rc
+              FROM n CROSS JOIN cent)
+        WHERE rc = 1),
+    q AS (SELECT doc_id, {qs['quality_score']} AS quality_score
+          FROM documents)
+    SELECT a.cent_id AS cluster_id,
+           count(*) AS n_docs,
+           min(a.vec_id) AS min_doc_id,
+           {sim.round6_stable_sql(
+               'CAST(round(sum(CAST(q.quality_score AS DECIMAL(25,6))), 4)'
+               ' AS DOUBLE) / count(*)')} AS mean_quality
+    FROM assign a JOIN q ON q.doc_id = a.vec_id
+    GROUP BY 1 ORDER BY 1
+    """)(quality_sql("text")),
+    tags=("llm", "curation", "clustering"),
+)
+def q_quality_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal curation rollup: text-side quality scores aggregated
+    by embedding-side semantic cluster — the table that drives
+    topic-aware mixing decisions (which semantic regions of the corpus
+    are high/low quality, where to spend the dedup/filter budget).
+    Joins the two modalities on document id (embeddings cover the
+    embedded subset of the corpus).
+
+    Scale shape: assignment is a broadcast crossJoin against K literal
+    trained centroids (JVM-only); the id-equi-join ships only (id,
+    cluster) against (id, score) — neither text nor vectors cross the
+    shuffle; the final groupBy(cluster) reduces K rows. Mean quality
+    uses the dsum decimal discipline (partition-order independent)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("demb"))
+    n = e.select("vec_id", "demb", sim.norm(F.col("demb")).alias("nrm"))
+    cents = km.train_ivf_centroids(e, IVF_NLIST)
+    cent = spark.createDataFrame(
+        [(i, cents[i]) for i in range(IVF_NLIST)],
+        "cent_id int, c_demb array<double>",
+    ).withColumn("c_nrm", sim.norm(F.col("c_demb")))
+    ranked = (
+        n.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cent_id",
+                (sim.dot(F.col("demb"), F.col("c_demb"))
+                 / (F.col("nrm") * F.col("c_nrm"))).alias("c_cos"))
+        .withColumn("rc", F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(),
+                                                 "cent_id")))
+    )
+    assign = ranked.filter(F.col("rc") == 1).select("vec_id", "cent_id")
+    d = spread(table(spark, sf_dir, "documents"))
+    q = d.select("doc_id",
+                 quality_cols(F.col("text"))["quality_score"]
+                 .alias("quality_score"))
+    return (
+        assign.join(q, assign.vec_id == q.doc_id)
+        .groupBy(F.col("cent_id").alias("cluster_id"))
+        .agg(F.count("*").alias("n_docs"),
+             F.min("vec_id").alias("min_doc_id"),
+             sim.round6_stable(
+                 F.round(F.sum(F.col("quality_score").cast("decimal(25,6)")),
+                         4).cast("double") / F.count("*"))
+             .alias("mean_quality"))
+        .orderBy("cluster_id")
+    )
