@@ -307,3 +307,34 @@ def test_stateful_running_counts_v2(spark, tmp_path):
     got = {r["label"]: r["n_total"]
            for r in spark.sql("SELECT * FROM tws_test").collect()}
     assert got == {"pos": 2, "neg": 1}
+
+
+def test_stream_static_dimension_join(spark, posts_dir, tmp_path):
+    """Stream-static join: enrich a post stream against a small static
+    dimension (author/uri -> cohort). The standard broadcast-enrichment
+    pattern — the static side is re-read per micro-batch, needs no
+    watermark, and at scale rides a broadcast hash join instead of
+    stateful symmetric hashing (unlike stream-stream joins)."""
+    dim = spark.createDataFrame(
+        [("at://test/1", "seed"), ("at://test/2", "organic"),
+         ("at://test/5", "seed")],
+        "uri string, cohort string")
+    stream = decode_posts(
+        spark.readStream.schema("value string").format("text")
+        .load(str(posts_dir)).selectExpr("value"))
+    joined = (enrich_stream(stream)
+              .join(F.broadcast(dim), "uri", "left")
+              .select("uri", "cohort", F.col("sentiment.sentiment")
+                      .alias("sentiment")))
+    q = (joined.writeStream.format("memory").queryName("dimjoin")
+         .option("checkpointLocation", str(tmp_path / "ck_dim"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = {r.uri: (r.cohort, r.sentiment)
+            for r in spark.sql("select * from dimjoin").collect()}
+    # enriched survivors join their cohort; un-dimensioned uris keep NULL
+    assert rows["at://test/1"][0] == "seed"
+    assert rows["at://test/2"][0] == "organic"
+    assert rows["at://test/5"][0] == "seed"
+    assert all(s in ("positive", "negative", "neutral")
+               for _, s in rows.values())
