@@ -72,6 +72,28 @@ NOTES = {
         "never a global sort or unpartitioned window over the full "
         "vocabulary — the vocabulary grows with the corpus."
     ),
+    "text_unigram_lm_score": (
+        "The corpus LM is a token-keyed aggregate; the grand total is a "
+        "1-row broadcast; scoring joins exploded tokens to the LM on the "
+        "token key (AQE splits the stopword head) and reduces three "
+        "numbers per doc. The model never leaves the cluster."
+    ),
+    "sim_ann_range_search": (
+        "Same pinned multi-table LSH candidate join as sim_ann_lsh, but "
+        "the rerank is a plain cosine filter — result size is "
+        "data-driven (radius semantics), no window, no K."
+    ),
+    "tokenizer_bpe_top_merges": (
+        "Per-word fan-out bounded by word length; pair key gets map-side "
+        "partial counting before one exchange; head selection is "
+        "TakeOrderedAndProject like the vocab census."
+    ),
+    "curation_quality_by_cluster": (
+        "Assignment is a broadcast crossJoin against K literal trained "
+        "centroids; the modality join ships only (id, cluster) x (id, "
+        "score) — neither text nor vectors cross the shuffle; final "
+        "groupBy reduces K rows with the decimal-mean discipline."
+    ),
     "dedup_components": (
         "Iterative min-label propagation: per round one shuffle on the "
         "neighbor join key, lineage truncated by eager localCheckpoint "
