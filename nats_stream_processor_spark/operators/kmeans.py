@@ -158,6 +158,37 @@ def _collect_sample(e: DataFrame, sample_n: int) -> list[list[float]]:
     return [[float(x) for x in r.demb] for r in rows]
 
 
+# Trained-index memo: training is deterministic (fixed init, fixed
+# iterations, order-independent arithmetic), so for a given file-backed
+# corpus and hyperparameters the centroids/codebooks are a pure function —
+# retraining per query would be like faiss rebuilding its index per
+# search. Keyed by the scan's file set; DataFrames with no input files
+# (in-memory test fixtures) are never cached. Bounded: corpora-per-process
+# is small, but guard against pathological churn anyway.
+_TRAIN_CACHE: dict = {}
+_TRAIN_CACHE_MAX = 64
+
+
+def _train_cache_key(e: DataFrame, *params):
+    try:
+        files = tuple(sorted(e.inputFiles()))
+    except Exception:
+        return None
+    if not files:
+        return None
+    return (files, *params)
+
+
+def _train_cached(key, build):
+    if key is None:
+        return build()
+    if key not in _TRAIN_CACHE:
+        if len(_TRAIN_CACHE) >= _TRAIN_CACHE_MAX:
+            _TRAIN_CACHE.clear()
+        _TRAIN_CACHE[key] = build()
+    return _TRAIN_CACHE[key]
+
+
 def _mean6(sum_col, n_col):
     """The dsum-pattern mean: exact decimal sum -> round4 -> double -> /n
     -> stable round6 (see _round6_stable for why not F.round)."""
@@ -196,6 +227,13 @@ def train_ivf_centroids(e: DataFrame, k: int | None = None,
             sample_n = train_sample_for(k)
     if sample_n is None:
         sample_n = TRAIN_SAMPLE_N
+    key = _train_cache_key(e, "ivf", k, iters, sample_n)
+    return _train_cached(
+        key, lambda: _train_ivf_uncached(e, k, iters, sample_n))
+
+
+def _train_ivf_uncached(e: DataFrame, k: int, iters: int,
+                        sample_n: int) -> list[list[float]]:
     vecs = _collect_sample(e, sample_n)
     cents = [list(v) for v in vecs[:k]]
     dim = len(cents[0])
@@ -300,6 +338,13 @@ def train_pq_codebook(e: DataFrame, iters: int = PQ_TRAIN_ITERS,
     squared-L2 assignment). Returns cb[s][c] = PQ_SUB-dim centroid.
     Default path: one sample collect, in-process iterations (identical
     arithmetic; oracle CTE replays it)."""
+    key = _train_cache_key(e, "pq", iters, sample_n)
+    return _train_cached(
+        key, lambda: _train_pq_uncached(e, iters, sample_n))
+
+
+def _train_pq_uncached(e: DataFrame, iters: int,
+                       sample_n: int) -> list[list[list[float]]]:
     m, sub, kk = sim.PQ_M, sim.PQ_SUB, sim.PQ_K
     vecs = _collect_sample(e, sample_n)
     cb = sim.pq_codebook_from(vecs)
