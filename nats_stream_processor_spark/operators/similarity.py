@@ -95,10 +95,17 @@ def dot_weights_sql(weights: list[float], b: str) -> str:
     """Unrolled dot with one side a Python literal vector, inlined per term
     (indexing a literal list per element would replicate the whole list
     dim times in the SQL text). Fold order and operand order match
-    dot(plane_lit(w), demb) on the Spark side exactly."""
+    dot(plane_lit(w), demb) on the Spark side exactly.
+
+    Weights are inlined as CAST('<repr>' AS DOUBLE): a bare numeric
+    literal parses as DECIMAL, and DuckDB's DECIMAL->DOUBLE cast is not
+    correctly rounded (observed 1 ulp off for 17-significant-digit
+    literals, caught by test_dot_sql_forms_bit_identical) — the
+    string->double parse IS correctly rounded and matches Spark's
+    F.lit(w) bit-for-bit."""
     e = "CAST(0.0 AS DOUBLE)"
     for i, w in enumerate(weights, start=1):
-        e = f"({e} + {w!r} * {b}[{i}])"
+        e = f"({e} + CAST('{w!r}' AS DOUBLE) * {b}[{i}])"
     return e
 
 

@@ -2140,3 +2140,69 @@ def q_quality_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("mean_quality"))
         .orderBy("cluster_id")
     )
+
+
+# ----------------------------------------------------- soft dedup weighting
+
+@register(
+    "dedup_soft_weights",
+    oracle=f"""
+    {_SH_CTE.replace("WITH ", "WITH RECURSIVE ", 1)},
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b
+        WHERE {jaccard_sql('sa.sids', 'sb.sids')} >= {NEAR_DUP_JACCARD}),
+    nodes AS (SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION SELECT doc_b AS doc_id FROM pairs)),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    comp AS (SELECT src AS doc_id, min(dst) AS comp
+             FROM reach GROUP BY src),
+    sized AS (SELECT doc_id, comp,
+                     count(*) OVER (PARTITION BY comp) AS comp_size
+              FROM comp)
+    SELECT d.doc_id,
+           coalesce(s.comp, d.doc_id) AS comp,
+           CAST(coalesce(s.comp_size, 1) AS BIGINT) AS comp_size,
+           {sim.round6_stable_sql(
+               '1.0 / coalesce(s.comp_size, 1)')} AS weight
+    FROM documents d LEFT JOIN sized s ON s.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    tags=("llm", "dedup-soft", "iterative"),
+)
+def q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: instead of DROPPING near-duplicates, weight every
+    document by 1/|its duplicate cluster| so each piece of content
+    contributes one unit of training signal however many times it was
+    crawled — the downweight-don't-delete policy some mixing pipelines
+    prefer over hard removal (keeps coverage, kills repetition bias).
+    Documents outside any near-dup cluster are singletons with weight 1.
+
+    Scale shape: the same banded MinHash pair generation and iterative
+    min-label components as dedup_components; cluster sizes are one
+    count per comp key; the final left join ships only (doc_id, comp,
+    size) against the doc-id spine. Weight = 1/n is an int ratio that
+    can terminate at a decimal boundary, hence stable rounding."""
+    pairs = _minhash_pairs(spark, sf_dir, fast=False).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    sized = comp.withColumn(
+        "comp_size", F.count("*").over(Window.partitionBy("comp")))
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        d.join(sized, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", F.col("doc_id")).alias("comp"),
+            F.coalesce("comp_size", F.lit(1)).cast("bigint")
+            .alias("comp_size"),
+            sim.round6_stable(
+                F.lit(1.0) / F.coalesce("comp_size", F.lit(1)))
+            .alias("weight"))
+        .orderBy("doc_id")
+    )

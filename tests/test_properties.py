@@ -117,3 +117,44 @@ def test_round6_stable_matches_python_twin():
 
     for v in BOUNDARY_VALUES:
         assert _round6_stable(v) == math.floor(v * 1e6 + 0.5) / 1e6
+
+
+# --- cross-engine dot-product contract: the three SQL forms and the
+# in-process fold must produce bit-identical doubles (the LSH buckets,
+# cosine thresholds, and k-means replays all assume this).
+
+vectors = st.lists(
+    st.floats(min_value=-10.0, max_value=10.0,
+              allow_nan=False, allow_infinity=False, width=64),
+    min_size=1, max_size=16)
+
+
+@settings(max_examples=60, deadline=None)
+@given(vectors, vectors)
+def test_dot_sql_forms_bit_identical(a, b):
+    import duckdb
+
+    from nats_stream_processor_spark.operators.kmeans import _dot_py
+    from nats_stream_processor_spark.operators.similarity import (
+        dot_sql,
+        dot_unrolled_sql,
+        dot_weights_sql,
+    )
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    # String-parse each element: bare numeric literals type as DECIMAL in
+    # DuckDB, and the DECIMAL->DOUBLE cast is NOT correctly rounded (two
+    # 1-ulp divergences this test found); CAST('<repr>' AS DOUBLE) is the
+    # correctly-rounded parse, which is what real DOUBLE columns hold.
+    lit = lambda v: ("[" + ", ".join(  # noqa: E731
+        f"CAST('{x!r}' AS DOUBLE)" for x in v) + "]")
+    con = duckdb.connect()
+    lam, unr, wtd = con.execute(
+        f"SELECT {dot_sql(lit(a), lit(b), n)},"
+        f"       {dot_unrolled_sql(lit(a), lit(b), n)},"
+        f"       {dot_weights_sql(a, lit(b))}"
+    ).fetchone()
+    py = _dot_py(a, b)
+    # bit-identical, not approximately equal: all four are the same
+    # left-associated IEEE fold
+    assert lam == unr == wtd == py
