@@ -145,10 +145,6 @@ def plane_lit(weights: list[float]) -> Column:
     return F.array(*[F.lit(w) for w in weights])
 
 
-def plane_sql(weights: list[float]) -> str:
-    return "[" + ", ".join(repr(w) for w in weights) + "]"
-
-
 def lsh_bucket(demb: Column, planes: list[list[float]] | None = None) -> Column:
     """Sign-random-projection bucket id: bit p = (dot(w_p, v) >= 0)."""
     planes = planes or hyperplanes()
