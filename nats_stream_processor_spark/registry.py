@@ -148,3 +148,4 @@ from .queries import enrich as _q_enrich  # noqa: E402,F401
 from .queries import events as _q_events  # noqa: E402,F401
 from .queries import metrics as _q_metrics  # noqa: E402,F401
 from .queries import relational as _q_relational  # noqa: E402,F401
+from .queries import llm_ext as _q_llm_ext  # noqa: E402,F401  (last: keeps the sampled prefix stable)

@@ -1,0 +1,125 @@
+"""Invariants of the round-3 extension queries (queries/llm_ext.py) that
+the oracle hash cannot express: JL cosine preservation, sketch-vs-exact
+tracking, normalization collapse on constructed variants, quartile
+partition/ordering, MAD outlier bounds."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import nats_stream_processor_spark.queries  # noqa: F401  (populate registry)
+from nats_stream_processor_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _release():
+    yield
+    registry.release_pins()
+
+
+def _run(spark, name, sf=SF):
+    return registry.REGISTRY[name].fn(spark, sf)
+
+
+def test_random_projection_preserves_cosine(spark):
+    """JL property at k=16: the per-pair cosine estimate has std ~1/sqrt(k)
+    = 0.25, so the mean |error| over many pairs must sit near E|N(0,.25)|
+    ~ 0.2 (we allow 0.31 = 1.25/sqrt(k)) and the projected similarities
+    must correlate positively with the originals — the statistical
+    contract that makes the projection a usable ANN pre-filter, sized to
+    the theory rather than wishful tightness (measured on this corpus:
+    mean_err 0.201, corr 0.50)."""
+    proj = {r.vec_id: r.rp for r in _run(spark, "embed_random_projection").collect()}
+    orig = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding").collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    ids = sorted(orig)[:40]
+    xs, ys = [], []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            xs.append(cos(orig[a], orig[b]))
+            ys.append(cos(proj[a], proj[b]))
+    assert xs, "no pairs sampled"
+    n = len(xs)
+    mean_err = sum(abs(x - y) for x, y in zip(xs, ys)) / n
+    assert mean_err < 1.25 / math.sqrt(16), f"mean cosine distortion {mean_err:.3f}"
+    mx, my = sum(xs) / n, sum(ys) / n
+    sx = math.sqrt(sum((x - mx) ** 2 for x in xs) / n)
+    sy = math.sqrt(sum((y - my) ** 2 for y in ys) / n)
+    corr = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / (n * sx * sy)
+    assert corr > 0.3, f"projected similarities uncorrelated (r={corr:.3f})"
+
+
+def test_source_similarity_sketch_tracks_exact(spark):
+    """The merged-sketch estimate is an unbiased 32-sample estimator of
+    the exact distinct-shingle Jaccard: per-pair deviation is bounded by
+    the binomial std (~0.09 at j=0.5) and the mean deviation over all
+    pairs must be well inside it."""
+    rows = _run(spark, "corpus_source_similarity").collect()
+    assert rows, "no source pairs"
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 <= r.exact_jaccard <= 1.0
+    errs = [abs(r.est_jaccard - r.exact_jaccard) for r in rows]
+    assert sum(errs) / len(errs) < 0.08, "sketch estimate biased vs exact"
+
+
+def test_dedup_normalized_collapses_variants(spark, tmp_path):
+    """Case / punctuation / whitespace variants of one text collapse into
+    a single normalized group whose canonical id is the minimum doc_id and
+    whose n_raw_variants counts the byte-distinct forms; a different text
+    stays in its own group."""
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!", "en", "s0", 13),
+            (2, "hello world", "en", "s0", 11),
+            (3, "HELLO   WORLD?!", "en", "s1", 15),
+            (4, "hello world", "en", "s1", 11),  # byte-dup of doc 2
+            (5, "entirely different", "en", "s0", 18),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    out = {r.canonical_doc_id: r
+           for r in _run(spark, "dedup_normalized_exact", sf).collect()}
+    assert set(out) == {1, 5}
+    assert out[1].n_docs == 4
+    assert out[1].n_raw_variants == 3  # docs 2 and 4 are byte-identical
+    assert out[5].n_docs == 1 and out[5].n_raw_variants == 1
+
+
+def test_quality_quartiles_partition_documents(spark):
+    """Bins partition the corpus exactly (no doc dropped or double-binned)
+    and bin score ranges are ordered: max of q_i <= min of q_{i+1}."""
+    rows = {r.bin: r for r in _run(spark, "curation_quality_quartiles").collect()}
+    total = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows.values()) == total
+    present = [rows[b] for b in ("q1", "q2", "q3", "q4") if b in rows]
+    for lo, hi in zip(present, present[1:]):
+        assert lo.max_q <= hi.min_q
+        assert lo.min_q <= lo.mean_q <= lo.max_q
+
+
+def test_outliers_mad_bounds(spark):
+    """MAD is the median of deviations, so at most half the rows can sit
+    beyond any multiple > 1 of it; rates and counts must be consistent."""
+    for r in _run(spark, "events_outliers_mad").collect():
+        assert r.mad_value >= 0.0
+        assert 0 <= r.n_outliers <= r.n_events
+        assert r.outlier_rate <= 0.5
+        assert abs(r.outlier_rate - round(r.n_outliers / r.n_events, 6)) < 1e-9

@@ -135,6 +135,38 @@ NOTES = {
         "the blocking key, so the quadratic term is bounded by cluster "
         "size and no all-pairs join exists anywhere in the plan."
     ),
+    "embed_random_projection": (
+        "Map-only: the 16x64 Rademacher matrix is plan literals, the "
+        "projection is one WholeStageCodegen project over the scan — "
+        "no shuffle, no broadcast, no Python. The shape a 100 TB "
+        "pre-ANN reduction pass must have."
+    ),
+    "corpus_source_similarity": (
+        "Sketch merge: per-doc K=32 signatures reduce by component-wise "
+        "min in a partial+final aggregate (shuffle carries 32 longs per "
+        "source), then the pairwise stage joins S sketch rows, not "
+        "documents. The exact-Jaccard twin (unnest + equi-join on "
+        "shingle id) is the verification path and the only part that "
+        "shuffles per-shingle rows."
+    ),
+    "curation_quality_quartiles": (
+        "Quartile boundaries are a 1-row aggregate broadcast back over "
+        "the scored scan (BroadcastNestedLoopJoin with a single-row "
+        "build side), then one partial+final group-by on the 4-value "
+        "bin key. Exact percentile here; percentile_approx swaps in at "
+        "scale with an identical plan shape."
+    ),
+    "events_outliers_mad": (
+        "Two grouped percentile passes (median, MAD) with the tiny "
+        "per-type results broadcast back between them — the fact table "
+        "shuffles on event_type only and is never self-joined."
+    ),
+    "dedup_normalized_exact": (
+        "Both the group key and the variant count are md5 digests "
+        "computed BEFORE the exchange: the shuffle carries 32-byte "
+        "hashes, never document text; countDistinct is the standard "
+        "two-phase partial distinct."
+    ),
 }
 
 
