@@ -373,6 +373,86 @@ def q_events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- distributed Gram matrix
+
+# Products are quantized to a 1e-9 grid and accumulated as int64, making
+# every partial sum EXACT and order-independent — the float-sum analog of
+# operators/relational.dsum for a Python-side accumulation. 1e9 is a double
+# both engines parse identically (e-notation -> DOUBLE in DuckDB too).
+# Bounds: |v| <= ~0.53 in this corpus, so a quantized product is < 2^29 and
+# an int64 partial holds ~2^34 rows before overflow; the cross-partition
+# final sum widens through Spark's long aggregate (document scale: at 1e9+
+# rows per partition, widen the partial dtype or shrink the grid).
+GRAM_QUANT = 1e9
+
+
+def _gram_partials(iterator):
+    """Per-partition partial Gram: O(n_p * d^2) local flops, emits d^2
+    int64 sums — the vectors themselves never shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    dim = sim.EMBED_DIM
+    acc = np.zeros((dim, dim), dtype=np.int64)
+    seen = False
+    for pdf in iterator:
+        if not len(pdf):
+            continue
+        E = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["demb"]])
+        for s in range(0, len(E), 256):  # bound the n*d*d intermediate
+            C = E[s:s + 256]
+            acc += (np.floor(C[:, :, None] * C[:, None, :] * GRAM_QUANT + 0.5)
+                    .astype(np.int64).sum(axis=0))
+        seen = True
+    if seen:
+        ii, jj = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+        yield pd.DataFrame({
+            "i": ii.ravel().astype("int32"),
+            "j": jj.ravel().astype("int32"),
+            "s": acc.ravel(),
+        })
+
+
+@register(
+    "embed_gram_matrix",
+    oracle=f"""
+    WITH e AS (SELECT {sim.as_double_sql('embedding')} AS demb
+               FROM embeddings),
+    idx AS (SELECT unnest(range(1, {sim.EMBED_DIM + 1})) AS ii),
+    p AS (SELECT a.ii AS oi, b.ii AS oj,
+                 sum(CAST(floor(e.demb[a.ii] * e.demb[b.ii] * {GRAM_QUANT!r}
+                                + 0.5) AS BIGINT)) AS s
+          FROM e CROSS JOIN idx a CROSS JOIN idx b GROUP BY 1, 2)
+    SELECT CAST(oi - 1 AS INT) AS i, CAST(oj - 1 AS INT) AS j,
+           {sim.round6_stable_sql(f'CAST(s AS DOUBLE) / {GRAM_QUANT!r}')}
+             AS gram
+    FROM p ORDER BY i, j
+    """,
+    tags=("llm", "embedding", "gram-matrix"),
+)
+def q_embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed d x d Gram matrix (uncentered covariance) of the
+    embedding corpus — the one-pass reduction behind PCA / whitening /
+    low-rank analysis of an embedding table. At 100 TB this is THE way to
+    do PCA on Spark: each partition computes its local E^T E with
+    vectorized NumPy (Arrow batches via mapInPandas), the shuffle carries
+    only d^2 = 4096 numbers per partition, and the driver-side
+    eigendecomposition of a 64x64 matrix is trivial. Quantized int64
+    accumulation (see GRAM_QUANT) makes the result independent of both row
+    order and partitioning, so the distributed sum is value-checked
+    bit-for-bit against DuckDB's single-threaded replay."""
+    e = spread(table(spark, sf_dir, "embeddings")).select(
+        sim.as_double(F.col("embedding")).alias("demb"))
+    partials = e.mapInPandas(_gram_partials, "i int, j int, s long")
+    return (
+        partials.groupBy("i", "j").agg(F.sum("s").alias("s"))
+        .select("i", "j",
+                sim.round6_stable(
+                    F.col("s").cast("double") / F.lit(GRAM_QUANT)).alias("gram"))
+        .orderBy("i", "j")
+    )
+
+
 # Guard against silent drift between the module's pinned constants and the
 # shared minhash parameter set (the ssig merge relies on component order).
 assert len(minhash_params(MINHASH_K)) == MINHASH_K

@@ -265,6 +265,52 @@ def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {dsum_sql("CAST(l_extendedprice AS DECIMAL(18,2))"
+                     " * (1 - CAST(l_discount AS DECIMAL(4,2)))",
+                     'DECIMAL(30,6)')} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    tags=("join", "inner", "topk", "tpch-q3"),
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter -> 3-way join -> grouped
+    revenue -> global top-10. Both date predicates and the segment filter
+    push to the scans (PushedFilters); the filtered customer side is
+    broadcast-eligible so the only real shuffle is lineitem x orders on
+    orderkey; the final top-10 is TakeOrderedAndProject (per-partition
+    heaps, no global sort). Ties broken by l_orderkey so the LIMIT
+    boundary is deterministic cross-engine."""
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev.cast("decimal(30,6)")), 4)
+             .cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey").limit(10)
+    )
+
+
+@register(
     "join_left_customer_orders",
     oracle=f"""
     SELECT c_mktsegment,

@@ -115,6 +115,37 @@ def test_quality_quartiles_partition_documents(spark):
         assert lo.min_q <= lo.mean_q <= lo.max_q
 
 
+def test_gram_matrix_matches_numpy_and_is_symmetric(spark):
+    """The distributed quantized accumulation equals a single-process
+    NumPy E^T E on the same quantization grid (partition independence),
+    and the result is a valid Gram matrix: symmetric with non-negative
+    diagonal."""
+    import numpy as np
+
+    rows = _run(spark, "embed_gram_matrix").collect()
+    dim = 64
+    G = np.zeros((dim, dim))
+    for r in rows:
+        G[r.i, r.j] = r.gram
+    assert np.array_equal(G, G.T), "Gram matrix not symmetric"
+    assert (np.diag(G) >= 0).all()
+
+    E = np.stack([
+        np.asarray(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    ])
+    expected = np.floor(E[:, :, None] * E[:, None, :] * 1e9 + 0.5).sum(0) / 1e9
+    expected = np.floor(expected * 1e6 + 0.5) / 1e6  # round6_stable
+    assert np.abs(G - expected).max() == 0.0
+
+
+def test_shipping_priority_topk_is_ordered_and_bounded(spark):
+    rows = registry.REGISTRY["join_shipping_priority"].fn(spark, SF).collect()
+    assert 0 < len(rows) <= 10
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
 def test_outliers_mad_bounds(spark):
     """MAD is the median of deviations, so at most half the rows can sit
     beyond any multiple > 1 of it; rates and counts must be consistent."""

@@ -167,6 +167,19 @@ NOTES = {
         "hashes, never document text; countDistinct is the standard "
         "two-phase partial distinct."
     ),
+    "embed_gram_matrix": (
+        "Distributed PCA prep: each partition computes its local E^T E "
+        "in vectorized NumPy (one ArrowEvalPython/mapInPandas stage), "
+        "the exchange carries d^2 = 4096 int64 partials per partition "
+        "— never a vector. Quantized int64 accumulation makes the "
+        "result partitioning-independent, hence oracle-checkable."
+    ),
+    "join_shipping_priority": (
+        "TPC-H Q3: all three filters reach the scans (PushedFilters), "
+        "the filtered BUILDING customers broadcast, lineitem x orders "
+        "is the single real shuffle, and the top-10 is "
+        "TakeOrderedAndProject — no global sort."
+    ),
 }
 
 
