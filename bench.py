@@ -122,20 +122,54 @@ def stream_posts_per_sec(spark, sf_dir: str) -> tuple[float, float, int]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _stream_only(sf_dir: str) -> int:
+    """Measure ONLY streaming and print one JSON line — run in a child
+    process so its JVM is fresh (see main)."""
+    from nats_stream_processor_spark.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    rps, rps10, _ = stream_posts_per_sec(spark, sf_dir)
+    print(json.dumps({"streaming_posts": rps, "streaming_posts_10x": rps10}))
+    spark.stop()
+    return 0
+
+
+def _measure_streaming_isolated(sf_dir: str) -> tuple[float, float]:
+    """Run the streaming measurement in a CHILD python process with its
+    own JVM. Isolation matters in both directions: the 60+ batch plans
+    age a JVM enough to cost the short streaming passes ~40% (measured
+    3,343 posts/s fresh vs 2,076 after the batch sweep), and r3 measured
+    the converse — running the ~6 streaming passes first costs the batch
+    sweep ~20% (17.3 s vs 14.2 s headline). Separate JVMs give each side
+    its production shape: a streaming service is a long-lived session
+    with few stable plans; a batch engine starts clean per job. The
+    processes run strictly sequentially — never two 32-thread JVMs at
+    once."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--stream-only"],
+        capture_output=True, text=True, env=os.environ.copy(), check=True)
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    d = json.loads(line)
+    return d["streaming_posts"], d["streaming_posts_10x"]
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--stream-only" in sys.argv:
+        return _stream_only(sf_dir)
+
+    # Child JVM measures streaming first and exits before the batch
+    # session starts (see _measure_streaming_isolated).
+    stream_rps, stream_rps_10x = _measure_streaming_isolated(sf_dir)
+
     from nats_stream_processor_spark import registry
     from nats_stream_processor_spark.session import get_spark
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-
-    # Streaming first: the 60+ batch plans below age the JVM (code-cache /
-    # GC pressure) enough to cost the short streaming passes ~40% (measured
-    # 3,343 posts/s fresh vs 2,076 after the batch sweep). A production
-    # streaming service runs in its own long-lived session with a handful
-    # of stable plan shapes, so the fresh-session figure is the honest one.
-    stream_rps, stream_rps_10x, _ = stream_posts_per_sec(spark, sf_dir)
 
     def run(name: str) -> tuple[float, int]:
         # Time construction + execution: iterative queries (connected

@@ -16,7 +16,7 @@ pipeline surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import minhash_params
@@ -30,7 +30,12 @@ from ..operators.dedup import (
     token_hashes_32_col,
     token_hashes_32_duck_sql,
 )
-from ..operators.textstats import quality_cols, quality_sql
+from ..operators.textstats import (
+    quality_cols,
+    quality_sql,
+    token_stats_cols,
+    token_stats_sql,
+)
 from ..registry import pin, register, spread, table
 
 # ------------------------------------------------- JL random projection
@@ -450,6 +455,141 @@ def q_embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sim.round6_stable(
                     F.col("s").cast("double") / F.lit(GRAM_QUANT)).alias("gram"))
         .orderBy("i", "j")
+    )
+
+
+# --------------------------------------- temperature-scaled source sampling
+
+# Temperature alpha = 0.5 -> weight = sqrt(share). sqrt is IEEE
+# correctly-rounded in both engines (unlike pow/exp/ln), so the weights
+# are bit-identical — the one temperature that needs no transcendental
+# tolerance. The denominator (a sum of 20 doubles) folds in sorted source
+# order on BOTH sides: Spark's unordered partial aggregation would
+# otherwise sum in a partition-dependent order and drift ulps from the
+# single-threaded oracle.
+
+
+@register(
+    "sample_temperature_by_source",
+    oracle=f"""
+    WITH s AS (SELECT source,
+                      CAST(sum({token_stats_sql('text')['est_bpe_tokens']})
+                        AS BIGINT) AS n_tokens
+               FROM documents GROUP BY 1),
+    t AS (SELECT source, n_tokens,
+                 n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE) AS share,
+                 sqrt(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE)) AS w
+          FROM s),
+    d AS (SELECT list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                                list(w ORDER BY source)),
+                   (acc, x) -> acc + x) AS denom
+          FROM t)
+    SELECT source, n_tokens,
+           {sim.round6_stable_sql('share')} AS token_share,
+           {sim.round6_stable_sql('w / denom')} AS sample_weight
+    FROM t CROSS JOIN d ORDER BY source
+    """,
+    tags=("llm", "curation", "temperature-sampling"),
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (alpha = 0.5): the standard
+    up/down-weighting rule for unbalanced corpora — sampling weight
+    proportional to share^alpha flattens the source distribution so big
+    crawls stop drowning small high-quality feeds (the mT5/XLM-R mixing
+    rule, here at the one alpha whose power function is exact in IEEE
+    arithmetic).
+
+    One token-count aggregate (exact int sums), then all weight math runs
+    on a ~|sources|-row intermediate: the share divides by an exact int
+    total, the weight is a correctly-rounded sqrt, and the normalizing
+    denominator is an ordered fold over the sorted source list so both
+    engines add the same doubles in the same order. The fact scan is the
+    only full-corpus cost at any scale."""
+    d = table(spark, sf_dir, "documents")
+    est = token_stats_cols(F.col("text"))["est_bpe_tokens"]
+    s = d.groupBy("source").agg(F.sum(est).cast("long").alias("n_tokens"))
+    w_all = Window.partitionBy()
+    t = s.select(
+        "source", "n_tokens",
+        (F.col("n_tokens") / F.sum("n_tokens").over(w_all).cast("double")
+         ).alias("share"))
+    t = t.withColumn("w", F.sqrt(F.col("share")))
+    denom = t.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "w"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["w"],
+        ).alias("denom"))
+    return (
+        t.crossJoin(F.broadcast(denom))
+        .select("source", "n_tokens",
+                sim.round6_stable(F.col("share")).alias("token_share"),
+                sim.round6_stable(F.col("w") / F.col("denom"))
+                .alias("sample_weight"))
+        .orderBy("source")
+    )
+
+
+# ------------------------------------------------- EWMA over hourly rates
+
+# Decay 0.5 on integer counts keeps every intermediate a dyadic rational:
+# the fold arithmetic is EXACT in double precision, so the only rounding
+# is the final 6-dp emit. y_0 = x_0, y_t = 0.5*x_t + 0.5*y_{t-1}, folded
+# in ascending hour order on both sides.
+
+
+@register(
+    "events_rate_ewma",
+    oracle=f"""
+    WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                      count(*) AS cnt
+               FROM events GROUP BY 1, 2),
+    srt AS (SELECT event_type,
+                   list_transform(list(cnt ORDER BY hr),
+                                  c -> CAST(c AS DOUBLE)) AS cnts,
+                   count(*) AS n_hours, max(cnt) AS max_hourly
+            FROM h GROUP BY 1)
+    SELECT event_type, n_hours, max_hourly,
+           {sim.round6_stable_sql(
+               'list_reduce(cnts, (acc, x) -> 0.5 * x + 0.5 * acc)')}
+             AS ewma_rate
+    FROM srt ORDER BY event_type
+    """,
+    tags=("llm", "events", "ewma"),
+)
+def q_events_rate_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of hourly event rates per
+    type — the smoothing behind "is this feed's rate drifting" monitors.
+    Implemented as an ORDERED FOLD over each type's hour-sorted count
+    series (Spark sort_array + aggregate; DuckDB list(... ORDER BY) +
+    list_reduce): streaming-style recurrences are expressible in batch
+    Spark without a UDF when the per-key series is bounded (here: hours
+    per type — 8.8k/year — comfortably an array; for unbounded keys this
+    becomes applyInPandasWithState, streaming/stateful.py).
+
+    Shuffles: one partial+final count on (type, hour), one (type) fold on
+    the tiny hourly grid. Decay 0.5 makes the fold exact (see module
+    note), so the distributed result is value-checked, not
+    approximately-checked."""
+    e = table(spark, sf_dir, "events")
+    h = (e.groupBy("event_type",
+                   F.date_trunc("hour", F.col("ts")).alias("hr"))
+         .agg(F.count("*").alias("cnt")))
+    srt = h.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("hr", "cnt"))),
+            lambda x: x["cnt"].cast("double")).alias("cnts"),
+        F.count("*").alias("n_hours"),
+        F.max("cnt").alias("max_hourly"))
+    ewma = F.aggregate(
+        F.slice(F.col("cnts"), 2, F.greatest(F.size("cnts") - 1, F.lit(0))),
+        F.element_at(F.col("cnts"), 1),
+        lambda acc, x: F.lit(0.5) * x + F.lit(0.5) * acc)
+    return (
+        srt.select("event_type", "n_hours", "max_hourly",
+                   sim.round6_stable(ewma).alias("ewma_rate"))
+        .orderBy("event_type")
     )
 
 

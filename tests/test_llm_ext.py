@@ -146,6 +146,43 @@ def test_shipping_priority_topk_is_ordered_and_bounded(spark):
     assert revs == sorted(revs, reverse=True)
 
 
+def test_temperature_weights_flatten_shares(spark):
+    """alpha=0.5 compresses the mixture: weights sum to 1, preserve the
+    share ordering, and the weight/share ratio is strictly larger for
+    smaller sources (up-weighting the tail is the whole point)."""
+    rows = _run(spark, "sample_temperature_by_source").collect()
+    assert len(rows) > 1
+    assert abs(sum(r.sample_weight for r in rows) - 1.0) < 2e-6 * len(rows)
+    by_share = sorted(rows, key=lambda r: r.token_share)
+    weights = [r.sample_weight for r in by_share]
+    assert weights == sorted(weights), "weights must preserve share order"
+    lo, hi = by_share[0], by_share[-1]
+    if lo.token_share < hi.token_share:
+        assert (lo.sample_weight / lo.token_share
+                > hi.sample_weight / hi.token_share)
+
+
+def test_ewma_matches_python_replay(spark):
+    """Decay-0.5 EWMA is exact dyadic arithmetic: the distributed ordered
+    fold must equal a single-threaded Python replay bit-for-bit (after
+    the shared 6-dp emit rounding)."""
+    from collections import defaultdict
+
+    rows = {r.event_type: r for r in _run(spark, "events_rate_ewma").collect()}
+    counts: dict = defaultdict(lambda: defaultdict(int))
+    for r in spark.read.parquet(f"{SF}/events.parquet").collect():
+        counts[r.event_type][r.ts.replace(minute=0, second=0, microsecond=0)] += 1
+    for et, per_hour in counts.items():
+        series = [float(per_hour[h]) for h in sorted(per_hour)]
+        acc = series[0]
+        for x in series[1:]:
+            acc = 0.5 * x + 0.5 * acc
+        import math
+        expected = math.floor(acc * 1e6 + 0.5) / 1e6
+        assert rows[et].ewma_rate == expected
+        assert rows[et].n_hours == len(series)
+
+
 def test_outliers_mad_bounds(spark):
     """MAD is the median of deviations, so at most half the rows can sit
     beyond any multiple > 1 of it; rates and counts must be consistent."""

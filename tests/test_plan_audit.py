@@ -190,3 +190,19 @@ def test_vocab_topk_is_take_ordered_not_global_window(spark):
     # The rank Window must CONSUME the TakeOrdered output (K rows), i.e.
     # sit above it in the tree — parents print first in simple mode.
     assert p.index("Window") < p.index("TakeOrderedAndProject")
+
+
+def test_scan_partition_estimate_matches_planner(spark):
+    """spread()'s file-size estimate of the scan's split count (the cheap
+    path that avoids a physical-planning round-trip per call) must equal
+    what the planner actually produces, for every driver table."""
+    for t in ("documents", "embeddings", "lineitem", "events", "orders"):
+        df = spark.read.parquet(f"{SF}/{t}.parquet")
+        assert registry._is_scan_narrow_plan(df)
+        est = registry._estimated_scan_partitions(spark, df)
+        assert est == df.rdd.getNumPartitions(), t
+    # narrow transforms keep the fast path; wide ones must leave it
+    nr = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    assert registry._is_scan_narrow_plan(nr)
+    assert not registry._is_scan_narrow_plan(nr.repartition(4))
+    assert not registry._is_scan_narrow_plan(nr.groupBy("doc_id").count())

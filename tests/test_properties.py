@@ -158,3 +158,43 @@ def test_dot_sql_forms_bit_identical(a, b):
     # bit-identical, not approximately equal: all four are the same
     # left-associated IEEE fold
     assert lam == unr == wtd == py
+
+
+# --------------------------------------------- normalization parity
+
+@settings(max_examples=25, deadline=None)
+@given(batch=st.lists(
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", categories=(
+                "Lu", "Ll", "Nd", "Po", "Zs", "Sm", "So", "Pd")),
+        max_size=60),
+    min_size=1, max_size=8))
+def test_normalized_key_matches_duckdb(spark, batch):
+    """dedup_normalized_exact's group key must be engine-independent for
+    arbitrary unicode, not just the ASCII-ish corpus: Spark's
+    lower+regexp_replace+trim+md5 chain and the DuckDB twin must produce
+    the same digest for the same input, or normalized dedup groups would
+    differ between the engine and the oracle. (Both engines strip every
+    non-[a-z0-9] codepoint AFTER lowercasing, so only characters that
+    lowercase INTO ascii letters can influence the key — this hammers
+    that mapping with uppercase/lowercase/digit/punct/space/symbol
+    planes.)"""
+    import duckdb
+
+    import pyspark.sql.functions as SF
+    from nats_stream_processor_spark.queries.llm_ext import _NORM_RE
+
+    df = spark.createDataFrame([(t,) for t in batch], "text string")
+    norm = SF.trim(SF.regexp_replace(SF.lower(SF.col("text")), _NORM_RE, " "))
+    got_spark = [r.k for r in df.select(SF.md5(norm).alias("k")).collect()]
+
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            f"SELECT md5(trim(regexp_replace(lower(?), '{_NORM_RE}', ' ', 'g')))",
+            [t],
+        ).fetchone()[0]
+        for t in batch
+    ]
+    assert got_spark == got_duck

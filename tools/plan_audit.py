@@ -180,6 +180,18 @@ NOTES = {
         "is the single real shuffle, and the top-10 is "
         "TakeOrderedAndProject — no global sort."
     ),
+    "sample_temperature_by_source": (
+        "One exact int token-count aggregate over the corpus; all "
+        "weight math (sqrt temperature, ordered-fold normalizer) runs "
+        "on the |sources|-row intermediate with the 1-row denominator "
+        "broadcast back. The scan is the only full-corpus cost."
+    ),
+    "events_rate_ewma": (
+        "Streaming-style recurrence in batch: partial+final count on "
+        "(type, hour), then a per-type ordered fold over the hour-"
+        "sorted array — no UDF, no global sort; the fold input is the "
+        "tiny hourly grid, bounded per key."
+    ),
 }
 
 
