@@ -593,6 +593,107 @@ def q_events_rate_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------- source-vs-corpus JS divergence
+
+# Per-token JS terms involve ln(), whose libm implementations may differ
+# by 1 ulp across engines; summing thousands of such doubles in Spark's
+# partition-dependent order would drift further. Each term is therefore
+# quantized to a 1e-12 grid and accumulated as int64 (the transcendental
+# analog of the Gram-matrix trick): the sum is exact and
+# order-independent, a 1-ulp ln() difference moves the total by at most
+# n_tokens * 1e-12 — absorbed by the final 6-dp rounding. Term magnitude
+# < 1 and vocab < ~1e6, so the int64 never overflows.
+JS_QUANT = 1e12
+
+
+@register(
+    "text_js_divergence_by_source",
+    oracle=f"""
+    WITH tok AS (SELECT source,
+                        unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                          AS tok
+                 FROM documents),
+    st AS (SELECT source, tok, count(*) AS n_st FROM tok GROUP BY 1, 2),
+    tt AS (SELECT tok, CAST(sum(n_st) AS BIGINT) AS n_t FROM st GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS n FROM tt),
+    ns AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s
+           FROM st GROUP BY 1),
+    terms AS (
+        SELECT st.source,
+               CAST(floor(
+                 (0.5 * (st.n_st / CAST(ns.n_s AS DOUBLE))
+                      * ln((st.n_st / CAST(ns.n_s AS DOUBLE))
+                           / (0.5 * (st.n_st / CAST(ns.n_s AS DOUBLE)
+                                     + tt.n_t / CAST(tot.n AS DOUBLE))))
+                  + 0.5 * (tt.n_t / CAST(tot.n AS DOUBLE))
+                      * ln((tt.n_t / CAST(tot.n AS DOUBLE))
+                           / (0.5 * (st.n_st / CAST(ns.n_s AS DOUBLE)
+                                     + tt.n_t / CAST(tot.n AS DOUBLE)))))
+                 * {JS_QUANT!r} + 0.5) AS BIGINT) AS term_q,
+               CAST(floor((tt.n_t / CAST(tot.n AS DOUBLE))
+                          * {JS_QUANT!r} + 0.5) AS BIGINT) AS cov_q
+        FROM st JOIN tt USING (tok) JOIN ns USING (source) CROSS JOIN tot)
+    SELECT source, ns.n_s AS n_tokens,
+           {sim.round6_stable_sql(
+               f'(sum(term_q) / {JS_QUANT!r})'
+               f' + 0.5 * ln(2) * (1 - sum(cov_q) / {JS_QUANT!r})')}
+             AS js_nats
+    FROM terms JOIN ns USING (source)
+    GROUP BY source, ns.n_s ORDER BY source
+    """,
+    tags=("llm", "text-divergence"),
+)
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    from the corpus distribution — the standard domain-shift / mixture
+    diagnostic (which feeds look nothing like the rest of the corpus).
+    Tokens absent from a source contribute 0.5*q*ln2 to its JS; that tail
+    is folded in analytically via the source's corpus-mass coverage
+    (1 - sum of q over the source's own vocabulary), so the join stays on
+    (source, token) pairs that EXIST — never the |sources| x |vocab|
+    cross product.
+
+    Shuffles: (source, token) partial counts, a token-keyed join to the
+    corpus token table, then a per-source reduce of two exact int64 sums
+    (see JS_QUANT). One corpus scan; everything after the first aggregate
+    is vocabulary-sized."""
+    from ..functions.text import tokens_col
+
+    d = spread(table(spark, sf_dir, "documents"))
+    tok = d.select("source", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    st = tok.groupBy("source", "tok").agg(F.count("*").alias("n_st"))
+    st = pin(st)
+    tt = st.groupBy("tok").agg(F.sum("n_st").alias("n_t"))
+    ns = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    tot = tt.agg(F.sum("n_t").alias("n"))
+
+    j = (st.join(tt, "tok")
+         .join(F.broadcast(ns), "source")
+         .crossJoin(F.broadcast(tot)))
+    p = F.col("n_st") / F.col("n_s").cast("double")
+    q = F.col("n_t") / F.col("n").cast("double")
+    m = F.lit(0.5) * (p + q)
+    term = (F.lit(0.5) * p * F.log(p / m)
+            + F.lit(0.5) * q * F.log(q / m))
+    qf = F.lit(JS_QUANT)
+    terms = j.select(
+        "source",
+        F.floor(term * qf + F.lit(0.5)).cast("long").alias("term_q"),
+        F.floor(q * qf + F.lit(0.5)).cast("long").alias("cov_q"))
+    agg = terms.groupBy("source").agg(
+        F.sum("term_q").alias("sum_term"), F.sum("cov_q").alias("sum_cov"))
+    return (
+        agg.join(F.broadcast(ns), "source")
+        .select(
+            "source", F.col("n_s").alias("n_tokens"),
+            sim.round6_stable(
+                (F.col("sum_term") / qf)
+                + F.lit(0.5) * F.log(F.lit(2.0))
+                * (F.lit(1) - F.col("sum_cov") / qf)).alias("js_nats"))
+        .orderBy("source")
+    )
+
+
 # Guard against silent drift between the module's pinned constants and the
 # shared minhash parameter set (the ssig merge relies on component order).
 assert len(minhash_params(MINHASH_K)) == MINHASH_K

@@ -183,6 +183,18 @@ def test_ewma_matches_python_replay(spark):
         assert rows[et].n_hours == len(series)
 
 
+def test_js_divergence_bounds(spark):
+    """JS divergence is bounded: 0 <= JS <= ln 2 (in nats), and every
+    source with tokens gets a row."""
+    rows = _run(spark, "text_js_divergence_by_source").collect()
+    n_sources = (spark.read.parquet(f"{SF}/documents.parquet")
+                 .select("source").distinct().count())
+    assert len(rows) == n_sources
+    for r in rows:
+        assert -1e-9 <= r.js_nats <= math.log(2) + 1e-9, r
+        assert r.n_tokens > 0
+
+
 def test_outliers_mad_bounds(spark):
     """MAD is the median of deviations, so at most half the rows can sit
     beyond any multiple > 1 of it; rates and counts must be consistent."""

@@ -192,6 +192,13 @@ NOTES = {
         "sorted array — no UDF, no global sort; the fold input is the "
         "tiny hourly grid, bounded per key."
     ),
+    "text_js_divergence_by_source": (
+        "One corpus scan -> (source, token) partial counts; the "
+        "missing-token tail is folded in analytically via corpus-mass "
+        "coverage, so no |sources| x |vocab| cross product exists. "
+        "ln() terms quantize to int64 before the exchange — the "
+        "per-source sum is exact and partitioning-independent."
+    ),
 }
 
 
