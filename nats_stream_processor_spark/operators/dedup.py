@@ -203,11 +203,34 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     reliable checkpoint dir; this is the GraphX/GraphFrames CC pattern
     without the library dependency). The driver-side loop carries only a
     convergence count, never data."""
+    import math
     import warnings
 
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.localCheckpoint(eager=True)
+
+    # The iteration graph is the near-dup PAIR set — orders of magnitude
+    # smaller than the corpus (256 edges at sf0.1 vs 5k docs). Size the
+    # loop's shuffle width to IT, not to the corpus-wide session default:
+    # with AQE the post-shuffle tasks coalesce either way (the loop's
+    # wall clock is driver/job-latency bound locally, ~0.3 s/round), but
+    # the map side still writes one shuffle file per configured partition
+    # — 200 near-empty files per job per round under a driver-default
+    # session. ~100k edges per task; the session default is the ceiling
+    # so a billion-edge graph at 100 TB still fans out fully.
+    spark = edges.sparkSession
+    n_edges = sym.count()
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_p = max(1, min(int(prev_shuffle), math.ceil(n_edges / 100_000)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_p))
+    try:
+        return _cc_loop(sym, max_iter, warnings)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+
+def _cc_loop(sym: DataFrame, max_iter: int, warnings) -> DataFrame:
     labels = (sym.select(F.col("a").alias("node")).distinct()
               .withColumn("comp", F.col("node"))
               .localCheckpoint(eager=True))
