@@ -115,31 +115,64 @@ def asof_join(
     right_time: str,
     right_cols: Sequence[str],
     tie_breaker: str | None = None,
+    direction: str = "backward",
+    tolerance_s: int | None = None,
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the single right row with the
-    greatest ``right_time`` <= ``left_time`` sharing the equi keys ``on``.
+    """As-of join: for each left row, ONE right row sharing the equi keys
+    ``on``, picked by time.
+
+    - ``backward`` (default): greatest ``right_time`` <= ``left_time``
+      (pandas merge_asof semantics).
+    - ``forward``: smallest ``right_time`` >= ``left_time``.
+    - ``nearest``: minimum |right_time - left_time|; REQUIRES
+      ``tolerance_s`` so the candidate band is bounded (an unbounded
+      nearest join would make every right row per key a candidate — a
+      per-key cross product at scale). Ties (equal distance either side)
+      resolve to the earlier right row, then ``tie_breaker`` desc.
+    ``tolerance_s`` optionally bounds backward/forward too (rows further
+    than the tolerance get NULLs, and the join condition tightens — at
+    100 TB a bounded band is also what lets a range-partitioned layout
+    prune).
 
     Implementation: equi join with the range predicate, then ``row_number``
-    per left row ordered by right_time desc (``tie_breaker`` desc makes the
-    pick deterministic when right_time ties). Catalyst plans the equi part
-    as a regular (broadcast/sort-merge) join and pushes the range condition
-    into the join, so this scales like any equi join — the window only sees
-    each left row's candidate set.
+    per left row (``tie_breaker`` desc makes the pick deterministic when
+    right_time ties). Catalyst plans the equi part as a regular
+    (broadcast/sort-merge) join and pushes the range condition into the
+    join, so this scales like any equi join — the window only sees each
+    left row's candidate set.
 
     At extreme right-side cardinality per key, prefer bucketing both sides
     on ``on`` so the join is shuffle-free; the window reuses the join's
     partitioning (no second shuffle) because its partition keys include the
     join keys.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction: {direction!r}")
+    if direction == "nearest" and tolerance_s is None:
+        raise ValueError("nearest as-of requires tolerance_s (see docstring)")
     rt = F.col(f"__r.{right_time}")
-    order = [rt.desc()]
+    lt = F.col(f"__l.{left_time}")
+    dist = F.unix_timestamp(rt) - F.unix_timestamp(lt)
+    if direction == "backward":
+        order = [rt.desc()]
+        range_cond = [rt <= lt]
+        if tolerance_s is not None:
+            range_cond.append(-dist <= tolerance_s)
+    elif direction == "forward":
+        order = [rt.asc()]
+        range_cond = [rt >= lt]
+        if tolerance_s is not None:
+            range_cond.append(dist <= tolerance_s)
+    else:  # nearest
+        order = [F.abs(dist).asc(), rt.asc()]
+        range_cond = [F.abs(dist) <= tolerance_s]
     if tie_breaker:
         order.append(F.col(f"__r.{tie_breaker}").desc())
     # A synthetic unique id keeps the dedup window narrow (partition by one
     # long) regardless of the caller's schema.
     lid = left.alias("__l").withColumn("__lid", F.monotonically_increasing_id())
     r = right.alias("__r")
-    cond = [lid[k] == r[k] for k in on] + [rt <= F.col(f"__l.{left_time}")]
+    cond = [lid[k] == r[k] for k in on] + range_cond
     joined = lid.join(r, cond, "left")
     w = Window.partitionBy("__lid").orderBy(*order)
     out = (

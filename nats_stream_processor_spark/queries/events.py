@@ -185,6 +185,44 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_next_order",
+    oracle="""
+    SELECT event_id, user_id, o_orderkey AS next_orderkey,
+           o_totalprice AS next_totalprice
+    FROM events LEFT JOIN orders
+      ON o_custkey = user_id AND o_orderdate >= ts
+    QUALIFY row_number() OVER (PARTITION BY event_id
+                               ORDER BY o_orderdate ASC, o_orderkey DESC) = 1
+    ORDER BY event_id
+    """,
+    tags=("join", "asof", "forward"),
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each event picks the matching customer's next
+    order at-or-after the event — the attribution-style lookup (what did
+    this click lead to). Same equi+range join plus per-left-row
+    row_number shape as the backward variant; only the range direction
+    and pick order flip (operators/relational.py asof_join
+    direction='forward'; 'nearest' with a mandatory tolerance band is
+    the third variant, exercised in tests)."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "user_id")
+    out = asof_join(
+        ev, o, on=["user_id"], left_time="ts", right_time="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"], tie_breaker="o_orderkey",
+        direction="forward",
+    )
+    return (
+        out.select(
+            "event_id", "user_id",
+            F.col("o_orderkey").alias("next_orderkey"),
+            F.col("o_totalprice").alias("next_totalprice"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
     "events_funnel",
     oracle="""
     WITH v AS (SELECT user_id, min(ts) AS t_view FROM events

@@ -1136,37 +1136,29 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sim_ann_ivf_pq",
-    oracle=f"""
-    {_IVF_CTE},
-    {km.pq_train_cb_cte_sql()},
-    codes AS (SELECT vec_id, {sim.pq_codes_sql('demb')} AS codes
-              FROM e CROSS JOIN cbrow),
-    scored AS (
-        SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
-               {sim.pq_adc_dist_sql('p.q_demb', 'x.codes')} AS adist
-        FROM probes p
-        JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id != p.query_id
-        JOIN codes x ON x.vec_id = a.vec_id
-        CROSS JOIN cbrow)
-    SELECT query_id, neighbor_id, adist, rn FROM (
-        SELECT *, row_number() OVER (PARTITION BY query_id
-                                     ORDER BY adist, neighbor_id) AS rn
-        FROM scored)
-    WHERE rn <= 5 ORDER BY query_id, rn
-    """,
-    tags=("llm", "ann-ivf-pq"),
-)
-def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ — the complete billion-vector ANN layout: coarse-quantize
-    into nlist inverted lists (sim_ann_ivf's assignment), store 4-bit PQ
-    codes per vector (sim_ann_pq's encoding), and answer a query by
-    probing its nprobe nearest lists and ADC-scoring only the CODES in
-    those lists. Per query the scan touches nprobe/nlist of the corpus at
-    8 small ints per vector — centroids and the query's lookup tables are
-    the only floats in flight. Both approximations are value-checked by
-    the composed oracle."""
+# Shared IVF-PQ candidate stage (training + coarse lists + 4-bit codes +
+# ADC scoring) — the common prefix of the plain top-k query below and the
+# exact-re-rank variant in queries/llm_ext.py.
+IVF_PQ_SCORED_CTE = f"""
+{_IVF_CTE},
+{km.pq_train_cb_cte_sql()},
+codes AS (SELECT vec_id, {sim.pq_codes_sql('demb')} AS codes
+          FROM e CROSS JOIN cbrow),
+scored AS (
+    SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+           {sim.pq_adc_dist_sql('p.q_demb', 'x.codes')} AS adist
+    FROM probes p
+    JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id != p.query_id
+    JOIN codes x ON x.vec_id = a.vec_id
+    CROSS JOIN cbrow)
+"""
+
+
+def ivf_pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of IVF_PQ_SCORED_CTE: (query_id, neighbor_id, adist)
+    candidates from probing the query's IVF lists and ADC-scoring their
+    PQ codes. Training is memoized per corpus (operators/kmeans.py), so
+    sharing this between queries retrains nothing."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", sim.as_double(F.col("embedding")).alias("demb"))
     n = e.select("vec_id", "demb", sim.norm(F.col("demb")).alias("nrm"))
@@ -1194,7 +1186,7 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("cent_id").alias("p_cent_id"))
               .select("query_id", "p_cent_id",
                       *[luts[s].alias(f"lut{s}") for s in range(sim.PQ_M)]))
-    scored = (
+    return (
         F.broadcast(probes)
         .join(assign, (F.col("cent_id") == F.col("p_cent_id"))
               & (F.col("vec_id") != F.col("query_id")))
@@ -1204,6 +1196,30 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                     [F.col(f"lut{s}") for s in range(sim.PQ_M)]).alias("adist"))
         .distinct()
     )
+
+
+@register(
+    "sim_ann_ivf_pq",
+    oracle=f"""
+    {IVF_PQ_SCORED_CTE}
+    SELECT query_id, neighbor_id, adist, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adist, neighbor_id) AS rn
+        FROM scored)
+    WHERE rn <= 5 ORDER BY query_id, rn
+    """,
+    tags=("llm", "ann-ivf-pq"),
+)
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the complete billion-vector ANN layout: coarse-quantize
+    into nlist inverted lists (sim_ann_ivf's assignment), store 4-bit PQ
+    codes per vector (sim_ann_pq's encoding), and answer a query by
+    probing its nprobe nearest lists and ADC-scoring only the CODES in
+    those lists. Per query the scan touches nprobe/nlist of the corpus at
+    8 small ints per vector — centroids and the query's lookup tables are
+    the only floats in flight. Both approximations are value-checked by
+    the composed oracle."""
+    scored = ivf_pq_scored(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
     return (
         scored.withColumn("rn", F.row_number().over(w))

@@ -694,6 +694,82 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------- IVF-PQ + exact re-rank
+
+REFINE_C = 16  # ADC candidates kept per query before the exact re-rank
+
+# Registered after queries/llm.py (registry import order), so its shared
+# candidate-stage CTE and Spark builder are importable directly.
+from .llm import IVF_PQ_SCORED_CTE as _IVF_PQ_SCORED_CTE  # noqa: E402
+from .llm import ivf_pq_scored as _ivf_pq_scored  # noqa: E402
+
+
+@register(
+    "sim_ann_ivf_pq_refine",
+    oracle=f"""
+    {_IVF_PQ_SCORED_CTE},
+    topc AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adist, neighbor_id) AS ra
+            FROM scored)
+        WHERE ra <= {REFINE_C}),
+    exact AS (
+        SELECT t.query_id, t.neighbor_id,
+               {sim.round6_stable_sql(
+                   sim.dot_sql('nq.demb', 'nc.demb')
+                   + ' / (nq.nrm * nc.nrm)')} AS cos6
+        FROM topc t
+        JOIN n nq ON nq.vec_id = t.query_id
+        JOIN n nc ON nc.vec_id = t.neighbor_id)
+    SELECT query_id, neighbor_id, cos6, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos6 DESC, neighbor_id) AS rn
+        FROM exact)
+    WHERE rn <= 5 ORDER BY query_id, rn
+    """,
+    tags=("llm", "ann-ivf-pq-refine"),
+)
+def q_ann_ivf_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact re-rank — the last stage of the production ANN
+    stack: ADC-score the probed lists' 4-bit codes (cheap, approximate),
+    keep the top REFINE_C candidates per query, then re-rank ONLY those
+    against the raw vectors with exact cosine and emit the top 5. The
+    expensive float reads drop from |probed lists| to C per query, which
+    is what makes billion-vector refine affordable; the quantization
+    error that ADC introduces is corrected where it matters (the head).
+
+    Plan: the shared scored stage (queries/llm.py ivf_pq_scored — memoized
+    training, broadcast probes), a WindowGroupLimit top-C, then an
+    id-equi-join back to the raw vectors for the C survivors only."""
+    scored = _ivf_pq_scored(spark, sf_dir)
+    wa = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    topc = (scored.withColumn("ra", F.row_number().over(wa))
+            .filter(F.col("ra") <= REFINE_C)
+            .select("query_id", "neighbor_id"))
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("demb"))
+    n = e.select("vec_id", "demb", sim.norm(F.col("demb")).alias("nrm"))
+    q = n.select(F.col("vec_id").alias("query_id"),
+                 F.col("demb").alias("q_demb"), F.col("nrm").alias("q_nrm"))
+    c = n.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("demb").alias("c_demb"), F.col("nrm").alias("c_nrm"))
+    exact = (
+        topc.join(q, "query_id").join(c, "neighbor_id")
+        .select("query_id", "neighbor_id",
+                sim.round6_stable(
+                    sim.dot(F.col("q_demb"), F.col("c_demb"))
+                    / (F.col("q_nrm") * F.col("c_nrm"))).alias("cos6"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos6").desc(), "neighbor_id")
+    return (
+        exact.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 5)
+        .orderBy("query_id", "rn")
+    )
+
+
 # Guard against silent drift between the module's pinned constants and the
 # shared minhash parameter set (the ssig merge relies on component order).
 assert len(minhash_params(MINHASH_K)) == MINHASH_K

@@ -117,3 +117,40 @@ def test_connected_components_transitive(spark):
     got = {r["doc_id"]: r["comp"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_asof_join_directions(spark):
+    """backward / forward / nearest(tolerance) semantics on a constructed
+    frame: pick side, tie resolution, tolerance NULLs."""
+    from nats_stream_processor_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", "2024-01-01 10:00:00"),
+         (2, "k", "2024-01-01 23:00:00")],
+        "lid long, k string, lt string",
+    ).select("lid", "k", F.col("lt").cast("timestamp").alias("lt"))
+    right = spark.createDataFrame(
+        [(10, "k", "2024-01-01 09:00:00"),
+         (11, "k", "2024-01-01 10:30:00"),
+         (12, "k", "2024-01-02 12:00:00")],
+        "rid long, k string, rt string",
+    ).select("rid", "k", F.col("rt").cast("timestamp").alias("rt"))
+
+    def picks(**kw):
+        out = asof_join(left, right, on=["k"], left_time="lt",
+                        right_time="rt", right_cols=["rid"], **kw)
+        return {r.lid: r.rid for r in out.collect()}
+
+    assert picks(direction="backward") == {1: 10, 2: 11}
+    assert picks(direction="forward") == {1: 11, 2: 12}
+    # nearest within 2h: row 1 -> 10:30 (30min beats 60min); row 2 has
+    # nothing within 2h -> NULL
+    assert picks(direction="nearest", tolerance_s=7200) == {1: 11, 2: None}
+    # bounded backward: nothing within 30 minutes of either left row
+    assert picks(direction="backward", tolerance_s=1800) == {1: None, 2: None}
+    # widen to 12.5 h: row 1 reaches 9:00, row 2 reaches 10:30 (inclusive)
+    assert picks(direction="backward", tolerance_s=45000) == {1: 10, 2: 11}
+    with pytest.raises(ValueError):
+        picks(direction="nearest")
+    with pytest.raises(ValueError):
+        picks(direction="sideways")

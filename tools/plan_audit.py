@@ -192,6 +192,12 @@ NOTES = {
         "sorted array — no UDF, no global sort; the fold input is the "
         "tiny hourly grid, bounded per key."
     ),
+    "sim_ann_ivf_pq_refine": (
+        "Refine stage: WindowGroupLimit keeps ADC top-C per query, then "
+        "the exact-cosine re-rank joins raw vectors by id for the C "
+        "survivors only — float reads drop from |probed lists| to C per "
+        "query. Training memoized; probes broadcast."
+    ),
     "text_js_divergence_by_source": (
         "One corpus scan -> (source, token) partial counts; the "
         "missing-token tail is folded in analytically via corpus-mass "
