@@ -770,6 +770,77 @@ def q_ann_ivf_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------- logistic-regression training
+
+from ..operators import logreg as lg  # noqa: E402
+
+_LG_FEAT_CTE = (
+    "feat AS (SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, "
+    + ", ".join(f"{sql} AS x_{name}"
+                for name, sql in lg.feature_sql("text").items())
+    + " FROM documents)"
+)
+
+
+@register(
+    "train_quality_logreg",
+    oracle=f"""
+    WITH {_LG_FEAT_CTE},
+    {lg.logreg_train_cte_sql()},
+    acc AS (SELECT count(*) AS n_docs,
+                   {sim.round6_stable_sql(
+                       "count(*) FILTER (WHERE ("
+                       + lg.margin_sql('w')
+                       + " >= 0) = (f.y = 1.0)) / CAST(count(*) AS DOUBLE)")}
+                     AS accuracy
+            FROM feat f CROSS JOIN w{lg.ROUNDS} w)
+    SELECT pos, feature, weight, n_docs, accuracy
+    FROM {lg.weights_rows_sql()} CROSS JOIN acc
+    ORDER BY pos
+    """,
+    tags=("llm", "train-logreg", "iterative"),
+)
+def q_train_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training (full-batch GD, 5 rounds,
+    lr=0.5): learn to predict `lang == 'en'` from the deterministic
+    quality signals — the weak-label quality-classifier bootstrap every
+    curation pipeline runs, expressed Spark-first. Each round is ONE pass
+    over the cached feature projection producing |w| exact quantized
+    gradient sums (operators/logreg.py); only the 4-number gradient
+    reaches the driver. The DuckDB oracle replays training CTE-for-CTE,
+    so the LEARNED WEIGHTS themselves are value-checked, like the k-means
+    index training. Accuracy is margin-sign based (no sigmoid at the
+    decision boundary)."""
+    import math
+
+    d = table(spark, sf_dir, "documents")
+    fcols = lg.feature_cols(F.col("text"))
+    feat = d.select(
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0))
+        .alias("y"),
+        *[c.alias(f"x_{name}") for name, c in fcols.items()])
+    feat = pin(feat)
+    weights = lg.train_logreg(feat)
+
+    m = F.lit(0.0)
+    for w, name in zip(weights, lg.FEATURES):
+        m = m + F.lit(w) * F.col(f"x_{name}")
+    acc = feat.agg(
+        F.count("*").alias("n_docs"),
+        sim.round6_stable(
+            F.count(F.when((m >= 0) == (F.col("y") == 1.0), 1))
+            / F.count("*").cast("double")).alias("accuracy"))
+    wdf = spark.createDataFrame(
+        [(i, name, math.floor(w * 1e6 + 0.5) / 1e6)
+         for i, (name, w) in enumerate(zip(lg.FEATURES, weights))],
+        "pos int, feature string, weight double")
+    return (
+        wdf.crossJoin(F.broadcast(acc))
+        .select("pos", "feature", "weight", "n_docs", "accuracy")
+        .orderBy("pos")
+    )
+
+
 # Guard against silent drift between the module's pinned constants and the
 # shared minhash parameter set (the ssig merge relies on component order).
 assert len(minhash_params(MINHASH_K)) == MINHASH_K

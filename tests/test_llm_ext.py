@@ -195,6 +195,22 @@ def test_js_divergence_bounds(spark):
         assert r.n_tokens > 0
 
 
+def test_logreg_training_learns(spark):
+    """5 GD rounds must actually move the weights off the zero init, and
+    the emitted metrics must be internally consistent."""
+    from nats_stream_processor_spark.operators.logreg import FEATURES
+
+    rows = sorted(_run(spark, "train_quality_logreg").collect(),
+                  key=lambda r: r.pos)
+    assert [r.feature for r in rows] == list(FEATURES)
+    assert any(abs(r.weight) > 1e-6 for r in rows), "weights never moved"
+    n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    for r in rows:
+        assert r.n_docs == n
+        assert 0.0 <= r.accuracy <= 1.0
+        assert abs(r.weight) < 10.0, "weights diverged"
+
+
 def test_outliers_mad_bounds(spark):
     """MAD is the median of deviations, so at most half the rows can sit
     beyond any multiple > 1 of it; rates and counts must be consistent."""

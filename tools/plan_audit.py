@@ -192,6 +192,13 @@ NOTES = {
         "sorted array — no UDF, no global sort; the fold input is the "
         "tiny hourly grid, bounded per key."
     ),
+    "train_quality_logreg": (
+        "Distributed full-batch GD: per round, one pass over the cached "
+        "feature projection with map-side partial aggregation of 4 "
+        "quantized-int gradient sums; only the gradient vector reaches "
+        "the driver. The final plan is the weight literals joined to a "
+        "1-row accuracy aggregate."
+    ),
     "sim_ann_ivf_pq_refine": (
         "Refine stage: WindowGroupLimit keeps ADC top-C per query, then "
         "the exact-cosine re-rank joins raw vectors by id for the C "
