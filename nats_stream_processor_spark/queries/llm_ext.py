@@ -841,6 +841,107 @@ def q_train_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- iterative BPE training
+
+BPE_ROUNDS = 3
+
+
+def _bpe_merge_syms(syms, a: str, b: str):
+    """Apply one BPE merge (a,b)->ab greedily left-to-right (leftmost,
+    non-overlapping — 'bbb' under (b,b) becomes ['bb','b']). try_element_at
+    returns NULL on the empty accumulator, matching DuckDB's acc[-1]."""
+    return F.aggregate(
+        syms, F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                     F.array(F.lit(a + b))),
+        ).otherwise(F.concat(acc, F.array(x))))
+
+
+def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
+    pair_cte = (
+        "p{r} AS (SELECT p.a AS a, p.b AS b, CAST(sum(n) AS BIGINT) AS cnt"
+        " FROM (SELECT n, unnest(list_transform(range(1, len(syms)),"
+        " i -> {{'a': syms[i], 'b': syms[i+1]}})) AS p"
+        " FROM v{prev}) GROUP BY 1, 2)")
+    best_cte = ("b{r} AS (SELECT a, b, a || b AS m, cnt FROM p{r}"
+                " ORDER BY cnt DESC, a, b LIMIT 1)")
+    merge_cte = (
+        "v{r} AS (SELECT n, list_reduce("
+        "list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, x -> [x])),"
+        " (acc, x) -> CASE WHEN acc[-1] = b{r}.a AND x[1] = b{r}.b"
+        " THEN list_append(acc[:-2], b{r}.m)"
+        " ELSE list_append(acc, x[1]) END) AS syms"
+        " FROM v{prev} CROSS JOIN b{r})")
+    parts = [
+        "w0 AS (SELECT w, count(*) AS n FROM ("
+        "SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w"
+        " FROM documents) GROUP BY 1)",
+        "v0 AS (SELECT n, string_split(w, '') AS syms FROM w0)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(pair_cte.format(r=r, prev=r - 1))
+        parts.append(best_cte.format(r=r))
+        if r < rounds:
+            parts.append(merge_cte.format(r=r, prev=r - 1))
+    final = " UNION ALL ".join(
+        f"SELECT {r} AS merge_round, a AS left_sym, b AS right_sym,"
+        f" m AS merged, cnt AS n_occ FROM b{r}"
+        for r in range(1, rounds + 1))
+    return "WITH " + ",\n".join(parts) + f"\n{final} ORDER BY merge_round"
+
+
+@register(
+    "tokenizer_bpe_train",
+    oracle=_bpe_oracle(),
+    tags=("llm", "bpe-train", "iterative"),
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer training, rounds 1..3: count adjacent
+    symbol pairs over the WORD-FREQUENCY table (not the corpus — classic
+    BPE trains on the vocabulary, so per-round cost is vocab-sized and
+    corpus-size independent after the first count), pick the most
+    frequent pair (ties: lexicographic), apply the merge greedily
+    left-to-right everywhere, repeat. Extends tokenizer_bpe_top_merges
+    (the first-pass counts) into the actual training loop; the merge
+    table IS the tokenizer artifact.
+
+    All arithmetic is integer counting and string concatenation — no
+    float anywhere — so the oracle's CTE-chain replay is exact by
+    construction. The driver collects ONE row per round (the winning
+    pair); merges are applied executor-side via an array fold."""
+    d = spread(table(spark, sf_dir, "documents"))
+    from ..functions.text import tokens_col
+
+    words = (d.select(F.explode(tokens_col(F.col("text"))).alias("w"))
+             .groupBy("w").agg(F.count("*").alias("n")))
+    cur = pin(words.select("n", F.split("w", "").alias("syms")))
+    merges = []
+    for r in range(1, BPE_ROUNDS + 1):
+        pairs = cur.select(
+            "n",
+            F.explode(F.zip_with(
+                F.slice("syms", F.lit(1), F.size("syms") - 1),
+                F.slice("syms", F.lit(2), F.size("syms") - 1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )).alias("p"))
+        pc = (pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+              .agg(F.sum("n").alias("cnt")))
+        best = pc.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()[0]
+        merges.append((r, best.a, best.b, best.a + best.b, int(best.cnt)))
+        if r < BPE_ROUNDS:
+            cur = cur.select(
+                "n", _bpe_merge_syms(F.col("syms"), best.a, best.b)
+                .alias("syms"))
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, left_sym string, right_sym string,"
+        " merged string, n_occ long",
+    ).orderBy("merge_round")
+
+
 # Guard against silent drift between the module's pinned constants and the
 # shared minhash parameter set (the ssig merge relies on component order).
 assert len(minhash_params(MINHASH_K)) == MINHASH_K

@@ -211,6 +211,21 @@ def test_logreg_training_learns(spark):
         assert abs(r.weight) < 10.0, "weights diverged"
 
 
+def test_bpe_train_merge_table(spark):
+    """BPE invariants: one merge per round, merged symbol is the pair
+    concatenation, and winning counts are non-increasing (a later round's
+    best pair either existed before — whose count merging can only shrink
+    — or involves the merged symbol, bounded by its occurrence count)."""
+    rows = sorted(_run(spark, "tokenizer_bpe_train").collect(),
+                  key=lambda r: r.merge_round)
+    assert [r.merge_round for r in rows] == [1, 2, 3]
+    for r in rows:
+        assert r.merged == r.left_sym + r.right_sym
+        assert r.n_occ > 0
+    counts = [r.n_occ for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
 def test_outliers_mad_bounds(spark):
     """MAD is the median of deviations, so at most half the rows can sit
     beyond any multiple > 1 of it; rates and counts must be consistent."""

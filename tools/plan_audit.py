@@ -192,6 +192,14 @@ NOTES = {
         "sorted array — no UDF, no global sort; the fold input is the "
         "tiny hourly grid, bounded per key."
     ),
+    "tokenizer_bpe_train": (
+        "BPE rounds run on the word-frequency table, not the corpus: "
+        "after the one corpus-wide vocab count, each round is a "
+        "vocab-sized pair explode + partial-agg + TakeOrdered(1); the "
+        "driver collects a single winning pair per round and the merge "
+        "applies executor-side as an array fold. Integer-only — exact "
+        "by construction."
+    ),
     "train_quality_logreg": (
         "Distributed full-batch GD: per round, one pass over the cached "
         "feature projection with map-side partial aggregation of 4 "
