@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import minhash_params
+from ..functions.hashing import hash32_sql_duck, minhash_params
 from ..operators import similarity as sim
 from ..operators.dedup import (
     MINHASH_K,
@@ -940,6 +940,100 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge_round int, left_sym string, right_sym string,"
         " merged string, n_occ long",
     ).orderBy("merge_round")
+
+
+# ------------------------------------- DSIR-style importance weighting
+
+# Hashed-bigram importance resampling weights (Xie et al., "Data
+# Selection for Language Models via Importance Resampling"): score each
+# document by how much more likely its hashed n-gram profile is under a
+# TARGET distribution than under the RAW corpus distribution. Target
+# here: the lang='en' slice. B buckets keep both distributions as tiny
+# broadcastable tables at any corpus size.
+DSIR_BUCKETS = 1024
+
+
+@register(
+    "curation_dsir_weights",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang,
+                      regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+               FROM documents),
+    bg AS (SELECT doc_id, lang,
+                  unnest(list_transform(range(1, len(toks)),
+                         i -> {hash32_sql_duck("toks[i] || '_' || toks[i+1]")}
+                              % {DSIR_BUCKETS})) AS b
+           FROM t),
+    ct AS (SELECT b, count(*) FILTER (WHERE lang = 'en') AS n_t,
+                  count(*) AS n_r
+           FROM bg GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS nt,
+                   CAST(sum(n_r) AS BIGINT) AS nr FROM ct),
+    terms AS (
+        SELECT bg.doc_id,
+               CAST(floor(ln(((ct.n_t + 1) / CAST(tot.nt + {DSIR_BUCKETS}
+                                              AS DOUBLE))
+                            / ((ct.n_r + 1) / CAST(tot.nr + {DSIR_BUCKETS}
+                                               AS DOUBLE)))
+                          * {JS_QUANT!r} + 0.5) AS BIGINT) AS lw_q
+        FROM bg JOIN ct USING (b) CROSS JOIN tot)
+    SELECT d.doc_id,
+           coalesce(s.n_bigrams, 0) AS n_bigrams,
+           {sim.round6_stable_sql(
+               f'coalesce(s.slw, 0) / {JS_QUANT!r}')} AS dsir_logw
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, count(*) AS n_bigrams,
+                      CAST(sum(lw_q) AS BIGINT) AS slw
+               FROM terms GROUP BY 1) s ON s.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    tags=("llm", "curation", "dsir"),
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance log-weights per document: hashed token
+    bigrams -> B-bucket target (lang='en') and raw distributions with
+    add-1 smoothing -> per-doc sum of log likelihood ratios. Documents
+    that look like the target get positive weights; the weights drive
+    importance RESAMPLING of a raw crawl toward a quality domain.
+
+    Scale shape: one (doc, bucket) explode, one B-row aggregate
+    (broadcast back — B=1024 regardless of corpus size), and a per-doc
+    sum of quantized-int terms (order-independent; same exactness
+    discipline as the JS-divergence query). The corpus scans once."""
+    from ..functions.hashing import hash32_col
+    from ..functions.text import tokens_col
+
+    d = spread(table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", "lang", tokens_col(F.col("text")).alias("toks"))
+    bg = t.select(
+        "doc_id", "lang",
+        F.explode(F.zip_with(
+            F.slice("toks", F.lit(1), F.size("toks") - 1),
+            F.slice("toks", F.lit(2), F.size("toks") - 1),
+            lambda a, b: hash32_col(F.concat(a, F.lit("_"), b))
+            % DSIR_BUCKETS,
+        )).alias("b"))
+    bg = pin(bg)
+    ct = bg.groupBy("b").agg(
+        F.count(F.when(F.col("lang") == "en", 1)).alias("n_t"),
+        F.count("*").alias("n_r"))
+    tot = ct.agg(F.sum("n_t").alias("nt"), F.sum("n_r").alias("nr"))
+    j = bg.join(F.broadcast(ct), "b").crossJoin(F.broadcast(tot))
+    p_t = (F.col("n_t") + 1) / (F.col("nt") + F.lit(DSIR_BUCKETS)).cast("double")
+    p_r = (F.col("n_r") + 1) / (F.col("nr") + F.lit(DSIR_BUCKETS)).cast("double")
+    lw_q = F.floor(F.log(p_t / p_r) * F.lit(JS_QUANT) + F.lit(0.5)).cast("long")
+    s = (j.select("doc_id", lw_q.alias("lw_q"))
+         .groupBy("doc_id")
+         .agg(F.count("*").alias("n_bigrams"), F.sum("lw_q").alias("slw")))
+    return (
+        d.select("doc_id").join(s, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                sim.round6_stable(
+                    F.coalesce("slw", F.lit(0)) / F.lit(JS_QUANT))
+                .alias("dsir_logw"))
+        .orderBy("doc_id")
+    )
 
 
 # Guard against silent drift between the module's pinned constants and the

@@ -226,6 +226,22 @@ def test_bpe_train_merge_table(spark):
     assert counts == sorted(counts, reverse=True)
 
 
+def test_dsir_weights_favor_target_slice(spark):
+    """The importance weights must do their one job: documents from the
+    target slice (lang='en') score higher on average than the rest."""
+    rows = _run(spark, "curation_dsir_weights").collect()
+    langs = {r.doc_id: r.lang for r in
+             spark.read.parquet(f"{SF}/documents.parquet")
+             .select("doc_id", "lang").collect()}
+    en = [r.dsir_logw for r in rows if langs[r.doc_id] == "en"]
+    rest = [r.dsir_logw for r in rows if langs[r.doc_id] != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+    for r in rows:
+        if r.n_bigrams == 0:
+            assert r.dsir_logw == 0.0
+
+
 def test_outliers_mad_bounds(spark):
     """MAD is the median of deviations, so at most half the rows can sit
     beyond any multiple > 1 of it; rates and counts must be consistent."""

@@ -192,6 +192,12 @@ NOTES = {
         "sorted array — no UDF, no global sort; the fold input is the "
         "tiny hourly grid, bounded per key."
     ),
+    "curation_dsir_weights": (
+        "Hashed-bigram explode, ONE B=1024-row distribution aggregate "
+        "broadcast back over the pinned bigram table, then a per-doc "
+        "sum of quantized-int log-ratio terms. The corpus scans once; "
+        "both distributions stay broadcast-sized at any corpus."
+    ),
     "tokenizer_bpe_train": (
         "BPE rounds run on the word-frequency table, not the corpus: "
         "after the one corpus-wide vocab count, each round is a "
