@@ -152,7 +152,11 @@ def asof_join(
         raise ValueError("nearest as-of requires tolerance_s (see docstring)")
     rt = F.col(f"__r.{right_time}")
     lt = F.col(f"__l.{left_time}")
-    dist = F.unix_timestamp(rt) - F.unix_timestamp(lt)
+    # Seconds with full sub-second precision: a double holds epoch
+    # microseconds exactly (< 2^53). unix_timestamp() would truncate to
+    # whole seconds and mis-pick 'nearest' / shift tolerance bands by up
+    # to 1 s on sub-second timestamps.
+    dist = rt.cast("double") - lt.cast("double")
     if direction == "backward":
         order = [rt.desc()]
         range_cond = [rt <= lt]

@@ -822,9 +822,9 @@ def q_train_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = pin(feat)
     weights = lg.train_logreg(feat)
 
-    m = F.lit(0.0)
-    for w, name in zip(weights, lg.FEATURES):
-        m = m + F.lit(w) * F.col(f"x_{name}")
+    # lg._margin is the fold-order contract with the oracle — reuse it
+    # rather than re-deriving the fold here.
+    m = lg._margin(weights)
     acc = feat.agg(
         F.count("*").alias("n_docs"),
         sim.round6_stable(
@@ -951,6 +951,12 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 # here: the lang='en' slice. B buckets keep both distributions as tiny
 # broadcastable tables at any corpus size.
 DSIR_BUCKETS = 1024
+# Per-gram quantization grid. Coarser than JS_QUANT on purpose: the
+# per-DOC sum must stay inside int64 for pathological documents —
+# |ln ratio| < ~35, so a gram term is < 3.5e10 and a 100M-bigram
+# document still sums to < 2^62. (A 1-ulp ln() difference flips a grid
+# cell only within ~3.5e-6 of a boundary; the 6-dp emit absorbs it.)
+DSIR_QUANT = 1e9
 
 
 @register(
@@ -975,12 +981,12 @@ DSIR_BUCKETS = 1024
                                               AS DOUBLE))
                             / ((ct.n_r + 1) / CAST(tot.nr + {DSIR_BUCKETS}
                                                AS DOUBLE)))
-                          * {JS_QUANT!r} + 0.5) AS BIGINT) AS lw_q
+                          * {DSIR_QUANT!r} + 0.5) AS BIGINT) AS lw_q
         FROM bg JOIN ct USING (b) CROSS JOIN tot)
     SELECT d.doc_id,
            coalesce(s.n_bigrams, 0) AS n_bigrams,
            {sim.round6_stable_sql(
-               f'coalesce(s.slw, 0) / {JS_QUANT!r}')} AS dsir_logw
+               f'coalesce(s.slw, 0) / {DSIR_QUANT!r}')} AS dsir_logw
     FROM documents d
     LEFT JOIN (SELECT doc_id, count(*) AS n_bigrams,
                       CAST(sum(lw_q) AS BIGINT) AS slw
@@ -1008,8 +1014,8 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = t.select(
         "doc_id", "lang",
         F.explode(F.zip_with(
-            F.slice("toks", F.lit(1), F.size("toks") - 1),
-            F.slice("toks", F.lit(2), F.size("toks") - 1),
+            F.slice("toks", F.lit(1), F.greatest(F.size("toks") - 1, F.lit(0))),
+            F.slice("toks", F.lit(2), F.greatest(F.size("toks") - 1, F.lit(0))),
             lambda a, b: hash32_col(F.concat(a, F.lit("_"), b))
             % DSIR_BUCKETS,
         )).alias("b"))
@@ -1021,7 +1027,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = bg.join(F.broadcast(ct), "b").crossJoin(F.broadcast(tot))
     p_t = (F.col("n_t") + 1) / (F.col("nt") + F.lit(DSIR_BUCKETS)).cast("double")
     p_r = (F.col("n_r") + 1) / (F.col("nr") + F.lit(DSIR_BUCKETS)).cast("double")
-    lw_q = F.floor(F.log(p_t / p_r) * F.lit(JS_QUANT) + F.lit(0.5)).cast("long")
+    lw_q = F.floor(F.log(p_t / p_r) * F.lit(DSIR_QUANT) + F.lit(0.5)).cast("long")
     s = (j.select("doc_id", lw_q.alias("lw_q"))
          .groupBy("doc_id")
          .agg(F.count("*").alias("n_bigrams"), F.sum("lw_q").alias("slw")))
@@ -1030,7 +1036,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id",
                 F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
                 sim.round6_stable(
-                    F.coalesce("slw", F.lit(0)) / F.lit(JS_QUANT))
+                    F.coalesce("slw", F.lit(0)) / F.lit(DSIR_QUANT))
                 .alias("dsir_logw"))
         .orderBy("doc_id")
     )

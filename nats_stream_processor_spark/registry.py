@@ -97,20 +97,32 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-# Estimated scan-partition counts, keyed by the scan's file list. File
-# sizes are stable for a session (testdata is immutable), so the estimate
-# never needs recomputing — and the first computation is pure os.stat, no
-# Spark planning at all.
-_SCAN_PARTS_CACHE: dict[tuple[str, ...], int] = {}
+# Estimated scan-partition counts, keyed by (file list, split confs,
+# parallelism). File sizes are stable for a session (testdata is
+# immutable), so the estimate never needs recomputing — and the first
+# computation is pure os.stat, no Spark planning at all.
+_SCAN_PARTS_CACHE: dict[tuple, int] = {}
+
+
+_BYTE_SUFFIX = {"b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+                "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30,
+                "t": 1 << 40, "tb": 1 << 40}
 
 
 def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a Spark byte-string conf ('134217728b', '128m', '1g', bare
+    number = bytes) — NOT digits-only stripping, which would read '128m'
+    as 128 bytes and invert the spread() gate."""
     try:
-        raw = str(spark.conf.get(key, str(default)))
+        raw = str(spark.conf.get(key, str(default))).strip().lower()
     except Exception:
         return default
-    digits = "".join(ch for ch in raw if ch.isdigit())
-    return int(digits) if digits else default
+    num = raw.rstrip("abcdefghijklmnopqrstuvwxyz")
+    suffix = raw[len(num):]
+    try:
+        return int(float(num)) * _BYTE_SUFFIX.get(suffix, 1)
+    except ValueError:
+        return default
 
 
 _WIDE_PLAN_MARKERS = ("Repartition", "Join", "Aggregate", "Sort",
@@ -151,7 +163,15 @@ def _estimated_scan_partitions(spark: SparkSession, df: DataFrame) -> int | None
         return None
     if not files:
         return None
-    key = tuple(sorted(files))
+    max_pb = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes",
+                         128 * 1024 * 1024)
+    open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes",
+                            4 * 1024 * 1024)
+    par = spark.sparkContext.defaultParallelism
+    # The estimate depends on the split confs and parallelism, so they are
+    # part of the cache key — a recreated session with different settings
+    # must not inherit another session's count.
+    key = (tuple(sorted(files)), max_pb, open_cost, par)
     hit = _SCAN_PARTS_CACHE.get(key)
     if hit is not None:
         return hit
@@ -164,11 +184,6 @@ def _estimated_scan_partitions(spark: SparkSession, df: DataFrame) -> int | None
             sizes.append(os.path.getsize(u.path))
         except OSError:
             return None
-    max_pb = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes",
-                         128 * 1024 * 1024)
-    open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes",
-                            4 * 1024 * 1024)
-    par = spark.sparkContext.defaultParallelism
     bytes_per_core = (sum(sizes) + len(sizes) * open_cost) // max(par, 1)
     max_split = min(max_pb, max(open_cost, bytes_per_core))
     # Replay FilePartition.getFilePartitions: chunk each file into

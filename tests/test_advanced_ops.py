@@ -154,3 +154,33 @@ def test_asof_join_directions(spark):
         picks(direction="nearest")
     with pytest.raises(ValueError):
         picks(direction="sideways")
+
+
+def test_asof_nearest_subsecond_precision(spark):
+    """Time distance must keep sub-second precision: with microsecond
+    timestamps, 0.2 s away must beat 0.9 s away (regression:
+    unix_timestamp truncation picked the wrong row)."""
+    from nats_stream_processor_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", "2024-01-01 10:00:00.900")],
+        "lid long, k string, lt string",
+    ).select("lid", "k", F.col("lt").cast("timestamp").alias("lt"))
+    right = spark.createDataFrame(
+        [(10, "k", "2024-01-01 10:00:00.000"),
+         (11, "k", "2024-01-01 10:00:01.100")],
+        "rid long, k string, rt string",
+    ).select("rid", "k", F.col("rt").cast("timestamp").alias("rt"))
+    out = asof_join(left, right, on=["k"], left_time="lt", right_time="rt",
+                    right_cols=["rid"], direction="nearest", tolerance_s=5)
+    assert out.collect()[0].rid == 11
+
+
+def test_conf_bytes_parses_suffixed_sizes(spark):
+    from nats_stream_processor_spark.registry import _conf_bytes
+
+    for raw, expected in (("134217728b", 134217728), ("128m", 128 << 20),
+                          ("1g", 1 << 30), ("64k", 64 << 10),
+                          ("4194304", 4194304)):
+        spark.conf.set("spark.nats_spark.test.bytes", raw)
+        assert _conf_bytes(spark, "spark.nats_spark.test.bytes", 0) == expected

@@ -242,6 +242,25 @@ def test_dsir_weights_favor_target_slice(spark):
             assert r.dsir_logw == 0.0
 
 
+def test_dsir_zero_token_document_survives(spark, tmp_path):
+    """A document whose text has no [a-z0-9] tokens must yield a zero
+    weight, not a slice(-1) runtime error (regression: the bigram build
+    needs greatest(size-1, 0))."""
+    docs = spark.createDataFrame(
+        [(1, "hello world hello", "en", "s0", 17),
+         (2, "!!! ??? ***", "xx", "s1", 11),
+         (3, "", "xx", "s1", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    rows = {r.doc_id: r for r in _run(spark, "curation_dsir_weights", sf).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2].n_bigrams == 0 and rows[2].dsir_logw == 0.0
+    assert rows[3].n_bigrams == 0 and rows[3].dsir_logw == 0.0
+    assert rows[1].n_bigrams == 2
+
+
 def test_outliers_mad_bounds(spark):
     """MAD is the median of deviations, so at most half the rows can sit
     beyond any multiple > 1 of it; rates and counts must be consistent."""
