@@ -1,7 +1,11 @@
-"""Extended LLM-pipeline operators (round 3 additions): embedding
-dimensionality reduction, corpus-level source similarity from merged
-MinHash sketches, normalization-based dedup, quantile-binned quality
-curation, and robust (median/MAD) outlier detection.
+"""Extended LLM-pipeline operators (round 3 additions): embedding linear
+algebra (JL random projection, distributed Gram matrix), corpus-level
+source similarity from merged MinHash sketches, normalization-based and
+incremental dedup, quantile-binned quality curation, temperature-scaled
+source mixing, DSIR importance weights, JS-divergence domain-shift
+diagnostics, robust (median/MAD) outliers, EWMA rate smoothing, the
+IVF-PQ exact-re-rank stage, and two value-checked training loops
+(logistic-regression GD, iterative BPE merges).
 
 Registered LAST on purpose: external harnesses sample a registration-order
 prefix of the registry, and the round-3 prefix is pinned to the core LLM
@@ -1038,6 +1042,58 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sim.round6_stable(
                     F.coalesce("slw", F.lit(0)) / F.lit(DSIR_QUANT))
                 .alias("dsir_logw"))
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------- incremental dedup
+
+# The "new crawl lands next to a deduped corpus" operation: only the new
+# batch is deduped (within itself AND against the existing store), the
+# existing corpus is touched as a digest column only. Split point: the
+# top 20% of doc_ids play the incoming batch.
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle="""
+    WITH cut AS (SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS c
+                 FROM documents),
+    hist AS (SELECT DISTINCT md5(text) AS k
+             FROM documents CROSS JOIN cut WHERE doc_id <= cut.c),
+    batch AS (SELECT doc_id, md5(text) AS k
+              FROM documents CROSS JOIN cut WHERE doc_id > cut.c),
+    fresh AS (
+        SELECT doc_id, k,
+               row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+        FROM batch WHERE k NOT IN (SELECT k FROM hist))
+    SELECT doc_id, k AS content_key,
+           CAST(rn = 1 AS BOOLEAN) AS keep
+    FROM fresh ORDER BY doc_id
+    """,
+    tags=("llm", "dedup-incremental"),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup of an incoming batch against an existing
+    corpus: drop batch rows whose content digest already exists in the
+    store (left-anti join on md5), then keep one canonical copy per
+    remaining digest within the batch. This is how dedup actually runs in
+    a living pipeline — the historical side is never rescanned beyond its
+    digest column (in production, a persisted digest table/index), and
+    the shuffle carries 32-byte digests, never text. Anti-join + window
+    keep-first; no NOT-IN semantics trap (digests are non-null)."""
+    d = table(spark, sf_dir, "documents")
+    cut = d.agg(F.floor(F.max("doc_id") * 0.8).cast("long").alias("c"))
+    keyed = d.crossJoin(F.broadcast(cut)).select(
+        "doc_id", F.md5("text").alias("k"), "c")
+    hist = keyed.filter(F.col("doc_id") <= F.col("c")).select("k").distinct()
+    batch = keyed.filter(F.col("doc_id") > F.col("c")).select("doc_id", "k")
+    fresh = batch.join(hist, "k", "left_anti")
+    w = Window.partitionBy("k").orderBy("doc_id")
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .select("doc_id", F.col("k").alias("content_key"),
+                (F.col("rn") == 1).alias("keep"))
         .orderBy("doc_id")
     )
 

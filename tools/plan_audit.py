@@ -192,6 +192,12 @@ NOTES = {
         "sorted array — no UDF, no global sort; the fold input is the "
         "tiny hourly grid, bounded per key."
     ),
+    "dedup_incremental_batch": (
+        "Anti-join of the batch's digests against the store's digest "
+        "set, then a per-digest keep-first window — both shuffles carry "
+        "32-byte md5 keys, never text; the historical corpus contributes "
+        "only its digest column."
+    ),
     "curation_dsir_weights": (
         "Hashed-bigram explode, ONE B=1024-row distribution aggregate "
         "broadcast back over the pinned bigram table, then a per-doc "
