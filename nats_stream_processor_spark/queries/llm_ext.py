@@ -1098,6 +1098,270 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- RAG token chunking
+
+# Sliding-window chunking: the unit a retrieval (RAG) index stores. One
+# chunk every CHUNK_STRIDE tokens, CHUNK_LEN tokens long, so consecutive
+# chunks overlap by CHUNK_LEN - CHUNK_STRIDE tokens and no token is ever
+# more than CHUNK_STRIDE away from a chunk start.
+CHUNK_LEN = 64
+CHUNK_STRIDE = 48
+
+_CHUNKS_CTE = f"""
+WITH t AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+nn AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+ch AS (SELECT doc_id, toks, n,
+              unnest(range(0, n, {CHUNK_STRIDE})) AS start
+       FROM nn),
+chunks AS (
+    SELECT doc_id,
+           CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS chunk_start,
+           CAST(least({CHUNK_LEN}, n - start) AS BIGINT) AS chunk_len,
+           md5(array_to_string(
+               toks[start + 1 : start + {CHUNK_LEN}], ' ')) AS chunk_hash
+    FROM ch)
+"""
+
+
+def _chunks_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token chunks of every document — map-only (tokenize,
+    sequence-explode the stride-aligned starts, slice, hash). No shuffle:
+    a chunk is derived entirely from its own document's row, so at 100 TB
+    this runs as one narrow scan stage at input parallelism."""
+    from ..functions.text import tokens_col
+
+    d = spread(table(spark, sf_dir, "documents"))
+    toks = (d.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+            .withColumn("n", F.size("toks"))
+            .filter(F.col("n") > 0))
+    ch = toks.select(
+        "doc_id", "toks", "n",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1,
+                             F.lit(CHUNK_STRIDE))).alias("start"))
+    return ch.select(
+        "doc_id",
+        F.expr(f"CAST(start DIV {CHUNK_STRIDE} AS BIGINT)")
+         .alias("chunk_idx"),
+        F.col("start").cast("long").alias("chunk_start"),
+        F.least(F.lit(CHUNK_LEN), F.col("n") - F.col("start"))
+         .cast("long").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("start") + 1,
+                                       F.lit(CHUNK_LEN))))
+         .alias("chunk_hash"))
+
+
+@register(
+    "chunk_sliding_tokens",
+    oracle=f"""
+    {_CHUNKS_CTE}
+    SELECT doc_id, chunk_idx, chunk_start, chunk_len, chunk_hash
+    FROM chunks ORDER BY doc_id, chunk_idx
+    """,
+    tags=("llm", "chunking"),
+)
+def q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style sliding-window chunking: every document split into
+    {CHUNK_LEN}-token chunks starting every {CHUNK_STRIDE} tokens (16-token
+    overlap), each chunk identified by the md5 of its space-joined token
+    slice. The chunk table is what an embedding/retrieval index ingests;
+    the hash doubles as the chunk's content key for chunk-level dedup
+    (see dedup_chunk_level). Entirely map-side: tokenize, explode the
+    stride grid, slice, hash — no shuffle before the presentation sort."""
+    return _chunks_df(spark, sf_dir).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "dedup_chunk_level",
+    oracle=f"""
+    {_CHUNKS_CTE}
+    SELECT chunk_hash,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occurrences,
+           min(doc_id) AS first_doc
+    FROM chunks WHERE chunk_len = {CHUNK_LEN}
+    GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY chunk_hash
+    """,
+    tags=("llm", "dedup-chunk"),
+)
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup: full-length chunks whose exact token content
+    appears in two or more distinct documents — the dedup pass a RAG
+    chunk store runs before indexing (identical passages from boilerplate
+    or syndication would otherwise dominate retrieval results). Built on
+    the same chunk relation as chunk_sliding_tokens; the shuffle carries
+    (chunk_hash, doc_id) pairs only — 32-byte digests, never text — with
+    map-side partial aggregation, so the reduce is duplicate-bounded, not
+    corpus-bounded."""
+    ch = _chunks_df(spark, sf_dir).filter(F.col("chunk_len") == CHUNK_LEN)
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(F.countDistinct("doc_id").alias("n_docs"),
+             F.count("*").alias("n_occurrences"),
+             F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("chunk_hash")
+    )
+
+
+# ---------------------------------------- int8 embedding quantization
+
+# Symmetric per-vector scalar quantization: code_i = round(x_i * 127 /
+# max|x|). At 100 TB this is the difference between a 256-byte and a
+# 64-byte vector — the memory-bound ANN scan goes 4x faster, and the
+# integer dot products downstream are EXACT (order-independent, no
+# floating-point summation hazards at all).
+INT8_MAX = 127
+
+_INT8_CTE = f"""
+WITH e AS (SELECT vec_id, {sim.as_double_sql('embedding')} AS demb
+           FROM embeddings),
+m AS (SELECT vec_id, demb,
+             list_max(list_transform(demb, x -> abs(x))) AS mx FROM e),
+qc AS (SELECT vec_id, mx,
+              CASE WHEN mx = 0
+                   THEN list_transform(demb, x -> CAST(0 AS BIGINT))
+                   ELSE list_transform(demb,
+                        x -> CAST(floor((x * CAST({INT8_MAX} AS DOUBLE)) / mx
+                                        + 0.5) AS BIGINT))
+              END AS codes
+       FROM m)
+"""
+
+
+def _int8_codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, mx, codes): per-vector max-abs and the int8 code array.
+
+    Every step is exact IEEE double arithmetic (widen, multiply, divide,
+    floor) that Spark and DuckDB perform bit-identically, so the codes —
+    and everything integer derived from them — hash-match by
+    construction. Zero vectors quantize to all-zero codes (the mx = 0
+    guard avoids a NaN-producing divide)."""
+    e = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("demb"))
+    m = e.select(
+        "vec_id", "demb",
+        F.array_max(F.transform(F.col("demb"),
+                                lambda x: F.abs(x))).alias("mx"))
+    zeros = F.transform(F.col("demb"), lambda x: F.lit(0).cast("long"))
+    quant = F.transform(
+        F.col("demb"),
+        lambda x: F.floor((x * F.lit(float(INT8_MAX))) / F.col("mx")
+                          + F.lit(0.5)).cast("long"))
+    return m.select(
+        "vec_id", "mx",
+        F.when(F.col("mx") == 0, zeros).otherwise(quant).alias("codes"))
+
+
+@register(
+    "embed_quantize_int8",
+    oracle=f"""
+    {_INT8_CTE}
+    SELECT vec_id,
+           {sim.round6_stable_sql(f'mx / CAST({INT8_MAX} AS DOUBLE)')}
+             AS scale6,
+           CAST(list_aggregate(codes, 'min') AS BIGINT) AS q_min,
+           CAST(list_aggregate(codes, 'max') AS BIGINT) AS q_max,
+           CAST(list_sum(codes) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(codes, c -> c * c)) AS BIGINT)
+             AS q_norm2
+    FROM qc ORDER BY vec_id
+    """,
+    tags=("llm", "quantization"),
+)
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column with per-vector
+    summary stats (the dequant scale, code range, exact integer sum and
+    squared norm). Map-only — each vector quantizes independently, no
+    shuffle; the value-checked integer norm is the invariant an ANN scan
+    over the codes depends on."""
+    qc = _int8_codes_df(spark, sf_dir)
+    return (
+        qc.select(
+            "vec_id",
+            sim.round6_stable(F.col("mx") / F.lit(float(INT8_MAX)))
+               .alias("scale6"),
+            F.array_min("codes").alias("q_min"),
+            F.array_max("codes").alias("q_max"),
+            F.aggregate("codes", F.lit(0).cast("long"),
+                        lambda a, x: a + x).alias("q_sum"),
+            F.aggregate("codes", F.lit(0).cast("long"),
+                        lambda a, x: a + x * x).alias("q_norm2"))
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "sim_ann_int8_topk",
+    oracle=f"""
+    {_INT8_CTE},
+    q AS (SELECT vec_id AS query_id, mx AS q_mx, codes AS qcodes
+          FROM qc WHERE vec_id < 10),
+    idot AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id, q.q_mx, c.mx,
+               CAST({sim.dot_unrolled_sql('q.qcodes', 'c.codes')} AS BIGINT)
+                 AS score_int
+        FROM q CROSS JOIN qc c WHERE c.vec_id != q.query_id),
+    scored AS (
+        SELECT query_id, neighbor_id, score_int,
+               {sim.round6_stable_sql(
+                   f'(CAST(score_int AS DOUBLE)'
+                   f' * (q_mx / CAST({INT8_MAX} AS DOUBLE)))'
+                   f' * (mx / CAST({INT8_MAX} AS DOUBLE))')} AS score6
+        FROM idot)
+    SELECT query_id, neighbor_id, score_int, score6, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score6 DESC, neighbor_id) AS rn
+        FROM scored)
+    WHERE rn <= 5 ORDER BY query_id, rn
+    """,
+    tags=("llm", "ann-int8"),
+)
+def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k inner-product scan over the int8 CODES — the
+    quantized scan that replaces the float brute force at scale (4x less
+    memory traffic per vector). The integer dot is exact int64 (no
+    summation-order hazards); ranking uses the DEQUANTIZED score
+    score_int * scale_q * scale_c — raw code dots are not comparable
+    across neighbors because each vector carries its own scale. The
+    dequant product is three exact IEEE ops on bit-identical inputs, so
+    cross-engine ranking is still deterministic; ties break by
+    neighbor_id. Query set broadcast (vec_id < 10); one pass over the
+    corpus codes; the codes relation feeds both sides, so it is pinned
+    (same pattern as sim_ann_lsh)."""
+    x = pin(_int8_codes_df(spark, sf_dir).select("vec_id", "mx", "codes"))
+    q = x.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("mx").alias("q_mx"),
+        F.col("codes").alias("qcodes"))
+    idot = (
+        x.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            "q_mx", "mx",
+            F.aggregate(F.zip_with("qcodes", "codes",
+                                   lambda a, b: a * b),
+                        F.lit(0).cast("long"),
+                        lambda acc, v: acc + v).alias("score_int"))
+    )
+    scored = idot.select(
+        "query_id", "neighbor_id", "score_int",
+        sim.round6_stable(
+            (F.col("score_int").cast("double")
+             * (F.col("q_mx") / F.lit(float(INT8_MAX))))
+            * (F.col("mx") / F.lit(float(INT8_MAX)))).alias("score6"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score6").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .orderBy("query_id", "rn")
+    )
+
+
 # Guard against silent drift between the module's pinned constants and the
 # shared minhash parameter set (the ssig merge relies on component order).
 assert len(minhash_params(MINHASH_K)) == MINHASH_K

@@ -979,3 +979,32 @@ def q_text_extract_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT r_name AS region,
+           count(*) AS n_nations,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+    tags=("agg", "collect"),
+)
+def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg): nations per region
+    as a sorted CSV. collect_list's arrival order is partition-dependent,
+    so the deterministic form is collect_list -> array_sort -> concat_ws —
+    the sort happens per GROUP (bounded by group size), not globally.
+    Broadcast the 5-row region dim; one shuffle on the group key."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.count("*").alias("n_nations"),
+             F.concat_ws(",", F.array_sort(F.collect_list("n_name")))
+              .alias("nations_csv"))
+        .orderBy("region")
+    )

@@ -269,3 +269,109 @@ def test_outliers_mad_bounds(spark):
         assert 0 <= r.n_outliers <= r.n_events
         assert r.outlier_rate <= 0.5
         assert abs(r.outlier_rate - round(r.n_outliers / r.n_events, 6)) < 1e-9
+
+
+def test_chunking_covers_every_token_exactly(spark):
+    """Structural contract of the sliding chunker: per doc, chunk_idx is
+    0..k-1 with starts on the stride grid, every chunk is non-empty and
+    at most CHUNK_LEN long, the last chunk ends exactly at n_tokens, and
+    consecutive full chunks overlap by CHUNK_LEN - CHUNK_STRIDE."""
+    from nats_stream_processor_spark.queries.llm_ext import (
+        CHUNK_LEN,
+        CHUNK_STRIDE,
+    )
+
+    rows = _run(spark, "chunk_sliding_tokens").collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc, "chunker produced nothing"
+    for doc_id, ch in by_doc.items():
+        ch.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in ch] == list(range(len(ch)))
+        for c in ch:
+            assert c.chunk_start == c.chunk_idx * CHUNK_STRIDE
+            assert 1 <= c.chunk_len <= CHUNK_LEN
+        # the final chunk reaches the end of the token stream, and only
+        # the final chunk may be short
+        for c in ch[:-1]:
+            assert (c.chunk_len == CHUNK_LEN
+                    or c.chunk_start + c.chunk_len
+                    == ch[-1].chunk_start + ch[-1].chunk_len)
+
+
+def test_chunk_dedup_finds_shared_passage(spark, tmp_path):
+    """Two documents sharing an identical CHUNK_LEN-token opening produce
+    a duplicated full-length chunk; a third unrelated document does not
+    appear in any duplicate group."""
+    from nats_stream_processor_spark.queries.llm_ext import CHUNK_LEN
+
+    shared = " ".join(f"tok{i}" for i in range(CHUNK_LEN))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " alpha beta", "en", "s0", 0),
+            (2, shared + " gamma delta", "en", "s1", 0),
+            (3, " ".join(f"other{i}" for i in range(CHUNK_LEN)), "en", "s0", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    out = _run(spark, "dedup_chunk_level", sf).collect()
+    assert len(out) == 1
+    assert out[0].n_docs == 2 and out[0].first_doc == 1
+
+
+def test_int8_quantization_reconstruction_bound(spark):
+    """Quantization contract: codes lie in [-127, 127], the max-|x|
+    element maps to +/-127 for every nonzero vector, and dequantized
+    values sit within half a quantization step of the originals."""
+    out = {r.vec_id: r for r in _run(spark, "embed_quantize_int8").collect()}
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding").limit(50).collect()
+    }
+    from nats_stream_processor_spark.queries.llm_ext import INT8_MAX
+
+    assert set(emb) <= set(out)
+    for vid, vec in emb.items():
+        r = out[vid]
+        assert -INT8_MAX <= r.q_min and r.q_max <= INT8_MAX
+        mx = max(abs(x) for x in vec)
+        if mx == 0:
+            assert r.q_min == r.q_max == 0
+            continue
+        scale = mx / INT8_MAX
+        assert abs(r.scale6 - scale) < 1e-6
+        codes = [math.floor(x * INT8_MAX / mx + 0.5) for x in vec]
+        assert max(abs(c) for c in codes) == INT8_MAX
+        assert r.q_sum == sum(codes)
+        assert r.q_norm2 == sum(c * c for c in codes)
+        for x, c in zip(vec, codes):
+            assert abs(x - c * scale) <= scale / 2 + 1e-12
+
+
+def test_int8_topk_matches_float_dot_ranking(spark):
+    """The int8 scan is a drop-in for the float inner-product scan: its
+    top-5 per query must overlap the exact float-dot top-5 at >= 0.8
+    average recall (127-level quantization perturbs dots by well under
+    1%, so only genuine near-ties may reorder)."""
+    got: dict[int, list[int]] = {}
+    for r in _run(spark, "sim_ann_int8_topk").collect():
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    hits = total = 0
+    for qid, nbrs in got.items():
+        dots = sorted(
+            ((sum(a * b for a, b in zip(emb[qid], v)), vid)
+             for vid, v in emb.items() if vid != qid),
+            key=lambda t: (-t[0], t[1]))
+        exact = {vid for _, vid in dots[:5]}
+        hits += len(exact & set(nbrs))
+        total += 5
+    assert total == 50
+    assert hits / total >= 0.8, f"int8 recall {hits}/{total}"
