@@ -149,3 +149,39 @@ def start_enrichment_query(
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def dedup_against_store(
+    stream: DataFrame,
+    digest_store: DataFrame,
+    text_col: str = "text",
+    digest_col: str = "k",
+    dedup_window_s: int = DEDUP_WINDOW_SECONDS,
+) -> DataFrame:
+    """Incremental content dedup of a document stream against a static
+    digest store — the streaming face of the batch
+    ``dedup_incremental_batch`` query (queries/llm_ext.py): documents
+    whose md5 content digest already exists in the store are dropped by a
+    stream-static LEFT ANTI join, then within-stream duplicates are
+    dropped with watermarked key state.
+
+    Scale shape: the static side carries only the 32-byte digest column
+    (in production a persisted digest table); stream-static joins re-read
+    it per micro-batch, so a store that grows between batches is picked
+    up without restarting the query, and — unlike a stream-stream join —
+    the join itself keeps NO state: broadcast or shuffled hash join per
+    batch, with the watermark bounding only the within-stream dedup
+    state. Works identically on a batch DataFrame (no watermark path),
+    which is what the parity test exercises."""
+    keyed = stream.withColumn("__k", F.md5(F.col(text_col)))
+    store = digest_store.select(F.col(digest_col).alias("__k")).distinct()
+    fresh = keyed.join(store, "__k", "left_anti")
+    if not fresh.isStreaming:
+        return fresh.dropDuplicates(["__k"]).drop("__k")
+    return (
+        fresh.withColumn("__ingest_ts",
+                         F.current_timestamp())
+        .withWatermark("__ingest_ts", f"{dedup_window_s} seconds")
+        .dropDuplicatesWithinWatermark(["__k"])
+        .drop("__k", "__ingest_ts")
+    )

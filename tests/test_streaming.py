@@ -338,3 +338,45 @@ def test_stream_static_dimension_join(spark, posts_dir, tmp_path):
     assert rows["at://test/5"][0] == "seed"
     assert all(s in ("positive", "negative", "neutral")
                for _, s in rows.values())
+
+
+def test_stream_dedup_against_static_store(spark, tmp_path):
+    """Incremental streaming dedup: documents whose content digest exists
+    in the static store are dropped (stream-static anti join), in-stream
+    duplicates collapse to one row (watermarked key state), and fresh
+    unique documents pass through."""
+    from nats_stream_processor_spark.streaming.pipeline import (
+        dedup_against_store,
+    )
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    (d / "batch.txt").write_text(
+        "already in corpus\n"      # known digest -> dropped
+        "brand new document\n"     # fresh -> kept
+        "repeated in stream\n"     # fresh, first copy -> kept
+        "repeated in stream\n"     # in-stream dup -> dropped
+        "another new one\n")
+    store = spark.createDataFrame(
+        [("already in corpus",), ("some other old doc",)], "text string"
+    ).select(F.md5("text").alias("k"))
+
+    stream = (spark.readStream.format("text").load(str(d))
+              .select(F.col("value").alias("text")))
+    out = dedup_against_store(stream, store)
+    q = (out.writeStream.format("memory").queryName("incdedup")
+         .option("checkpointLocation", str(tmp_path / "ck_inc"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted(r.text for r in spark.sql("select * from incdedup").collect())
+    assert got == ["another new one", "brand new document",
+                   "repeated in stream"]
+
+    # batch-mode parity: same helper, same semantics, no watermark path
+    batch = spark.createDataFrame(
+        [("already in corpus",), ("brand new document",),
+         ("repeated in stream",), ("repeated in stream",),
+         ("another new one",)], "text string")
+    got_b = sorted(r.text
+                   for r in dedup_against_store(batch, store).collect())
+    assert got_b == got
