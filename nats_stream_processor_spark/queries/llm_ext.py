@@ -1362,6 +1362,114 @@ def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------- interpolated bigram LM score
+
+# p(w2|w1) = LAMBDA * c(w1,w2)/c_first(w1) + (1-LAMBDA) * c(w2)/N —
+# Jelinek-Mercer interpolation with the corpus unigram model, the
+# cheapest LM upgrade over text_unigram_lm_score that actually captures
+# local word order (shuffled gibberish scores high here, identically to
+# its unshuffled source under a unigram LM).
+LM2_LAMBDA = "CAST(0.7 AS DOUBLE)"
+LM2_UNI = "CAST(0.3 AS DOUBLE)"
+LM2_QUANT = 1e12
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+               FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    uni AS (SELECT tok, count(*) AS n_w FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_total FROM uni),
+    bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+           FROM (SELECT doc_id, toks,
+                        unnest(range(1, len(toks))) AS i
+                 FROM t WHERE len(toks) >= 2)),
+    big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+    cf AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+    terms AS (
+        SELECT bg.doc_id,
+               CAST(floor(
+                 ln(({LM2_LAMBDA} * (big.c12 / CAST(cf.c1 AS DOUBLE)))
+                    + ({LM2_UNI} * (uni.n_w / CAST(tot.n_total AS DOUBLE))))
+                 * {LM2_QUANT!r} + 0.5) AS BIGINT) AS tq
+        FROM bg JOIN big USING (w1, w2) JOIN cf USING (w1)
+                JOIN uni ON uni.tok = bg.w2 CROSS JOIN tot),
+    scored AS (SELECT doc_id, count(*) AS n_bigrams,
+                      CAST(sum(tq) AS BIGINT) AS s FROM terms GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(s.n_bigrams, 0) AS n_bigrams,
+           {sim.round6_stable_sql(
+               'CASE WHEN s.n_bigrams > 0 '
+               f'THEN -((s.s / {LM2_QUANT!r}) / s.n_bigrams) '
+               'ELSE 0.0 END')} AS lm2_nll
+    FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    tags=("llm", "lm-score"),
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM quality score: train bigram + unigram
+    corpus LMs, score each document by mean negative log-likelihood of
+    its bigrams under p(w2|w1) = 0.7 * ML_bigram + 0.3 * ML_unigram. The
+    unigram floor keeps every probability positive without smoothing
+    hyperparameters, and word order now matters — the filter that
+    separates fluent text from bag-of-frequent-words spam.
+
+    Scale shape: two vocabulary-keyed aggregates (bigram counts, first-
+    token counts) with map-side partials, then the doc's bigram stream
+    joins them on their natural keys (AQE splits the stopword-head skew);
+    the per-doc reduce carries one exact int64. Each ln() term is
+    quantized to a 1e-12 grid and summed as int64 (same discipline as
+    text_js_divergence_by_source) so partition order can't move the sum
+    and a 1-ulp libm difference is absorbed by the 6-dp rounding."""
+    from ..functions.text import tokens_col
+
+    d = spread(table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    tok = t.select("doc_id", F.explode("toks").alias("tok"))
+    uni = tok.groupBy("tok").agg(F.count("*").alias("n_w"))
+    tot = uni.agg(F.sum("n_w").cast("bigint").alias("n_total"))
+    bg = (t.filter(F.size("toks") >= 2)
+          .select("doc_id", "toks",
+                  F.explode(F.sequence(F.lit(1),
+                                       F.size("toks") - 1)).alias("i"))
+          .select("doc_id",
+                  F.element_at("toks", F.col("i")).alias("w1"),
+                  F.element_at("toks", F.col("i") + 1).alias("w2")))
+    bg = pin(bg)
+    big = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    cf = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    lam, unl = F.expr(LM2_LAMBDA), F.expr(LM2_UNI)
+    term = F.log((lam * (F.col("c12") / F.col("c1").cast("double")))
+                 + (unl * (F.col("n_w") / F.col("n_total").cast("double"))))
+    terms = (
+        bg.join(big, ["w1", "w2"])
+        .join(cf, "w1")
+        .join(uni, bg.w2 == uni.tok)
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id",
+                F.floor(term * F.lit(LM2_QUANT) + F.lit(0.5))
+                 .cast("long").alias("tq")))
+    scored = terms.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("tq").cast("bigint").alias("s"))
+    return (
+        d.select("doc_id").join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            sim.round6_stable(
+                F.when(F.col("n_bigrams") > 0,
+                       -((F.col("s") / F.lit(LM2_QUANT))
+                         / F.col("n_bigrams")))
+                .otherwise(F.lit(0.0))).alias("lm2_nll"))
+        .orderBy("doc_id")
+    )
+
+
 # Guard against silent drift between the module's pinned constants and the
 # shared minhash parameter set (the ssig merge relies on component order).
 assert len(minhash_params(MINHASH_K)) == MINHASH_K

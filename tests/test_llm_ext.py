@@ -375,3 +375,25 @@ def test_int8_topk_matches_float_dot_ranking(spark):
         total += 5
     assert total == 50
     assert hits / total >= 0.8, f"int8 recall {hits}/{total}"
+
+
+def test_bigram_lm_penalizes_shuffled_word_order(spark, tmp_path):
+    """The interpolated bigram LM captures word order: a token-shuffled
+    copy of a fluent document scores a strictly higher NLL, while the
+    unigram LM (same token multiset) cannot tell them apart."""
+    fluent = "the quick brown fox jumps over the lazy dog"
+    shuffled = "dog the over fox quick lazy jumps brown the"
+    rows = [(i, fluent, "en", "s0", 0) for i in range(20)]
+    rows += [(100, shuffled, "en", "s0", 0)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    sf = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    bi = {r.doc_id: r.lm2_nll
+          for r in _run(spark, "text_bigram_lm_score", sf).collect()}
+    uni = {r.doc_id: r.lm_nll
+           for r in _run(spark, "text_unigram_lm_score", sf).collect()}
+    assert bi[100] > bi[0], (bi[100], bi[0])
+    assert uni[100] == uni[0], (uni[100], uni[0])
