@@ -1470,6 +1470,158 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ TF-IDF keyword terms
+
+TFIDF_K = 3  # keywords kept per document
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id,
+                        unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                          AS tok
+                 FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok AS term, tf.tf, df.df,
+               {sim.round6_stable_sql(
+                   'tf.tf * ln(nd.n_docs / CAST(df.df AS DOUBLE))')}
+                 AS tfidf6
+        FROM tf JOIN df USING (tok) CROSS JOIN nd)
+    SELECT doc_id, term, tf, df, tfidf6, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf6 DESC, term) AS rn
+        FROM scored)
+    WHERE rn <= {TFIDF_K} ORDER BY doc_id, rn
+    """,
+    tags=("llm", "tfidf"),
+)
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-{TFIDF_K} terms per document by
+    tf * ln(N/df). The document-frequency table is a vocabulary-keyed
+    aggregate (map-side partials); scoring joins each document's term
+    counts to it on the token key and the per-doc top-k is a bounded
+    window (k rows survive per doc). Ranking uses the 6-dp-stable score
+    with a lexical tiebreak, so a 1-ulp ln() difference cannot reorder
+    the cut. Corpus-size-independent state: nothing global except the
+    1-row document count, broadcast."""
+    from ..functions.text import tokens_col
+
+    d = spread(table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    tok = pin(tok)
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    nd = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id", F.col("tok").alias("term"), "tf", "df",
+            sim.round6_stable(
+                F.col("tf") * F.log(F.col("n_docs")
+                                    / F.col("df").cast("double")))
+               .alias("tfidf6")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf6").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_K)
+        .orderBy("doc_id", "rn")
+    )
+
+
+# -------------------------------------------- PMI collocation mining
+
+PMI_MIN_COUNT = 5  # bigram support floor (PMI is unstable below it)
+PMI_TOP = 20
+
+
+@register(
+    "text_collocations_pmi",
+    oracle=f"""
+    WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+               FROM documents),
+    tok AS (SELECT unnest(toks) AS tok FROM t),
+    uni AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+    nu AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+    bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+           FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                 FROM t WHERE len(toks) >= 2)),
+    big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+            HAVING count(*) >= {PMI_MIN_COUNT}),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bg),
+    scored AS (
+        SELECT big.w1, big.w2, big.c12,
+               {sim.round6_stable_sql(
+                   'ln((big.c12 / CAST(nb.n AS DOUBLE))'
+                   ' / ((u1.c / CAST(nu.n AS DOUBLE))'
+                   '    * (u2.c / CAST(nu.n AS DOUBLE))))')} AS pmi6
+        FROM big JOIN uni u1 ON u1.tok = big.w1
+                 JOIN uni u2 ON u2.tok = big.w2
+                 CROSS JOIN nu CROSS JOIN nb)
+    SELECT w1, w2, c12, pmi6, rn FROM (
+        SELECT *, row_number() OVER (ORDER BY pmi6 DESC, w1, w2) AS rn
+        FROM scored)
+    WHERE rn <= {PMI_TOP} ORDER BY rn
+    """,
+    tags=("llm", "collocations"),
+)
+def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining: the {PMI_TOP} strongest two-word
+    collocations (bigrams whose joint probability most exceeds the
+    product of their marginals), with a support floor of
+    {PMI_MIN_COUNT} occurrences — the classic phrase-discovery pass a
+    tokenizer or phrase-vocab builder runs over a corpus.
+
+    Scale shape: everything is vocabulary-sized after the first
+    aggregates (bigram counts with map-side partials, HAVING applied in
+    the same reduce). The global top-{PMI_TOP} is orderBy().limit() —
+    TakeOrderedAndProject with per-partition heaps, never a global
+    row_number() window over the collocation table (which grows with
+    vocabulary); the rank is derived on the {PMI_TOP} surviving rows.
+    The 6-dp-stable PMI plus lexical tiebreak keeps the cut
+    deterministic cross-engine."""
+    from ..functions.text import tokens_col
+
+    d = spread(table(spark, sf_dir, "documents"))
+    t = d.select(tokens_col(F.col("text")).alias("toks"))
+    tok = t.select(F.explode("toks").alias("tok"))
+    uni = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    nu = uni.agg(F.sum("c").cast("bigint").alias("n"))
+    bg = pin(
+        t.filter(F.size("toks") >= 2)
+        .select("toks", F.explode(F.sequence(F.lit(1),
+                                             F.size("toks") - 1)).alias("i"))
+        .select(F.element_at("toks", F.col("i")).alias("w1"),
+                F.element_at("toks", F.col("i") + 1).alias("w2")))
+    big = (bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+           .filter(F.col("c12") >= PMI_MIN_COUNT))
+    nb = bg.agg(F.count("*").cast("bigint").alias("nb"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        big.join(u1, "w1").join(u2, "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1", "w2", "c12",
+            sim.round6_stable(
+                F.log((F.col("c12") / F.col("nb").cast("double"))
+                      / ((F.col("c1") / F.col("n").cast("double"))
+                         * (F.col("c2") / F.col("n").cast("double")))))
+               .alias("pmi6")))
+    topk = scored.orderBy(F.col("pmi6").desc(), "w1", "w2").limit(PMI_TOP)
+    # Constant partition key: the window sees only the PMI_TOP surviving
+    # rows, so single-partition execution is the point, not a hazard.
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("pmi6").desc(), F.col("w1"), F.col("w2"))
+    return topk.withColumn("rn", F.row_number().over(w)).orderBy("rn")
+
+
 # Guard against silent drift between the module's pinned constants and the
 # shared minhash parameter set (the ssig merge relies on component order).
 assert len(minhash_params(MINHASH_K)) == MINHASH_K

@@ -397,3 +397,28 @@ def test_bigram_lm_penalizes_shuffled_word_order(spark, tmp_path):
            for r in _run(spark, "text_unigram_lm_score", sf).collect()}
     assert bi[100] > bi[0], (bi[100], bi[0])
     assert uni[100] == uni[0], (uni[100], uni[0])
+
+
+def test_tfidf_and_pmi_surface_planted_signal(spark, tmp_path):
+    """A term unique to one document becomes that document's top TF-IDF
+    keyword, and a bigram that always co-occurs (and each word occurs
+    ONLY in that bigram) tops the PMI collocation ranking."""
+    filler = "the data value row column table batch stream merge join"
+    rows = [(i, filler, "en", "s0", 0) for i in range(10)]
+    # 6 copies of the planted collocation embedded in filler context
+    rows += [(100 + i, f"{filler} zork quux", "en", "s0", 0)
+             for i in range(6)]
+    rows += [(200, filler + " uniqueterm", "en", "s0", 0)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    sf = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    tf = [r for r in _run(spark, "text_tfidf_topk", sf).collect()
+          if r.doc_id == 200]
+    assert tf[0].term == "uniqueterm" and tf[0].rn == 1
+
+    pmi = _run(spark, "text_collocations_pmi", sf).collect()
+    assert (pmi[0].w1, pmi[0].w2) == ("zork", "quux")
+    assert pmi[0].c12 == 6
