@@ -63,3 +63,47 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     plan = buf.getvalue()
     assert "PushedFilters" in plan and "c_mktsegment" in plan.split(
         "PushedFilters")[1].splitlines()[0]
+
+
+def test_binary_file_source_feeds_media_pipeline(spark, tmp_path):
+    """spark.read.format('binaryFile') — the real ingest path for a media
+    directory — feeds the mapInPandas media pipeline unchanged: file
+    bytes arrive as the `content` binary column, metadata extraction and
+    frame fan-out run on them, and the values match hashlib over the raw
+    files. pathGlobFilter prunes non-media files at the listing, before
+    any bytes are read."""
+    import hashlib
+
+    from nats_stream_processor_spark.operators.multimodal import (
+        FRAME_COUNT,
+        media_metadata,
+        sample_frames,
+    )
+
+    media = tmp_path / "media"
+    media.mkdir()
+    payloads = {i: bytes(range(256)) * (i + 2) for i in range(4)}
+    for i, b in payloads.items():
+        (media / f"item_{i}.bin").write_bytes(b)
+    (media / "ignore.txt").write_text("not media")
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(str(media))
+        .select(
+            F.regexp_extract("path", r"item_(\d+)\.bin", 1)
+             .cast("long").alias("doc_id"),
+            F.col("content").alias("payload"))
+    )
+    meta = {r.doc_id: r for r in media_metadata(df).collect()}
+    assert set(meta) == set(payloads)
+    for i, b in payloads.items():
+        assert meta[i].n_bytes == len(b)
+        assert meta[i].media_hash == hashlib.md5(b).hexdigest()
+
+    frames = sample_frames(df).collect()
+    assert len(frames) == FRAME_COUNT * len(payloads)
+    offs = sorted(r.byte_offset for r in frames if r.doc_id == 3)
+    n = len(payloads[3])
+    assert offs == [(j * n) // FRAME_COUNT for j in range(FRAME_COUNT)]
