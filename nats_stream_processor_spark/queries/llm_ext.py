@@ -1622,6 +1622,106 @@ def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.withColumn("rn", F.row_number().over(w)).orderBy("rn")
 
 
+# ------------------------------------------ containment (excerpt) dedup
+
+# Asymmetric near-dup: a short document CONTAINED in a longer one (quote
+# farms, truncated mirrors, excerpt pages). Jaccard misses these — the
+# union is dominated by the longer doc — so the measure is SPAN
+# containment: the fraction of the smaller doc's distinct 16-token spans
+# (the dedup_substring_spans rolling hash) present in the larger doc.
+# Span ids double as the blocking key: a candidate pair must share a
+# span, and span buckets are tiny (16-token sequences are high-
+# cardinality even over a small vocabulary — unlike token-set blocking,
+# which degenerates to near-all-pairs on tiny-vocab corpora).
+CONTAIN_TAU = 0.9
+CONTAIN_SPAN_K = 16
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')
+                        AS toks
+               FROM documents),
+    h AS (SELECT doc_id, {token_hashes_32_duck_sql('toks')} AS hs FROM t),
+    g AS (SELECT doc_id,
+                 {shingle_ids_tok_sql('hs', CONTAIN_SPAN_K)} AS spans
+          FROM h),
+    ns AS (SELECT doc_id, len(spans) AS n_spans FROM g),
+    sp AS (SELECT doc_id, unnest(spans) AS span FROM g),
+    shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      count(*) AS n_shared
+               FROM sp a JOIN sp b ON a.span = b.span
+                                  AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    scored AS (
+        SELECT s.doc_a, s.doc_b,
+               na.n_spans AS n_spans_a, nb.n_spans AS n_spans_b,
+               {sim.round6_stable_sql(
+                   's.n_shared / CAST(least(na.n_spans, nb.n_spans)'
+                   ' AS DOUBLE)')} AS containment
+        FROM shared s JOIN ns na ON na.doc_id = s.doc_a
+                      JOIN ns nb ON nb.doc_id = s.doc_b)
+    SELECT doc_a, doc_b, n_spans_a, n_spans_b, containment,
+           CASE WHEN n_spans_a <= n_spans_b THEN 'a_in_b'
+                ELSE 'b_in_a' END AS direction
+    FROM scored WHERE containment >= {CONTAIN_TAU}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm", "dedup-containment"),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excerpt/containment dedup: pairs where >= {CONTAIN_TAU} of the
+    smaller document's distinct {CONTAIN_SPAN_K}-token spans appear in
+    the larger document — the doc-pair-level view of exact-substring
+    dedup (dedup_substring_spans finds the repeated spans themselves;
+    this query names which documents are excerpts of which). Documents
+    shorter than {CONTAIN_SPAN_K} tokens carry one whole-text span, so a
+    verbatim short dup still registers as containment 1.0.
+
+    Scale shape: span ids are the blocking key AND the measure, so there
+    is no separate verify join carrying arrays or text — the only
+    shuffles are (span_id, doc_id) pairs, the span-bucket self-join
+    (bounded by cross-doc span multiplicity), and a pair-keyed count.
+    Span sharing is rare by construction, so the pair table is
+    duplicate-bounded, not corpus-bounded."""
+    from ..functions.hashing import hash32_col  # noqa: F401 (via dedup ops)
+
+    d = spread(table(spark, sf_dir, "documents"))
+    hs = token_hashes_32_col(F.col("text"))
+    g = pin(d.select(
+        "doc_id",
+        shingle_ids_tok_col(hs, CONTAIN_SPAN_K).alias("spans")))
+    ns = g.select("doc_id", F.size("spans").alias("n_spans"))
+    sp = g.select("doc_id", F.explode("spans").alias("span"))
+    a = sp.select(F.col("doc_id").alias("doc_a"), "span")
+    b = sp.select(F.col("doc_id").alias("doc_b"), "span")
+    shared = (
+        a.join(b, "span")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared")))
+    na = ns.select(F.col("doc_id").alias("doc_a"),
+                   F.col("n_spans").alias("n_spans_a"))
+    nb = ns.select(F.col("doc_id").alias("doc_b"),
+                   F.col("n_spans").alias("n_spans_b"))
+    scored = (
+        shared.join(na, "doc_a").join(nb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_spans_a", "n_spans_b",
+            sim.round6_stable(
+                F.col("n_shared")
+                / F.least("n_spans_a", "n_spans_b").cast("double"))
+               .alias("containment")))
+    return (
+        scored.filter(F.col("containment") >= CONTAIN_TAU)
+        .select("doc_a", "doc_b", "n_spans_a", "n_spans_b", "containment",
+                F.when(F.col("n_spans_a") <= F.col("n_spans_b"), "a_in_b")
+                 .otherwise("b_in_a").alias("direction"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # Guard against silent drift between the module's pinned constants and the
 # shared minhash parameter set (the ssig merge relies on component order).
 assert len(minhash_params(MINHASH_K)) == MINHASH_K

@@ -422,3 +422,24 @@ def test_tfidf_and_pmi_surface_planted_signal(spark, tmp_path):
     pmi = _run(spark, "text_collocations_pmi", sf).collect()
     assert (pmi[0].w1, pmi[0].w2) == ("zork", "quux")
     assert pmi[0].c12 == 6
+
+
+def test_containment_flags_excerpt_but_not_overlap(spark, tmp_path):
+    """A short excerpt whose tokens are a subset of a long document is
+    flagged with the contained side identified; two documents with only
+    partial overlap stay below the containment threshold."""
+    long_doc = " ".join(f"w{i}" for i in range(60))
+    excerpt = " ".join(f"w{i}" for i in range(10, 40))      # fully contained
+    partial = " ".join(f"w{i}" for i in range(50, 80))      # tail overlap only
+    docs = spark.createDataFrame(
+        [(1, long_doc, "en", "s0", 0), (2, excerpt, "en", "s0", 0),
+         (3, partial, "en", "s0", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    sf = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    out = {(r.doc_a, r.doc_b): r
+           for r in _run(spark, "dedup_containment", sf).collect()}
+    assert (1, 2) in out
+    assert out[(1, 2)].direction == "b_in_a"  # doc 2 contained in doc 1
+    assert out[(1, 2)].containment == 1.0
+    assert (1, 3) not in out and (2, 3) not in out
