@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hash32_sql_duck, minhash_params
 from ..operators import similarity as sim
+from ..operators.multimodal import media_metadata, with_payload
 from ..operators.dedup import (
     MINHASH_K,
     minhash_signature_col,
@@ -1719,6 +1720,125 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("n_spans_a") <= F.col("n_spans_b"), "a_in_b")
                  .otherwise("b_in_a").alias("direction"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------- binary payload dedup
+
+
+@register(
+    "media_dedup_exact_bytes",
+    oracle="""
+    WITH m AS (SELECT doc_id, md5(text) AS media_hash,
+                      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+               FROM documents)
+    SELECT media_hash, min(n_bytes) AS n_bytes,
+           count(*) AS n_copies, min(doc_id) AS canonical_doc
+    FROM m GROUP BY 1 HAVING count(*) >= 2
+    ORDER BY media_hash
+    """,
+    tags=("llm", "multimodal", "dedup-binary"),
+)
+def q_media_dedup_exact_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact byte-level dedup of binary media payloads: identical blobs
+    (re-uploads, mirrored assets) collapse on their content digest, keep
+    the lowest doc_id as canonical. The digest is computed NEXT TO the
+    payload (mapInPandas metadata pass, same stubbed-decode pipeline as
+    media_metadata) so the shuffle carries 32-byte digests — the binary
+    column never moves, which is the whole game at 100 TB where payloads
+    dominate row size."""
+    d = with_payload(spread(table(spark, sf_dir, "documents")))
+    meta = media_metadata(d)
+    return (
+        meta.groupBy("media_hash")
+        .agg(F.min("n_bytes").alias("n_bytes"),
+             F.count("*").alias("n_copies"),
+             F.min("doc_id").alias("canonical_doc"))
+        .filter(F.col("n_copies") >= 2)
+        .orderBy("media_hash")
+    )
+
+
+# ------------------------------------------ end-to-end curation pipeline
+
+
+@register(
+    "curation_end_to_end",
+    oracle=(lambda ts, qs: f"""
+    WITH k AS (SELECT doc_id, text, lang,
+                      row_number() OVER (PARTITION BY md5(text)
+                                         ORDER BY doc_id) AS rn
+               FROM documents),
+    dd AS (SELECT doc_id, text, lang FROM k WHERE rn = 1),
+    q AS (SELECT doc_id, lang, {ts['n_re_tokens']} AS n_toks
+          FROM dd
+          WHERE length(trim(coalesce(text, ''))) > 0
+            AND {ts['n_re_tokens']} >= 5
+            AND {qs['punct_ratio']} <= 0.3
+            AND {qs['stopword_ratio']} >= 0.05),
+    s AS (SELECT lang, n_toks,
+                 CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 8) AS BIGINT) % 100 < 95
+                      THEN 'train' ELSE 'val' END AS split
+          FROM q),
+    agg AS (SELECT split, lang, count(*) AS n_docs,
+                   CAST(sum(n_toks) AS BIGINT) AS n_tokens
+            FROM s GROUP BY 1, 2),
+    tot AS (SELECT split, CAST(sum(n_tokens) AS BIGINT) AS split_tokens
+            FROM agg GROUP BY 1)
+    SELECT agg.split, agg.lang, agg.n_docs, agg.n_tokens,
+           {sim.round6_stable_sql(
+               'agg.n_tokens / CAST(tot.split_tokens AS DOUBLE)')}
+             AS token_share
+    FROM agg JOIN tot USING (split)
+    ORDER BY split, lang
+    """)(token_stats_sql("text"), quality_sql("text")),
+    tags=("llm", "curation-pipeline"),
+)
+def q_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as ONE declarative plan: exact dedup
+    (keep-first per content digest) -> C4-style quality gate -> hash-mod
+    train/val split -> per-(split, lang) doc and token budgets with
+    within-split token shares. This is the composition story: every
+    stage is the same building block the standalone queries verify
+    (dedup_exact, quality_filter_pipeline, train_val_split,
+    corpus_mix_stats), fused so Catalyst pipelines the scan, the dedup
+    window and the filters into one pass — no materialization between
+    stages, one digest-keyed shuffle plus one tiny group-by. At 100 TB
+    this single plan replaces a 4-job pipeline with 3 intermediate
+    tables on disk."""
+    from ..operators.textstats import quality_cols, token_stats_cols
+
+    d = spread(table(spark, sf_dir, "documents"))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dd = (d.withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") == 1))
+    ts = token_stats_cols(F.col("text"))
+    qs = quality_cols(F.col("text"))
+    q = (dd.filter(
+            (F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0)
+            & (ts["n_re_tokens"] >= 5)
+            & (qs["punct_ratio"] <= 0.3)
+            & (qs["stopword_ratio"] >= 0.05))
+         .select("doc_id", "lang", ts["n_re_tokens"].alias("n_toks")))
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                 1, 8), 16, 10).cast("long") % 100)
+    s = q.select(
+        "lang", "n_toks",
+        F.when(bucket < 95, "train").otherwise("val").alias("split"))
+    agg = s.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"))
+    tot = agg.groupBy("split").agg(
+        F.sum("n_tokens").cast("bigint").alias("split_tokens"))
+    return (
+        agg.join(tot, "split")
+        .select("split", "lang", "n_docs", "n_tokens",
+                sim.round6_stable(
+                    F.col("n_tokens")
+                    / F.col("split_tokens").cast("double"))
+                   .alias("token_share"))
+        .orderBy("split", "lang")
     )
 
 
