@@ -206,3 +206,28 @@ def test_scan_partition_estimate_matches_planner(spark):
     assert registry._is_scan_narrow_plan(nr)
     assert not registry._is_scan_narrow_plan(nr.repartition(4))
     assert not registry._is_scan_narrow_plan(nr.groupBy("doc_id").count())
+
+
+def test_chunking_is_map_only_before_sort(spark):
+    """Sliding-window chunking derives every chunk from its own row:
+    the plan must contain NO hash-partitioned exchange — only the gated
+    round-robin spread and the presentation sort's range exchange. A
+    hash shuffle here would mean chunks are being co-located for no
+    reason, shipping the tokenized corpus once more at 100 TB."""
+    p = plan_str(spark, "chunk_sliding_tokens")
+    assert "hashpartitioning" not in p, p[:600]
+
+
+def test_containment_shuffles_span_ids_not_text(spark):
+    """Excerpt-containment's shuffles may carry span ids and doc ids
+    only — never document text (same contract as
+    dedup_substring_spans: the span relation IS the blocking key and
+    the measure, so text must stay in the scan stage)."""
+    p = plan_str(spark, "dedup_containment")
+    hash_exchanges = [s for s in re.split(r"\n\(\d+\) ", p)
+                      if s.startswith("Exchange") and "hashpartitioning" in s]
+    assert hash_exchanges, p[:400]
+    for section in hash_exchanges:
+        input_line = next(
+            (ln for ln in section.splitlines() if ln.startswith("Input")), "")
+        assert "text#" not in input_line, section[:400]
