@@ -1842,6 +1842,66 @@ def q_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------- train-then-apply classifier inference
+
+_LG_FEAT_ID_CTE = (
+    "feat AS (SELECT doc_id, "
+    "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, "
+    + ", ".join(f"{sql} AS x_{name}"
+                for name, sql in lg.feature_sql("text").items())
+    + " FROM documents)"
+)
+
+
+@register(
+    "score_quality_logreg",
+    oracle=f"""
+    WITH {_LG_FEAT_ID_CTE},
+    {lg.logreg_train_cte_sql()}
+    SELECT f.doc_id,
+           ({lg.margin_sql('w')} >= 0) AS predicted_en,
+           {sim.round6_stable_sql(
+               f'1.0 / (1.0 + exp(-({lg.margin_sql("w")})))')} AS p_en
+    FROM feat f CROSS JOIN w{lg.ROUNDS} w
+    ORDER BY f.doc_id
+    """,
+    tags=("llm", "score-logreg"),
+)
+def q_score_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply: the full classifier loop in one query — train
+    the quality logistic regression (train_quality_logreg's 5 GD rounds,
+    weights value-checked there) and immediately SCORE every document
+    with the learned model: sigmoid probability and the margin-sign
+    prediction. This is how a bootstrapped quality classifier is
+    actually consumed by a curation pipeline (score -> threshold ->
+    filter/sample).
+
+    Scale shape: training is R passes over the pinned feature projection
+    (only 4-number gradients reach the driver); inference is one
+    map-only pass with the weights inlined as literals — the 100 TB
+    plan is scan -> project, no shuffle at all past the presentation
+    sort. The oracle replays training AND scoring, so the per-document
+    probabilities are value-checked end-to-end."""
+    d = spread(table(spark, sf_dir, "documents"))
+    fcols = lg.feature_cols(F.col("text"))
+    feat = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0))
+         .alias("y"),
+        *[c.alias(f"x_{name}") for name, c in fcols.items()])
+    feat = pin(feat)
+    weights = lg.train_logreg(feat)
+    m = lg._margin(weights)
+    return (
+        feat.select(
+            "doc_id",
+            (m >= 0).alias("predicted_en"),
+            sim.round6_stable(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-m))).alias("p_en"))
+        .orderBy("doc_id")
+    )
+
+
 # Guard against silent drift between the module's pinned constants and the
 # shared minhash parameter set (the ssig merge relies on component order).
 assert len(minhash_params(MINHASH_K)) == MINHASH_K
