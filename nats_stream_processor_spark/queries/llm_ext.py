@@ -1902,6 +1902,125 @@ def q_score_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ k-NN graph construction
+
+KNN_GRAPH_K = 3
+
+
+@register(
+    "sim_knn_graph",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {sim.as_double_sql('embedding')} AS demb
+               FROM embeddings),
+    n AS (SELECT vec_id, demb, {sim.norm_sql('demb')} AS nrm FROM e),
+    b AS (SELECT vec_id, {sim.lsh_buckets_multi_sql('demb')} AS buckets
+          FROM n),
+    x AS (SELECT vec_id, i AS tbl, buckets[i + 1] AS bucket
+          FROM b CROSS JOIN
+               (SELECT unnest(range(0, {sim.LSH_TABLES})) AS i) u),
+    cand AS (SELECT DISTINCT a.vec_id AS va, c.vec_id AS vb
+             FROM x a JOIN x c ON c.tbl = a.tbl AND c.bucket = a.bucket
+                              AND a.vec_id < c.vec_id),
+    sc AS (SELECT cand.va, cand.vb,
+                  round({sim.dot_unrolled_sql('na.demb', 'nb.demb')}
+                        / (na.nrm * nb.nrm), 6) AS cosine
+           FROM cand JOIN n na ON na.vec_id = cand.va
+                     JOIN n nb ON nb.vec_id = cand.vb),
+    dir AS (SELECT va AS src, vb AS dst, cosine FROM sc
+            UNION ALL
+            SELECT vb AS src, va AS dst, cosine FROM sc)
+    SELECT src, dst, cosine, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY src
+                                     ORDER BY cosine DESC, dst) AS rn
+        FROM dir)
+    WHERE rn <= {KNN_GRAPH_K} ORDER BY src, rn
+    """,
+    tags=("llm", "knn-graph"),
+)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph construction over the WHOLE corpus (top-{KNN_GRAPH_K}
+    approximate neighbors for every vector, not just a query set) — the
+    primitive semantic-dedup, graph-clustering and diversity-sampling
+    pipelines consume. Candidates come from the multi-table LSH bucket
+    self-join (collision in any of the {sim.LSH_TABLES} tables), are
+    deduplicated UNDIRECTED FIRST — so each pair's exact cosine is
+    computed once, not once per colliding table or direction — then
+    mirrored into both directions for the per-node top-k.
+
+    Scale shape: shuffles carry (table, bucket, vec_id) and pair ids;
+    the pairwise work is bucket-bounded (never corpus x corpus) and the
+    per-node window is k-bounded. The bucket relation is pinned — it
+    feeds both sides of the self-join."""
+    e = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("demb"))
+    n = pin(e.select("vec_id", "demb",
+                     sim.norm(F.col("demb")).alias("nrm")))
+    x = pin(n.select(
+        "vec_id",
+        F.posexplode(sim.lsh_buckets_multi(F.col("demb")))
+         .alias("tbl", "bucket")).select("vec_id", "tbl", "bucket"))
+    a = x.select(F.col("vec_id").alias("va"), "tbl", "bucket")
+    c = x.select(F.col("vec_id").alias("vb"), "tbl", "bucket")
+    cand = (a.join(c, ["tbl", "bucket"])
+            .filter(F.col("va") < F.col("vb"))
+            .select("va", "vb").distinct())
+    na = n.select(F.col("vec_id").alias("va"),
+                  F.col("demb").alias("demb_a"), F.col("nrm").alias("nrm_a"))
+    nb = n.select(F.col("vec_id").alias("vb"),
+                  F.col("demb").alias("demb_b"), F.col("nrm").alias("nrm_b"))
+    sc = (cand.join(na, "va").join(nb, "vb")
+          .select("va", "vb",
+                  sim.cosine(sim.dot(F.col("demb_a"), F.col("demb_b")),
+                             F.col("nrm_a"), F.col("nrm_b"))
+                     .alias("cosine")))
+    directed = (
+        sc.select(F.col("va").alias("src"), F.col("vb").alias("dst"),
+                  "cosine")
+        .unionAll(sc.select(F.col("vb").alias("src"),
+                            F.col("va").alias("dst"), "cosine")))
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), "dst")
+    return (
+        directed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_GRAPH_K)
+        .orderBy("src", "rn")
+    )
+
+
+# ------------------------------------------- dedup-rate observability
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle=f"""
+    WITH k AS (SELECT source, md5(text) AS k FROM documents)
+    SELECT source, count(*) AS n_docs,
+           count(DISTINCT k) AS n_unique,
+           {sim.round6_stable_sql(
+               '(count(*) - count(DISTINCT k)) / CAST(count(*) AS DOUBLE)')}
+             AS dup_rate
+    FROM k GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "dedup-observability"),
+)
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate — the observability rollup a
+    curation pipeline watches to spot feeds that started re-crawling or
+    mirroring content. One scan; the shuffle carries (source, digest)
+    for a distinct-count aggregate (partial distinct map-side), never
+    text."""
+    d = spread(table(spark, sf_dir, "documents"))
+    k = d.select("source", F.md5("text").alias("k"))
+    return (
+        k.groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.countDistinct("k").alias("n_unique"),
+             sim.round6_stable(
+                 (F.count("*") - F.countDistinct("k"))
+                 / F.count("*").cast("double")).alias("dup_rate"))
+        .orderBy("source")
+    )
+
+
 # Guard against silent drift between the module's pinned constants and the
 # shared minhash parameter set (the ssig merge relies on component order).
 assert len(minhash_params(MINHASH_K)) == MINHASH_K
