@@ -2021,6 +2021,113 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- salted (skew-safe) join
+
+_EVENT_FAMILY_SQL = ("CASE WHEN event_type IN ('view', 'click')"
+                     " THEN 'engagement' ELSE 'conversion' END")
+
+
+@register(
+    "join_salted_event_family",
+    oracle=f"""
+    WITH dim AS (SELECT DISTINCT event_type,
+                        {_EVENT_FAMILY_SQL} AS family
+                 FROM events)
+    SELECT d.family, count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("join", "salted", "skew"),
+)
+def q_join_salted_event_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe dimension join as a value-checked query: events carry a
+    5-value join key (event_type), the structurally-skewed shape — at
+    100 TB a plain shuffled join would land each key on ONE reduce task.
+    The Spark side rides operators/relational.salted_join (scatter the
+    fact rows across salt buckets, explode the small dim per bucket);
+    salting is purely physical, so the ORACLE is the plain join — same
+    result set by construction, which is exactly the property that makes
+    salting safe to deploy. (AQE skew splitting handles moderate skew
+    on its own; explicit salting is for the celebrity-key case beyond
+    what one task can hold.)"""
+    from ..operators.relational import salted_join
+
+    e = table(spark, sf_dir, "events")
+    dim = e.select(
+        "event_type",
+        F.when(F.col("event_type").isin("view", "click"), "engagement")
+         .otherwise("conversion").alias("family")).distinct()
+    joined = salted_join(e.select("event_type", "user_id"),
+                         F.broadcast(dim), "event_type")
+    return (
+        joined.groupBy("family")
+        .agg(F.count("*").alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"))
+        .orderBy("family")
+    )
+
+
+# ------------------------------------------ hourly rate anomaly z-score
+
+
+@register(
+    "events_hourly_zscore",
+    oracle=f"""
+    WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                      count(*) AS n
+               FROM events GROUP BY 1, 2),
+    st AS (SELECT event_type, count(*) AS n_hours,
+                  CAST(sum(n) AS BIGINT) AS s,
+                  CAST(sum(n * n) AS BIGINT) AS ss
+           FROM h GROUP BY 1)
+    SELECT h.event_type, h.hour, h.n,
+           {sim.round6_stable_sql(
+               'CASE WHEN st.n_hours > 1 AND'
+               ' (st.ss - (CAST(st.s AS DOUBLE) * st.s) / st.n_hours)'
+               ' > 0 THEN'
+               ' (h.n - CAST(st.s AS DOUBLE) / st.n_hours)'
+               ' / sqrt((st.ss - (CAST(st.s AS DOUBLE) * st.s)'
+               ' / st.n_hours) / st.n_hours)'
+               ' ELSE 0.0 END')} AS z6
+    FROM h JOIN st USING (event_type)
+    ORDER BY event_type, hour
+    """,
+    tags=("events", "anomaly"),
+)
+def q_events_hourly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-rate z-scores per event type — the anomaly signal a
+    pipeline-health dashboard alerts on (a traffic spike or a dead feed
+    shows up as |z| >> 0 hours; the MAD variant in events_outliers_mad
+    is the value-level robust cousin). Hourly counts and the per-type
+    moment sums (n, sum, sum of squares) are exact integers, so the only
+    floats are one division chain and a sqrt — IEEE-deterministic both
+    engines, stable-rounded. Observed hours only (the dense-grid version
+    is events_gap_fill's job). Shuffles: (type, hour) partial counts,
+    then a per-type 3-number reduce broadcast back onto the hour rows."""
+    e = table(spark, sf_dir, "events")
+    h = (e.groupBy("event_type",
+                   F.date_trunc("hour", F.col("ts")).alias("hour"))
+         .agg(F.count("*").alias("n")))
+    h = pin(h)
+    st = h.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("n").cast("bigint").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("ss"))
+    var_num = (F.col("ss")
+               - (F.col("s").cast("double") * F.col("s")) / F.col("n_hours"))
+    z = ((F.col("n") - F.col("s").cast("double") / F.col("n_hours"))
+         / F.sqrt(var_num / F.col("n_hours")))
+    return (
+        h.join(F.broadcast(st), "event_type")
+        .select("event_type", "hour", "n",
+                sim.round6_stable(
+                    F.when((F.col("n_hours") > 1) & (var_num > 0), z)
+                    .otherwise(F.lit(0.0))).alias("z6"))
+        .orderBy("event_type", "hour")
+    )
+
+
 # Guard against silent drift between the module's pinned constants and the
 # shared minhash parameter set (the ssig merge relies on component order).
 assert len(minhash_params(MINHASH_K)) == MINHASH_K

@@ -443,3 +443,40 @@ def test_containment_flags_excerpt_but_not_overlap(spark, tmp_path):
     assert out[(1, 2)].direction == "b_in_a"  # doc 2 contained in doc 1
     assert out[(1, 2)].containment == 1.0
     assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_hourly_zscore_is_standardized_per_type(spark):
+    """Within each event type the hourly z-scores must be standardized:
+    mean ~ 0 and (population) variance ~ 1 whenever more than one hour
+    exists and counts vary — the property that makes a fixed |z|
+    threshold meaningful across types with different base rates."""
+    rows = _run(spark, "events_hourly_zscore").collect()
+    by_type: dict[str, list[float]] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.z6)
+    assert by_type
+    for etype, zs in by_type.items():
+        if len(zs) < 2 or all(z == 0.0 for z in zs):
+            continue
+        m = sum(zs) / len(zs)
+        v = sum(z * z for z in zs) / len(zs) - m * m
+        assert abs(m) < 1e-3, (etype, m)
+        assert abs(v - 1.0) < 1e-3, (etype, v)
+
+
+def test_salted_event_family_matches_plain_join(spark):
+    """The salted fact-dim join query must return exactly what the plain
+    join returns — salting is physical, not semantic."""
+    from nats_stream_processor_spark.registry import table as _table
+
+    out = {r.family: (r.n_events, r.n_users)
+           for r in _run(spark, "join_salted_event_family").collect()}
+    e = _table(spark, SF, "events")
+    plain = (
+        e.groupBy(F.when(F.col("event_type").isin("view", "click"),
+                         "engagement").otherwise("conversion")
+                  .alias("family"))
+        .agg(F.count("*").alias("n_events"),
+             F.countDistinct("user_id").alias("n_users")))
+    expect = {r.family: (r.n_events, r.n_users) for r in plain.collect()}
+    assert out == expect
