@@ -27,7 +27,10 @@ from ..functions.hashing import hash32_sql_duck, minhash_params
 from ..operators import similarity as sim
 from ..operators.multimodal import media_metadata, with_payload
 from ..operators.dedup import (
+    LSH_BANDS,
+    LSH_ROWS,
     MINHASH_K,
+    jaccard_sql,
     minhash_signature_col,
     minhash_signature_sql,
     shingle_ids_tok_col,
@@ -2125,6 +2128,88 @@ def q_events_hourly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when((F.col("n_hours") > 1) & (var_num > 0), z)
                     .otherwise(F.lit(0.0))).alias("z6"))
         .orderBy("event_type", "hour")
+    )
+
+
+# ------------------------------------- fuzzy (near-dup) decontamination
+
+# Exact 8-gram overlap (decontaminate_ngram_overlap) misses lightly
+# edited benchmark leaks — a paraphrased or truncated eval item shares
+# few exact 8-grams but keeps a high shingle Jaccard. The fuzzy pass
+# flags training docs whose trigram-shingle similarity to ANY eval doc
+# clears a (lower) contamination bar, found via the same MinHash banding
+# as dedup_minhash_lsh but with the candidate join restricted to
+# eval x train.
+DECON_FUZZY_TAU = 0.3
+_EVAL_MAX = 20  # doc_id < 20 stands in for the benchmark suite
+
+
+@register(
+    "decontaminate_fuzzy_minhash",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+               FROM documents),
+    h AS (SELECT doc_id, {token_hashes_32_duck_sql('toks')} AS hs FROM t),
+    s AS (SELECT doc_id, {shingle_ids_tok_sql('hs')} AS sids FROM h),
+    sig AS (SELECT doc_id, {minhash_signature_sql('sids')} AS sig FROM s),
+    bands AS (
+        SELECT doc_id, band_idx,
+               array_to_string(list_slice(sig, band_idx * {LSH_ROWS} + 1,
+                                          (band_idx + 1) * {LSH_ROWS}), '_')
+                 AS bucket
+        FROM sig CROSS JOIN
+             (SELECT unnest(range(0, {LSH_BANDS})) AS band_idx) u),
+    cand AS (
+        SELECT DISTINCT e.doc_id AS eval_doc, c.doc_id AS doc_id
+        FROM bands e JOIN bands c
+          ON e.band_idx = c.band_idx AND e.bucket = c.bucket
+        WHERE e.doc_id < {_EVAL_MAX} AND c.doc_id >= {_EVAL_MAX})
+    SELECT cand.doc_id, cand.eval_doc,
+           {jaccard_sql('sc.sids', 'se.sids')} AS jaccard
+    FROM cand JOIN s sc ON sc.doc_id = cand.doc_id
+              JOIN s se ON se.doc_id = cand.eval_doc
+    WHERE {jaccard_sql('sc.sids', 'se.sids')} >= {DECON_FUZZY_TAU}
+    ORDER BY cand.doc_id, cand.eval_doc
+    """,
+    tags=("llm", "decontamination-fuzzy"),
+)
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination: training documents whose
+    trigram-shingle Jaccard to any eval doc (doc_id < {_EVAL_MAX})
+    reaches {DECON_FUZZY_TAU} — the near-dup contamination exact n-gram
+    matching misses. Same signature/banding machinery as
+    dedup_minhash_lsh; only the candidate join changes: eval bands x
+    corpus bands, so the pair space is |eval| x collisions, never
+    corpus x corpus. At real scale the eval side is a broadcast-sized
+    relation and the corpus is scanned once."""
+    from ..operators.dedup import LSH_BANDS as _b  # noqa: F401 (doc parity)
+    from ..operators.dedup import jaccard, minhash_band_explode
+
+    d = table(spark, sf_dir, "documents")
+    sh = (spread(d)
+          .select("doc_id", token_hashes_32_col(F.col("text")).alias("hs"))
+          .select("doc_id", shingle_ids_tok_col(F.col("hs")).alias("sids")))
+    sh = pin(sh)
+    sig = sh.select("doc_id",
+                    minhash_signature_col(F.col("sids")).alias("sig"))
+    bands = minhash_band_explode(sig, "doc_id", "sig")
+    ev = (bands.filter(F.col("doc_id") < _EVAL_MAX)
+          .select(F.col("doc_id").alias("eval_doc"), "band", "bucket"))
+    cand = (
+        bands.filter(F.col("doc_id") >= _EVAL_MAX)
+        .join(F.broadcast(ev), ["band", "bucket"])
+        .select("doc_id", "eval_doc").distinct())
+    sc_ = sh.select(F.col("doc_id").alias("doc_id"),
+                    F.col("sids").alias("sids_c"))
+    se = sh.select(F.col("doc_id").alias("eval_doc"),
+                   F.col("sids").alias("sids_e"))
+    return (
+        cand.join(sc_, "doc_id").join(F.broadcast(se), "eval_doc")
+        .select("doc_id", "eval_doc",
+                jaccard(F.col("sids_c"), F.col("sids_e")).alias("jaccard"))
+        .filter(F.col("jaccard") >= DECON_FUZZY_TAU)
+        .orderBy("doc_id", "eval_doc")
     )
 
 
