@@ -2213,6 +2213,80 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------- language-mix rebalancing
+
+# Target token shares for the training mix (a deliberate policy, not the
+# crawl's accident): downsample English, hold the rest at parity.
+LANG_TARGETS = {"en": "0.4", "zh": "0.15", "es": "0.15", "de": "0.15",
+                "fr": "0.15"}
+_LT_SQL = ("CASE " + " ".join(
+    f"WHEN lang = '{k}' THEN CAST('{v}' AS DOUBLE)"
+    for k, v in LANG_TARGETS.items()) + " ELSE CAST('0.0' AS DOUBLE) END")
+
+
+@register(
+    "curation_lang_rebalance",
+    oracle=f"""
+    WITH t AS (SELECT lang,
+                      CAST(sum(len(regexp_extract_all(lower(text),
+                                                      '[a-z0-9]+')))
+                           AS BIGINT) AS n_tokens
+               FROM documents GROUP BY 1),
+    w AS (SELECT lang, n_tokens, {_LT_SQL} AS target FROM t),
+    b AS (SELECT min(n_tokens / target) AS budget
+          FROM w WHERE target > 0)
+    SELECT w.lang, w.n_tokens, w.target AS target_share,
+           {sim.round6_stable_sql(
+               'CASE WHEN w.target > 0'
+               ' THEN ((b.budget * w.target) / w.n_tokens)'
+               ' ELSE 0.0 END')} AS sample_rate,
+           {sim.round6_stable_sql(
+               'CASE WHEN w.target > 0 THEN (b.budget * w.target)'
+               ' ELSE 0.0 END')} AS planned_tokens
+    FROM w CROSS JOIN b ORDER BY w.lang
+    """,
+    tags=("llm", "mix-rebalance"),
+)
+def q_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix rebalancing: given target token shares, compute the
+    largest total budget achievable WITHOUT oversampling any language
+    (budget = min over languages of available/target — the binding
+    language gets rate 1.0) and each language's resulting sampling rate
+    and planned token count. This is the arithmetic behind every 'fix
+    the language mix' downsampling pass; the rates feed the same
+    hash-mod sampler as sample_stratified.
+
+    Scale shape: one token-count aggregate (map-side partials over the
+    corpus scan), then language-cardinality arithmetic — the budget min
+    is a 1-row aggregate broadcast back by cross join. All inputs to the
+    float chain are exact ints and short decimal literals parsed
+    identically in both engines."""
+    from ..functions.text import tokens_col
+
+    d = spread(table(spark, sf_dir, "documents"))
+    t = (d.groupBy("lang")
+         .agg(F.sum(F.size(tokens_col(F.col("text"))))
+               .cast("bigint").alias("n_tokens")))
+    w = t.select("lang", "n_tokens", F.expr(_LT_SQL).alias("target"))
+    w = pin(w)
+    b = (w.filter(F.col("target") > 0)
+         .agg(F.min(F.col("n_tokens") / F.col("target")).alias("budget")))
+    rate = (F.col("budget") * F.col("target")) / F.col("n_tokens")
+    return (
+        w.crossJoin(F.broadcast(b))
+        .select(
+            "lang", "n_tokens", F.col("target").alias("target_share"),
+            sim.round6_stable(
+                F.when(F.col("target") > 0, rate).otherwise(F.lit(0.0)))
+               .alias("sample_rate"),
+            sim.round6_stable(
+                F.when(F.col("target") > 0,
+                       F.col("budget") * F.col("target"))
+                .otherwise(F.lit(0.0))).alias("planned_tokens"))
+        .orderBy("lang")
+    )
+
+
 # Guard against silent drift between the module's pinned constants and the
 # shared minhash parameter set (the ssig merge relies on component order).
 assert len(minhash_params(MINHASH_K)) == MINHASH_K

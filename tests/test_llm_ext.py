@@ -480,3 +480,20 @@ def test_salted_event_family_matches_plain_join(spark):
              F.countDistinct("user_id").alias("n_users")))
     expect = {r.family: (r.n_events, r.n_users) for r in plain.collect()}
     assert out == expect
+
+
+def test_lang_rebalance_budget_is_binding_and_feasible(spark):
+    """Rebalance contract: every sampling rate is in (0, 1], at least one
+    language is binding (rate 1.0 — the budget can't grow further), and
+    planned tokens are proportional to the target shares."""
+    rows = {r.lang: r for r in _run(spark, "curation_lang_rebalance").collect()}
+    active = [r for r in rows.values() if r.target_share > 0]
+    assert active
+    assert all(0 < r.sample_rate <= 1.0 + 1e-9 for r in active)
+    assert any(abs(r.sample_rate - 1.0) < 1e-6 for r in active), \
+        "no binding language — budget not maximal"
+    base = active[0]
+    for r in active[1:]:
+        lhs = r.planned_tokens * base.target_share
+        rhs = base.planned_tokens * r.target_share
+        assert abs(lhs - rhs) <= 1e-3 * max(abs(lhs), 1.0)
