@@ -198,3 +198,28 @@ def test_normalized_key_matches_duckdb(spark, batch):
         for t in batch
     ]
     assert got_spark == got_duck
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=1, max_value=500))
+def test_chunk_grid_covers_all_tokens(n):
+    """Pure-arithmetic twin of the chunker's stride grid (llm_ext
+    CHUNK_LEN/CHUNK_STRIDE): for any token count the generated
+    (start, len) windows cover every token index, starts sit on the
+    stride grid, only the final chunk may be short, and overlap between
+    consecutive full chunks is exactly CHUNK_LEN - CHUNK_STRIDE."""
+    from nats_stream_processor_spark.queries.llm_ext import (
+        CHUNK_LEN,
+        CHUNK_STRIDE,
+    )
+
+    starts = list(range(0, n, CHUNK_STRIDE))
+    lens = [min(CHUNK_LEN, n - s) for s in starts]
+    covered = set()
+    for s, ln in zip(starts, lens):
+        assert ln >= 1
+        covered.update(range(s, s + ln))
+    assert covered == set(range(n))
+    for (s1, l1), (s2, _) in zip(zip(starts, lens), zip(starts[1:], lens[1:])):
+        if l1 == CHUNK_LEN:
+            assert (s1 + l1) - s2 == CHUNK_LEN - CHUNK_STRIDE
