@@ -2287,6 +2287,67 @@ def q_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------- lag-gap sessionization (batch)
+
+SESSION_GAP_S = 1800  # 30 min inactivity closes a session
+
+
+@register(
+    "events_sessions_lag_gap",
+    oracle=f"""
+    WITH o AS (SELECT user_id, ts,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts,
+                                    event_id) AS prev_ts,
+                      event_id
+               FROM events),
+    f AS (SELECT user_id, ts, event_id,
+                 CASE WHEN prev_ts IS NULL
+                        OR epoch(ts) - epoch(prev_ts) > {SESSION_GAP_S}
+                      THEN 1 ELSE 0 END AS new_session
+          FROM o),
+    s AS (SELECT user_id, ts, event_id,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts,
+                                        event_id ROWS UNBOUNDED PRECEDING)
+                   AS session_id
+          FROM f)
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM s GROUP BY 1, 2 ORDER BY user_id, session_id
+    """,
+    tags=("events", "sessionize-lag"),
+)
+def q_sessions_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag-gap detection — the window-function session
+    builder (lag -> gap flag -> running sum = session id) that predates
+    and complements the session_window builtin (events_session_windows):
+    unlike the builtin it exposes the session ID on every event row, the
+    handle downstream joins need. Per-user windows partition by user_id,
+    so the sort is per-user-bounded; ties inside one timestamp break on
+    event_id to keep the numbering deterministic. One shuffle on
+    user_id; both window functions and the final aggregate reuse the
+    same partitioning (Catalyst plans a single exchange)."""
+    e = table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            F.lag("ts").over(w_ord).isNull()
+            | ((F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w_ord)))
+               > SESSION_GAP_S), 1).otherwise(0).alias("new_session"))
+    w_run = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    s = flagged.withColumn("session_id",
+                           F.sum("new_session").over(w_run))
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"),
+             F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"))
+        .orderBy("user_id", "session_id")
+    )
+
+
 # Guard against silent drift between the module's pinned constants and the
 # shared minhash parameter set (the ssig merge relies on component order).
 assert len(minhash_params(MINHASH_K)) == MINHASH_K
