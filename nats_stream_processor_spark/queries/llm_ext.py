@@ -868,7 +868,11 @@ def _bpe_merge_syms(syms, a: str, b: str):
         ).otherwise(F.concat(acc, F.array(x))))
 
 
-def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
+def _bpe_ctes(rounds: int = BPE_ROUNDS, apply_all: bool = False) -> list[str]:
+    """Shared CTE chain for the BPE queries: word freqs -> per-round pair
+    counts, argmax merge, greedy re-fold. With ``apply_all`` the final
+    round's merge is applied too (training doesn't need it; tokenizer
+    APPLICATION does)."""
     pair_cte = (
         "p{r} AS (SELECT p.a AS a, p.b AS b, CAST(sum(n) AS BIGINT) AS cnt"
         " FROM (SELECT n, unnest(list_transform(range(1, len(syms)),"
@@ -892,8 +896,13 @@ def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
     for r in range(1, rounds + 1):
         parts.append(pair_cte.format(r=r, prev=r - 1))
         parts.append(best_cte.format(r=r))
-        if r < rounds:
+        if apply_all or r < rounds:
             parts.append(merge_cte.format(r=r, prev=r - 1))
+    return parts
+
+
+def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
+    parts = _bpe_ctes(rounds)
     final = " UNION ALL ".join(
         f"SELECT {r} AS merge_round, a AS left_sym, b AS right_sym,"
         f" m AS merged, cnt AS n_occ FROM b{r}"
@@ -2346,6 +2355,63 @@ def q_sessions_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("ts").alias("session_end"))
         .orderBy("user_id", "session_id")
     )
+
+
+# ---------------------------------------- tokenizer application (BPE)
+
+BPE_VOCAB_TOP = 20
+
+
+@register(
+    "tokenizer_bpe_apply",
+    oracle=("WITH " + ",\n".join(_bpe_ctes(apply_all=True)) + f""",
+    vocab AS (SELECT sym, CAST(sum(n) AS BIGINT) AS n_occ
+              FROM (SELECT n, unnest(syms) AS sym FROM v{BPE_ROUNDS})
+              GROUP BY 1)
+    SELECT sym, n_occ, rn FROM (
+        SELECT *, row_number() OVER (ORDER BY n_occ DESC, sym) AS rn
+        FROM vocab)
+    WHERE rn <= {BPE_VOCAB_TOP} ORDER BY rn
+    """),
+    tags=("llm", "bpe-apply", "iterative"),
+)
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: train the {BPE_ROUNDS}-merge BPE tokenizer
+    (same loop as tokenizer_bpe_train) and then actually tokenize the
+    corpus with it, reporting the top-{BPE_VOCAB_TOP} symbols of the
+    resulting corpus-weighted vocabulary — the segmentation a data
+    pipeline would hand the model. Application happens on the WORD
+    table, weighted by word frequency, so tokenizing cost is
+    vocab-sized, corpus-size independent (the classic BPE trick); the
+    corpus is touched once for word counts. Integer counts end to end;
+    the oracle replays training AND application CTE-for-CTE. Top-K is
+    orderBy().limit() (TakeOrderedAndProject), rank derived on the K
+    survivors."""
+    from ..functions.text import tokens_col
+
+    d = spread(table(spark, sf_dir, "documents"))
+    words = (d.select(F.explode(tokens_col(F.col("text"))).alias("w"))
+             .groupBy("w").agg(F.count("*").alias("n")))
+    cur = pin(words.select("n", F.split("w", "").alias("syms")))
+    for _r in range(1, BPE_ROUNDS + 1):
+        pairs = cur.select(
+            "n",
+            F.explode(F.zip_with(
+                F.slice("syms", F.lit(1), F.size("syms") - 1),
+                F.slice("syms", F.lit(2), F.size("syms") - 1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )).alias("p"))
+        pc = (pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+              .agg(F.sum("n").alias("cnt")))
+        best = pc.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()[0]
+        cur = cur.select(
+            "n", _bpe_merge_syms(F.col("syms"), best.a, best.b)
+            .alias("syms"))
+    vocab = (cur.select("n", F.explode("syms").alias("sym"))
+             .groupBy("sym").agg(F.sum("n").cast("bigint").alias("n_occ")))
+    topk = vocab.orderBy(F.col("n_occ").desc(), "sym").limit(BPE_VOCAB_TOP)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("n_occ").desc(), "sym")
+    return topk.withColumn("rn", F.row_number().over(w)).orderBy("rn")
 
 
 # Guard against silent drift between the module's pinned constants and the
