@@ -2414,6 +2414,96 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.withColumn("rn", F.row_number().over(w)).orderBy("rn")
 
 
+# ----------------------------------- diversity coreset (cluster medoids)
+
+from ..operators import kmeans as _km  # noqa: E402
+from .llm import IVF_NLIST as _IVF_NLIST  # noqa: E402
+
+
+@register(
+    "sample_cluster_medoids",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {sim.as_double_sql('embedding')} AS demb
+               FROM embeddings),
+    n AS (SELECT vec_id, demb, {sim.norm_sql('demb')} AS nrm FROM e),
+    {_km.ivf_train_cte_sql(_IVF_NLIST)},
+    cent AS (SELECT cent_id, c_demb, {sim.norm_sql('c_demb')} AS c_nrm
+             FROM tcent),
+    assign AS (
+        SELECT vec_id, cent_id,
+               {sim.round6_stable_sql(
+                   sim.dot_sql('demb', 'c_demb') + ' / (nrm * c_nrm)')}
+                 AS cos6
+        FROM (SELECT n.vec_id, n.demb, n.nrm, cent.cent_id, cent.c_demb,
+                     cent.c_nrm,
+                     row_number() OVER (
+                         PARTITION BY n.vec_id
+                         ORDER BY {sim.dot_sql('n.demb', 'cent.c_demb')}
+                                  / (n.nrm * cent.c_nrm) DESC,
+                                  cent.cent_id) AS rc
+              FROM n CROSS JOIN cent)
+        WHERE rc = 1)
+    SELECT cluster_id, medoid_vec_id, medoid_cos, n_vectors FROM (
+        SELECT cent_id AS cluster_id, vec_id AS medoid_vec_id,
+               cos6 AS medoid_cos,
+               count(*) OVER (PARTITION BY cent_id) AS n_vectors,
+               row_number() OVER (PARTITION BY cent_id
+                                  ORDER BY cos6 DESC, vec_id) AS rm
+        FROM assign)
+    WHERE rm = 1 ORDER BY cluster_id
+    """,
+    tags=("llm", "diversity-sampling"),
+)
+def q_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity coreset: one representative per semantic cluster — the
+    member closest to its trained centroid (medoid proxy). This is the
+    'cover the distribution with K exemplars' sampling pass (dataset
+    cards, eval-seed selection, prototype browsing), the selection dual
+    of SemDeDup's within-cluster redundancy removal. Same deterministic
+    sampled k-means as cluster_kmeans_embeddings; the oracle replays
+    training and picks the same argmax, so the chosen exemplars are
+    value-checked.
+
+    Scale shape: K centroids broadcast against one corpus scan; the
+    per-cluster argmax is a K-bounded window on the assignment table
+    (shuffle carries vec_id, cluster id, one rounded cosine)."""
+    from ..operators import kmeans as km
+    from ..queries.llm import IVF_NLIST
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("demb"))
+    n = e.select("vec_id", "demb", sim.norm(F.col("demb")).alias("nrm"))
+    cents = km.train_ivf_centroids(e, IVF_NLIST)
+    cent = spark.createDataFrame(
+        [(i, cents[i]) for i in range(IVF_NLIST)],
+        "cent_id int, c_demb array<double>",
+    ).withColumn("c_nrm", sim.norm(F.col("c_demb")))
+    ranked = (
+        n.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cent_id",
+                (sim.dot(F.col("demb"), F.col("c_demb"))
+                 / (F.col("nrm") * F.col("c_nrm"))).alias("c_cos"))
+        .withColumn("rc", F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(),
+                                                 "cent_id")))
+    )
+    assigned = ranked.filter(F.col("rc") == 1).select(
+        "vec_id", "cent_id", sim.round6_stable(F.col("c_cos")).alias("cos6"))
+    wm = Window.partitionBy("cent_id").orderBy(F.col("cos6").desc(),
+                                               "vec_id")
+    wc = Window.partitionBy("cent_id")
+    return (
+        assigned
+        .withColumn("n_vectors", F.count("*").over(wc))
+        .withColumn("rm", F.row_number().over(wm))
+        .filter(F.col("rm") == 1)
+        .select(F.col("cent_id").alias("cluster_id"),
+                F.col("vec_id").alias("medoid_vec_id"),
+                F.col("cos6").alias("medoid_cos"), "n_vectors")
+        .orderBy("cluster_id")
+    )
+
+
 # Guard against silent drift between the module's pinned constants and the
 # shared minhash parameter set (the ssig merge relies on component order).
 assert len(minhash_params(MINHASH_K)) == MINHASH_K
