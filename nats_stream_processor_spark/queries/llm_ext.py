@@ -1,11 +1,19 @@
 """Extended LLM-pipeline operators (round 3 additions): embedding linear
-algebra (JL random projection, distributed Gram matrix), corpus-level
-source similarity from merged MinHash sketches, normalization-based and
-incremental dedup, quantile-binned quality curation, temperature-scaled
-source mixing, DSIR importance weights, JS-divergence domain-shift
-diagnostics, robust (median/MAD) outliers, EWMA rate smoothing, the
-IVF-PQ exact-re-rank stage, and two value-checked training loops
-(logistic-regression GD, iterative BPE merges).
+algebra (JL random projection, distributed Gram matrix, int8 scalar
+quantization + exact integer ANN scan), corpus-level source similarity
+from merged MinHash sketches, normalization-based / incremental /
+chunk-level / containment (excerpt) / binary-payload dedup, RAG
+sliding-window chunking, quantile-binned quality curation,
+temperature-scaled source mixing and language-mix rebalancing, DSIR
+importance weights, JS-divergence domain-shift diagnostics, robust
+(median/MAD) outliers and hourly-rate z-score anomalies, EWMA rate
+smoothing, lag-gap sessionization, the IVF-PQ exact-re-rank stage,
+full-corpus k-NN graph construction, cluster-medoid diversity coresets,
+interpolated bigram LM scoring, TF-IDF keywords, PMI collocations,
+fuzzy MinHash eval-set decontamination, a fused end-to-end curation
+pipeline, salted skew-safe joins, and value-checked training loops with
+application stages (logistic-regression GD train + corpus scoring,
+iterative BPE merge training + corpus tokenization).
 
 Registered LAST on purpose: external harnesses sample a registration-order
 prefix of the registry, and the round-3 prefix is pinned to the core LLM
