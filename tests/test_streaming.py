@@ -380,3 +380,39 @@ def test_stream_dedup_against_static_store(spark, tmp_path):
     got_b = sorted(r.text
                    for r in dedup_against_store(batch, store).collect())
     assert got_b == got
+
+
+def test_file_sink_exactly_once_across_restart(spark, tmp_path):
+    """Streaming into a parquet lake sink: the file sink's transaction
+    log gives exactly-once files — restarting over the same (fully
+    consumed) source adds no rows, and new source data lands exactly
+    once. This is the 'enriched posts to the lakehouse' sink shape; at
+    scale the same contract holds per micro-batch epoch."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.txt").write_text("alpha\nbeta\n")
+    out_dir = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ck_lake")
+
+    def run_once():
+        stream = (spark.readStream.format("text").load(str(src))
+                  .select(F.col("value").alias("text"),
+                          F.length("value").alias("n")))
+        q = (stream.writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_once()
+    first = sorted(r.text for r in spark.read.parquet(out_dir).collect())
+    assert first == ["alpha", "beta"]
+
+    run_once()  # no new data -> no new rows
+    again = sorted(r.text for r in spark.read.parquet(out_dir).collect())
+    assert again == first
+
+    (src / "b.txt").write_text("gamma\n")
+    run_once()  # new file lands exactly once
+    final = sorted(r.text for r in spark.read.parquet(out_dir).collect())
+    assert final == ["alpha", "beta", "gamma"]
