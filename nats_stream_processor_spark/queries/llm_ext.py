@@ -2512,6 +2512,118 @@ def q_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------- perplexity-bucket mixing stats
+
+_PPL_SCORE_CTE = f"""
+WITH t AS (SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                    AS tok
+           FROM documents),
+lm AS (SELECT tok, count(*) AS n_tok FROM t GROUP BY 1),
+tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n_total FROM lm),
+sc AS (SELECT t.doc_id, count(*) AS n_tokens,
+              sum(ln(CAST(tot.n_total AS DOUBLE))
+                  - ln(CAST(lm.n_tok AS DOUBLE))) AS nll_sum
+       FROM t JOIN lm USING (tok) CROSS JOIN tot
+       GROUP BY t.doc_id),
+scored AS (SELECT d.doc_id,
+                  coalesce(sc.n_tokens, 0) AS n_tokens,
+                  {sim.round6_stable_sql(
+                      'CASE WHEN sc.n_tokens > 0'
+                      ' THEN sc.nll_sum / sc.n_tokens ELSE 0.0 END')}
+                    AS nll6
+           FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+bnd AS (SELECT quantile_cont(nll6, 0.2) AS b1,
+               quantile_cont(nll6, 0.4) AS b2,
+               quantile_cont(nll6, 0.6) AS b3,
+               quantile_cont(nll6, 0.8) AS b4
+        FROM scored)
+"""
+
+
+@register(
+    "curation_perplexity_buckets",
+    oracle=f"""
+    {_PPL_SCORE_CTE},
+    lab AS (SELECT CASE WHEN nll6 <= bnd.b1 THEN 'q1'
+                        WHEN nll6 <= bnd.b2 THEN 'q2'
+                        WHEN nll6 <= bnd.b3 THEN 'q3'
+                        WHEN nll6 <= bnd.b4 THEN 'q4'
+                        ELSE 'q5' END AS bucket,
+                   n_tokens
+            FROM scored CROSS JOIN bnd),
+    agg AS (SELECT bucket, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+            FROM lab GROUP BY 1),
+    tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM agg)
+    SELECT bucket, n_docs, n_tokens,
+           {sim.round6_stable_sql('n_tokens / CAST(tt.total AS DOUBLE)')}
+             AS token_share
+    FROM agg CROSS JOIN tt ORDER BY bucket
+    """,
+    tags=("llm", "perplexity-buckets"),
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-bucket mixing stats: quintile-bin every document by
+    its corpus-LM mean NLL (text_unigram_lm_score) and report each
+    bucket's document count and token budget — the CCNet-style 'mix by
+    perplexity band' stage (head/middle/tail sampling runs off exactly
+    this table). Boundaries are exact interpolated percentiles of the
+    6-dp-stable scores, so the binning comparisons happen on
+    bit-identical doubles in both engines.
+
+    Scale shape: the LM and scoring joins are the unigram-LM plan; the
+    four boundaries are a 1-row aggregate broadcast back (at 100 TB,
+    swap the exact percentile for percentile_approx — the rest of the
+    plan is unchanged). Final rollup is bucket-cardinality."""
+    from ..functions.text import tokens_col
+
+    d = spread(table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    lm = t.groupBy("tok").agg(F.count("*").alias("n_tok"))
+    tot = lm.agg(F.sum("n_tok").cast("bigint").alias("n_total"))
+    sc = (t.join(lm, "tok").crossJoin(F.broadcast(tot))
+          .groupBy("doc_id")
+          .agg(F.count("*").alias("n_tokens"),
+               F.sum(F.log(F.col("n_total").cast("double"))
+                     - F.log(F.col("n_tok").cast("double")))
+                .alias("nll_sum")))
+    scored = (
+        d.select("doc_id").join(sc, "doc_id", "left")
+        .select(
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            sim.round6_stable(
+                F.when(F.col("n_tokens") > 0,
+                       F.col("nll_sum") / F.col("n_tokens"))
+                .otherwise(F.lit(0.0))).alias("nll6")))
+    scored = pin(scored)
+    bnd = scored.agg(
+        F.expr("percentile(nll6, 0.2D)").alias("b1"),
+        F.expr("percentile(nll6, 0.4D)").alias("b2"),
+        F.expr("percentile(nll6, 0.6D)").alias("b3"),
+        F.expr("percentile(nll6, 0.8D)").alias("b4"))
+    lab = (scored.crossJoin(F.broadcast(bnd))
+           .select(
+               F.when(F.col("nll6") <= F.col("b1"), "q1")
+               .when(F.col("nll6") <= F.col("b2"), "q2")
+               .when(F.col("nll6") <= F.col("b3"), "q3")
+               .when(F.col("nll6") <= F.col("b4"), "q4")
+               .otherwise("q5").alias("bucket"),
+               "n_tokens"))
+    agg = lab.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"))
+    tt = agg.agg(F.sum("n_tokens").cast("bigint").alias("total"))
+    return (
+        agg.crossJoin(F.broadcast(tt))
+        .select("bucket", "n_docs", "n_tokens",
+                sim.round6_stable(
+                    F.col("n_tokens") / F.col("total").cast("double"))
+                   .alias("token_share"))
+        .orderBy("bucket")
+    )
+
+
 # Guard against silent drift between the module's pinned constants and the
 # shared minhash parameter set (the ssig merge relies on component order).
 assert len(minhash_params(MINHASH_K)) == MINHASH_K
