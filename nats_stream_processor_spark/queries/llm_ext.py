@@ -1927,33 +1927,39 @@ def q_score_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_GRAPH_K = 3
 
 
+_KNN_CTE = f"""
+WITH e AS (SELECT vec_id, {sim.as_double_sql('embedding')} AS demb
+           FROM embeddings),
+n AS (SELECT vec_id, demb, {sim.norm_sql('demb')} AS nrm FROM e),
+b AS (SELECT vec_id, {sim.lsh_buckets_multi_sql('demb')} AS buckets
+      FROM n),
+x AS (SELECT vec_id, i AS tbl, buckets[i + 1] AS bucket
+      FROM b CROSS JOIN
+           (SELECT unnest(range(0, {sim.LSH_TABLES})) AS i) u),
+cand AS (SELECT DISTINCT a.vec_id AS va, c.vec_id AS vb
+         FROM x a JOIN x c ON c.tbl = a.tbl AND c.bucket = a.bucket
+                          AND a.vec_id < c.vec_id),
+sc AS MATERIALIZED (SELECT cand.va, cand.vb,
+              round({sim.dot_unrolled_sql('na.demb', 'nb.demb')}
+                    / (na.nrm * nb.nrm), 6) AS cosine
+       FROM cand JOIN n na ON na.vec_id = cand.va
+                 JOIN n nb ON nb.vec_id = cand.vb),
+dir AS (SELECT va AS src, vb AS dst, cosine FROM sc
+        UNION ALL
+        SELECT vb AS src, va AS dst, cosine FROM sc),
+knn AS MATERIALIZED (SELECT src, dst, cosine, rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY src
+                                         ORDER BY cosine DESC, dst) AS rn
+            FROM dir)
+        WHERE rn <= {KNN_GRAPH_K})
+"""
+
+
 @register(
     "sim_knn_graph",
     oracle=f"""
-    WITH e AS (SELECT vec_id, {sim.as_double_sql('embedding')} AS demb
-               FROM embeddings),
-    n AS (SELECT vec_id, demb, {sim.norm_sql('demb')} AS nrm FROM e),
-    b AS (SELECT vec_id, {sim.lsh_buckets_multi_sql('demb')} AS buckets
-          FROM n),
-    x AS (SELECT vec_id, i AS tbl, buckets[i + 1] AS bucket
-          FROM b CROSS JOIN
-               (SELECT unnest(range(0, {sim.LSH_TABLES})) AS i) u),
-    cand AS (SELECT DISTINCT a.vec_id AS va, c.vec_id AS vb
-             FROM x a JOIN x c ON c.tbl = a.tbl AND c.bucket = a.bucket
-                              AND a.vec_id < c.vec_id),
-    sc AS (SELECT cand.va, cand.vb,
-                  round({sim.dot_unrolled_sql('na.demb', 'nb.demb')}
-                        / (na.nrm * nb.nrm), 6) AS cosine
-           FROM cand JOIN n na ON na.vec_id = cand.va
-                     JOIN n nb ON nb.vec_id = cand.vb),
-    dir AS (SELECT va AS src, vb AS dst, cosine FROM sc
-            UNION ALL
-            SELECT vb AS src, va AS dst, cosine FROM sc)
-    SELECT src, dst, cosine, rn FROM (
-        SELECT *, row_number() OVER (PARTITION BY src
-                                     ORDER BY cosine DESC, dst) AS rn
-        FROM dir)
-    WHERE rn <= {KNN_GRAPH_K} ORDER BY src, rn
+    {_KNN_CTE}
+    SELECT src, dst, cosine, rn FROM knn ORDER BY src, rn
     """,
     tags=("llm", "knn-graph"),
 )
@@ -1971,6 +1977,12 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pairwise work is bucket-bounded (never corpus x corpus) and the
     per-node window is k-bounded. The bucket relation is pinned — it
     feeds both sides of the self-join."""
+    return _knn_graph_df(spark, sf_dir).orderBy("src", "rn")
+
+
+def _knn_graph_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, cosine, rn<=K): the directed approximate k-NN graph —
+    shared by sim_knn_graph and the PageRank centrality query."""
     e = spread(table(spark, sf_dir, "embeddings")).select(
         "vec_id", sim.as_double(F.col("embedding")).alias("demb"))
     n = pin(e.select("vec_id", "demb",
@@ -2002,7 +2014,6 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         directed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= KNN_GRAPH_K)
-        .orderBy("src", "rn")
     )
 
 
@@ -2621,6 +2632,123 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_tokens") / F.col("total").cast("double"))
                    .alias("token_share"))
         .orderBy("bucket")
+    )
+
+
+# --------------------------------- PageRank centrality on the kNN graph
+
+PR_ROUNDS = 3
+PR_DAMP = "CAST(0.85 AS DOUBLE)"
+PR_TELE = "CAST(0.15 AS DOUBLE)"
+PR_QUANT = 1e12
+
+
+def _pagerank_ctes(rounds: int = PR_ROUNDS) -> str:
+    """CTE chain for power iteration over the knn edge set: per-edge
+    contributions quantized to a 1e-12 int grid and summed as int64
+    (order-independent, same discipline as the JS/LM queries); dangling
+    mass redistributed uniformly each round."""
+    parts = [
+        "edges AS (SELECT src, dst FROM knn)",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1)",
+        "nodes AS (SELECT vec_id FROM e)",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)",
+        "r0 AS (SELECT vec_id, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn)",
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        parts.append(
+            f"c{t} AS (SELECT ed.dst, CAST(sum(CAST(floor("
+            f"(r.r / deg.deg) * {PR_QUANT!r} + 0.5) AS BIGINT)) AS BIGINT)"
+            f" AS cq"
+            f" FROM edges ed JOIN r{p} r ON r.vec_id = ed.src"
+            f" JOIN deg ON deg.src = ed.src GROUP BY ed.dst)")
+        parts.append(
+            f"d{t} AS (SELECT CAST(coalesce(sum(CAST(floor("
+            f"r.r * {PR_QUANT!r} + 0.5) AS BIGINT)), 0) AS BIGINT) AS dq"
+            f" FROM r{p} r LEFT JOIN deg ON deg.src = r.vec_id"
+            f" WHERE deg.src IS NULL)")
+        parts.append(
+            f"r{t} AS (SELECT no.vec_id,"
+            f" (({PR_TELE} / nn.n)"
+            f" + {PR_DAMP} * (coalesce(c.cq, 0) / {PR_QUANT!r}))"
+            f" + {PR_DAMP} * ((d.dq / {PR_QUANT!r}) / nn.n) AS r"
+            f" FROM nodes no LEFT JOIN c{t} c ON c.dst = no.vec_id"
+            f" CROSS JOIN d{t} d CROSS JOIN nn)")
+    return ",\n".join(parts)
+
+
+@register(
+    "graph_pagerank_knn",
+    oracle=f"""
+    {_KNN_CTE},
+    {_pagerank_ctes()}
+    SELECT vec_id, {sim.round6_stable_sql('r')} AS pagerank6
+    FROM r{PR_ROUNDS} ORDER BY vec_id
+    """,
+    tags=("llm", "graph-pagerank", "iterative"),
+)
+def q_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the approximate k-NN similarity graph —
+    a representativeness weight for data selection: vectors that many
+    other vectors point to as a nearest neighbor are central to the
+    corpus distribution; tail/outlier items score near the teleport
+    floor. {PR_ROUNDS} power-iteration rounds with damping 0.85 and
+    uniform redistribution of dangling mass (nodes with no outgoing
+    edges keep the total mass conserved).
+
+    Exactness: every edge contribution r/deg quantizes to a 1e-12 int64
+    grid before summation (partition-order independent; the same
+    discipline as the JS-divergence and LM queries), the dangling sum is
+    one quantized scalar, and the per-round update is one fixed IEEE op
+    sequence — so ranks stay bit-identical to the oracle's CTE replay
+    round for round.
+
+    Scale shape: the edge list is corpus x k; each round is one join on
+    src (edges x current ranks, both partitioned by the key), one
+    dst-keyed aggregate, and a 1-row dangling scalar broadcast back —
+    the standard distributed PageRank plan. The driver never sees data,
+    only the loop index; rank lineage is truncated per round with an
+    eager localCheckpoint (same pattern as connected_components)."""
+    knn = _knn_graph_df(spark, sf_dir)
+    edges = pin(knn.select("src", "dst"))
+    deg = pin(edges.groupBy("src").agg(F.count("*").alias("deg")))
+    nodes = table(spark, sf_dir, "embeddings").select("vec_id")
+    nn = nodes.agg(F.count("*").cast("bigint").alias("n"))
+    qf = F.lit(PR_QUANT)
+    damp, tele = F.expr(PR_DAMP), F.expr(PR_TELE)
+
+    r = (nodes.crossJoin(F.broadcast(nn))
+         .select("vec_id", (F.lit(1.0) / F.col("n")).alias("r"))
+         .localCheckpoint(eager=True))
+    for _t in range(PR_ROUNDS):
+        contrib = (
+            edges.join(r.withColumnRenamed("vec_id", "src"), "src")
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.floor((F.col("r") / F.col("deg")) * qf
+                               + F.lit(0.5)).cast("long"))
+                  .cast("bigint").alias("cq")))
+        dang = (
+            r.join(deg.withColumnRenamed("src", "vec_id"), "vec_id",
+                   "left_anti")
+            .agg(F.coalesce(
+                F.sum(F.floor(F.col("r") * qf + F.lit(0.5)).cast("long")),
+                F.lit(0)).cast("bigint").alias("dq")))
+        r = (
+            nodes.join(contrib.withColumnRenamed("dst", "vec_id"),
+                       "vec_id", "left")
+            .crossJoin(F.broadcast(dang))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "vec_id",
+                (((tele / F.col("n"))
+                  + damp * (F.coalesce("cq", F.lit(0)) / qf))
+                 + damp * ((F.col("dq") / qf) / F.col("n"))).alias("r"))
+            .localCheckpoint(eager=True))
+    return (
+        r.select("vec_id", sim.round6_stable(F.col("r")).alias("pagerank6"))
+        .orderBy("vec_id")
     )
 
 

@@ -497,3 +497,23 @@ def test_lang_rebalance_budget_is_binding_and_feasible(spark):
         lhs = r.planned_tokens * base.target_share
         rhs = base.planned_tokens * r.target_share
         assert abs(lhs - rhs) <= 1e-3 * max(abs(lhs), 1.0)
+
+
+def test_pagerank_conserves_mass_and_rewards_in_degree(spark):
+    """PageRank invariants on the knn graph: total mass stays 1 (dangling
+    redistribution works), every rank is at least the teleport floor,
+    and the maximum-in-degree node outranks the graph's minimum."""
+    rows = _run(spark, "graph_pagerank_knn").collect()
+    n = len(rows)
+    assert n == spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    total = sum(r.pagerank6 for r in rows)
+    assert abs(total - 1.0) < 5e-6 * n, total
+    floor = 0.15 / n
+    assert all(r.pagerank6 >= floor - 1e-9 for r in rows)
+
+    indeg: dict[int, int] = {}
+    for e in _run(spark, "sim_knn_graph").collect():
+        indeg[e.dst] = indeg.get(e.dst, 0) + 1
+    ranks = {r.vec_id: r.pagerank6 for r in rows}
+    hub = max(indeg, key=lambda v: (indeg[v], -v))
+    assert ranks[hub] > min(ranks.values())
