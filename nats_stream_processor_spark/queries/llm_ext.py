@@ -2752,6 +2752,120 @@ def q_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- IVF + int8 composition
+
+from .llm import _IVF_CTE as _IVF_BASE_CTE  # noqa: E402
+from .llm import IVF_NPROBE as _IVF_NPROBE  # noqa: E402
+
+
+@register(
+    "sim_ann_ivf_int8",
+    oracle=f"""
+    {_IVF_BASE_CTE},
+    m8 AS (SELECT vec_id,
+                  list_max(list_transform(demb, x -> abs(x))) AS mx
+           FROM e),
+    qc AS (SELECT e.vec_id, m8.mx,
+                  CASE WHEN m8.mx = 0
+                       THEN list_transform(e.demb, x -> CAST(0 AS BIGINT))
+                       ELSE list_transform(e.demb,
+                            x -> CAST(floor((x * CAST({INT8_MAX} AS DOUBLE))
+                                            / m8.mx + 0.5) AS BIGINT))
+                  END AS codes
+           FROM e JOIN m8 USING (vec_id)),
+    idot AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, cq.mx AS q_mx,
+               ca.mx,
+               CAST({sim.dot_unrolled_sql('cq.codes', 'ca.codes')} AS BIGINT)
+                 AS score_int
+        FROM probes p JOIN assign a
+          ON a.cent_id = p.cent_id AND a.vec_id != p.query_id
+        JOIN qc cq ON cq.vec_id = p.query_id
+        JOIN qc ca ON ca.vec_id = a.vec_id),
+    scored AS (
+        SELECT query_id, neighbor_id, score_int,
+               {sim.round6_stable_sql(
+                   f'(CAST(score_int AS DOUBLE)'
+                   f' * (q_mx / CAST({INT8_MAX} AS DOUBLE)))'
+                   f' * (mx / CAST({INT8_MAX} AS DOUBLE))')} AS score6
+        FROM idot)
+    SELECT query_id, neighbor_id, score_int, score6, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score6 DESC, neighbor_id) AS rn
+        FROM scored)
+    WHERE rn <= 5 ORDER BY query_id, rn
+    """,
+    tags=("llm", "ann-ivf-int8"),
+)
+def q_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + int8 composed ANN: probe the query's {_IVF_NPROBE} nearest
+    trained inverted lists (same value-checked k-means coarse quantizer
+    as sim_ann_ivf), then score ONLY the probed lists' vectors with
+    exact int64 code dots and dequantized ranking (sim_ann_int8_topk's
+    scan). This is the memory-lean billion-vector layout when PQ's
+    lossy codes are too coarse: 64 bytes/vector, nprobe/nlist of the
+    corpus touched per query, and integer scoring with no
+    summation-order hazards.
+
+    Scale shape: centroids broadcast; the corpus shuffles once on its
+    list id; the probe join is list-bucketed (never corpus-wide); the
+    code table joins on vec_id within probed lists only."""
+    from .llm import IVF_NLIST
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("demb"))
+    n = e.select("vec_id", "demb", sim.norm(F.col("demb")).alias("nrm"))
+    cents = _km.train_ivf_centroids(e, IVF_NLIST)
+    cent = spark.createDataFrame(
+        [(i, cents[i]) for i in range(IVF_NLIST)],
+        "cent_id int, c_demb array<double>",
+    ).withColumn("c_nrm", sim.norm(F.col("c_demb")))
+    scored_cent = (
+        n.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cent_id",
+                (sim.dot(F.col("demb"), F.col("c_demb"))
+                 / (F.col("nrm") * F.col("c_nrm"))).alias("c_cos")))
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(),
+                                             "cent_id")
+    ranked = scored_cent.withColumn("rc", F.row_number().over(w))
+    qc = pin(_int8_codes_df(spark, sf_dir))  # vec_id, mx, codes
+    assign = (ranked.filter(F.col("rc") == 1)
+              .select("vec_id", "cent_id")
+              .join(qc, "vec_id"))
+    probes = (ranked.filter((F.col("rc") <= _IVF_NPROBE)
+                            & (F.col("vec_id") < 10))
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("cent_id").alias("p_cent_id"))
+              .join(qc.select(F.col("vec_id").alias("query_id"),
+                              F.col("mx").alias("q_mx"),
+                              F.col("codes").alias("qcodes")),
+                    "query_id"))
+    idot = (
+        F.broadcast(probes)
+        .join(assign, (F.col("cent_id") == F.col("p_cent_id"))
+              & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            "q_mx", "mx",
+            F.aggregate(F.zip_with("qcodes", "codes",
+                                   lambda a, b: a * b),
+                        F.lit(0).cast("long"),
+                        lambda acc, v: acc + v).alias("score_int")))
+    scored = idot.select(
+        "query_id", "neighbor_id", "score_int",
+        sim.round6_stable(
+            (F.col("score_int").cast("double")
+             * (F.col("q_mx") / F.lit(float(INT8_MAX))))
+            * (F.col("mx") / F.lit(float(INT8_MAX)))).alias("score6"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("score6").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 5)
+        .orderBy("query_id", "rn")
+    )
+
+
 # Guard against silent drift between the module's pinned constants and the
 # shared minhash parameter set (the ssig merge relies on component order).
 assert len(minhash_params(MINHASH_K)) == MINHASH_K
