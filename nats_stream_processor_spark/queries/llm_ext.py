@@ -2866,6 +2866,63 @@ def q_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- per-document novelty
+
+
+@register(
+    "text_novelty_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')
+                        AS toks
+               FROM documents),
+    h AS (SELECT doc_id, {token_hashes_32_duck_sql('toks')} AS hs FROM t),
+    g AS (SELECT doc_id,
+                 {shingle_ids_tok_sql('hs', CONTAIN_SPAN_K)} AS spans
+          FROM h),
+    sp AS (SELECT doc_id, unnest(spans) AS span FROM g),
+    df AS (SELECT span, count(DISTINCT doc_id) AS n_docs
+           FROM sp GROUP BY 1),
+    per AS (SELECT sp.doc_id, count(*) AS n_spans,
+                   CAST(sum(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_unique
+            FROM sp JOIN df USING (span) GROUP BY 1)
+    SELECT doc_id, n_spans, n_unique,
+           {sim.round6_stable_sql(
+               'n_unique / CAST(n_spans AS DOUBLE)')} AS novelty6
+    FROM per ORDER BY doc_id
+    """,
+    tags=("llm", "novelty"),
+)
+def q_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a document's distinct
+    {CONTAIN_SPAN_K}-token spans that occur in NO other document — the
+    inverse-redundancy signal soft-dedup weighting and mixture design
+    consume (novelty 1.0 = entirely original; near 0 = assembled from
+    corpus boilerplate). Same span relation as dedup_substring_spans /
+    dedup_containment, so the shuffles carry (span_id, doc_id) and a
+    span-keyed doc-frequency — never text. Docs shorter than the span
+    width carry one whole-text span, so a verbatim short dup scores 0
+    novelty against its copy."""
+    d = spread(table(spark, sf_dir, "documents"))
+    hs = token_hashes_32_col(F.col("text"))
+    g = d.select("doc_id",
+                 shingle_ids_tok_col(hs, CONTAIN_SPAN_K).alias("spans"))
+    sp = pin(g.select("doc_id", F.explode("spans").alias("span")))
+    df = sp.groupBy("span").agg(F.countDistinct("doc_id").alias("n_docs"))
+    per = (sp.join(df, "span")
+           .groupBy("doc_id")
+           .agg(F.count("*").alias("n_spans"),
+                F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+                 .cast("bigint").alias("n_unique")))
+    return (
+        per.select("doc_id", "n_spans", "n_unique",
+                   sim.round6_stable(
+                       F.col("n_unique") / F.col("n_spans").cast("double"))
+                      .alias("novelty6"))
+        .orderBy("doc_id")
+    )
+
+
 # Guard against silent drift between the module's pinned constants and the
 # shared minhash parameter set (the ssig merge relies on component order).
 assert len(minhash_params(MINHASH_K)) == MINHASH_K
