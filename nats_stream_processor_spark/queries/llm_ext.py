@@ -2923,6 +2923,62 @@ def q_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- near-dup media by frames
+
+MEDIA_NEAR_MIN_FRAMES = 3  # of the 4 sampled frames
+
+
+@register(
+    "media_dedup_near_frames",
+    oracle=f"""
+    WITH fr AS (
+        SELECT doc_id, CAST(j AS INT) AS frame_idx,
+               md5(substring(lower(hex(encode(text))),
+                             2 * CAST((j * octet_length(encode(text))) // 4
+                                      AS BIGINT) + 1,
+                             128)) AS frame_hash
+        FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_shared
+        FROM fr a JOIN fr b
+          ON a.frame_idx = b.frame_idx AND a.frame_hash = b.frame_hash
+             AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_shared
+    FROM pairs WHERE n_shared >= {MEDIA_NEAR_MIN_FRAMES}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm", "multimodal", "dedup-near-media"),
+)
+def q_media_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup media detection by POSITIONAL frame-hash overlap: two
+    payloads are near-duplicates when >= {MEDIA_NEAR_MIN_FRAMES} of
+    their {4} sampled frames hash identically at the same timestamp —
+    the re-encode/trailing-edit case byte-exact dedup
+    (media_dedup_exact_bytes) misses. Frames come from the same
+    mapInPandas sampler as media_frame_sample (decode stubbed, plumbing
+    real); the (frame_idx, frame_hash) pair is the blocking key, so the
+    join is frame-bucketed — payload binaries never shuffle, and bucket
+    size is the number of media sharing that exact frame."""
+    from ..operators.multimodal import sample_frames
+
+    d = with_payload(spread(table(spark, sf_dir, "documents")))
+    fr = pin(sample_frames(d).select("doc_id", "frame_idx", "frame_hash"))
+    a = fr.select(F.col("doc_id").alias("doc_a"), "frame_idx",
+                  "frame_hash")
+    b = fr.select(F.col("doc_id").alias("doc_b"), "frame_idx",
+                  "frame_hash")
+    return (
+        a.join(b, ["frame_idx", "frame_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= MEDIA_NEAR_MIN_FRAMES)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # Guard against silent drift between the module's pinned constants and the
 # shared minhash parameter set (the ssig merge relies on component order).
 assert len(minhash_params(MINHASH_K)) == MINHASH_K
