@@ -2979,6 +2979,58 @@ def q_media_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------ event-transition estimation
+
+
+@register(
+    "events_markov_transitions",
+    oracle=f"""
+    WITH o AS (SELECT user_id, event_type, ts, event_id,
+                      lead(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                        AS next_type
+               FROM events),
+    tr AS (SELECT event_type AS from_type, next_type AS to_type,
+                  count(*) AS n
+           FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+            FROM tr GROUP BY 1)
+    SELECT tr.from_type, tr.to_type, tr.n,
+           {sim.round6_stable_sql('tr.n / CAST(tot.n_from AS DOUBLE)')}
+             AS p6
+    FROM tr JOIN tot USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+    tags=("events", "markov"),
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition estimation: per-user event streams
+    (ordered by time, event_id tiebreak) yield from->to transition
+    counts and maximum-likelihood probabilities — the Markov-chain view
+    of user behavior that funnel analysis (events_funnel) is a special
+    case of, and the generator for session simulation / anomaly
+    baselines. One per-user window (same single user_id exchange shape
+    as the sessionizers), then a transition-cardinality aggregate —
+    |types|^2 rows regardless of corpus size."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select("event_type",
+                 F.lead("event_type").over(w).alias("next_type"))
+    tr = (o.filter(F.col("next_type").isNotNull())
+          .groupBy(F.col("event_type").alias("from_type"),
+                   F.col("next_type").alias("to_type"))
+          .agg(F.count("*").alias("n")))
+    tot = tr.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("n_from"))
+    return (
+        tr.join(F.broadcast(tot), "from_type")
+        .select("from_type", "to_type", "n",
+                sim.round6_stable(
+                    F.col("n") / F.col("n_from").cast("double")).alias("p6"))
+        .orderBy("from_type", "to_type")
+    )
+
+
 # Guard against silent drift between the module's pinned constants and the
 # shared minhash parameter set (the ssig merge relies on component order).
 assert len(minhash_params(MINHASH_K)) == MINHASH_K
