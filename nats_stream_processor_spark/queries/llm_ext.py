@@ -3031,6 +3031,104 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- Zipf-law diagnostics
+
+ZIPF_HEAD = 50   # tokens fitted (the head is where Zipf holds)
+ZIPF_QUANT = 1e12
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH tok AS (SELECT unnest(regexp_extract_all(lower(text),
+                                                  '[a-z0-9]+')) AS tok
+                 FROM documents),
+    c AS (SELECT tok, count(*) AS n_occ FROM tok GROUP BY 1),
+    head AS (SELECT n_occ,
+                    row_number() OVER (ORDER BY n_occ DESC, tok) AS rnk
+             FROM c ORDER BY n_occ DESC, tok LIMIT {ZIPF_HEAD}),
+    pts AS (SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * {ZIPF_QUANT!r}
+                              + 0.5) AS BIGINT) AS xq,
+                   CAST(floor(ln(CAST(n_occ AS DOUBLE)) * {ZIPF_QUANT!r}
+                              + 0.5) AS BIGINT) AS yq
+            FROM head),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(xq) AS BIGINT) AS sx,
+                 CAST(sum(yq) AS BIGINT) AS sy,
+                 CAST(sum(CAST(floor(((xq / {ZIPF_QUANT!r})
+                                      * (yq / {ZIPF_QUANT!r}))
+                                     * {ZIPF_QUANT!r} + 0.5) AS BIGINT))
+                      AS BIGINT) AS sxy,
+                 CAST(sum(CAST(floor(((xq / {ZIPF_QUANT!r})
+                                      * (xq / {ZIPF_QUANT!r}))
+                                     * {ZIPF_QUANT!r} + 0.5) AS BIGINT))
+                      AS BIGINT) AS sxx
+          FROM pts)
+    SELECT k AS n_points,
+           {sim.round6_stable_sql(
+               '((k * (sxy / ' + repr(ZIPF_QUANT) + ')'
+               ' - (sx / ' + repr(ZIPF_QUANT) + ')'
+               ' * (sy / ' + repr(ZIPF_QUANT) + '))'
+               ' / (k * (sxx / ' + repr(ZIPF_QUANT) + ')'
+               ' - (sx / ' + repr(ZIPF_QUANT) + ')'
+               ' * (sx / ' + repr(ZIPF_QUANT) + ')))')} AS zipf_slope6,
+           {sim.round6_stable_sql(
+               '((sy / ' + repr(ZIPF_QUANT) + ') / k'
+               ' - (((k * (sxy / ' + repr(ZIPF_QUANT) + ')'
+               ' - (sx / ' + repr(ZIPF_QUANT) + ')'
+               ' * (sy / ' + repr(ZIPF_QUANT) + '))'
+               ' / (k * (sxx / ' + repr(ZIPF_QUANT) + ')'
+               ' - (sx / ' + repr(ZIPF_QUANT) + ')'
+               ' * (sx / ' + repr(ZIPF_QUANT) + ')))'
+               ' * ((sx / ' + repr(ZIPF_QUANT) + ') / k)))')}
+             AS intercept6
+    FROM s
+    """,
+    tags=("llm", "zipf"),
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the vocabulary head: least-squares slope of
+    ln(freq) on ln(rank) for the top-{ZIPF_HEAD} tokens — the corpus
+    health diagnostic (natural language sits near slope -1; template/
+    machine-generated corpora deviate sharply, which is why curation
+    dashboards track it). The head comes from a TakeOrdered top-K (no
+    global window over the vocabulary); the regression runs on K points
+    with ln() values quantized to an int64 grid before the closed-form
+    sums, so the slope matches the oracle bit-for-bit despite the
+    transcendental inputs."""
+    from ..functions.text import tokens_col
+
+    d = spread(table(spark, sf_dir, "documents"))
+    tok = d.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+    c = tok.groupBy("tok").agg(F.count("*").alias("n_occ"))
+    topk = c.orderBy(F.col("n_occ").desc(), "tok").limit(ZIPF_HEAD)
+    wr = Window.partitionBy(F.lit(0)).orderBy(F.col("n_occ").desc(), "tok")
+    head = topk.withColumn("rnk", F.row_number().over(wr))
+    qf = F.lit(ZIPF_QUANT)
+    pts = head.select(
+        F.floor(F.log(F.col("rnk").cast("double")) * qf + F.lit(0.5))
+         .cast("long").alias("xq"),
+        F.floor(F.log(F.col("n_occ").cast("double")) * qf + F.lit(0.5))
+         .cast("long").alias("yq"))
+    s = pts.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("xq").cast("bigint").alias("sx"),
+        F.sum("yq").cast("bigint").alias("sy"),
+        F.sum(F.floor(((F.col("xq") / qf) * (F.col("yq") / qf)) * qf
+                      + F.lit(0.5)).cast("long")).cast("bigint").alias("sxy"),
+        F.sum(F.floor(((F.col("xq") / qf) * (F.col("xq") / qf)) * qf
+                      + F.lit(0.5)).cast("long")).cast("bigint").alias("sxx"))
+    k = F.col("k")
+    sx, sy = F.col("sx") / qf, F.col("sy") / qf
+    sxy, sxx = F.col("sxy") / qf, F.col("sxx") / qf
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    intercept = (sy / k) - (slope * (sx / k))
+    return s.select(
+        k.alias("n_points"),
+        sim.round6_stable(slope).alias("zipf_slope6"),
+        sim.round6_stable(intercept).alias("intercept6"))
+
+
 # Guard against silent drift between the module's pinned constants and the
 # shared minhash parameter set (the ssig merge relies on component order).
 assert len(minhash_params(MINHASH_K)) == MINHASH_K
