@@ -3129,6 +3129,113 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim.round6_stable(intercept).alias("intercept6"))
 
 
+# ------------------------------------------- index quality (recall) report
+
+
+@register(
+    "sim_index_recall_report",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {sim.as_double_sql('embedding')} AS demb
+               FROM embeddings),
+    n AS (SELECT vec_id, demb, {sim.norm_sql('demb')} AS nrm FROM e),
+    qn AS (SELECT * FROM n WHERE vec_id < 10),
+    bs AS (SELECT qn.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round({sim.dot_unrolled_sql('qn.demb', 'c.demb')}
+                        / (qn.nrm * c.nrm), 6) AS cosine
+           FROM qn JOIN n c ON c.vec_id != qn.vec_id),
+    bt AS (SELECT query_id, neighbor_id FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cosine DESC,
+                                                     neighbor_id) AS rn
+               FROM bs) WHERE rn <= 5),
+    bb AS (SELECT vec_id, demb, nrm,
+                  {sim.lsh_buckets_multi_sql('demb')} AS buckets FROM n),
+    x AS MATERIALIZED (
+        SELECT vec_id, demb, nrm, i AS tbl, buckets[i + 1] AS bucket
+        FROM bb CROSS JOIN
+             (SELECT unnest(range(0, {sim.LSH_TABLES})) AS i) u),
+    lq AS (SELECT * FROM x WHERE vec_id < 10),
+    ls AS (SELECT DISTINCT lq.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round({sim.dot_unrolled_sql('lq.demb', 'c.demb')}
+                        / (lq.nrm * c.nrm), 6) AS cosine
+           FROM lq JOIN x c ON c.tbl = lq.tbl AND c.bucket = lq.bucket
+                           AND c.vec_id != lq.vec_id),
+    lt AS (SELECT query_id, neighbor_id FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cosine DESC,
+                                                     neighbor_id) AS rn
+               FROM ls) WHERE rn <= 5)
+    SELECT bt.query_id, count(*) AS n_exact,
+           CAST(sum(CASE WHEN lt.neighbor_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           {sim.round6_stable_sql(
+               'sum(CASE WHEN lt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)'
+               ' / CAST(count(*) AS DOUBLE)')} AS recall6
+    FROM bt LEFT JOIN lt ON lt.query_id = bt.query_id
+                        AND lt.neighbor_id = bt.neighbor_id
+    GROUP BY bt.query_id ORDER BY bt.query_id
+    """,
+    tags=("llm", "index-quality"),
+)
+def q_index_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality report computed IN the engine: per-query recall@5
+    of the multi-table LSH index against the exact brute-force cosine
+    top-5 — the health metric an ANN deployment monitors continuously
+    (recall decay signals drifted data or an undersized index, time to
+    retrain/re-bucket). Both pipelines are the already-verified query
+    plans (sim_cosine_topk, sim_ann_lsh) joined on (query, neighbor);
+    the report is query-cardinality. At 100 TB you run this on a
+    sampled query set — the plan shape is unchanged."""
+    e = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("demb"))
+    n = pin(e.select("vec_id", "demb",
+                     sim.norm(F.col("demb")).alias("nrm")))
+    qn = n.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("demb").alias("q_demb"),
+        F.col("nrm").alias("q_nrm"))
+    bs = (n.crossJoin(F.broadcast(qn))
+          .filter(F.col("vec_id") != F.col("query_id"))
+          .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                  sim.cosine(sim.dot(F.col("q_demb"), F.col("demb")),
+                             F.col("q_nrm"), F.col("nrm")).alias("cosine")))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    bt = (bs.withColumn("rn", F.row_number().over(wq))
+          .filter(F.col("rn") <= 5).select("query_id", "neighbor_id"))
+    x = pin(n.select(
+        "vec_id", "demb", "nrm",
+        F.posexplode(sim.lsh_buckets_multi(F.col("demb")))
+         .alias("tbl", "bucket")))
+    lq = x.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("demb").alias("q_demb"),
+        F.col("nrm").alias("q_nrm"), F.col("tbl").alias("q_tbl"),
+        F.col("bucket").alias("q_bucket"))
+    ls = (F.broadcast(lq)
+          .join(x, (F.col("tbl") == F.col("q_tbl"))
+                & (F.col("bucket") == F.col("q_bucket"))
+                & (F.col("vec_id") != F.col("query_id")))
+          .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                  sim.cosine(sim.dot(F.col("q_demb"), F.col("demb")),
+                             F.col("q_nrm"), F.col("nrm")).alias("cosine"))
+          .distinct())
+    lt = (ls.withColumn("rn", F.row_number().over(wq))
+          .filter(F.col("rn") <= 5)
+          .select(F.col("query_id").alias("l_query"),
+                  F.col("neighbor_id").alias("l_neighbor")))
+    joined = bt.join(
+        lt, (F.col("query_id") == F.col("l_query"))
+        & (F.col("neighbor_id") == F.col("l_neighbor")), "left")
+    hit = F.when(F.col("l_neighbor").isNotNull(), 1).otherwise(0)
+    return (
+        joined.groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"),
+             F.sum(hit).cast("bigint").alias("n_hit"),
+             sim.round6_stable(
+                 F.sum(hit) / F.count("*").cast("double")).alias("recall6"))
+        .orderBy("query_id")
+    )
+
+
 # Guard against silent drift between the module's pinned constants and the
 # shared minhash parameter set (the ssig merge relies on component order).
 assert len(minhash_params(MINHASH_K)) == MINHASH_K
