@@ -1008,3 +1008,69 @@ def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
               .alias("nations_csv"))
         .orderBy("region")
     )
+
+
+@register(
+    "agg_filtered_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           round6_placeholder AS big_share
+    FROM orders GROUP BY 1 ORDER BY 1
+    """.replace(
+        "round6_placeholder",
+        "(CAST(floor((count(*) FILTER (WHERE o_totalprice > 150000)"
+        " / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6)"),
+    tags=("agg", "filtered"),
+)
+def q_agg_filtered_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregation (the SQL FILTER clause / count_if family):
+    conditional counts inside one grouped pass — one scan, one shuffle,
+    no self-joins for per-predicate tallies. Spark expresses the same
+    thing as count_if / sum(CASE); both compile to a single
+    partial+final hash aggregate."""
+    o = table(spark, sf_dir, "orders")
+    n_big = F.count(F.when(F.col("o_totalprice") > 150000, 1))
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"),
+             n_big.alias("n_big"),
+             F.count(F.when(F.col("o_orderstatus") == "F", 1))
+              .alias("n_finished"),
+             round6_stable(n_big / F.count("*").cast("double"))
+              .alias("big_share"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "window_percent_rank_cume",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round(percent_rank() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal, c_custkey), 6)
+             AS pr6,
+           round(cume_dist() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal, c_custkey), 6)
+             AS cd6
+    FROM customer ORDER BY c_mktsegment, c_custkey
+    """,
+    tags=("window", "percent-rank"),
+)
+def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank and cume_dist — the distribution-position window
+    functions (completes the ranking-family coverage next to
+    rank/dense_rank/ntile/row_number). The (rank-1)/(n-1) and
+    rank/n ratios are exact int divisions rounded identically in both
+    engines; the c_custkey tiebreak makes positions deterministic.
+    Partitioned by segment — bounded per-group sort, no global window."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_custkey", "c_mktsegment",
+                 F.round(F.percent_rank().over(w), 6).alias("pr6"),
+                 F.round(F.cume_dist().over(w), 6).alias("cd6"))
+        .orderBy("c_mktsegment", "c_custkey")
+    )
