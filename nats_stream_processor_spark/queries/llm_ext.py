@@ -3236,6 +3236,58 @@ def q_index_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- DAU / WAU stickiness
+
+
+@register(
+    "events_dau_wau",
+    oracle=f"""
+    WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                      user_id
+               FROM events),
+    dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM d GROUP BY 1),
+    wau AS (SELECT d1.day,
+                   count(DISTINCT d2.user_id) AS wau
+            FROM (SELECT DISTINCT day FROM d) d1
+            JOIN d d2 ON d2.day > d1.day - 7 AND d2.day <= d1.day
+            GROUP BY 1)
+    SELECT dau.day, dau.dau, wau.wau,
+           {sim.round6_stable_sql('dau.dau / CAST(wau.wau AS DOUBLE)')}
+             AS stickiness6
+    FROM dau JOIN wau USING (day) ORDER BY day
+    """,
+    tags=("events", "dau-wau"),
+)
+def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the canonical
+    engagement rollup. The WAU side joins each observed day to the
+    (day, user) pairs of its trailing week: a range join whose build
+    side is the distinct-day list (tiny at any scale — days, not
+    events), so it broadcasts; the heavy side is the deduplicated
+    (day, user) relation, shuffled once. Exact distinct counts; the
+    only float is the final ratio."""
+    e = table(spark, sf_dir, "events")
+    d = pin(e.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        "user_id").distinct())
+    dau = d.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    days = d.select("day").distinct().select(F.col("day").alias("ref_day"))
+    wau = (d.join(F.broadcast(days),
+                  (F.col("day") > F.date_sub(F.col("ref_day"), 7))
+                  & (F.col("day") <= F.col("ref_day")))
+           .groupBy("ref_day")
+           .agg(F.countDistinct("user_id").alias("wau"))
+           .withColumnRenamed("ref_day", "day"))
+    return (
+        dau.join(wau, "day")
+        .select("day", "dau", "wau",
+                sim.round6_stable(
+                    F.col("dau") / F.col("wau").cast("double"))
+                   .alias("stickiness6"))
+        .orderBy("day")
+    )
+
+
 # Guard against silent drift between the module's pinned constants and the
 # shared minhash parameter set (the ssig merge relies on component order).
 assert len(minhash_params(MINHASH_K)) == MINHASH_K
