@@ -3288,6 +3288,66 @@ def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- shard balance report
+
+SHARD_N = 8  # == operators.export.DEFAULT_SHARDS (asserted below)
+
+
+@register(
+    "curation_shard_balance",
+    oracle=f"""
+    WITH s AS (SELECT {hash32_sql_duck('CAST(doc_id AS VARCHAR)')}
+                        % {SHARD_N} AS shard,
+                      len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                        AS n_toks
+               FROM documents),
+    agg AS (SELECT shard, count(*) AS n_docs,
+                   CAST(sum(n_toks) AS BIGINT) AS n_tokens
+            FROM s GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+                   count(*) AS n_shards FROM agg)
+    SELECT shard, n_docs, n_tokens,
+           {sim.round6_stable_sql(
+               'n_docs / (CAST(tot.td AS DOUBLE) / tot.n_shards)')}
+             AS doc_skew6
+    FROM agg CROSS JOIN tot ORDER BY shard
+    """,
+    tags=("llm", "shard-balance"),
+)
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance report for the training-data export layout
+    (operators/export.py export_training_shards): per-shard document
+    and token counts plus the skew ratio vs a perfectly even spread —
+    the check a pipeline runs before handing shards to a trainer
+    (a hot shard stalls the data-parallel epoch exactly like a hot
+    partition stalls a stage). Uses the SAME md5 hash-mod shard id as
+    the writer, so the report predicts the real layout without writing
+    it. One scan, shard-cardinality aggregate."""
+    from ..functions.hashing import hash32_col as _h32c
+    from ..operators.export import DEFAULT_SHARDS
+    from ..functions.text import tokens_col
+
+    assert DEFAULT_SHARDS == SHARD_N
+    d = spread(table(spark, sf_dir, "documents"))
+    s = d.select(
+        (_h32c(F.col("doc_id").cast("string")) % SHARD_N).alias("shard"),
+        F.size(tokens_col(F.col("text"))).alias("n_toks"))
+    agg = s.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"))
+    tot = agg.agg(F.sum("n_docs").cast("bigint").alias("td"),
+                  F.count("*").alias("n_shards"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select("shard", "n_docs", "n_tokens",
+                sim.round6_stable(
+                    F.col("n_docs")
+                    / (F.col("td").cast("double") / F.col("n_shards")))
+                   .alias("doc_skew6"))
+        .orderBy("shard")
+    )
+
+
 # Guard against silent drift between the module's pinned constants and the
 # shared minhash parameter set (the ssig merge relies on component order).
 assert len(minhash_params(MINHASH_K)) == MINHASH_K
