@@ -3348,6 +3348,84 @@ def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------- conditional bigram entropy
+
+CBE_QUANT = 1e12
+
+
+@register(
+    "text_conditional_entropy_by_source",
+    oracle=f"""
+    WITH t AS (SELECT source,
+                      regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+               FROM documents),
+    bg AS (SELECT source, toks[i] AS w1, toks[i + 1] AS w2
+           FROM (SELECT source, toks, unnest(range(1, len(toks))) AS i
+                 FROM t WHERE len(toks) >= 2)),
+    c12 AS (SELECT source, w1, w2, count(*) AS n12
+            FROM bg GROUP BY 1, 2, 3),
+    c1 AS (SELECT source, w1, CAST(sum(n12) AS BIGINT) AS n1
+           FROM c12 GROUP BY 1, 2),
+    nb AS (SELECT source, CAST(sum(n12) AS BIGINT) AS n
+           FROM c12 GROUP BY 1),
+    terms AS (
+        SELECT c12.source,
+               CAST(floor((c12.n12 * ln(CAST(c1.n1 AS DOUBLE) / c12.n12))
+                          * {CBE_QUANT!r} + 0.5) AS BIGINT) AS tq
+        FROM c12 JOIN c1 USING (source, w1))
+    SELECT terms.source, nb.n AS n_bigrams,
+           {sim.round6_stable_sql(
+               f'(sum(tq) / {CBE_QUANT!r}) / nb.n')} AS cond_entropy6
+    FROM terms JOIN nb USING (source)
+    GROUP BY terms.source, nb.n ORDER BY terms.source
+    """,
+    tags=("llm", "cond-entropy"),
+)
+def q_cond_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram entropy H(w2|w1) per source — how predictable
+    the next token is given the current one. Templated/boilerplate
+    feeds collapse toward 0 (each word forces the next); natural prose
+    sits well above. Completes the corpus information-theory panel next
+    to per-doc unigram entropy (text_token_entropy), domain-shift JS
+    divergence, and the Zipf slope. Computed as
+    (1/N) * sum over bigrams of n12 * ln(n1/n12) with each ln term
+    quantized to an int64 grid before summation (the established
+    transcendental-sum discipline), so partial-aggregation order can't
+    move the result. Shuffles carry (source, w1, w2) counts — map-side
+    partials over one corpus scan."""
+    from ..functions.text import tokens_col
+
+    d = spread(table(spark, sf_dir, "documents"))
+    t = d.select("source", tokens_col(F.col("text")).alias("toks"))
+    bg = (t.filter(F.size("toks") >= 2)
+          .select("source", "toks",
+                  F.explode(F.sequence(F.lit(1),
+                                       F.size("toks") - 1)).alias("i"))
+          .select("source",
+                  F.element_at("toks", F.col("i")).alias("w1"),
+                  F.element_at("toks", F.col("i") + 1).alias("w2")))
+    c12 = pin(bg.groupBy("source", "w1", "w2")
+              .agg(F.count("*").alias("n12")))
+    c1 = c12.groupBy("source", "w1").agg(
+        F.sum("n12").cast("bigint").alias("n1"))
+    nb = c12.groupBy("source").agg(F.sum("n12").cast("bigint").alias("n"))
+    qf = F.lit(CBE_QUANT)
+    terms = (c12.join(c1, ["source", "w1"])
+             .select("source",
+                     F.floor((F.col("n12")
+                              * F.log(F.col("n1").cast("double")
+                                      / F.col("n12"))) * qf + F.lit(0.5))
+                      .cast("long").alias("tq")))
+    return (
+        terms.join(F.broadcast(nb), "source")
+        .groupBy("source", "n")
+        .agg(sim.round6_stable(
+            (F.sum("tq") / qf) / F.col("n")).alias("cond_entropy6"))
+        .select("source", F.col("n").alias("n_bigrams"), "cond_entropy6")
+        .orderBy("source")
+    )
+
+
 # Guard against silent drift between the module's pinned constants and the
 # shared minhash parameter set (the ssig merge relies on component order).
 assert len(minhash_params(MINHASH_K)) == MINHASH_K
