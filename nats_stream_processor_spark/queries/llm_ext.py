@@ -3426,6 +3426,54 @@ def q_cond_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- activity concentration
+
+
+@register(
+    "events_pareto_concentration",
+    oracle=f"""
+    WITH u AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+    b AS (SELECT quantile_cont(CAST(n AS DOUBLE), 0.9) AS p90 FROM u),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(n) AS BIGINT) AS n_events,
+                   CAST(count(*) FILTER (WHERE u.n > b.p90) AS BIGINT)
+                     AS top_users,
+                   CAST(coalesce(sum(n) FILTER (WHERE u.n > b.p90), 0)
+                        AS BIGINT) AS top_events
+            FROM u CROSS JOIN b)
+    SELECT n_users, n_events, top_users, top_events,
+           {sim.round6_stable_sql(
+               'top_events / CAST(n_events AS DOUBLE)')} AS top_share6
+    FROM agg
+    """,
+    tags=("events", "pareto"),
+)
+def q_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity concentration: what share of all events comes from the
+    heavy-tail users above the per-user p90 activity level — the Pareto
+    diagnostic that decides whether per-user skew handling (salting,
+    AQE skew splits) is worth wiring into the event joins. Per-user
+    counts are one exact aggregate; the p90 boundary is a 1-row
+    broadcast; strictly-above comparison on interpolated-percentile
+    doubles computed identically in both engines."""
+    e = table(spark, sf_dir, "events")
+    u = pin(e.groupBy("user_id").agg(F.count("*").alias("n")))
+    b = u.agg(F.expr("percentile(CAST(n AS DOUBLE), 0.9D)").alias("p90"))
+    above = F.when(F.col("n") > F.col("p90"), 1).otherwise(0)
+    agg = (u.crossJoin(F.broadcast(b))
+           .agg(F.count("*").cast("bigint").alias("n_users"),
+                F.sum("n").cast("bigint").alias("n_events"),
+                F.sum(above).cast("bigint").alias("top_users"),
+                F.coalesce(F.sum(F.when(F.col("n") > F.col("p90"),
+                                        F.col("n"))), F.lit(0))
+                 .cast("bigint").alias("top_events")))
+    return agg.select(
+        "n_users", "n_events", "top_users", "top_events",
+        sim.round6_stable(
+            F.col("top_events") / F.col("n_events").cast("double"))
+           .alias("top_share6"))
+
+
 # Guard against silent drift between the module's pinned constants and the
 # shared minhash parameter set (the ssig merge relies on component order).
 assert len(minhash_params(MINHASH_K)) == MINHASH_K
