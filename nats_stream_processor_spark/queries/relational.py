@@ -1074,3 +1074,39 @@ def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.cume_dist().over(w), 6).alias("cd6"))
         .orderBy("c_mktsegment", "c_custkey")
     )
+
+
+@register(
+    "window_first_last_value",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           first_value(c_name) OVER w AS poorest,
+           last_value(c_name) OVER w AS richest,
+           nth_value(c_name, 2) OVER w AS second_poorest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+    ORDER BY c_mktsegment, c_custkey
+    """,
+    tags=("window", "first-last"),
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit unbounded
+    frame — the navigation window functions (who is at each end of the
+    partition, visible from every row). The UNBOUNDED FOLLOWING frame
+    matters: with the default frame last_value degenerates to the
+    current row, the classic window-function trap. Deterministic via
+    the (c_acctbal, c_custkey) total order."""
+    c = table(spark, sf_dir, "customer")
+    w = (Window.partitionBy("c_mktsegment")
+         .orderBy("c_acctbal", "c_custkey")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return (
+        c.select("c_custkey", "c_mktsegment",
+                 F.first("c_name").over(w).alias("poorest"),
+                 F.last("c_name").over(w).alias("richest"),
+                 F.nth_value("c_name", 2).over(w).alias("second_poorest"))
+        .orderBy("c_mktsegment", "c_custkey")
+    )
