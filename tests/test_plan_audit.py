@@ -231,3 +231,13 @@ def test_containment_shuffles_span_ids_not_text(spark):
         input_line = next(
             (ln for ln in section.splitlines() if ln.startswith("Input")), "")
         assert "text#" not in input_line, section[:400]
+
+
+def test_dau_wau_range_join_broadcasts_day_list(spark):
+    """The trailing-week WAU join is a non-equi range join; its build
+    side is the distinct-day list (days, not events) and MUST broadcast
+    — a shuffled nested loop over the (day, user) relation would be the
+    scale bug this plan exists to avoid."""
+    p = plan_str(spark, "events_dau_wau", "simple")
+    assert "BroadcastNestedLoopJoin" in p, p[:500]
+    assert "CartesianProduct" not in p
