@@ -38,6 +38,7 @@ from ..operators.dedup import (
     LSH_BANDS,
     LSH_ROWS,
     MINHASH_K,
+    connected_components,
     jaccard_sql,
     minhash_signature_col,
     minhash_signature_sql,
@@ -3472,6 +3473,62 @@ def q_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim.round6_stable(
             F.col("top_events") / F.col("n_events").cast("double"))
            .alias("top_share6"))
+
+
+# ---------------------------------------- dedup cluster-size histogram
+
+from .llm import NEAR_DUP_JACCARD as _ND_J  # noqa: E402
+from .llm import _SH_CTE as _SH  # noqa: E402
+from .llm import _minhash_pairs  # noqa: E402
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+    {_SH.replace("WITH ", "WITH RECURSIVE ", 1)},
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM cand JOIN s sa ON sa.doc_id = doc_a
+                  JOIN s sb ON sb.doc_id = doc_b
+        WHERE {jaccard_sql('sa.sids', 'sb.sids')} >= {_ND_J}),
+    nodes AS (SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION SELECT doc_b AS doc_id FROM pairs)),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    comp AS (SELECT src AS doc_id, min(dst) AS comp
+             FROM reach GROUP BY src),
+    sizes AS (SELECT comp, count(*) AS cluster_size
+              FROM comp GROUP BY 1)
+    SELECT cluster_size, count(*) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY 1 ORDER BY cluster_size
+    """,
+    tags=("llm", "dedup-observability", "iterative"),
+)
+def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution: how many dup clusters of
+    each size the MinHash pair graph collapses into — the dedup
+    observability number that catches both a broken detector (all
+    clusters size 2 when mirrors exist) and a catastrophic collapse
+    (one giant cluster from an over-loose threshold swallowing the
+    corpus). Built on the same pair graph and min-label components as
+    dedup_components (the oracle replays the fixpoint as a recursive
+    CTE); the histogram is two tiny aggregates on the label table."""
+    pairs = _minhash_pairs(spark, sf_dir, fast=False).select(
+        "doc_a", "doc_b")
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"),
+             F.sum("cluster_size").cast("bigint").alias("n_docs"))
+        .orderBy("cluster_size")
+    )
 
 
 # Guard against silent drift between the module's pinned constants and the
