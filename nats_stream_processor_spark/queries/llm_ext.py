@@ -220,18 +220,23 @@ def q_corpus_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------- normalization-based dedup
 
-# Runs of anything outside [a-z0-9] (after lowercasing) collapse to one
-# space: case, punctuation, and whitespace variants of the same text map to
-# one key. The Spark and DuckDB regexes are the same PCRE-ish literal.
-_NORM_RE = "[^a-z0-9]+"
+# Runs of anything outside [a-zA-Z0-9] collapse to one space FIRST, and
+# only then is the ASCII-only remainder lowercased. Order matters for
+# cross-engine determinism: lowercasing BEFORE the strip would route
+# non-ASCII uppercase through each engine's own Unicode case mapping
+# (e.g. U+0130 'latin capital I with dot above': Java emits i + combining
+# dot, DuckDB differs), silently changing the dedup key between the
+# engine and the oracle. ASCII-only lower() is identical everywhere —
+# caught by the hypothesis sweep in test_properties.
+_NORM_RE = "[^a-zA-Z0-9]+"
 
 
 @register(
     "dedup_normalized_exact",
     oracle=f"""
     WITH n AS (SELECT doc_id, text,
-                      md5(trim(regexp_replace(lower(text), '{_NORM_RE}',
-                                              ' ', 'g'))) AS norm_key
+                      md5(lower(trim(regexp_replace(text, '{_NORM_RE}',
+                                                    ' ', 'g')))) AS norm_key
                FROM documents)
     SELECT norm_key, min(doc_id) AS canonical_doc_id,
            count(*) AS n_docs,
@@ -252,7 +257,7 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_substring_spans. One shuffle total; distinct-count of a digest
     is Spark's standard two-phase partial distinct."""
     d = spread(table(spark, sf_dir, "documents"))
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), _NORM_RE, " "))
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), _NORM_RE, " ")))
     return (
         d.select("doc_id", F.md5(norm).alias("norm_key"),
                  F.md5("text").alias("raw_key"))

@@ -172,27 +172,27 @@ def test_dot_sql_forms_bit_identical(a, b):
     min_size=1, max_size=8))
 def test_normalized_key_matches_duckdb(spark, batch):
     """dedup_normalized_exact's group key must be engine-independent for
-    arbitrary unicode, not just the ASCII-ish corpus: Spark's
-    lower+regexp_replace+trim+md5 chain and the DuckDB twin must produce
-    the same digest for the same input, or normalized dedup groups would
-    differ between the engine and the oracle. (Both engines strip every
-    non-[a-z0-9] codepoint AFTER lowercasing, so only characters that
-    lowercase INTO ascii letters can influence the key — this hammers
-    that mapping with uppercase/lowercase/digit/punct/space/symbol
-    planes.)"""
+    arbitrary unicode, not just the ASCII-ish corpus: the strip-then-
+    lower chain and the DuckDB twin must produce the same digest for the
+    same input, or normalized dedup groups would differ between engine
+    and oracle. The strip runs BEFORE lower() on purpose — lowercasing
+    first would route non-ASCII uppercase through each engine's own
+    Unicode case mapping (this sweep found U+0130 'I-with-dot-above':
+    Java lowercases to i + combining dot, DuckDB differently), while
+    ASCII-only lower() is identical everywhere."""
     import duckdb
 
     import pyspark.sql.functions as SF
     from nats_stream_processor_spark.queries.llm_ext import _NORM_RE
 
     df = spark.createDataFrame([(t,) for t in batch], "text string")
-    norm = SF.trim(SF.regexp_replace(SF.lower(SF.col("text")), _NORM_RE, " "))
+    norm = SF.lower(SF.trim(SF.regexp_replace(SF.col("text"), _NORM_RE, " ")))
     got_spark = [r.k for r in df.select(SF.md5(norm).alias("k")).collect()]
 
     con = duckdb.connect()
     got_duck = [
         con.execute(
-            f"SELECT md5(trim(regexp_replace(lower(?), '{_NORM_RE}', ' ', 'g')))",
+            f"SELECT md5(lower(trim(regexp_replace(?, '{_NORM_RE}', ' ', 'g'))))",
             [t],
         ).fetchone()[0]
         for t in batch
