@@ -3536,6 +3536,79 @@ def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------- MinHash estimator quality report
+
+
+@register(
+    "dedup_minhash_estimate_report",
+    oracle=f"""
+    {_SH}
+    SELECT cand.doc_a, cand.doc_b,
+           {jaccard_sql('sa.sids', 'sb.sids')} AS exact6,
+           {sim.round6_stable_sql(
+               f'''list_sum(list_transform(range(1, {MINHASH_K + 1}),
+                   i -> CASE WHEN ga.sig[i] = gb.sig[i]
+                             THEN 1 ELSE 0 END))
+                   / CAST({MINHASH_K} AS DOUBLE)''')} AS est6
+    FROM cand JOIN s sa ON sa.doc_id = cand.doc_a
+              JOIN s sb ON sb.doc_id = cand.doc_b
+              JOIN sig ga ON ga.doc_id = cand.doc_a
+              JOIN sig gb ON gb.doc_id = cand.doc_b
+    ORDER BY cand.doc_a, cand.doc_b
+    """,
+    tags=("llm", "minhash-quality"),
+)
+def q_minhash_estimate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-quality report: for every LSH candidate pair,
+    the signature-overlap Jaccard estimate (matching components / K)
+    next to the exact shingle Jaccard — the calibration table that
+    tells you whether K={MINHASH_K} is enough for your threshold and
+    how many banding candidates are false positives (exact6 far below
+    the cut). Per-pair estimator error is binomial with std
+    sqrt(j(1-j)/K); the sketch-tracks-exact property is asserted at
+    source level in test_llm_ext. Same banded candidate generation as
+    dedup_minhash_lsh — never all-pairs; the signature join carries
+    K-int arrays for candidate pairs only."""
+    d = table(spark, sf_dir, "documents")
+    sh = (spread(d)
+          .select("doc_id", token_hashes_32_col(F.col("text")).alias("hs"))
+          .select("doc_id", shingle_ids_tok_col(F.col("hs")).alias("sids")))
+    sh = pin(sh)
+    from ..operators.dedup import jaccard, minhash_band_explode
+    sig = pin(sh.select("doc_id",
+                        minhash_signature_col(F.col("sids")).alias("sig")))
+    bands = minhash_band_explode(sig, "doc_id", "sig")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct())
+    sa = sh.select(F.col("doc_id").alias("doc_a"),
+                   F.col("sids").alias("sids_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"),
+                   F.col("sids").alias("sids_b"))
+    ga = sig.select(F.col("doc_id").alias("doc_a"),
+                    F.col("sig").alias("sig_a"))
+    gb = sig.select(F.col("doc_id").alias("doc_b"),
+                    F.col("sig").alias("sig_b"))
+    est = (F.aggregate(
+        F.zip_with("sig_a", "sig_b",
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v)
+        / F.lit(float(MINHASH_K)))
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .join(ga, "doc_a").join(gb, "doc_b")
+        .select("doc_a", "doc_b",
+                jaccard(F.col("sids_a"), F.col("sids_b")).alias("exact6"),
+                sim.round6_stable(est).alias("est6"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # Guard against silent drift between the module's pinned constants and the
 # shared minhash parameter set (the ssig merge relies on component order).
 assert len(minhash_params(MINHASH_K)) == MINHASH_K
