@@ -3609,6 +3609,73 @@ def q_minhash_estimate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------- document-intact packing
+
+from .llm import PACK_SEQ_LEN as _PACK_LEN  # noqa: E402
+from .llm import PACK_SHARDS as _PACK_SH  # noqa: E402
+
+
+@register(
+    "pack_sequences_doc_intact",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id,
+               {hash32_sql_duck('CAST(doc_id AS VARCHAR)')}
+                 % {_PACK_SH} AS shard,
+               coalesce(CAST(ceil(length(text) / 4.0) AS BIGINT), 0) AS tok
+        FROM documents),
+    c AS (
+        SELECT shard, doc_id, tok,
+               sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM b),
+    asg AS (SELECT shard, (c.cum - c.tok) // {_PACK_LEN} AS bin_id,
+                   doc_id, tok
+            FROM c)
+    SELECT shard, bin_id, count(*) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS n_tokens,
+           CAST(sum(tok) > {_PACK_LEN} AS BOOLEAN) AS overflow
+    FROM asg GROUP BY 1, 2 ORDER BY shard, bin_id
+    """,
+    tags=("llm", "packing-intact"),
+)
+def q_pack_doc_intact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-INTACT sequence packing: same deterministic shard and
+    ordering as pack_sequences, but a document is assigned whole to the
+    bin its FIRST token lands in and is never split — the layout used
+    when training must not cross document boundaries (contrastive
+    pairs, retrieval chunks, instruction examples). The per-bin summary
+    reports the resulting fill and the overflow flag (the price of
+    intactness: a doc straddling a boundary makes its bin run long —
+    downstream either pads the next bin or truncates the tail).
+    Per-shard windows only — identical shuffle shape to pack_sequences,
+    reduced to a bin-cardinality rollup."""
+    from ..functions.hashing import hash32_col as _h32c
+    from ..operators.textstats import token_stats_cols
+
+    d = spread(table(spark, sf_dir, "documents"))
+    tok = F.coalesce(F.ceil(F.length("text") / 4.0).cast("bigint"), F.lit(0))
+    b = d.select(
+        "doc_id",
+        (_h32c(F.col("doc_id").cast("string")) % _PACK_SH).alias("shard"),
+        tok.alias("tok"))
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = b.withColumn("cum", F.sum("tok").over(w))
+    asg = c.select(
+        "shard",
+        F.expr(f"CAST((cum - tok) DIV {_PACK_LEN} AS BIGINT)")
+         .alias("bin_id"),
+        "tok")
+    return (
+        asg.groupBy("shard", "bin_id")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("tok").cast("bigint").alias("n_tokens"),
+             (F.sum("tok") > _PACK_LEN).alias("overflow"))
+        .orderBy("shard", "bin_id")
+    )
+
+
 # Guard against silent drift between the module's pinned constants and the
 # shared minhash parameter set (the ssig merge relies on component order).
 assert len(minhash_params(MINHASH_K)) == MINHASH_K
