@@ -3676,6 +3676,62 @@ def q_pack_doc_intact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- funnel latency
+
+
+@register(
+    "events_time_to_convert",
+    oracle=f"""
+    WITH v AS (SELECT user_id, min(ts) AS first_view
+               FROM events WHERE event_type = 'view' GROUP BY 1),
+    p AS (SELECT v.user_id, v.first_view,
+                 min(e.ts) AS first_purchase
+          FROM v JOIN events e
+            ON e.user_id = v.user_id AND e.event_type = 'purchase'
+               AND e.ts >= v.first_view
+          GROUP BY 1, 2),
+    lat AS (SELECT CAST(epoch_us(first_purchase) - epoch_us(first_view)
+                        AS DOUBLE) / 1000000.0 AS secs
+            FROM p)
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(secs, 0.5), 6) AS p50_secs,
+           round(quantile_cont(secs, 0.9), 6) AS p90_secs
+    FROM lat
+    """,
+    tags=("events", "funnel-latency"),
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: per user, seconds from first view to the first
+    purchase at-or-after it, summarized as conversion count + exact
+    p50/p90 — the 'how long does the funnel take' companion to
+    events_funnel's 'how many make it through'. The view side reduces
+    to one row per user BEFORE the join; the purchase side joins its
+    (already type-filtered, small) event slice on user_id and reduces
+    to the first at-or-after purchase — the conditional min can't be
+    pre-aggregated, but the join key is the user and only purchase
+    events flow through it. Latencies are exact integer MICROSECOND
+    differences (the testdata carries sub-second timestamps; whole-second
+    epoch() would truncate differently per engine) divided once into
+    double seconds, so the interpolated percentiles match bit-for-bit."""
+    e = table(spark, sf_dir, "events")
+    v = (e.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("first_view")))
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"))
+    p = (v.join(pur, "user_id")
+         .filter(F.col("pts") >= F.col("first_view"))
+         .groupBy("user_id", "first_view")
+         .agg(F.min("pts").alias("first_purchase")))
+    lat = p.select(
+        ((F.unix_micros("first_purchase")
+          - F.unix_micros("first_view")).cast("double")
+         / F.lit(1000000.0)).alias("secs"))
+    return lat.agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        F.expr("round(percentile(secs, 0.5D), 6)").alias("p50_secs"),
+        F.expr("round(percentile(secs, 0.9D), 6)").alias("p90_secs"))
+
+
 # Guard against silent drift between the module's pinned constants and the
 # shared minhash parameter set (the ssig merge relies on component order).
 assert len(minhash_params(MINHASH_K)) == MINHASH_K
