@@ -219,25 +219,36 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     # — 200 near-empty files per job per round under a driver-default
     # session. ~100k edges per task; the session default is the ceiling
     # so a billion-edge graph at 100 TB still fans out fully.
+    #
+    # The width is scoped PER-PLAN with explicit hash repartition() calls
+    # (never by mutating spark.sql.shuffle.partitions: a concurrent query
+    # planned mid-loop on the same session would inherit the tiny loop
+    # width — r3 verdict). HashPartitioning(key, loop_p) on both join
+    # inputs satisfies the join's distribution requirement at loop_p
+    # partitions, and the one remaining width-bearing exchange per round
+    # (the groupBy on "a") gets its own explicit repartition below.
     spark = edges.sparkSession
     n_edges = sym.count()
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    loop_p = max(1, min(int(prev_shuffle), math.ceil(n_edges / 100_000)))
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_p))
-    try:
-        return _cc_loop(sym, max_iter, warnings)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    session_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_p = max(1, min(session_p, math.ceil(n_edges / 100_000)))
+    return _cc_loop(sym, loop_p, max_iter, warnings)
 
 
-def _cc_loop(sym: DataFrame, max_iter: int, warnings) -> DataFrame:
-    labels = (sym.select(F.col("a").alias("node")).distinct()
+def _cc_loop(sym: DataFrame, loop_p: int, max_iter: int, warnings) -> DataFrame:
+    # sym partitioned on the join key "b"; labels on "node". localCheckpoint
+    # preserves the physical partitioning in the LogicalRDD, so every
+    # round's sym-labels join starts from compatible loop_p-wide hash
+    # partitioning and inserts no session-width exchange.
+    sym = sym.repartition(loop_p, "b").localCheckpoint(eager=True)
+    labels = (sym.select(F.col("a").alias("node"))
+              .repartition(loop_p, "node").distinct()
               .withColumn("comp", F.col("node"))
               .localCheckpoint(eager=True))
     changed = -1
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym["b"] == labels["node"])
+            .repartition(loop_p, "a")
             .groupBy("a").agg(F.min("comp").alias("ncomp"))
         )
         new = (

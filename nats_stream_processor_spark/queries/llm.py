@@ -221,7 +221,7 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (SELECT doc_id,
                  {sim.round6_stable_sql('max(n) / CAST(sum(n) AS DOUBLE)')}
                    AS top_bigram_share,
-                 sum(n) AS n_bigrams
+                 CAST(sum(n) AS BIGINT) AS n_bigrams
           FROM c GROUP BY 1)
     SELECT d.doc_id, coalesce(r.top_bigram_share, 0.0) AS top_bigram_share,
            coalesce(r.n_bigrams, 0) AS n_bigrams
@@ -235,7 +235,12 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     among all bigram occurrences (high = repeated template text). Uses
     NON-distinct numeric bigram ids, exploded and counted — the
     explode -> partial-count -> per-doc max/sum shape that distributes:
-    the shuffle key is (doc_id, gram), never the document text."""
+    the shuffle key is (doc_id, gram), never the document text.
+
+    Oracle note: ``sum(n)`` MUST be cast to BIGINT — DuckDB's sum over
+    integers returns HUGEINT (int128), which converts to float64 in
+    pandas/arrow fetches, so a dtype-faithful hasher sees "1234.0" vs
+    Spark's int64 "1234" (the r3 driver hash mismatch on this query)."""
     d = spread(table(spark, sf_dir, "documents"))
     hs = token_hashes_32_col(F.col("text"))
     grams = F.transform(
@@ -446,39 +451,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates -> exact Jaccard >= 0.5 verify. The only shuffles are on
     (band, bucket) and on doc_id for the verify join — never O(n^2).
     (cf. reference has only exact-key windowed dedup, src/nats_client.py:244-266)."""
-    d = table(spark, sf_dir, "documents")
-    # The shingle-id set feeds three plan branches (banding + both sides of
-    # the verify join); without persist Spark evaluates the md5-heavy
-    # shingling 3x. At cluster scale this would be a checkpoint/cached
-    # table between the signature and verify stages.
-    # hs is projected as a NAMED column before shingling: element_at in
-    # the shingle fold would otherwise re-evaluate the whole inline
-    # md5-token-hash transform per access (no CSE across HOFs) — measured
-    # 3x the stage cost (r2).
-    sh = (spread(d)
-          .select("doc_id", token_hashes_32_col(F.col("text")).alias("hs"))
-          .select("doc_id",
-                  shingle_ids_tok_col(F.col("hs")).alias("sids")))
-    sh = pin(sh)
-    sig = sh.select("doc_id", "sids", minhash_signature_col(F.col("sids")).alias("sig"))
-    bands = minhash_band_explode(sig, "doc_id", "sig")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sids").alias("sids_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sids").alias("sids_b"))
-    return (
-        cand.join(sa, "doc_a").join(sb, "doc_b")
-        .select("doc_a", "doc_b",
-                jaccard(F.col("sids_a"), F.col("sids_b")).alias("jaccard"))
-        .filter(F.col("jaccard") >= NEAR_DUP_JACCARD)
-        .orderBy("doc_a", "doc_b")
-    )
+    return _minhash_pairs(spark, sf_dir, fast=False)
 
 
 
@@ -523,7 +496,15 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str, fast: bool) -> DataFrame:
-    """Shared MinHash+LSH pipeline, parameterized by the token hash."""
+    """Shared MinHash+LSH pipeline, parameterized by the token hash.
+
+    The shingle-id set feeds three plan branches (banding + both sides of
+    the verify join); without persist Spark evaluates the hash-heavy
+    shingling 3x — at cluster scale this would be a checkpoint/cached
+    table between the signature and verify stages. ``hs`` is projected as
+    a NAMED column before shingling: element_at in the shingle fold would
+    otherwise re-evaluate the whole inline token-hash transform per access
+    (no CSE across HOFs) — measured 3x the stage cost (r2)."""
     d = table(spark, sf_dir, "documents")
     sh = (spread(d)
           .select("doc_id",
@@ -561,8 +542,48 @@ def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production-hash MinHash+LSH variant: identical pipeline to
     dedup_minhash_lsh but token hashes via xxhash64 (codegen, no hex
     round-trip vs the oracle-portable md5 path). Rows-only checked; the
-    md5 twin pins the semantics."""
+    md5 twin pins the semantics, and dedup_minhash_fast_parity value-
+    checks the xxhash pair set against it."""
     return _minhash_pairs(spark, sf_dir, fast=True)
+
+
+@register(
+    "dedup_minhash_fast_parity",
+    oracle=f"""
+    {_SH_CTE}
+    SELECT doc_a, doc_b,
+           {jaccard_sql('sa.sids', 'sb.sids')} AS jaccard,
+           TRUE AS in_fast,
+           CAST(count(*) OVER () AS BIGINT) AS n_fast_pairs
+    FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b
+    WHERE {jaccard_sql('sa.sids', 'sb.sids')} >= {NEAR_DUP_JACCARD}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm", "dedup-minhash-lsh", "production-hash", "parity"),
+)
+def q_dedup_minhash_fast_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checkable face of the xxhash64 production pipeline: emit the
+    oracle-reproducible md5 twin's pairs, with ``in_fast`` marking each
+    pair's presence in the xxhash pair set and ``n_fast_pairs`` the size
+    of that set. The oracle asserts TRUE / the md5 pair count, so the row
+    goes red if the production hash ever drops (in_fast=false) OR invents
+    (n_fast_pairs drifts) a near-dup pair on this corpus — the Spark-side
+    set comparison the r3 verdict asked for, replacing the standing
+    ``no_oracle`` row. Plan shape: both pipelines are banded equi-joins;
+    the parity join keys on (doc_a, doc_b) ids only."""
+    md5_pairs = _minhash_pairs(spark, sf_dir, fast=False)
+    fast_pairs = (_minhash_pairs(spark, sf_dir, fast=True)
+                  .select("doc_a", "doc_b")
+                  .withColumn("in_fast_", F.lit(True)))
+    n_fast = fast_pairs.agg(F.count("*").alias("n_fast_pairs"))
+    return (
+        md5_pairs.join(fast_pairs, ["doc_a", "doc_b"], "left")
+        .crossJoin(F.broadcast(n_fast))
+        .select("doc_a", "doc_b", "jaccard",
+                F.coalesce("in_fast_", F.lit(False)).alias("in_fast"),
+                "n_fast_pairs")
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 _SIMHASH_CTE = f"""
@@ -1673,9 +1694,9 @@ PACK_SHARDS = 8       # writer shards (≈ #output files; 100k+ at 100 TB)
         FROM documents),
     c AS (
         SELECT shard, doc_id, tok,
-               sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                              AND CURRENT ROW) AS cum
+               CAST(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS cum
         FROM b)
     SELECT shard, (cum - tok) // {PACK_SEQ_LEN} AS seq_id,
            count(*) AS n_docs,
@@ -1694,7 +1715,13 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the window is PARTITIONED by shard (at 100 TB you run
     ~100k shards, one per output file), so each cumulative sum is an
     independent partition-local scan — no global ordering, no single-
-    partition window. Integer arithmetic only, exact on both engines."""
+    partition window. Integer arithmetic only, exact on both engines.
+
+    Oracle note: the windowed ``sum(tok)`` MUST be cast to BIGINT —
+    DuckDB's sum over integers is HUGEINT (int128), so the derived
+    ``seq_id`` surfaces as float64 in pandas/arrow fetches and a
+    dtype-faithful hasher sees "3.0" vs Spark's int64 "3" (the r3
+    driver hash mismatch on this query)."""
     from ..functions.hashing import hash32_col
     d = spread(table(spark, sf_dir, "documents"))
     b = d.select(

@@ -2340,9 +2340,13 @@ SESSION_GAP_S = 1800  # 30 min inactivity closes a session
                       THEN 1 ELSE 0 END AS new_session
           FROM o),
     s AS (SELECT user_id, ts, event_id,
-                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts,
-                                        event_id ROWS UNBOUNDED PRECEDING)
-                   AS session_id
+                 -- BIGINT cast: DuckDB's windowed sum over INT is HUGEINT,
+                 -- which a pandas/arrow fetch materializes as float64 and a
+                 -- dtype-faithful hasher then mismatches vs Spark's int64
+                 CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY
+                                             ts, event_id
+                                             ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS session_id
           FROM f)
     SELECT user_id, session_id, count(*) AS n_events,
            min(ts) AS session_start, max(ts) AS session_end
@@ -3626,8 +3630,13 @@ from .llm import PACK_SHARDS as _PACK_SH  # noqa: E402
         FROM documents),
     c AS (
         SELECT shard, doc_id, tok,
-               sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
-                              ROWS UNBOUNDED PRECEDING) AS cum
+               -- BIGINT cast: DuckDB's windowed sum is HUGEINT -> float64
+               -- in pandas fetches; bin_id must stay integral for
+               -- dtype-faithful hashers (same class as pack_sequences' r3
+               -- driver red)
+               CAST(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum
         FROM b),
     asg AS (SELECT shard, (c.cum - c.tok) // {_PACK_LEN} AS bin_id,
                    doc_id, tok

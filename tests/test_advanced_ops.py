@@ -119,6 +119,33 @@ def test_connected_components_transitive(spark):
                    20: 20, 21: 20, 22: 20, 23: 20}
 
 
+def test_connected_components_never_mutates_session_conf(spark):
+    """The loop's narrow shuffle width must be scoped per-plan (explicit
+    repartition), never via spark.sql.shuffle.partitions — a concurrent
+    query planned mid-loop would inherit the tiny width (r3 verdict #5).
+    Intercept conf.set for the duration and fail on any write to the key."""
+    from nats_stream_processor_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "doc_a long, doc_b long")
+    real_set = spark.conf.set
+    banned: list[str] = []
+
+    def guarded_set(key, value):
+        if key == "spark.sql.shuffle.partitions":
+            banned.append(f"{key}={value}")
+        return real_set(key, value)
+
+    spark.conf.set = guarded_set
+    try:
+        got = {r["doc_id"]: r["comp"]
+               for r in connected_components(edges).collect()}
+    finally:
+        spark.conf.set = real_set
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert banned == [], f"session conf mutated during CC loop: {banned}"
+
+
 def test_asof_join_directions(spark):
     """backward / forward / nearest(tolerance) semantics on a constructed
     frame: pick side, tie resolution, tolerance NULLs."""

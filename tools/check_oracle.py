@@ -60,7 +60,52 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
-def check_one(spark, con, name: str, sf_dir: str, explain: bool = False) -> str | None:
+def _spark_num_kind(dt, has_null: bool) -> str | None:
+    """'i'/'f' for numeric Spark types as pandas would materialize them
+    (integral-with-nulls becomes float64 in a toPandas round-trip)."""
+    from pyspark.sql import types as T
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "f" if has_null else "i"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "f"
+    if isinstance(dt, T.DecimalType):
+        return "dec"
+    return None
+
+
+def dtype_drift(e, con, scols, srows, sdf) -> list[str]:
+    """Detect int-vs-float dtype drift between the Spark result and the
+    DuckDB oracle as PANDAS would see them — the class behind the r3
+    driver hash mismatches: DuckDB sum(BIGINT) returns HUGEINT, which
+    fetchdf() materializes as float64, so a dtype-faithful hasher renders
+    "1234.0" against Spark's int64 "1234". fetchall() hides this (HUGEINT
+    comes back as a Python int), hence the separate probe."""
+    import decimal
+    try:
+        odf = con.execute(e.oracle).fetchdf()
+    except Exception as ex:
+        return [f"dtype probe duckdb error: {str(ex)[:200]}"]
+    nulls = {c: any(r[i] is None for r in srows) for i, c in enumerate(scols)}
+    skinds = {f.name: _spark_num_kind(f.dataType, nulls.get(f.name, False))
+              for f in sdf.schema.fields}
+    problems = []
+    for c in odf.columns:
+        ok = odf[c].dtype.kind
+        if ok == "O" and len(odf) and isinstance(odf[c].iloc[0], decimal.Decimal):
+            ok = "dec"
+        sk = skinds.get(c)
+        if sk is None:
+            continue
+        if (sk == "i" and ok == "f") or (sk == "f" and ok in "iu") \
+                or ("dec" in (sk, ok) and sk != ok):
+            problems.append(
+                f"dtype drift on '{c}': spark={sk} oracle-pandas={ok} "
+                f"(cast the oracle expression explicitly)")
+    return problems
+
+
+def check_one(spark, con, name: str, sf_dir: str, explain: bool = False,
+              strict: bool = True) -> str | None:
     """Run one registry query vs its oracle; return a failure description or
     None on pass. Rows-only entries pass when they produce >= 1 row."""
     from nats_stream_processor_spark import registry
@@ -83,6 +128,8 @@ def check_one(spark, con, name: str, sf_dir: str, explain: bool = False) -> str 
     except Exception as ex:
         return f"duckdb error: {str(ex)[:400]}"
     problems = []
+    if strict:
+        problems.extend(dtype_drift(e, con, scols, srows, sdf))
     if sorted(scols) != sorted(ocols):
         problems.append(f"schema {sorted(scols)} != {sorted(ocols)}")
     if len(srows) != len(orows):
@@ -117,6 +164,9 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--explain", action="store_true")
     ap.add_argument(
+        "--no-strict", action="store_true",
+        help="skip the pandas dtype-drift probe (HUGEINT/decimal class)")
+    ap.add_argument(
         "--plain", action="store_true",
         help="use a bare local[*] SparkSession (no engine conf) — mimics "
         "the round driver's session, catching any accidental dependence "
@@ -138,7 +188,8 @@ def main() -> int:
     failures = 0
     for name in names:
         t0 = time.time()
-        problem = check_one(spark, con, name, args.sf, explain=args.explain)
+        problem = check_one(spark, con, name, args.sf, explain=args.explain,
+                            strict=not args.no_strict)
         oracle = registry.REGISTRY[name].oracle
         if problem:
             print(f"FAIL {name}: {problem}")
