@@ -285,3 +285,7 @@ _order = _SAMPLE_PREFIX + [n for n in REGISTRY if n not in set(_SAMPLE_PREFIX)]
 _reordered = {n: REGISTRY[n] for n in _order}
 REGISTRY.clear()
 REGISTRY.update(_reordered)
+
+# Round-4 additions register AFTER the curated prefix (they rotate into the
+# sampled window at r5+; all are mimic-checked from day one).
+from .queries import llm_ext2 as _q_llm_ext2  # noqa: E402,F401

@@ -1,0 +1,114 @@
+"""Invariants of the round-4 extension queries (queries/llm_ext2.py) the
+oracle hash cannot express: power-iteration PCA must actually recover a
+planted dominant direction, PSI must be ~0 on identical distributions and
+positive under drift, and the cascade funnel must account every document
+exactly once per stage on a constructed corpus."""
+
+from __future__ import annotations
+
+import pytest
+
+from nats_stream_processor_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _release():
+    yield
+    registry.release_pins()
+
+
+def _run(spark, name, sf=SF):
+    return registry.REGISTRY[name].fn(spark, sf)
+
+
+def test_pca_recovers_planted_direction(spark, tmp_path):
+    """Embeddings = strong +/- e0 component plus small deterministic noise
+    in other dims: after 3 power-iteration rounds the per-vector scores
+    must align with the e0 coordinate (sign-agnostic correlation > 0.99),
+    and scores must be centered (mean ~ 0, since PCA centers first)."""
+    import math
+
+    dim = 64
+    rows = []
+    for i in range(60):
+        sign = 1.0 if i % 2 == 0 else -1.0
+        v = [0.0] * dim
+        v[0] = sign * (1.0 + (i % 7) * 0.1)        # dominant axis
+        v[1] = ((i * 37) % 11 - 5) * 0.02          # small noise dims
+        v[2] = ((i * 53) % 13 - 6) * 0.02
+        rows.append((i, [float(x) for x in v], i % 3))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+
+    got = {r.vec_id: r.pc1_score
+           for r in _run(spark, "embed_pca_power_iteration", sf).collect()}
+    assert len(got) == 60
+    x = [rows[i][1][0] for i in range(60)]          # true e0 coordinate
+    y = [got[i] for i in range(60)]
+    mx, my = sum(x) / 60, sum(y) / 60
+    cov = sum((a - mx) * (b - my) for a, b in zip(x, y))
+    sx = math.sqrt(sum((a - mx) ** 2 for a in x))
+    sy = math.sqrt(sum((b - my) ** 2 for b in y))
+    corr = cov / (sx * sy)
+    assert abs(corr) > 0.99, corr
+    assert abs(my) < 0.05, my  # centered projection
+
+
+def test_psi_zero_on_identical_and_positive_on_drift(spark, tmp_path):
+    """Same-length docs in both splits -> every bucket contributes ~0 ppm.
+    The real-corpus run must produce a finite total equal to the sum of
+    its per-bucket contributions (the column contract)."""
+    rows = []
+    for i in range(400):
+        # identical length distribution in train (95%) and val (5%):
+        # length depends only on i % 20, independent of the split hash
+        rows.append((i, "tok " * (8 + (i % 20)), "en", "s0", 0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    out = _run(spark, "corpus_psi_drift", sf).collect()
+    total = out[0].psi_total_ppm
+    assert total == sum(r.psi_contrib_ppm for r in out)
+    # identical distributions: PSI well under the 0.1 alarm (100000 ppm);
+    # smoothing + finite-sample wobble keeps it near zero, not exactly 0
+    assert abs(total) < 20000, total
+
+    real = _run(spark, "corpus_psi_drift").collect()
+    assert len(real) >= 2
+    assert real[0].psi_total_ppm == sum(r.psi_contrib_ppm for r in real)
+
+
+def test_cascade_counts_constructed(spark, tmp_path):
+    """Constructed corpus: 2 byte-dups, 1 normalized-only dup, 2 near-dups
+    (high shingle overlap), 2 unique. Every stage's n_out must equal the
+    next stage's n_in, and the removal counts must match the plant."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [
+        (1, base),
+        (2, base),                       # byte-dup of 1 -> removed at exact
+        (3, base.upper() + "!!!"),       # normalized-dup of 1 -> stage 2
+        (4, base + " extra tail words"), # near-dup of 1 -> stage 3
+        (5, "completely different content about oranges and apples here "
+            "with many extra unrelated tokens filling the document"),
+        (6, "another unique document that shares nothing with the rest "
+            "of this tiny corpus at all in any shingle"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    out = {r.stage: r for r in _run(spark, "dedup_cascade_report", sf).collect()}
+    assert out["exact"].n_in == 6
+    assert out["exact"].n_removed == 1          # doc 2
+    assert out["exact"].n_out == out["normalized"].n_in == 5
+    assert out["normalized"].n_removed == 1     # doc 3
+    assert out["normalized"].n_out == out["near_dup"].n_in == 4
+    assert out["near_dup"].n_removed == 1       # doc 4
+    assert out["near_dup"].n_out == 3
