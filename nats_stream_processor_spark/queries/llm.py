@@ -495,8 +495,11 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _minhash_pairs(spark: SparkSession, sf_dir: str, fast: bool) -> DataFrame:
-    """Shared MinHash+LSH pipeline, parameterized by the token hash.
+def _minhash_pairs(spark: SparkSession, sf_dir: str, fast: bool,
+                   min_jaccard: float = NEAR_DUP_JACCARD) -> DataFrame:
+    """Shared MinHash+LSH pipeline, parameterized by the token hash and
+    the verify threshold (min_jaccard=0.0 keeps every banded candidate —
+    the threshold-sweep calibration face).
 
     The shingle-id set feeds three plan branches (banding + both sides of
     the verify join); without persist Spark evaluates the hash-heavy
@@ -528,7 +531,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, fast: bool) -> DataFrame:
         cand.join(sa, "doc_a").join(sb, "doc_b")
         .select("doc_a", "doc_b",
                 jaccard(F.col("sids_a"), F.col("sids_b")).alias("jaccard"))
-        .filter(F.col("jaccard") >= NEAR_DUP_JACCARD)
+        .filter(F.col("jaccard") >= min_jaccard)
         .orderBy("doc_a", "doc_b")
     )
 

@@ -346,3 +346,270 @@ def q_dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("c3").alias("n_removed"),
                   (F.col("c2") - F.col("c3")).alias("n_out")))
     return r1.unionAll(r2).unionAll(r3).orderBy("stage_idx")
+
+
+# ------------------------------------- MinHash threshold calibration sweep
+
+_SWEEP_PCTS = (30, 40, 50, 60, 70, 80, 90)
+
+
+def _sweep_oracle() -> str:
+    from .llm import _SH_CTE
+    th = ", ".join(str(t) for t in _SWEEP_PCTS)
+    return f"""
+    {_SH_CTE},
+    jp AS (SELECT doc_a, doc_b,
+                  CAST(floor({jaccard_sql('sa.sids', 'sb.sids')} * 1e6 + 0.5)
+                       AS BIGINT) AS jppm
+           FROM cand JOIN s sa ON sa.doc_id = doc_a
+                     JOIN s sb ON sb.doc_id = doc_b),
+    th AS (SELECT unnest([{th}]) AS threshold_pct),
+    f AS (SELECT threshold_pct, doc_a, doc_b
+          FROM jp CROSS JOIN th WHERE jppm >= threshold_pct * 10000),
+    p AS (SELECT threshold_pct, CAST(count(*) AS BIGINT) AS n_pairs
+          FROM f GROUP BY 1),
+    dd AS (SELECT threshold_pct, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+           FROM (SELECT threshold_pct, unnest([doc_a, doc_b]) AS d FROM f)
+           GROUP BY 1)
+    SELECT p.threshold_pct, n_pairs, n_docs
+    FROM p JOIN dd USING (threshold_pct) ORDER BY threshold_pct
+    """
+
+
+@register(
+    "dedup_minhash_threshold_sweep",
+    oracle=_sweep_oracle(),
+    tags=("llm", "dedup-minhash-lsh", "calibration"),
+)
+def q_minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold calibration for the MinHash stage: how many candidate
+    pairs (and how many documents touched) survive at each Jaccard cut
+    from 0.3 to 0.9 — the curve a curation team reads before fixing the
+    production threshold (too low = corpus collapse, too high = dup leak).
+
+    One banded-candidate pass computes exact Jaccard per pair (the same
+    pipeline as dedup_minhash_lsh with the verify filter open), then a
+    7-way threshold fan-out over the PAIR table only — corpus is scanned
+    once regardless of how many thresholds are swept. Comparisons run on
+    ppm-quantized integers, so the cut is engine-exact at every boundary."""
+    from .llm import _minhash_pairs
+
+    pairs = pin(_minhash_pairs(spark, sf_dir, fast=False, min_jaccard=0.0)
+                .select("doc_a", "doc_b",
+                        F.floor(F.col("jaccard") * F.lit(1e6) + F.lit(0.5))
+                        .cast("long").alias("jppm")))
+    th = F.explode(F.array(*[F.lit(t) for t in _SWEEP_PCTS]))
+    f = (pairs.select("doc_a", "doc_b", "jppm", th.alias("threshold_pct"))
+         .filter(F.col("jppm") >= F.col("threshold_pct") * 10000))
+    p = f.groupBy("threshold_pct").agg(F.count("*").alias("n_pairs"))
+    dd = (f.select("threshold_pct",
+                   F.explode(F.array("doc_a", "doc_b")).alias("d"))
+          .groupBy("threshold_pct")
+          .agg(F.count_distinct("d").alias("n_docs")))
+    return (p.join(dd, "threshold_pct")
+            .select("threshold_pct", "n_pairs", "n_docs")
+            .orderBy("threshold_pct"))
+
+
+# ------------------------------- exact-substring removal impact per doc
+
+_SPAN_K = 16  # llm.SUBSTR_SPAN_K — K-token spans, kept in sync
+
+
+def _span_removal_oracle() -> str:
+    from ..operators.dedup import MERSENNE_P, SHINGLE_COMB, token_hashes_32_duck_sql
+    k = _SPAN_K
+    roll = (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_slice(hs, u.p, u.p + {k} - 1)), "
+            f"(acc, x) -> (acc * {SHINGLE_COMB} + x) % {MERSENNE_P})")
+    return f"""
+    WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')
+                        AS toks
+               FROM documents),
+    h AS (SELECT doc_id, {token_hashes_32_duck_sql('toks')} AS hs FROM t),
+    g AS (SELECT doc_id, hs,
+                 unnest(list_transform(range(1, len(hs) - {k} + 2),
+                                       i -> {{'p': i}})) AS u
+          FROM h WHERE len(hs) >= {k}),
+    s AS (SELECT doc_id, u.p AS pos, {roll} AS gram FROM g),
+    dup AS (SELECT gram FROM s GROUP BY gram
+            HAVING count(DISTINCT doc_id) >= 2),
+    sd AS (SELECT s.doc_id, s.pos FROM s JOIN dup USING (gram)),
+    c AS (SELECT doc_id, pos,
+                 lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM sd),
+    a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+                 CAST(sum(CASE WHEN prev IS NULL THEN {k}
+                               ELSE least({k}, pos - prev) END) AS BIGINT)
+                   AS tokens_covered
+          FROM c GROUP BY 1)
+    SELECT h.doc_id,
+           coalesce(a.n_dup_spans, 0) AS n_dup_spans,
+           coalesce(a.tokens_covered, 0) AS tokens_covered,
+           CAST(len(hs) AS BIGINT) AS n_tokens,
+           coalesce(a.tokens_covered, 0) * 1000000
+             // greatest(CAST(len(hs) AS BIGINT), 1) AS coverage_ppm
+    FROM h LEFT JOIN a USING (doc_id) ORDER BY doc_id
+    """
+
+
+@register(
+    "dedup_span_removal_plan",
+    oracle=_span_removal_oracle(),
+    tags=("llm", "dedup-substring", "removal"),
+)
+def q_span_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL side of exact-substring dedup: dedup_substring_spans
+    finds cross-document K-token spans; this computes each document's
+    removal impact — how many of its span positions are corpus-duplicated
+    and how many tokens the UNION of those (overlapping) spans covers.
+    coverage_ppm is the per-doc "memorization surface" a cut list is
+    built from (RefinedWeb/exact-substring pipelines drop or trim docs
+    past a coverage threshold).
+
+    Interval-union without interval machinery: spans all have length K
+    and positions are sorted per doc, so a span only ever overlaps its
+    predecessor — union length = K for the first + min(K, gap) for each
+    subsequent span, one lag() window per doc. Shuffles carry
+    (gram, doc_id) then (doc_id, pos) — never text. Integer-exact
+    throughout (coverage is integer ppm division)."""
+    from ..operators.dedup import (
+        MERSENNE_P,
+        SHINGLE_COMB,
+        token_hashes_32_col,
+    )
+    k = _SPAN_K
+    d = spread(table(spark, sf_dir, "documents"))
+    h = pin(d.select(
+        "doc_id", token_hashes_32_col(F.col("text")).alias("hs")))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("hs") - k + 1),
+        lambda i: F.aggregate(
+            F.slice("hs", i, k), F.lit(0).cast("long"),
+            lambda acc, x: (acc * SHINGLE_COMB + x) % MERSENNE_P))
+    s = (h.select(
+            "doc_id",
+            F.posexplode(F.when(F.size("hs") >= k, grams)
+                         .otherwise(F.array())).alias("pos0", "gram"))
+         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram"))
+    s = pin(s)
+    dup = (s.groupBy("gram").agg(F.count_distinct("doc_id").alias("nd"))
+           .filter(F.col("nd") >= 2).select("gram"))
+    sd = s.join(dup, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    c = sd.withColumn("prev", F.lag("pos").over(w))
+    a = (c.groupBy("doc_id")
+         .agg(F.count("*").alias("n_dup_spans"),
+              F.sum(F.when(F.col("prev").isNull(), F.lit(k))
+                    .otherwise(F.least(F.lit(k), F.col("pos") - F.col("prev"))))
+              .alias("tokens_covered")))
+    base = h.select("doc_id", F.size("hs").cast("long").alias("n_tokens"))
+    return (base.join(a, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+                    F.coalesce("tokens_covered", F.lit(0))
+                    .alias("tokens_covered"),
+                    "n_tokens",
+                    F.expr("coalesce(tokens_covered, 0) * 1000000 "
+                           "div greatest(n_tokens, 1)").alias("coverage_ppm"))
+            .orderBy("doc_id"))
+
+
+# ------------------------------------------ greedy k-center coreset
+
+KCENTER_K = 8  # centers; selection cost is K corpus passes
+
+
+def _kcenter_oracle(k: int = KCENTER_K, dim: int = _DIM) -> str:
+    """Replay the greedy farthest-point loop: seed = min vec_id, then
+    round r picks argmax of the running min squared distance (ties to the
+    lower vec_id). Center CTEs are MATERIALIZED — each is referenced per
+    element by the next round's distance expression."""
+    parts = [f"""
+    WITH e AS MATERIALIZED (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings),
+    b AS MATERIALIZED (
+        SELECT vec_id, emb, {sim.dot_sql('emb', 'emb', dim)} AS sq FROM e),
+    c1 AS MATERIALIZED (
+        SELECT vec_id AS cid, emb AS cemb, sq AS csq FROM b
+        ORDER BY vec_id LIMIT 1),
+    m1 AS MATERIALIZED (
+        SELECT b.vec_id, b.emb, b.sq,
+               b.sq - 2 * {sim.dot_sql('b.emb', 'c1.cemb', dim)} + c1.csq AS md
+        FROM b CROSS JOIN c1)"""]
+    for r in range(2, k + 1):
+        parts.append(f""",
+    c{r} AS MATERIALIZED (
+        SELECT vec_id AS cid, emb AS cemb, sq AS csq, md AS seldist
+        FROM m{r - 1} ORDER BY md DESC, vec_id LIMIT 1),
+    m{r} AS MATERIALIZED (
+        SELECT m.vec_id, m.emb, m.sq,
+               least(m.md,
+                     m.sq - 2 * {sim.dot_sql('m.emb', 'c.cemb', dim)} + c.csq)
+                 AS md
+        FROM m{r - 1} m CROSS JOIN c{r} c)""")
+    sel = ["SELECT 1 AS center_rank, cid AS vec_id, "
+           "CAST(0.0 AS DOUBLE) AS sel_dist6 FROM c1"]
+    for r in range(2, k + 1):
+        sel.append(f"SELECT {r}, cid, {sim.round6_stable_sql('seldist')} "
+                   f"FROM c{r}")
+    parts.append("\n    " + "\n    UNION ALL ".join(sel)
+                 + "\n    ORDER BY center_rank")
+    return "".join(parts)
+
+
+@register(
+    "sample_coreset_kcenter",
+    oracle=_kcenter_oracle(),
+    tags=("llm", "coreset", "iterative"),
+)
+def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity coreset by greedy k-center (farthest-point traversal):
+    seed with the lowest vec_id, then repeatedly add the vector farthest
+    (squared L2) from every chosen center — the classic 2-approximation
+    that picks a maximally-spread exemplar set for eval panels / seed
+    pools, complementing sample_cluster_medoids (which picks TYPICAL
+    members; k-center picks EXTREME ones, covering the corpus hull).
+
+    Scale shape: K corpus passes, each a map-only distance update against
+    ONE new broadcast center plus a 1-row argmax reduce (TakeOrdered);
+    the driver carries one 64-float center per round. The running min
+    distance folds incrementally — round r computes ONE new dot product
+    per row, not r of them. Exact IEEE doubles end to end (dot folds are
+    order-pinned), so the oracle replays every selection decision."""
+    e = pin(spread(table(spark, sf_dir, "embeddings"))
+            .select("vec_id", sim.as_double(F.col("embedding")).alias("emb")))
+    b = pin(e.select("vec_id", "emb",
+                     sim.dot(F.col("emb"), F.col("emb")).alias("sq")))
+
+    seed = b.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(1, seed["vec_id"], 0.0)]
+    cemb, csq = list(seed["emb"]), float(seed["sq"])
+
+    cur = b.select(
+        "vec_id", "emb", "sq",
+        (F.col("sq")
+         - F.lit(2.0) * sim.dot(F.col("emb"),
+                                F.array(*[F.lit(x) for x in cemb]))
+         + F.lit(csq)).alias("md"))
+    for r in range(2, KCENTER_K + 1):
+        cur = pin(cur)
+        far = cur.orderBy(F.col("md").desc(), "vec_id").limit(1).collect()[0]
+        centers.append((r, far["vec_id"], float(far["md"])))
+        cemb, csq = list(far["emb"]), float(far["sq"])
+        cur = cur.select(
+            "vec_id", "emb", "sq",
+            F.least(
+                F.col("md"),
+                F.col("sq")
+                - F.lit(2.0) * sim.dot(F.col("emb"),
+                                       F.array(*[F.lit(x) for x in cemb]))
+                + F.lit(csq)).alias("md"))
+
+    spark_rows = [(r, int(v), d) for r, v, d in centers]
+    out = spark.createDataFrame(
+        spark_rows, "center_rank int, vec_id long, sel_dist double")
+    return (out.select("center_rank", "vec_id",
+                       sim.round6_stable(F.col("sel_dist")).alias("sel_dist6"))
+            .orderBy("center_rank"))

@@ -112,3 +112,69 @@ def test_cascade_counts_constructed(spark, tmp_path):
     assert out["normalized"].n_out == out["near_dup"].n_in == 4
     assert out["near_dup"].n_removed == 1       # doc 4
     assert out["near_dup"].n_out == 3
+
+
+def test_threshold_sweep_monotone_and_consistent(spark):
+    """Pair/doc counts must be non-increasing in the threshold, and the
+    0.5 row must agree with dedup_minhash_lsh's pair count (same pipeline,
+    fixed threshold)."""
+    sweep = {r.threshold_pct: r
+             for r in _run(spark, "dedup_minhash_threshold_sweep").collect()}
+    ts = sorted(sweep)
+    for a, b in zip(ts, ts[1:]):
+        assert sweep[a].n_pairs >= sweep[b].n_pairs
+        assert sweep[a].n_docs >= sweep[b].n_docs
+    registry.release_pins()
+    n50 = _run(spark, "dedup_minhash_lsh").count()
+    if 50 in sweep:
+        assert sweep[50].n_pairs == n50
+
+
+def test_span_removal_union_of_overlapping_spans(spark, tmp_path):
+    """Two docs share a 21-token run -> 6 overlapping 16-token dup spans
+    per doc whose UNION covers exactly 21 tokens; a third unique doc must
+    report zero coverage."""
+    shared = " ".join(f"tok{i}" for i in range(21))
+    rows = [
+        (1, shared + " unique one ending here alpha beta gamma delta"),
+        (2, shared + " other tail entirely different words epsilon zeta"),
+        (3, "no overlap with anything else at all " * 3),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    out = {r.doc_id: r for r in _run(spark, "dedup_span_removal_plan", sf).collect()}
+    assert out[1].n_dup_spans == 6 and out[1].tokens_covered == 21
+    assert out[2].n_dup_spans == 6 and out[2].tokens_covered == 21
+    assert out[3].n_dup_spans == 0 and out[3].tokens_covered == 0
+    assert out[1].coverage_ppm == 21 * 1_000_000 // out[1].n_tokens
+
+
+def test_kcenter_greedy_picks_extremes(spark, tmp_path):
+    """On a crafted set — tight cluster at the origin plus three distant
+    outliers — greedy k-center must select all outliers before any
+    cluster member, and selection distances must be non-increasing (the
+    farthest-point invariant)."""
+    dim = 64
+    rows = []
+    for i in range(20):  # tight cluster near origin
+        v = [0.0] * dim
+        v[3] = (i % 5) * 0.01
+        rows.append((i, v, 0))
+    for j, (axis, mag) in enumerate([(0, 50.0), (1, 40.0), (2, 30.0)]):
+        v = [0.0] * dim
+        v[axis] = mag
+        rows.append((100 + j, v, 1))  # outliers, ids 100-102
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in rows],
+        "vec_id long, embedding array<float>, label int")
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+    out = _run(spark, "sample_coreset_kcenter", sf).collect()
+    picked = [r.vec_id for r in out]
+    assert picked[0] == 0                       # seed = min vec_id
+    assert set(picked[1:4]) == {100, 101, 102}  # outliers first
+    dists = [r.sel_dist6 for r in out[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
