@@ -613,3 +613,237 @@ def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select("center_rank", "vec_id",
                        sim.round6_stable(F.col("sel_dist")).alias("sel_dist6"))
             .orderBy("center_rank"))
+
+
+# --------------------------------------- water-filling mixture allocation
+
+WF_TARGET_PCT = 50  # global token budget = 50% of the corpus
+
+
+@register(
+    "curation_mixture_waterfill",
+    oracle=f"""
+    WITH n AS (SELECT source,
+                      CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT))
+                           AS BIGINT) AS n_tokens
+               FROM documents GROUP BY 1),
+    t AS (SELECT source, n_tokens,
+                 CAST(sum(n_tokens) OVER () * {WF_TARGET_PCT} // 100
+                      AS BIGINT) AS budget,
+                 CAST(count(*) OVER () AS BIGINT) AS m,
+                 CAST(row_number() OVER (ORDER BY n_tokens, source)
+                      AS BIGINT) AS rk,
+                 CAST(sum(n_tokens) OVER (ORDER BY n_tokens, source
+                                          ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum
+          FROM n),
+    f AS (SELECT *,
+                 n_tokens <= (budget - (cum - n_tokens)) // (m - rk + 1)
+                   AS fits
+          FROM t),
+    brk AS (SELECT coalesce(min(rk) FILTER (WHERE NOT fits), max(m) + 1)
+                     AS first_capped
+            FROM f),
+    lvl AS (SELECT b.first_capped,
+                   coalesce((SELECT max(cum) FROM f
+                             WHERE rk < b.first_capped), 0) AS cum_full,
+                   (SELECT budget FROM f LIMIT 1) AS budget,
+                   (SELECT m FROM f LIMIT 1) AS m
+            FROM brk b),
+    a AS (SELECT f.source, f.n_tokens, f.rk, f.fits,
+                 CASE WHEN f.fits THEN f.n_tokens
+                      ELSE (l.budget - l.cum_full) // (l.m - l.first_capped + 1)
+                           + CASE WHEN f.rk - l.first_capped
+                                       < (l.budget - l.cum_full)
+                                         % (l.m - l.first_capped + 1)
+                                  THEN 1 ELSE 0 END
+                 END AS allocated
+          FROM f CROSS JOIN lvl l)
+    SELECT source, n_tokens, allocated,
+           CAST(NOT fits AS BOOLEAN) AS capped,
+           allocated * 1000000 // greatest(n_tokens, 1) AS fill_ppm
+    FROM a ORDER BY source
+    """,
+    tags=("llm", "mixture-waterfill"),
+)
+def q_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation across sources by WATER-FILLING: small
+    sources are taken whole, large ones are capped at a common level
+    chosen so the allocations sum exactly to the global budget (50% of
+    corpus tokens) — the standard "cap the dominant crawl, keep the long
+    tail" mixing rule, solved in closed form (no iteration): sort sources
+    by size ascending; source i fits whole iff n_i <= (remaining budget)/
+    (remaining sources) — a monotone condition, so the first failure
+    marks the capped suffix, which splits the remaining budget evenly
+    with the integer remainder going to the lowest-ranked capped sources.
+    Every step is integer window arithmetic; sum(allocated) == budget is
+    asserted by a property test.
+
+    Scale shape: one corpus scan to the per-source token table (bounded
+    cardinality), then windows over that tiny table — the allocation is
+    O(sources) regardless of corpus size."""
+    d = spread(table(spark, sf_dir, "documents"))
+    n = d.groupBy("source").agg(
+        F.sum(F.ceil(F.length("text") / 4.0).cast("long")).alias("n_tokens"))
+    wall = Window.partitionBy()
+    word = Window.partitionBy().orderBy("n_tokens", "source")
+    wcum = word.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t = n.select(
+        "source", "n_tokens",
+        F.expr(f"sum(n_tokens) OVER () * {WF_TARGET_PCT} div 100")
+        .alias("budget"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+        F.row_number().over(word).cast("long").alias("rk"),
+        F.sum("n_tokens").over(wcum).alias("cum"))
+    f = t.withColumn(
+        "fits",
+        F.col("n_tokens")
+        <= F.expr("(budget - (cum - n_tokens)) div (m - rk + 1)"))
+    # the capped suffix starts at the first rank that does not fit; the
+    # 1-row boundary aggregate broadcasts back over the source table, and
+    # cum_full (cumulative tokens BEFORE the break) is computed from rk <
+    # first_capped in a second tiny pass — the exact expression the oracle
+    # uses, sidestepping any reliance on fits-monotonicity under floors
+    brk = f.agg(
+        F.coalesce(F.min(F.when(~F.col("fits"), F.col("rk"))),
+                   F.max("m") + 1).alias("first_capped"))
+    fb = f.crossJoin(F.broadcast(brk))
+    cumf = fb.agg(
+        F.coalesce(F.max(F.when(F.col("rk") < F.col("first_capped"),
+                                F.col("cum"))), F.lit(0)).alias("cum_full"))
+    a = (fb.crossJoin(F.broadcast(cumf))
+         .withColumn(
+             "allocated",
+             F.when(F.col("fits"), F.col("n_tokens"))
+             .otherwise(F.expr(
+                 "(budget - cum_full) div (m - first_capped + 1)"
+                 " + CASE WHEN rk - first_capped <"
+                 " (budget - cum_full) % (m - first_capped + 1)"
+                 " THEN 1 ELSE 0 END"))))
+    return (a.select(
+                "source", "n_tokens", "allocated",
+                (~F.col("fits")).alias("capped"),
+                F.expr("allocated * 1000000 div greatest(n_tokens, 1)")
+                .alias("fill_ppm"))
+            .orderBy("source"))
+
+
+# -------------------------------------------- session path mining
+
+PATH_LEN = 4     # leading event types per session
+PATH_TOP = 20    # report head
+
+
+@register(
+    "events_session_paths",
+    oracle=f"""
+    WITH o AS (SELECT user_id, ts, event_id, event_type,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts,
+                                    event_id) AS prev_ts
+               FROM events),
+    f AS (SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN prev_ts IS NULL
+                        OR epoch(ts) - epoch(prev_ts) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM o),
+    s AS (SELECT user_id, ts, event_id, event_type,
+                 CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY
+                                             ts, event_id
+                                             ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS session_id
+          FROM f),
+    p AS (SELECT user_id, session_id,
+                 array_to_string(
+                     list_slice(list(event_type ORDER BY ts, event_id),
+                                1, {PATH_LEN}), '>') AS path
+          FROM s GROUP BY 1, 2)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT {PATH_TOP}
+    """,
+    tags=("events", "session-paths"),
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining lite: the most common leading event-type PATHS
+    (first 4 events) across lag-gap sessions — the "what do users actually
+    do first" table funnels are designed from. Reuses the
+    events_sessions_lag_gap sessionization (30-min gap, ts/event_id tie
+    order).
+
+    Scale shape: the per-session ordered path is an array_sort over a
+    collect_list of (ts, event_id, type) structs — grouped per session,
+    never a global sort; the path head is TakeOrdered (orderBy+limit).
+    Ties inside one timestamp break on event_id, so the path string is
+    deterministic and the oracle's ordered list() replays it exactly."""
+    ev = spread(table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    new_s = F.when(
+        F.col("prev_ts").isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800),
+        1).otherwise(0)
+    s = (ev.withColumn("prev_ts", F.lag("ts").over(w))
+         .withColumn("new_session", new_s)
+         .withColumn("session_id", F.sum("new_session").over(wrun)))
+    p = (s.groupBy("user_id", "session_id")
+         .agg(F.collect_list(F.struct("ts", "event_id", "event_type"))
+              .alias("evs"))
+         .select(F.concat_ws(
+             ">",
+             F.slice(F.transform(F.array_sort("evs"),
+                                 lambda x: x["event_type"]),
+                     1, PATH_LEN)).alias("path")))
+    return (p.groupBy("path").agg(F.count("*").alias("n_sessions"))
+            .orderBy(F.col("n_sessions").desc(), "path")
+            .limit(PATH_TOP))
+
+
+# ------------------------------------- sharded heavy-hitters (top users)
+
+HH_TOP = 10    # report head
+HH_PER_SHARD = 10  # per-shard candidate width
+HH_SHARDS = 32
+
+
+@register(
+    "events_heavy_hitters",
+    oracle=f"""
+    WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+               FROM events GROUP BY 1)
+    SELECT CAST(row_number() OVER (ORDER BY n_events DESC, user_id)
+                AS BIGINT) AS rank,
+           user_id, n_events
+    FROM c ORDER BY n_events DESC, user_id LIMIT {HH_TOP}
+    """,
+    tags=("events", "heavy-hitters"),
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-activity users via SHARDED candidate generation: count per
+    user (keys hash-colocate, so each user's count is exact), keep each
+    shard's top-10 with a bounded per-shard window, then rank the
+    32x10 candidate pool globally. Because sharding is BY the key, a true
+    top-10 user can only be missed if 10 larger users share its shard —
+    the oracle computes the true top-10 directly, so the row goes red if
+    the prune ever drops one (the verification face of the pattern).
+
+    Scale shape: at 1e10 keys the full ranked sort never happens — the
+    shard window bounds the final gather to shards x 10 rows. The count
+    aggregation itself is the one real shuffle; everything after operates
+    on the candidate pool."""
+    from ..functions.hashing import hash32_col
+
+    ev = spread(table(spark, sf_dir, "events"))
+    c = (ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+         .withColumn("shard",
+                     hash32_col(F.col("user_id").cast("string"))
+                     % HH_SHARDS))
+    wsh = Window.partitionBy("shard").orderBy(
+        F.col("n_events").desc(), "user_id")
+    cand = (c.withColumn("srk", F.row_number().over(wsh))
+            .filter(F.col("srk") <= HH_PER_SHARD))
+    wg = Window.partitionBy().orderBy(F.col("n_events").desc(), "user_id")
+    return (cand.select("user_id", "n_events")
+            .orderBy(F.col("n_events").desc(), "user_id")
+            .limit(HH_TOP)
+            .select(F.row_number().over(wg).cast("long").alias("rank"),
+                    "user_id", "n_events")
+            .orderBy("rank"))

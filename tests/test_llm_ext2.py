@@ -7,6 +7,7 @@ exactly once per stage on a constructed corpus."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from nats_stream_processor_spark import registry
 
@@ -178,3 +179,64 @@ def test_kcenter_greedy_picks_extremes(spark, tmp_path):
     assert set(picked[1:4]) == {100, 101, 102}  # outliers first
     dists = [r.sel_dist6 for r in out[1:]]
     assert all(a >= b for a, b in zip(dists, dists[1:]))
+
+
+def test_waterfill_budget_exact_and_caps_largest(spark):
+    """sum(allocated) must equal the integer budget EXACTLY; uncapped
+    sources are taken whole; capped allocations differ by at most one
+    token (even split + remainder); and every capped source is at least
+    as large as every uncapped one."""
+    rows = _run(spark, "curation_mixture_waterfill").collect()
+    total = sum(r.n_tokens for r in rows)
+    budget = total * 50 // 100
+    assert sum(r.allocated for r in rows) == budget
+    capped = [r for r in rows if r.capped]
+    uncapped = [r for r in rows if not r.capped]
+    for r in uncapped:
+        assert r.allocated == r.n_tokens
+    if capped:
+        allocs = [r.allocated for r in capped]
+        assert max(allocs) - min(allocs) <= 1
+        if uncapped:
+            assert min(r.n_tokens for r in capped) >= max(
+                r.n_tokens for r in uncapped)
+
+
+def test_session_paths_constructed(spark, tmp_path):
+    """Two users, one with a session split by a >30min gap: paths must be
+    the leading event types per session in (ts, event_id) order, capped
+    at 4."""
+    from datetime import datetime as dt
+    base = dt(2024, 1, 1, 12, 0, 0)
+    from datetime import timedelta as td
+    ev = [
+        # user 1, one session of 5 events -> path = first 4
+        (1, base, 1, "view"), (2, base + td(seconds=10), 1, "click"),
+        (3, base + td(seconds=20), 1, "cart"),
+        (4, base + td(seconds=30), 1, "purchase"),
+        (5, base + td(seconds=40), 1, "view"),
+        # user 2: two sessions split by 31 min
+        (6, base, 2, "view"), (7, base + td(seconds=5), 2, "click"),
+        (8, base + td(minutes=40), 2, "view"),
+    ]
+    df = spark.createDataFrame(
+        [(e, t, u, ty, 1.0, "{}") for e, t, u, ty in ev],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string")
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/events.parquet")
+    got = {r.path: r.n_sessions
+           for r in _run(spark, "events_session_paths", sf).collect()}
+    assert got == {"view>click>cart>purchase": 1, "view>click": 1, "view": 1}
+
+
+def test_heavy_hitters_match_exact_topk(spark):
+    """The sharded candidate path must reproduce the exact global top-10
+    (count, ordering, and tie-breaks) on the real events table."""
+    got = [(r.rank, r.user_id, r.n_events)
+           for r in _run(spark, "events_heavy_hitters").collect()]
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    exact = (ev.groupBy("user_id").count()
+             .orderBy(F.col("count").desc(), "user_id").limit(10).collect())
+    want = [(i + 1, r.user_id, r["count"]) for i, r in enumerate(exact)]
+    assert got == want
