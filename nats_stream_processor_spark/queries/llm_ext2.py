@@ -416,7 +416,10 @@ def q_minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_K = 16  # llm.SUBSTR_SPAN_K — K-token spans, kept in sync
 
 
-def _span_removal_oracle() -> str:
+def _span_cov_ctes() -> str:
+    """The span-coverage CTE chain (t..a), shared by the removal-plan and
+    quality-vs-dup oracles: per-doc duplicated K-token span positions and
+    the exact union coverage of those overlapping spans."""
     from ..operators.dedup import MERSENNE_P, SHINGLE_COMB, token_hashes_32_duck_sql
     k = _SPAN_K
     roll = (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
@@ -442,7 +445,12 @@ def _span_removal_oracle() -> str:
                  CAST(sum(CASE WHEN prev IS NULL THEN {k}
                                ELSE least({k}, pos - prev) END) AS BIGINT)
                    AS tokens_covered
-          FROM c GROUP BY 1)
+          FROM c GROUP BY 1)"""
+
+
+def _span_removal_oracle() -> str:
+    return f"""
+    {_span_cov_ctes()}
     SELECT h.doc_id,
            coalesce(a.n_dup_spans, 0) AS n_dup_spans,
            coalesce(a.tokens_covered, 0) AS tokens_covered,
@@ -473,6 +481,12 @@ def q_span_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     subsequent span, one lag() window per doc. Shuffles carry
     (gram, doc_id) then (doc_id, pos) — never text. Integer-exact
     throughout (coverage is integer ppm division)."""
+    return _span_coverage_df(spark, sf_dir).orderBy("doc_id")
+
+
+def _span_coverage_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :func:`_span_cov_ctes` + the final projection:
+    (doc_id, n_dup_spans, tokens_covered, n_tokens, coverage_ppm)."""
     from ..operators.dedup import (
         MERSENNE_P,
         SHINGLE_COMB,
@@ -511,8 +525,121 @@ def q_span_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("tokens_covered"),
                     "n_tokens",
                     F.expr("coalesce(tokens_covered, 0) * 1000000 "
-                           "div greatest(n_tokens, 1)").alias("coverage_ppm"))
-            .orderBy("doc_id"))
+                           "div greatest(n_tokens, 1)").alias("coverage_ppm")))
+
+
+# ----------------------------- quality x duplication cross-diagnostic
+
+
+def _quality_vs_dup_oracle() -> str:
+    from ..operators.textstats import quality_sql
+    qs = quality_sql("text")["quality_score"]
+    r6 = sim.round6_stable_sql
+    num = ("(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+           " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))")
+    vx = ("(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+          " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))")
+    vy = ("(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+          " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))")
+    return f"""
+    {_span_cov_ctes()},
+    cov AS (SELECT h.doc_id,
+                   coalesce(a.tokens_covered, 0) * 1000000
+                     // greatest(CAST(len(hs) AS BIGINT), 1) AS cov_ppm
+            FROM h LEFT JOIN a USING (doc_id)),
+    q AS (SELECT doc_id,
+                 CAST(floor(({qs}) * 1e6 + 0.5) AS BIGINT) AS qx
+          FROM documents),
+    j AS (SELECT q.doc_id, qx, cov_ppm FROM q JOIN cov USING (doc_id)),
+    b AS (SELECT {r6('quantile_cont(qx, 0.25)')} AS b1,
+                 {r6('quantile_cont(qx, 0.5)')} AS b2,
+                 {r6('quantile_cont(qx, 0.75)')} AS b3
+          FROM j),
+    mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(qx) AS BIGINT) AS sx,
+                  CAST(sum(cov_ppm) AS BIGINT) AS sy,
+                  CAST(sum(qx * cov_ppm) AS BIGINT) AS sxy,
+                  CAST(sum(qx * qx) AS BIGINT) AS sxx,
+                  CAST(sum(cov_ppm * cov_ppm) AS BIGINT) AS syy
+           FROM j),
+    r AS (SELECT CASE WHEN {vx} * {vy} = 0 THEN CAST(0.0 AS DOUBLE)
+                      ELSE {r6(f'{num} / sqrt({vx} * {vy})')} END
+                   AS pearson_r6
+          FROM mo)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(cov_ppm) AS BIGINT) // count(*) AS mean_cov_ppm,
+           pearson_r6
+    FROM (SELECT j.*, CASE WHEN qx <= b1 THEN 'q1' WHEN qx <= b2 THEN 'q2'
+                           WHEN qx <= b3 THEN 'q3' ELSE 'q4' END AS bin
+          FROM j CROSS JOIN b) CROSS JOIN r
+    GROUP BY bin, pearson_r6 ORDER BY bin
+    """
+
+
+@register(
+    "curation_quality_vs_dup",
+    oracle=_quality_vs_dup_oracle(),
+    tags=("llm", "curation", "cross-signal"),
+)
+def q_quality_vs_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-signal diagnostic: does LOW quality predict HIGH duplication?
+    Joins the per-doc quality score (ppm grid) with the duplicated-span
+    coverage (dedup_span_removal_plan's cov_ppm) and reports mean coverage
+    per quality quartile plus the corpus-wide Pearson correlation — the
+    table that decides whether one gate can stand in for the other (a
+    strong negative r means the quality cut already removes most dup mass).
+
+    Exactness: both signals are int64 grids, so the five moment sums are
+    exact order-free integers; the correlation is then assembled in double
+    FROM those exact sums (n*sxy etc. would overflow int64 past ~sf0.1,
+    and products of exactly-represented doubles are correctly rounded
+    identically in both engines). Quartile boundaries follow the
+    curation_quality_quartiles broadcast-percentile pattern. At 1e9+ docs
+    shrink the grids (1e3) to keep the moment sums under 2^53."""
+    from ..operators.textstats import quality_cols
+
+    d = spread(table(spark, sf_dir, "documents"))
+    q = d.select(
+        "doc_id",
+        F.floor(quality_cols(F.col("text"))["quality_score"] * F.lit(1e6)
+                + F.lit(0.5)).cast("long").alias("qx"))
+    cov = _span_coverage_df(spark, sf_dir).select(
+        "doc_id", F.col("coverage_ppm").alias("cov_ppm"))
+    j = pin(q.join(cov, "doc_id"))
+    b = j.agg(
+        sim.round6_stable(F.expr("percentile(qx, 0.25D)")).alias("b1"),
+        sim.round6_stable(F.expr("percentile(qx, 0.5D)")).alias("b2"),
+        sim.round6_stable(F.expr("percentile(qx, 0.75D)")).alias("b3"))
+    mo = j.agg(
+        F.count("*").alias("n"),
+        F.sum("qx").alias("sx"),
+        F.sum("cov_ppm").alias("sy"),
+        F.sum(F.col("qx") * F.col("cov_ppm")).alias("sxy"),
+        F.sum(F.col("qx") * F.col("qx")).alias("sxx"),
+        F.sum(F.col("cov_ppm") * F.col("cov_ppm")).alias("syy"))
+    num = ("(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+           " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))")
+    vx = ("(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+          " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))")
+    vy = ("(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+          " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))")
+    r = mo.select(
+        F.when(F.expr(f"{vx} * {vy}") == 0, F.lit(0.0).cast("double"))
+        .otherwise(sim.round6_stable(F.expr(f"{num} / sqrt({vx} * {vy})")))
+        .alias("pearson_r6"))
+    binned = (j.crossJoin(F.broadcast(b))
+              .withColumn("bin",
+                          F.when(F.col("qx") <= F.col("b1"), "q1")
+                          .when(F.col("qx") <= F.col("b2"), "q2")
+                          .when(F.col("qx") <= F.col("b3"), "q3")
+                          .otherwise("q4"))
+              .crossJoin(F.broadcast(r)))
+    return (binned.groupBy("bin", "pearson_r6")
+            .agg(F.count("*").alias("n_docs"),
+                 F.expr("CAST(sum(cov_ppm) AS BIGINT) div count(*)")
+                 .alias("mean_cov_ppm"))
+            .select("bin", "n_docs", "mean_cov_ppm", "pearson_r6")
+            .orderBy("bin"))
 
 
 # ------------------------------------------ greedy k-center coreset

@@ -230,6 +230,20 @@ def test_session_paths_constructed(spark, tmp_path):
     assert got == {"view>click>cart>purchase": 1, "view>click": 1, "view": 1}
 
 
+def test_quality_vs_dup_bins_partition_and_r_bounded(spark):
+    """Quartile bins must partition the corpus exactly; Pearson r must be
+    a valid correlation (|r| <= 1) and identical on every row; per-bin
+    mean coverage must be bounded by the ppm scale."""
+    rows = _run(spark, "curation_quality_vs_dup").collect()
+    total = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == total
+    rs = {r.pearson_r6 for r in rows}
+    assert len(rs) == 1
+    assert abs(rs.pop()) <= 1.0
+    for r in rows:
+        assert 0 <= r.mean_cov_ppm <= 1_000_000
+
+
 def test_heavy_hitters_match_exact_topk(spark):
     """The sharded candidate path must reproduce the exact global top-10
     (count, ordering, and tie-breaks) on the real events table."""
