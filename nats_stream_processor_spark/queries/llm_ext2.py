@@ -528,6 +528,127 @@ def _span_coverage_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "div greatest(n_tokens, 1)").alias("coverage_ppm")))
 
 
+# ----------------------------- first-fit-decreasing sequence packing
+
+
+def _ffd_oracle() -> str:
+    from .llm import PACK_SEQ_LEN, PACK_SHARDS
+    from ..functions.hashing import hash32_sql_duck
+    cap, sh = PACK_SEQ_LEN, PACK_SHARDS
+    return f"""
+    WITH RECURSIVE b AS (
+        SELECT doc_id,
+               {hash32_sql_duck('CAST(doc_id AS VARCHAR)')} % {sh} AS shard,
+               coalesce(CAST(ceil(length(text) / 4.0) AS BIGINT), 0) AS tok
+        FROM documents),
+    o AS (SELECT shard, doc_id, tok,
+                 CAST(row_number() OVER (PARTITION BY shard
+                                         ORDER BY tok DESC, doc_id)
+                      AS BIGINT) AS rn
+          FROM b),
+    rec AS (
+        SELECT shard, CAST(0 AS BIGINT) AS rn,
+               CAST([] AS BIGINT[]) AS fills, CAST([] AS BIGINT[]) AS nd
+        FROM (SELECT DISTINCT shard FROM o)
+        UNION ALL
+        SELECT o.shard, o.rn,
+               CASE WHEN p IS NULL OR p = 0
+                    THEN rec.fills || [o.tok]
+                    ELSE list_transform(range(1, len(rec.fills) + 1),
+                                        i -> CASE WHEN i = p
+                                                  THEN rec.fills[i] + o.tok
+                                                  ELSE rec.fills[i] END)
+               END,
+               CASE WHEN p IS NULL OR p = 0
+                    THEN rec.nd || [CAST(1 AS BIGINT)]
+                    ELSE list_transform(range(1, len(rec.nd) + 1),
+                                        i -> CASE WHEN i = p
+                                                  THEN rec.nd[i] + 1
+                                                  ELSE rec.nd[i] END)
+               END
+        FROM rec JOIN o ON o.shard = rec.shard AND o.rn = rec.rn + 1
+        CROSS JOIN LATERAL (
+            SELECT list_position(
+                list_transform(rec.fills, f -> f + o.tok <= {cap}),
+                true) AS p) l),
+    last AS (SELECT shard, max(rn) AS mrn FROM rec GROUP BY 1),
+    fin AS (SELECT rec.shard, rec.fills, rec.nd
+            FROM rec JOIN last ON rec.shard = last.shard
+                              AND rec.rn = last.mrn),
+    u AS (SELECT shard,
+                 unnest(list_transform(range(1, len(fills) + 1),
+                        i -> {{'b': i, 'f': fills[i], 'n': nd[i]}})) AS x
+          FROM fin)
+    SELECT shard, CAST(x.b AS BIGINT) AS bin_id, x.n AS n_docs,
+           x.f AS n_tokens,
+           x.f * 1000000 // {cap} AS fill_ppm
+    FROM u ORDER BY shard, bin_id
+    """
+
+
+@register(
+    "pack_sequences_first_fit",
+    oracle=_ffd_oracle(),
+    tags=("llm", "packing-ffd", "pandas-udf"),
+)
+def q_pack_first_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing bin packing per shard — the HIGH-FILL layout
+    for document-intact sequence packing (pack_sequences_doc_intact keeps
+    arrival order and leaves holes; FFD sorts by size and back-fills, the
+    classic 11/9-OPT guarantee). Inherently sequential within a shard, so
+    this is the designed showcase for the custom-operator escape hatch:
+    an applyInPandas (Arrow-batched) FFD per shard, NOT a window trick.
+
+    Scale shape: one shuffle on the shard key, then each shard's packing
+    runs independently in a single pandas batch (at 100 TB: ~100k shards,
+    each a bounded-size group — the same layout the parquet writer
+    produces). The DuckDB oracle replays the per-shard sequential loop as
+    a recursive CTE over (rank, bin-fill-list) state, so even the greedy
+    placement decisions are value-checked. Integer-exact throughout."""
+    import pandas as pd
+
+    from .llm import PACK_SEQ_LEN, PACK_SHARDS
+    from ..functions.hashing import hash32_col
+
+    cap = PACK_SEQ_LEN
+    d = spread(table(spark, sf_dir, "documents"))
+    b = d.select(
+        "doc_id",
+        (hash32_col(F.col("doc_id").cast("string")) % PACK_SHARDS)
+        .alias("shard"),
+        F.coalesce(F.ceil(F.length("text") / 4.0).cast("long"), F.lit(0))
+        .alias("tok"))
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["tok", "doc_id"], ascending=[False, True])
+        fills: list[int] = []
+        ndocs: list[int] = []
+        for tok in pdf["tok"]:
+            t = int(tok)
+            for i, f in enumerate(fills):
+                if f + t <= cap:
+                    fills[i] = f + t
+                    ndocs[i] += 1
+                    break
+            else:
+                fills.append(t)
+                ndocs.append(1)
+        shard = int(pdf["shard"].iloc[0])
+        return pd.DataFrame({
+            "shard": [shard] * len(fills),
+            "bin_id": list(range(1, len(fills) + 1)),
+            "n_docs": ndocs,
+            "n_tokens": fills,
+        })
+
+    packed = b.groupBy("shard").applyInPandas(
+        ffd, schema="shard long, bin_id long, n_docs long, n_tokens long")
+    return (packed.select(
+                "shard", "bin_id", "n_docs", "n_tokens",
+                F.expr(f"n_tokens * 1000000 div {cap}").alias("fill_ppm"))
+            .orderBy("shard", "bin_id"))
+
+
 # ----------------------------- quality x duplication cross-diagnostic
 
 

@@ -230,6 +230,26 @@ def test_session_paths_constructed(spark, tmp_path):
     assert got == {"view>click>cart>purchase": 1, "view>click": 1, "view": 1}
 
 
+def test_ffd_packs_tighter_than_doc_intact(spark):
+    """FFD must never use MORE bins than arrival-order doc-intact packing
+    on the same shard/token inputs, must conserve docs and tokens, and
+    every non-oversize bin must respect the 2048 capacity."""
+    ffd = _run(spark, "pack_sequences_first_fit").collect()
+    registry.release_pins()
+    intact = _run(spark, "pack_sequences_doc_intact").collect()
+    assert sum(r.n_docs for r in ffd) == sum(r.n_docs for r in intact)
+    assert sum(r.n_tokens for r in ffd) == sum(r.n_tokens for r in intact)
+    from collections import Counter
+    bins_ffd = Counter(r.shard for r in ffd)
+    bins_int = Counter(r.shard for r in intact)
+    for sh, n in bins_ffd.items():
+        assert n <= bins_int[sh], (sh, n, bins_int[sh])
+    for r in ffd:
+        # only a single oversize doc may exceed capacity
+        if r.n_docs > 1:
+            assert r.n_tokens <= 2048
+
+
 def test_quality_vs_dup_bins_partition_and_r_bounded(spark):
     """Quartile bins must partition the corpus exactly; Pearson r must be
     a valid correlation (|r| <= 1) and identical on every row; per-bin
