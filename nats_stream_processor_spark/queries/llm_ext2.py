@@ -528,6 +528,157 @@ def _span_coverage_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "div greatest(n_tokens, 1)").alias("coverage_ppm")))
 
 
+# ------------------------------------------ IVF nprobe recall sweep
+
+NPROBE_SWEEP = (1, 2, 4, 8)
+_SWEEP_NQ = 10  # query vectors (vec_id < 10, matching sim_ann_ivf)
+
+
+def _nprobe_sweep_oracle() -> str:
+    from ..operators import kmeans as km
+    from .llm import IVF_NLIST
+    nps = ", ".join(str(x) for x in NPROBE_SWEEP)
+    maxp = max(NPROBE_SWEEP)
+    return f"""
+    WITH e AS (SELECT vec_id, {sim.as_double_sql('embedding')} AS demb
+               FROM embeddings),
+    n AS (SELECT vec_id, demb, {sim.norm_sql('demb')} AS nrm FROM e),
+    {km.ivf_train_cte_sql(IVF_NLIST)},
+    cent AS (SELECT cent_id, c_demb, {sim.norm_sql('c_demb')} AS c_nrm
+             FROM tcent),
+    ranked AS MATERIALIZED (
+        SELECT n.vec_id, n.demb, n.nrm, cent.cent_id,
+               row_number() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY {sim.dot_sql('n.demb', 'cent.c_demb')}
+                            / (n.nrm * cent.c_nrm) DESC, cent.cent_id) AS rc
+        FROM n CROSS JOIN cent),
+    assign AS (SELECT vec_id, demb, nrm, cent_id FROM ranked WHERE rc = 1),
+    probes AS (SELECT vec_id AS query_id, demb AS q_demb, nrm AS q_nrm,
+                      cent_id, rc AS prc
+               FROM ranked WHERE rc <= {maxp} AND vec_id < {_SWEEP_NQ}),
+    cand AS MATERIALIZED (
+        SELECT p.query_id, p.prc, a.vec_id AS neighbor_id,
+               round({sim.dot_sql('p.q_demb', 'a.demb')}
+                     / (p.q_nrm * a.nrm), 6) AS cosine
+        FROM probes p JOIN assign a
+          ON a.cent_id = p.cent_id AND a.vec_id != p.query_id),
+    np AS (SELECT unnest([{nps}]) AS nprobe),
+    topk AS (SELECT nprobe, query_id, neighbor_id FROM (
+                 SELECT np.nprobe, c.query_id, c.neighbor_id,
+                        row_number() OVER (
+                            PARTITION BY np.nprobe, c.query_id
+                            ORDER BY c.cosine DESC, c.neighbor_id) AS rn
+                 FROM cand c CROSS JOIN np WHERE c.prc <= np.nprobe)
+             WHERE rn <= 5),
+    brute AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({sim.dot_sql('q.demb', 'x.demb')}
+                                      / (q.nrm * x.nrm), 6) DESC,
+                                x.vec_id) AS rn
+            FROM n q JOIN n x ON x.vec_id != q.vec_id
+            WHERE q.vec_id < {_SWEEP_NQ})
+        WHERE rn <= 5),
+    hits AS (SELECT t.nprobe, CAST(count(*) AS BIGINT) AS n_hits
+             FROM topk t JOIN brute b USING (query_id, neighbor_id)
+             GROUP BY 1),
+    qs AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq FROM brute)
+    SELECT np.nprobe, coalesce(h.n_hits, 0) AS n_hits,
+           coalesce(h.n_hits, 0) * 1000000 // (5 * qs.nq) AS recall_ppm
+    FROM np LEFT JOIN hits h ON h.nprobe = np.nprobe CROSS JOIN qs
+    ORDER BY np.nprobe
+    """
+
+
+@register(
+    "sim_ann_nprobe_sweep",
+    oracle=_nprobe_sweep_oracle(),
+    tags=("llm", "ann-ivf", "calibration"),
+)
+def q_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cost/recall calibration: recall@5 against brute force at
+    nprobe in {1,2,4,8} — the curve that fixes the production probe count
+    (each step doubles scan cost for diminishing recall). The ANN
+    counterpart of dedup_minhash_threshold_sweep.
+
+    One index build serves every sweep point: candidates carry the PROBE
+    RANK of their list, so "nprobe = p" is a filter (prc <= p) over one
+    materialized candidate table — the corpus is scanned once for all
+    sweep points, and the brute-force reference once. recall_ppm is
+    integer arithmetic over exact hit counts."""
+    from ..operators import kmeans as km
+    from .llm import IVF_NLIST
+
+    maxp = max(NPROBE_SWEEP)
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("demb"))
+    n = pin(e.select("vec_id", "demb", sim.norm(F.col("demb")).alias("nrm")))
+    cents = km.train_ivf_centroids(e, IVF_NLIST)
+    cent = spark.createDataFrame(
+        [(i, cents[i]) for i in range(IVF_NLIST)],
+        "cent_id int, c_demb array<double>",
+    ).withColumn("c_nrm", sim.norm(F.col("c_demb")))
+    w = Window.partitionBy("vec_id").orderBy(
+        (sim.dot(F.col("demb"), F.col("c_demb"))
+         / (F.col("nrm") * F.col("c_nrm"))).desc(), "cent_id")
+    ranked = (n.crossJoin(F.broadcast(cent))
+              .withColumn("rc", F.row_number().over(w)))
+    assign = ranked.filter(F.col("rc") == 1).select(
+        "vec_id", "demb", "nrm", "cent_id")
+    probes = (ranked.filter((F.col("rc") <= maxp)
+                            & (F.col("vec_id") < _SWEEP_NQ))
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("demb").alias("q_demb"),
+                      F.col("nrm").alias("q_nrm"),
+                      F.col("cent_id").alias("p_cent_id"),
+                      F.col("rc").alias("prc")))
+    cand = pin(
+        F.broadcast(probes)
+        .join(assign, (F.col("cent_id") == F.col("p_cent_id"))
+              & (F.col("vec_id") != F.col("query_id")))
+        .select("query_id", "prc", F.col("vec_id").alias("neighbor_id"),
+                sim.cosine(sim.dot(F.col("q_demb"), F.col("demb")),
+                           F.col("q_nrm"), F.col("nrm")).alias("cosine")))
+    wnp = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id")
+    topk = (cand.select(
+                "*", F.explode(F.array(*[F.lit(p) for p in NPROBE_SWEEP]))
+                .alias("nprobe"))
+            .filter(F.col("prc") <= F.col("nprobe"))
+            .withColumn("rn", F.row_number().over(wnp))
+            .filter(F.col("rn") <= 5)
+            .select("nprobe", "query_id", "neighbor_id"))
+    q = (n.filter(F.col("vec_id") < _SWEEP_NQ)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("demb").alias("q_demb"),
+                 F.col("nrm").alias("q_nrm")))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id")
+    brute = pin(
+        F.broadcast(q)
+        .join(n, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                sim.cosine(sim.dot(F.col("q_demb"), F.col("demb")),
+                           F.col("q_nrm"), F.col("nrm")).alias("cosine"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id"))
+    hits = (topk.join(brute, ["query_id", "neighbor_id"])
+            .groupBy("nprobe").agg(F.count("*").alias("n_hits")))
+    nps = spark.createDataFrame([(p,) for p in NPROBE_SWEEP], "nprobe int")
+    qs = brute.agg(F.count_distinct("query_id").alias("nq"))
+    return (nps.join(hits, "nprobe", "left")
+            .crossJoin(F.broadcast(qs))
+            .select("nprobe",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    F.expr("coalesce(n_hits, 0) * 1000000 div (5 * nq)")
+                    .alias("recall_ppm"))
+            .orderBy("nprobe"))
+
+
 # ----------------------------- first-fit-decreasing sequence packing
 
 

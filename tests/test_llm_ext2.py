@@ -230,6 +230,18 @@ def test_session_paths_constructed(spark, tmp_path):
     assert got == {"view>click>cart>purchase": 1, "view>click": 1, "view": 1}
 
 
+def test_nprobe_sweep_recall_monotone(spark):
+    """Recall@5 must be non-decreasing in nprobe (probing more lists can
+    only add candidates), bounded by 1.0, and strictly above zero by
+    nprobe=8 (half the 16 lists probed)."""
+    rows = {r.nprobe: r for r in _run(spark, "sim_ann_nprobe_sweep").collect()}
+    assert sorted(rows) == [1, 2, 4, 8]
+    rs = [rows[p].recall_ppm for p in (1, 2, 4, 8)]
+    assert all(a <= b for a, b in zip(rs, rs[1:]))
+    assert all(0 <= r <= 1_000_000 for r in rs)
+    assert rs[-1] > 0
+
+
 def test_ffd_packs_tighter_than_doc_intact(spark):
     """FFD must never use MORE bins than arrival-order doc-intact packing
     on the same shard/token inputs, must conserve docs and tokens, and
