@@ -233,6 +233,54 @@ def test_containment_shuffles_span_ids_not_text(spark):
         assert "text#" not in input_line, section[:400]
 
 
+def test_ffd_packing_single_shard_shuffle_no_text(spark):
+    """pack_sequences_first_fit must reach the applyInPandas group map
+    through ONE hash exchange keyed on the shard, and that exchange must
+    carry (shard, doc_id, tok) only — never the document text."""
+    p = plan_str(spark, "pack_sequences_first_fit")
+    assert "FlatMapGroupsInPandas" in p
+    hashex = re.findall(r"hashpartitioning\(([^)]*)\)", p)
+    assert len(hashex) == 1 and "shard" in hashex[0], hashex
+    assert "text" not in hashex[0]
+
+
+def test_nprobe_sweep_broadcasts_probe_and_query_sides(spark):
+    """Both corpus-touching ANN joins in the sweep (probe candidates x
+    inverted lists, brute-force queries x corpus) must broadcast the tiny
+    query side — the corpus is never shuffled for a 10-query panel. (The
+    post-candidate bookkeeping joins over the bounded pair tables may
+    plan however Catalyst likes.)"""
+    p = plan_str(spark, "sim_ann_nprobe_sweep")
+    assert p.count("BroadcastHashJoin") >= 2, p.count("BroadcastHashJoin")
+
+
+def test_session_paths_shares_user_partitioning_and_takes_ordered(spark):
+    """The sessionize window (user_id) and the per-session collect
+    (user_id, session_id) must share one exchange — hash(user_id)
+    satisfies the grouped distribution — and the path head must be
+    TakeOrdered, never a global sort."""
+    p = plan_str(spark, "events_session_paths")
+    assert "TakeOrderedAndProject" in p
+    user_exchanges = [e for e in re.findall(r"hashpartitioning\(([^)]*)\)", p)
+                      if "user_id" in e]
+    assert len(user_exchanges) == 1, user_exchanges
+
+
+def test_heavy_hitters_head_is_take_ordered(spark):
+    """The candidate pool head must be TakeOrderedAndProject — the full
+    ranked sort of all keys is exactly what the sharded prune avoids."""
+    p = plan_str(spark, "events_heavy_hitters")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_threshold_sweep_reuses_pinned_pair_table(spark):
+    """The 7-way threshold fan-out must read the persisted candidate-pair
+    table (InMemoryRelation), not re-run the MinHash pipeline per
+    threshold."""
+    p = plan_str(spark, "dedup_minhash_threshold_sweep")
+    assert "InMemoryTableScan" in p or "InMemoryRelation" in p
+
+
 def test_dau_wau_range_join_broadcasts_day_list(spark):
     """The trailing-week WAU join is a non-equi range join; its build
     side is the distinct-day list (days, not events) and MUST broadcast

@@ -232,6 +232,68 @@ NOTES = {
         "ln() terms quantize to int64 before the exchange — the "
         "per-source sum is exact and partitioning-independent."
     ),
+    "pack_sequences_first_fit": (
+        "The custom-operator escape hatch done right: ONE hash exchange "
+        "on the shard key (carrying shard/doc_id/tok, never text) feeds "
+        "FlatMapGroupsInPandas — each shard's inherently-sequential FFD "
+        "loop runs in a single Arrow batch; shards pack independently, "
+        "so parallelism = #shards (~100k at 100 TB)."
+    ),
+    "sim_ann_nprobe_sweep": (
+        "One index build serves four sweep points: candidates carry "
+        "their probe rank, so nprobe=p is a filter over the pinned "
+        "candidate table. Both corpus-touching joins broadcast the "
+        "10-query panel (BroadcastHashJoin); the bookkeeping joins "
+        "after candidate generation touch only bounded pair tables."
+    ),
+    "events_session_paths": (
+        "Sessionize windows (user_id) and the per-session ordered "
+        "collect (user_id, session_id) share ONE exchange — "
+        "hash(user_id) satisfies the grouped distribution. The path "
+        "head is TakeOrderedAndProject, never a global sort."
+    ),
+    "events_heavy_hitters": (
+        "Count aggregation is the only real shuffle; the per-shard "
+        "row_number window bounds the final gather to shards x 10 "
+        "candidates and the head is TakeOrderedAndProject — the full "
+        "ranked sort of 1e10 keys never happens."
+    ),
+    "dedup_minhash_threshold_sweep": (
+        "The 7-threshold fan-out explodes over the PINNED candidate "
+        "pair table (InMemoryTableScan) — the MinHash pipeline and the "
+        "corpus scan run once regardless of sweep width."
+    ),
+    "embed_pca_power_iteration": (
+        "Gram-free power iteration: each round is one scan of the "
+        "cached centered corpus into a 64-column quantized-int64 "
+        "aggregate (partial map-side combine), so the driver carries 64 "
+        "ints per round. The returned plan is map-only scoring against "
+        "64 broadcast literals."
+    ),
+    "sample_coreset_kcenter": (
+        "K passes, each a map-only distance update against ONE new "
+        "broadcast center plus a 1-row TakeOrdered argmax; the running "
+        "min folds incrementally so round r adds one dot product per "
+        "row, not r."
+    ),
+    "dedup_span_removal_plan": (
+        "Span ids are computed beside the text and only (gram, doc_id) "
+        "then (doc_id, pos) ever shuffle; the interval union is one "
+        "lag() window per doc (equal-length spans only overlap their "
+        "predecessor)."
+    ),
+    "curation_mixture_waterfill": (
+        "One corpus scan to the per-source token table; every window in "
+        "the closed-form waterline computation runs over that bounded "
+        "table, and the two boundary aggregates broadcast back as "
+        "1-row nested-loop joins."
+    ),
+    "dedup_cascade_report": (
+        "Stages 1-2 are digest-only groupBys; stage 3 reuses the banded "
+        "MinHash pair join with survivors filtered via semi-joins on "
+        "ids. The report itself is three 1-row aggregates cross-joined "
+        "— constant data regardless of corpus size."
+    ),
 }
 
 
