@@ -528,6 +528,151 @@ def _span_coverage_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "div greatest(n_tokens, 1)").alias("coverage_ppm")))
 
 
+# --------------------------------- approx-percentile sketch validation
+
+
+@register(
+    "agg_percentile_approx_check",
+    oracle="""
+    WITH p AS (SELECT round(quantile_cont(CAST(l_extendedprice AS DOUBLE),
+                                          0.50), 6) AS e50,
+                      round(quantile_cont(CAST(l_extendedprice AS DOUBLE),
+                                          0.90), 6) AS e90,
+                      round(quantile_cont(CAST(l_extendedprice AS DOUBLE),
+                                          0.99), 6) AS e99
+               FROM lineitem)
+    SELECT * FROM (
+        SELECT 50 AS p_pct, e50 AS exact6, TRUE AS approx_ok FROM p
+        UNION ALL SELECT 90, e90, TRUE FROM p
+        UNION ALL SELECT 99, e99, TRUE FROM p
+    ) ORDER BY p_pct
+    """,
+    tags=("agg", "percentile-approx"),
+)
+def q_percentile_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production quantile path validated against the exact one:
+    percentile_approx (GK sketch — bounded memory, mergeable, the ONLY
+    viable percentile at 1e10 rows) next to the exact interpolated
+    percentile, with a 5%-relative-tolerance boolean the oracle asserts
+    TRUE (the agg_approx_distinct pattern: the sketch result itself is
+    engine-specific, its ACCURACY CONTRACT is not). The exact values are
+    also emitted and value-checked."""
+    li = table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        *[F.round(F.expr(f"percentile(CAST(l_extendedprice AS DOUBLE), "
+                         f"{p / 100.0}D)"), 6).alias(f"e{p}")
+          for p in (50, 90, 99)],
+        *[F.expr(f"approx_percentile(CAST(l_extendedprice AS DOUBLE), "
+                 f"{p / 100.0}D, 10000)").alias(f"a{p}")
+          for p in (50, 90, 99)])
+    rows = [
+        agg.select(F.lit(p).alias("p_pct"),
+                   F.col(f"e{p}").alias("exact6"),
+                   (F.abs(F.col(f"a{p}") - F.col(f"e{p}"))
+                    <= 0.05 * F.abs(F.col(f"e{p}"))).alias("approx_ok"))
+        for p in (50, 90, 99)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("p_pct")
+
+
+# --------------------------------------------- PII compliance report
+
+
+def _pii_oracle() -> str:
+    from .llm import EMAIL_RE, URL_RE
+    return f"""
+    WITH f AS (SELECT source,
+                      len(regexp_extract_all(text, '{EMAIL_RE}')) > 0 AS he,
+                      len(regexp_extract_all(text, '{URL_RE}')) > 0 AS hu
+               FROM documents)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE he) AS BIGINT) AS n_with_email,
+           CAST(count(*) FILTER (WHERE hu) AS BIGINT) AS n_with_url,
+           CAST(count(*) FILTER (WHERE he) AS BIGINT) * 1000000
+             // count(*) AS email_rate_ppm,
+           CAST(count(*) FILTER (WHERE hu) AS BIGINT) * 1000000
+             // count(*) AS url_rate_ppm
+    FROM f GROUP BY source ORDER BY source
+    """
+
+
+@register(
+    "text_pii_rate_by_source",
+    oracle=_pii_oracle(),
+    tags=("llm", "pii-report"),
+)
+def q_pii_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII exposure report: how many documents carry emails /
+    URLs and at what rate — the compliance table a redaction rollout is
+    planned from (text_redact_pii is the ACTION; this is the audit).
+    One scan, counts aggregate on the source key; rates are integer ppm."""
+    from .llm import EMAIL_RE, URL_RE
+
+    d = spread(table(spark, sf_dir, "documents"))
+    has_email = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit(EMAIL_RE), 0)) > 0
+    has_url = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit(URL_RE), 0)) > 0
+    return (d.select("source", has_email.alias("he"), has_url.alias("hu"))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.count_if("he").alias("n_with_email"),
+                 F.count_if("hu").alias("n_with_url"))
+            .select("source", "n_docs", "n_with_email", "n_with_url",
+                    F.expr("n_with_email * 1000000 div n_docs")
+                    .alias("email_rate_ppm"),
+                    F.expr("n_with_url * 1000000 div n_docs")
+                    .alias("url_rate_ppm"))
+            .orderBy("source"))
+
+
+# ------------------------------------------- kNN hubness diagnostic
+
+
+def _hubness_oracle() -> str:
+    from .llm_ext import _KNN_CTE
+    return f"""
+    {_KNN_CTE},
+    ind AS (SELECT e.vec_id,
+                   coalesce(k.c, 0) AS in_degree
+            FROM (SELECT vec_id FROM embeddings) e
+            LEFT JOIN (SELECT dst, CAST(count(*) AS BIGINT) AS c
+                       FROM knn GROUP BY 1) k ON k.dst = e.vec_id)
+    SELECT in_degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM ind GROUP BY 1 ORDER BY in_degree
+    """
+
+
+@register(
+    "graph_knn_hubness",
+    oracle=_hubness_oracle(),
+    tags=("llm", "knn-graph", "hubness"),
+)
+def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness diagnostic over the k-NN graph: the IN-degree histogram
+    (out-degree is K by construction; in-degree is not). A heavy tail
+    here is the classic high-dimensional ANN failure mode — a few hub
+    vectors appear in everyone's neighbor list and drag retrieval
+    quality — and the fix (re-centering, cosine vs dot) is chosen from
+    this table. Nodes nobody points at (in-degree 0) are included via
+    the left join.
+
+    Scale shape: reuses the bucket-bounded kNN build (one pinned LSH
+    bucket self-join), then two small aggregates on ids only."""
+    from .llm_ext import _knn_graph_df
+
+    knn = _knn_graph_df(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings").select("vec_id")
+    indeg = knn.groupBy("dst").agg(F.count("*").alias("c"))
+    ind = (e.join(indeg, e["vec_id"] == indeg["dst"], "left")
+           .select(F.coalesce("c", F.lit(0)).alias("in_degree")))
+    return (ind.groupBy("in_degree").agg(F.count("*").alias("n_nodes"))
+            .orderBy("in_degree"))
+
+
 # ------------------------------------------ IVF nprobe recall sweep
 
 NPROBE_SWEEP = (1, 2, 4, 8)

@@ -230,6 +230,41 @@ def test_session_paths_constructed(spark, tmp_path):
     assert got == {"view>click>cart>purchase": 1, "view>click": 1, "view": 1}
 
 
+def test_percentile_approx_within_tolerance_and_ordered(spark):
+    """The GK sketch must sit within the 5% tolerance band at every
+    probed quantile, and exact percentiles must be monotone in p."""
+    rows = {r.p_pct: r
+            for r in _run(spark, "agg_percentile_approx_check").collect()}
+    assert sorted(rows) == [50, 90, 99]
+    assert all(rows[p].approx_ok for p in rows)
+    assert rows[50].exact6 <= rows[90].exact6 <= rows[99].exact6
+
+
+def test_pii_rates_consistent(spark):
+    """Counts must be bounded by doc counts, rates by the ppm scale, and
+    the total doc count must match the corpus."""
+    rows = _run(spark, "text_pii_rate_by_source").collect()
+    total = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == total
+    for r in rows:
+        assert 0 <= r.n_with_email <= r.n_docs
+        assert 0 <= r.n_with_url <= r.n_docs
+        assert 0 <= r.email_rate_ppm <= 1_000_000
+        assert 0 <= r.url_rate_ppm <= 1_000_000
+
+
+def test_hubness_conserves_nodes_and_edges(spark):
+    """The in-degree histogram must cover every vector exactly once and
+    its degree-weighted total must equal the directed edge count of the
+    kNN graph."""
+    hist = _run(spark, "graph_knn_hubness").collect()
+    registry.release_pins()
+    n_vec = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert sum(r.n_nodes for r in hist) == n_vec
+    n_edges = _run(spark, "sim_knn_graph").count()
+    assert sum(r.in_degree * r.n_nodes for r in hist) == n_edges
+
+
 def test_nprobe_sweep_recall_monotone(spark):
     """Recall@5 must be non-decreasing in nprobe (probing more lists can
     only add candidates), bounded by 1.0, and strictly above zero by
