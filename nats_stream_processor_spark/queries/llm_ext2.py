@@ -629,6 +629,104 @@ def q_pii_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+# ------------------------------- excess-loss source reweighting (DoReMi)
+
+DOREMI_ETA = 1.0  # multiplicative-weights step on excess loss
+
+
+@register(
+    "curation_doremi_weights",
+    oracle=f"""
+    WITH t AS (SELECT source,
+                      unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                        AS tok
+               FROM documents),
+    lm AS (SELECT tok, count(*) AS n_tok FROM t GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n_total FROM lm),
+    s AS (SELECT t.source,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(CAST(floor((ln(CAST(tot.n_total AS DOUBLE))
+                                      - ln(CAST(lm.n_tok AS DOUBLE)))
+                                     * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS nllq
+          FROM t JOIN lm USING (tok) CROSS JOIN tot
+          GROUP BY 1),
+    g AS (SELECT source, n_tokens, nllq,
+                 CAST(sum(n_tokens) OVER () AS BIGINT) AS tot_tokens,
+                 CAST(sum(nllq) OVER () AS BIGINT) AS tot_nllq
+          FROM s),
+    x AS (SELECT source, n_tokens,
+                 CAST(nllq AS DOUBLE) / 1e6 / n_tokens AS mean_nll,
+                 CAST(nllq AS DOUBLE) / 1e6 / n_tokens
+                   - CAST(tot_nllq AS DOUBLE) / 1e6 / tot_tokens AS excess,
+                 CAST(n_tokens AS DOUBLE) / tot_tokens AS share
+          FROM g),
+    w AS (SELECT source, n_tokens, mean_nll, excess,
+                 CAST(floor(share * exp({DOREMI_ETA!r} * excess) * 1e9
+                            + 0.5) AS BIGINT) AS wq
+          FROM x)
+    SELECT source, n_tokens,
+           {sim.round6_stable_sql('mean_nll')} AS mean_nll6,
+           {sim.round6_stable_sql('excess')} AS excess6,
+           wq * 1000000 // CAST(sum(wq) OVER () AS BIGINT) AS weight_ppm
+    FROM w ORDER BY source
+    """,
+    tags=("llm", "mixture-doremi"),
+)
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-flavored mixture reweighting: upweight the sources the
+    corpus LM finds HARD (positive excess mean NLL vs the corpus mean),
+    starting from token-share baselines — w_s ∝ share_s·exp(η·excess_s),
+    reported as normalized ppm. The static one-step form of the
+    multiplicative-weights update (the full method re-trains between
+    steps; the update rule and its exactness story are identical).
+
+    Exactness: per-token ln() contributions quantize to an int64 grid
+    BEFORE the per-source sum (order-free; the same discipline as the
+    JS-divergence query), means/excesses are then doubles derived from
+    exact integers, exp() is quantized per SOURCE (bounded rows), and
+    the final normalization is integer ppm division. Scale shape: one
+    token-keyed LM aggregate + one (source, token)-keyed scoring join —
+    both map-side partial; windows run over the source table only."""
+    from ..functions.text import tokens_col
+
+    d = spread(table(spark, sf_dir, "documents"))
+    t = d.select("source", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    lm = t.groupBy("tok").agg(F.count("*").alias("n_tok"))
+    tot = lm.agg(F.sum("n_tok").cast("bigint").alias("n_total"))
+    nll_q = F.floor(
+        (F.log(F.col("n_total").cast("double"))
+         - F.log(F.col("n_tok").cast("double"))) * F.lit(1e6)
+        + F.lit(0.5)).cast("long")
+    s = (t.join(lm, "tok").crossJoin(F.broadcast(tot))
+         .groupBy("source")
+         .agg(F.count("*").alias("n_tokens"),
+              F.sum(nll_q).alias("nllq")))
+    wall = Window.partitionBy()
+    g = s.select(
+        "source", "n_tokens", "nllq",
+        F.sum("n_tokens").over(wall).alias("tot_tokens"),
+        F.sum("nllq").over(wall).alias("tot_nllq"))
+    mean_nll = F.expr("CAST(nllq AS DOUBLE) / 1e6 / n_tokens")
+    excess = F.expr("CAST(nllq AS DOUBLE) / 1e6 / n_tokens"
+                    " - CAST(tot_nllq AS DOUBLE) / 1e6 / tot_tokens")
+    x = g.select("source", "n_tokens",
+                 mean_nll.alias("mean_nll"), excess.alias("excess"),
+                 F.expr("CAST(n_tokens AS DOUBLE) / tot_tokens")
+                 .alias("share"))
+    w = x.select(
+        "source", "n_tokens", "mean_nll", "excess",
+        F.floor(F.col("share") * F.exp(F.lit(DOREMI_ETA) * F.col("excess"))
+                * F.lit(1e9) + F.lit(0.5)).cast("long").alias("wq"))
+    return (w.select(
+                "source", "n_tokens",
+                sim.round6_stable(F.col("mean_nll")).alias("mean_nll6"),
+                sim.round6_stable(F.col("excess")).alias("excess6"),
+                F.expr("wq * 1000000 div sum(wq) OVER ()")
+                .alias("weight_ppm"))
+            .orderBy("source"))
+
+
 # ------------------------------------------- kNN hubness diagnostic
 
 

@@ -230,6 +230,21 @@ def test_session_paths_constructed(spark, tmp_path):
     assert got == {"view>click>cart>purchase": 1, "view>click": 1, "view": 1}
 
 
+def test_doremi_weights_normalize_and_follow_excess(spark):
+    """Weights must normalize to ~1 (ppm rounding slack), token-weighted
+    excess must center near zero, and the hardest source (max excess)
+    must gain weight relative to its token-share baseline."""
+    rows = _run(spark, "curation_doremi_weights").collect()
+    total_w = sum(r.weight_ppm for r in rows)
+    assert abs(total_w - 1_000_000) <= len(rows)
+    tot_tokens = sum(r.n_tokens for r in rows)
+    weighted_excess = sum(r.excess6 * r.n_tokens for r in rows) / tot_tokens
+    assert abs(weighted_excess) < 1e-3
+    hardest = max(rows, key=lambda r: r.excess6)
+    share_ppm = hardest.n_tokens * 1_000_000 // tot_tokens
+    assert hardest.weight_ppm >= share_ppm
+
+
 def test_percentile_approx_within_tolerance_and_ordered(spark):
     """The GK sketch must sit within the 5% tolerance band at every
     probed quantile, and exact percentiles must be monotone in p."""
