@@ -771,6 +771,91 @@ def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("in_degree"))
 
 
+# ------------------------------------- PQ quantization distortion report
+
+
+def _pq_distortion_oracle() -> str:
+    from ..operators import kmeans as km
+    from ..operators.similarity import PQ_K, PQ_M, PQ_SUB, _l2_expr_sql
+    r6 = sim.round6_stable_sql
+    errs = []
+    for s in range(PQ_M):
+        sl = f"list_slice(demb, {s * PQ_SUB + 1}, {(s + 1) * PQ_SUB})"
+        dists = (f"list_transform(range(1, {PQ_K + 1}), "
+                 f"k -> {_l2_expr_sql(sl, f'cb3[{s + 1}][k]')})")
+        errs.append(f"list_min({dists}) AS e{s}")
+    qs = ", ".join(
+        f"CAST(sum(CAST(floor(e{s} * 1e6 + 0.5) AS BIGINT)) AS BIGINT)"
+        f" AS q{s}" for s in range(PQ_M))
+    rows = "\n        UNION ALL ".join(
+        f"SELECT {s + 1} AS subspace, n AS n_vectors, "
+        f"{r6(f'CAST(q{s} AS DOUBLE) / 1e6 / n')} AS mean_distortion6 "
+        f"FROM a" for s in range(PQ_M))
+    return f"""
+    WITH e AS (SELECT vec_id, {sim.as_double_sql('embedding')} AS demb
+               FROM embeddings),
+    {km.pq_train_cb_cte_sql()},
+    d AS (SELECT vec_id, {', '.join(errs)} FROM e CROSS JOIN cbrow),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS n, {qs} FROM d)
+    SELECT * FROM ({rows}) ORDER BY subspace
+    """
+
+
+@register(
+    "sim_pq_distortion_report",
+    oracle=_pq_distortion_oracle(),
+    tags=("llm", "ann-pq", "calibration"),
+)
+def q_pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index-quality report: mean squared reconstruction distortion
+    per subspace — the number that says whether the trained codebook
+    actually fits the data (a subspace whose distortion dwarfs the others
+    is under-trained or hides correlated dimensions, and is why OPQ-style
+    rotations exist). Read next to sim_ann_pq's recall: distortion is the
+    cause, recall the symptom.
+
+    Per vector the distortion IS the assignment distance (min over the 16
+    centroids of the subspace L2), so no codes are materialized — one
+    scan against the broadcast codebook, per-(vector, subspace) errors
+    quantized to an int64 grid, 8 exact sums + a count. The oracle
+    replays codebook training CTE-for-CTE like the other PQ queries."""
+    from ..operators import kmeans as km
+    from ..operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        _arr_lit,
+        _l2_fold_expr,
+    )
+
+    e = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("demb"))
+    cb = km.train_pq_codebook(e)
+    errs = []
+    for s in range(PQ_M):
+        sl = f"slice(demb, {s * PQ_SUB + 1}, {PQ_SUB})"
+        dists = "array(" + ", ".join(
+            _l2_fold_expr(sl, _arr_lit(cb[s][c])) for c in range(PQ_K)) + ")"
+        errs.append(F.expr(f"array_min({dists})").alias(f"e{s}"))
+    d = e.select("vec_id", *errs)
+    a = d.agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.floor(F.col(f"e{s}") * F.lit(1e6) + F.lit(0.5))
+                .cast("long")).alias(f"q{s}") for s in range(PQ_M)])
+    rows = [
+        a.select(F.lit(s + 1).alias("subspace"),
+                 F.col("n").alias("n_vectors"),
+                 sim.round6_stable(
+                     F.expr(f"CAST(q{s} AS DOUBLE) / 1e6 / n"))
+                 .alias("mean_distortion6"))
+        for s in range(PQ_M)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("subspace")
+
+
 # ------------------------------------------ IVF nprobe recall sweep
 
 NPROBE_SWEEP = (1, 2, 4, 8)

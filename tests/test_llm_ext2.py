@@ -230,6 +230,17 @@ def test_session_paths_constructed(spark, tmp_path):
     assert got == {"view>click>cart>purchase": 1, "view>click": 1, "view": 1}
 
 
+def test_pq_distortion_positive_and_complete(spark):
+    """One row per subspace, every distortion strictly positive (the
+    synthetic corpus is not degenerate), vector count = corpus size."""
+    rows = _run(spark, "sim_pq_distortion_report").collect()
+    n_vec = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert [r.subspace for r in rows] == list(range(1, 9))
+    for r in rows:
+        assert r.n_vectors == n_vec
+        assert r.mean_distortion6 > 0
+
+
 def test_doremi_weights_normalize_and_follow_excess(spark):
     """Weights must normalize to ~1 (ppm rounding slack), token-weighted
     excess must center near zero, and the hardest source (max excess)
