@@ -731,7 +731,7 @@ def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hubness_oracle() -> str:
-    from .llm_ext import _KNN_CTE
+    from .knn_shared import _KNN_CTE
     return f"""
     {_KNN_CTE},
     ind AS (SELECT e.vec_id,
@@ -760,7 +760,7 @@ def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: reuses the bucket-bounded kNN build (one pinned LSH
     bucket self-join), then two small aggregates on ids only."""
-    from .llm_ext import _knn_graph_df
+    from .knn_shared import _knn_graph_df
 
     knn = _knn_graph_df(spark, sf_dir)
     e = table(spark, sf_dir, "embeddings").select("vec_id")
