@@ -22,12 +22,20 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+# The registry import comes FIRST among intra-package imports: importing
+# THIS module directly (a test, a notebook) then initializes the whole
+# query package in registry's canonical order before the .llm import
+# below runs — without it, .llm would start initializing here, recurse
+# into registry, and llm_ext's mid-module `from .llm import ...` would
+# hit a partially-initialized llm (the same class as the knn_shared
+# worker-import fix, from the other direction).
+from ..registry import pin, register, spread, table
+
 from ..functions.hashing import hash32_col, hash32_sql_duck
 from ..functions.text import tokens_col
 from ..operators import similarity as sim
 from ..operators.dedup import connected_components, jaccard_sql
 from .llm import NEAR_DUP_JACCARD
-from ..registry import pin, register, spread, table
 
 # --------------------------------------------- PCA via power iteration
 
@@ -1347,15 +1355,22 @@ def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
 WF_TARGET_PCT = 50  # global token budget = 50% of the corpus
 
 
-@register(
-    "curation_mixture_waterfill",
-    oracle=f"""
-    WITH n AS (SELECT source,
-                      CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT))
-                           AS BIGINT) AS n_tokens
-               FROM documents GROUP BY 1),
+def waterfill_alloc_sql(n_cte: str, target_pct: int = WF_TARGET_PCT) -> str:
+    """The water-filling allocation over any ``n(source, n_tokens)``
+    relation — parameterized so the hypothesis property test can hammer
+    the SAME SQL over adversarial VALUES tables (tests/test_properties).
+
+    Allocation keys off the RANK relative to the break point (rk >=
+    first_capped), not off each row's own ``fits`` flag: for ranks below
+    the break the fits chain guarantees cum <= budget, and the capped
+    suffix then splits budget - cum_full exactly, so sum(allocated) ==
+    budget holds BY CONSTRUCTION — even if integer-floor effects ever
+    produced a non-monotone fits column, which the real-division
+    monotonicity argument doesn't strictly cover."""
+    return f"""
+    WITH n AS ({n_cte}),
     t AS (SELECT source, n_tokens,
-                 CAST(sum(n_tokens) OVER () * {WF_TARGET_PCT} // 100
+                 CAST(sum(n_tokens) OVER () * {target_pct} // 100
                       AS BIGINT) AS budget,
                  CAST(count(*) OVER () AS BIGINT) AS m,
                  CAST(row_number() OVER (ORDER BY n_tokens, source)
@@ -1377,8 +1392,9 @@ WF_TARGET_PCT = 50  # global token budget = 50% of the corpus
                    (SELECT budget FROM f LIMIT 1) AS budget,
                    (SELECT m FROM f LIMIT 1) AS m
             FROM brk b),
-    a AS (SELECT f.source, f.n_tokens, f.rk, f.fits,
-                 CASE WHEN f.fits THEN f.n_tokens
+    a AS (SELECT f.source, f.n_tokens, f.rk,
+                 f.rk >= l.first_capped AS capped,
+                 CASE WHEN f.rk < l.first_capped THEN f.n_tokens
                       ELSE (l.budget - l.cum_full) // (l.m - l.first_capped + 1)
                            + CASE WHEN f.rk - l.first_capped
                                        < (l.budget - l.cum_full)
@@ -1386,11 +1402,21 @@ WF_TARGET_PCT = 50  # global token budget = 50% of the corpus
                                   THEN 1 ELSE 0 END
                  END AS allocated
           FROM f CROSS JOIN lvl l)
-    SELECT source, n_tokens, allocated,
-           CAST(NOT fits AS BOOLEAN) AS capped,
+    SELECT source, n_tokens, allocated, capped,
            allocated * 1000000 // greatest(n_tokens, 1) AS fill_ppm
     FROM a ORDER BY source
-    """,
+    """
+
+
+_WF_N_CTE = """SELECT source,
+                      CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT))
+                           AS BIGINT) AS n_tokens
+               FROM documents GROUP BY 1"""
+
+
+@register(
+    "curation_mixture_waterfill",
+    oracle=waterfill_alloc_sql(_WF_N_CTE),
     tags=("llm", "mixture-waterfill"),
 )
 def q_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1438,10 +1464,12 @@ def q_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumf = fb.agg(
         F.coalesce(F.max(F.when(F.col("rk") < F.col("first_capped"),
                                 F.col("cum"))), F.lit(0)).alias("cum_full"))
+    # allocation keys off rank-vs-break, not per-row fits — see
+    # waterfill_alloc_sql: sum(allocated) == budget by construction
     a = (fb.crossJoin(F.broadcast(cumf))
          .withColumn(
              "allocated",
-             F.when(F.col("fits"), F.col("n_tokens"))
+             F.when(F.col("rk") < F.col("first_capped"), F.col("n_tokens"))
              .otherwise(F.expr(
                  "(budget - cum_full) div (m - first_capped + 1)"
                  " + CASE WHEN rk - first_capped <"
@@ -1449,7 +1477,7 @@ def q_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                  " THEN 1 ELSE 0 END"))))
     return (a.select(
                 "source", "n_tokens", "allocated",
-                (~F.col("fits")).alias("capped"),
+                (F.col("rk") >= F.col("first_capped")).alias("capped"),
                 F.expr("allocated * 1000000 div greatest(n_tokens, 1)")
                 .alias("fill_ppm"))
             .orderBy("source"))

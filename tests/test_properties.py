@@ -223,3 +223,50 @@ def test_chunk_grid_covers_all_tokens(n):
     for (s1, l1), (s2, _) in zip(zip(starts, lens), zip(starts[1:], lens[1:])):
         if l1 == CHUNK_LEN:
             assert (s1 + l1) - s2 == CHUNK_LEN - CHUNK_STRIDE
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10_000_000),
+                min_size=1, max_size=12),
+       st.integers(min_value=1, max_value=99))
+def test_waterfill_sql_invariants(sizes, pct):
+    """The water-filling allocation SQL (queries/llm_ext2.
+    waterfill_alloc_sql — the exact text the registered oracle uses) must
+    satisfy, for ANY per-source token profile and target percentage:
+    sum(allocated) == budget exactly; uncapped sources are taken whole;
+    capped allocations differ by at most one token; every capped source
+    is at least as large as every uncapped one; and no allocation is
+    negative or above its source size... except capped == no cap ceiling
+    (a capped source may receive less than its size, never more).
+    Hammered through DuckDB over VALUES tables — no Spark needed, so
+    hypothesis can afford adversarial shapes (all-zero corpora, single
+    source, ties everywhere) that the parquet fixtures never produce."""
+    import duckdb
+
+    from nats_stream_processor_spark.queries.llm_ext2 import (
+        waterfill_alloc_sql,
+    )
+
+    vals = ", ".join(f"('s{i:02d}', {n})" for i, n in enumerate(sizes))
+    n_cte = (f"SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens "
+             f"FROM (VALUES {vals}) v(source, n_tokens)")
+    con = duckdb.connect()
+    rows = con.execute(waterfill_alloc_sql(n_cte, pct)).fetchall()
+    con.close()
+    total = sum(sizes)
+    budget = total * pct // 100
+    by = {r[0]: {"n": r[1], "a": r[2], "capped": r[3]} for r in rows}
+    assert len(by) == len(sizes)
+    assert sum(v["a"] for v in by.values()) == budget
+    capped = [v for v in by.values() if v["capped"]]
+    uncapped = [v for v in by.values() if not v["capped"]]
+    for v in uncapped:
+        assert v["a"] == v["n"]
+    for v in by.values():
+        assert 0 <= v["a"] <= v["n"]
+    if capped:
+        allocs = [v["a"] for v in capped]
+        assert max(allocs) - min(allocs) <= 1
+        if uncapped:
+            assert min(v["n"] for v in capped) >= max(
+                v["n"] for v in uncapped)
