@@ -1,8 +1,13 @@
 """Round-4 LLM-pipeline additions: distributed PCA (power iteration over
 quantized-exact matrix-vector products), corpus drift diagnostics (PSI
-between the train/val splits), and a dedup-cascade funnel report (the
-per-stage removal accounting a curation team reads before shipping a
-corpus snapshot).
+between the train/val splits), dedup-cascade and exact-substring-removal
+accounting, MinHash-threshold / IVF-nprobe / PQ-distortion calibration
+sweeps, quality-vs-duplication cross-correlation, greedy k-center
+diversity coresets, water-filling and DoReMi-style token-budget
+allocation, first-fit-decreasing sequence packing (applyInPandas with a
+recursive-CTE oracle replay), GK-sketch percentile validation, per-source
+PII audit rates, session path mining, sharded heavy hitters, and kNN
+hubness histograms.
 
 Registered AFTER the round-4 sampled prefix (registry.py bottom): the
 driver's 50-entry snapshot this round is pinned to the llm_ext suite plus
