@@ -17,7 +17,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import similarity as sim
-from ..registry import pin, spread, table
+
+# NOTE: no module-level ``from ..registry import ...`` here. registry's
+# bottom imports llm_ext, whose decoration-time ``from .knn_shared import
+# _KNN_CTE`` would then re-enter THIS module while it is still partially
+# initialized — if the registry import sat above the constants, entering
+# via ``import knn_shared`` first (fresh worker interpreter) raised
+# ImportError before _KNN_CTE existed. Constants are defined up front
+# with only cycle-free imports above them; the registry helpers (needed
+# only by _knn_graph_df, which runs long after import time) are resolved
+# lazily inside the function.
 
 KNN_GRAPH_K = 3
 
@@ -54,6 +63,8 @@ def _knn_graph_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(src, dst, cosine, rn<=K): the directed approximate k-NN graph —
     shared by sim_knn_graph, the PageRank centrality query and the
     hubness histogram."""
+    from ..registry import pin, spread, table
+
     e = spread(table(spark, sf_dir, "embeddings")).select(
         "vec_id", sim.as_double(F.col("embedding")).alias("demb"))
     n = pin(e.select("vec_id", "demb",

@@ -79,9 +79,10 @@ def _rp_weights(j: int, dim: int = sim.EMBED_DIM) -> list[float]:
     WITH e AS (SELECT vec_id, {sim.as_double_sql('embedding')} AS demb
                FROM embeddings)
     SELECT vec_id,
-           [{', '.join(
+           {', '.join(
                sim.round6_stable_sql(sim.dot_weights_sql(_rp_weights(j), 'demb'))
-               for j in range(RP_DIM))}] AS rp
+               + f' AS rp_{j:02d}'
+               for j in range(RP_DIM))}
     FROM e ORDER BY vec_id
     """,
     tags=("llm", "embedding", "random-projection"),
@@ -96,14 +97,20 @@ def q_embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection matrix is baked into the plan as literals (nothing to
     broadcast), so at 100 TB this runs at scan speed. Weight rows are
     embedded in the oracle from the same Python constants, so the projected
-    vectors are value-checked bit-for-bit."""
+    vectors are value-checked bit-for-bit.
+
+    Output shape: the 16 components are emitted as SCALAR columns
+    rp_00..rp_15 (not one array column) — the harness canonicalizes
+    results through a pandas sort over every output column, and a
+    list-valued column is unhashable there (the r4 driver red)."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", sim.as_double(F.col("embedding")).alias("demb"))
     comps = [
         sim.round6_stable(sim.dot(sim.plane_lit(_rp_weights(j)), F.col("demb")))
+           .alias(f"rp_{j:02d}")
         for j in range(RP_DIM)
     ]
-    return e.select("vec_id", F.array(*comps).alias("rp")).orderBy("vec_id")
+    return e.select("vec_id", *comps).orderBy("vec_id")
 
 
 # ------------------------------------ source-level similarity (sketch merge)

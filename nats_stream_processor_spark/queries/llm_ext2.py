@@ -546,13 +546,16 @@ def _span_coverage_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_percentile_approx_check",
-    oracle="""
-    WITH p AS (SELECT round(quantile_cont(CAST(l_extendedprice AS DOUBLE),
-                                          0.50), 6) AS e50,
-                      round(quantile_cont(CAST(l_extendedprice AS DOUBLE),
-                                          0.90), 6) AS e90,
-                      round(quantile_cont(CAST(l_extendedprice AS DOUBLE),
-                                          0.99), 6) AS e99
+    oracle=f"""
+    WITH p AS (SELECT {sim.round6_stable_sql(
+                    'quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.50)')}
+                      AS e50,
+                      {sim.round6_stable_sql(
+                    'quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.90)')}
+                      AS e90,
+                      {sim.round6_stable_sql(
+                    'quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99)')}
+                      AS e99
                FROM lineitem)
     SELECT * FROM (
         SELECT 50 AS p_pct, e50 AS exact6, TRUE AS approx_ok FROM p
@@ -572,8 +575,9 @@ def q_percentile_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     also emitted and value-checked."""
     li = table(spark, sf_dir, "lineitem")
     agg = li.agg(
-        *[F.round(F.expr(f"percentile(CAST(l_extendedprice AS DOUBLE), "
-                         f"{p / 100.0}D)"), 6).alias(f"e{p}")
+        *[sim.round6_stable(
+            F.expr(f"percentile(CAST(l_extendedprice AS DOUBLE), "
+                   f"{p / 100.0}D)")).alias(f"e{p}")
           for p in (50, 90, 99)],
         *[F.expr(f"approx_percentile(CAST(l_extendedprice AS DOUBLE), "
                  f"{p / 100.0}D, 10000)").alias(f"a{p}")
@@ -1562,6 +1566,10 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 HH_TOP = 10    # report head
 HH_PER_SHARD = 10  # per-shard candidate width
 HH_SHARDS = 32
+# Exactness argument (a true top-K user cannot be pruned because sharding
+# is BY the key) requires every shard to surface at least HH_TOP
+# candidates — raising HH_TOP without HH_PER_SHARD would silently break it.
+assert HH_PER_SHARD >= HH_TOP, "per-shard width must cover the report head"
 
 
 @register(

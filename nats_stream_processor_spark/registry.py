@@ -262,30 +262,53 @@ from .queries import events as _q_events  # noqa: E402,F401
 from .queries import metrics as _q_metrics  # noqa: E402,F401
 from .queries import relational as _q_relational  # noqa: E402,F401
 
-_pre_ext = set(REGISTRY)
 from .queries import llm_ext as _q_llm_ext  # noqa: E402,F401
-_ext_names = [n for n in REGISTRY if n not in _pre_ext]
+from .queries import llm_ext2 as _q_llm_ext2  # noqa: E402,F401
 
-# Round-4 sampled-prefix rotation. The round driver snapshots the FIRST 50
+_pre_ext3 = set(REGISTRY)
+from .queries import llm_ext3 as _q_llm_ext3  # noqa: E402,F401
+_ext3_names = [n for n in REGISTRY if n not in _pre_ext3]
+
+# Round-5 sampled-prefix rotation. The round driver snapshots the FIRST 50
 # entries, so the prefix is curated each round to cover what most needs a
 # formal correctness row:
-#  - text_repetition_score / pack_sequences: the r3 driver-red pair, kept in
-#    the sample (per the r3 verdict) so their fix — CAST the DuckDB HUGEINT
-#    sums to BIGINT — shows up as green driver rows, not just local mimics;
-#  - dedup_minhash_fast_parity: replaces dedup_minhash_lsh_fast's standing
-#    rows-only row with a value-checked xxhash-vs-md5 pair-set comparison;
-#  - the llm_ext suite (never driver-sampled before r4; all mimic-green).
-# Everything else — all driver-green in r1-r3 — rotates behind; the 3
-# llm_ext stragglers + r3-new relational/events entries rotate in at r5.
-_SAMPLE_PREFIX = ["text_repetition_score", "pack_sequences",
-                  "dedup_minhash_fast_parity"]
-_SAMPLE_PREFIX += [n for n in _ext_names
+#  - the 26 registry queries never sampled in r1-r4 (mimic-green 26/26 per
+#    the r4 verdict) — one rotation closes cumulative formal coverage to
+#    the full registry;
+#  - agg_approx_distinct: fixed in r2 but never driver-re-certified;
+#  - embed_random_projection: the r4 driver red (array-typed output column
+#    broke the driver's pandas canonicalizer) — output reshaped to scalar
+#    rp_00..rp_15 columns this round, kept in the sample so the fix shows
+#    up as a green driver row;
+#  - the round-5 additions (llm_ext3), formally checked from day one.
+# Everything else — driver-green in r1-r4 — rotates behind.
+SAMPLE_PREFIX_EXPECTED = [
+    "embed_random_projection", "agg_approx_distinct",
+    "agg_collect_sorted", "agg_filtered_counts",
+    "agg_percentile_approx_check", "asof_join_next_order",
+    "corpus_psi_drift", "curation_doremi_weights",
+    "curation_mixture_waterfill", "curation_quality_vs_dup",
+    "dedup_cascade_report", "dedup_minhash_estimate_report",
+    "dedup_minhash_threshold_sweep", "dedup_span_removal_plan",
+    "embed_pca_power_iteration", "events_heavy_hitters",
+    "events_session_paths", "events_time_to_convert",
+    "graph_knn_hubness", "join_shipping_priority",
+    "pack_sequences_doc_intact", "pack_sequences_first_fit",
+    "sample_coreset_kcenter", "sim_ann_nprobe_sweep",
+    "sim_pq_distortion_report", "text_pii_rate_by_source",
+    "window_first_last_value", "window_percent_rank_cume",
+]
+# No hard assert on prefix membership here: a Python WORKER that unpickles
+# a UDF re-imports the query modules, and THIS module's bottom then runs
+# while the registry is only partially populated — an assert would kill the
+# task (caught by the r5 full-sweep on embed_gram_matrix's mapInPandas
+# workers, the same re-entry class as queries/knn_shared.py). Missing names
+# are filtered (harmless in workers, which never read registry order);
+# tests/test_oracle_parity.py asserts the full prefix on a clean import.
+_SAMPLE_PREFIX = [n for n in SAMPLE_PREFIX_EXPECTED if n in REGISTRY]
+_SAMPLE_PREFIX += [n for n in _ext3_names
                    if n not in _SAMPLE_PREFIX][:50 - len(_SAMPLE_PREFIX)]
 _order = _SAMPLE_PREFIX + [n for n in REGISTRY if n not in set(_SAMPLE_PREFIX)]
 _reordered = {n: REGISTRY[n] for n in _order}
 REGISTRY.clear()
 REGISTRY.update(_reordered)
-
-# Round-4 additions register AFTER the curated prefix (they rotate into the
-# sampled window at r5+; all are mimic-checked from day one).
-from .queries import llm_ext2 as _q_llm_ext2  # noqa: E402,F401

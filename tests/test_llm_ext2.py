@@ -303,24 +303,31 @@ def test_nprobe_sweep_recall_monotone(spark):
     assert rs[-1] > 0
 
 
-def test_ffd_packs_tighter_than_doc_intact(spark):
-    """FFD must never use MORE bins than arrival-order doc-intact packing
-    on the same shard/token inputs, must conserve docs and tokens, and
-    every non-oversize bin must respect the 2048 capacity."""
+def test_ffd_packing_quality_and_conservation(spark):
+    """FFD must conserve docs and tokens vs doc-intact packing on the same
+    inputs, respect the 2048 capacity for every multi-doc bin, and meet the
+    any-fit quality guarantee: among a shard's regular (<= capacity) bins,
+    at most ONE may end at most half full — if two did, the later-opened
+    bin's first (largest remaining, <= 1024) doc would have fit in the
+    earlier bin, contradicting first-fit. (A direct <=-doc-intact bin-count
+    comparison is NOT a valid invariant: doc-intact bins are start//2048
+    groups that may overflow capacity, so two 1200-token docs legally give
+    1 intact bin vs 2 FFD bins.)"""
     ffd = _run(spark, "pack_sequences_first_fit").collect()
     registry.release_pins()
     intact = _run(spark, "pack_sequences_doc_intact").collect()
     assert sum(r.n_docs for r in ffd) == sum(r.n_docs for r in intact)
     assert sum(r.n_tokens for r in ffd) == sum(r.n_tokens for r in intact)
     from collections import Counter
-    bins_ffd = Counter(r.shard for r in ffd)
-    bins_int = Counter(r.shard for r in intact)
-    for sh, n in bins_ffd.items():
-        assert n <= bins_int[sh], (sh, n, bins_int[sh])
+    half_empty = Counter()
     for r in ffd:
-        # only a single oversize doc may exceed capacity
         if r.n_docs > 1:
+            # only a single oversize doc may exceed capacity
             assert r.n_tokens <= 2048
+        if r.n_tokens <= 1024:
+            half_empty[r.shard] += 1
+    for sh, n in half_empty.items():
+        assert n <= 1, (sh, n)
 
 
 def test_quality_vs_dup_bins_partition_and_r_bounded(spark):

@@ -22,3 +22,16 @@ from nats_stream_processor_spark import registry  # noqa: E402
 def test_query_matches_oracle(spark, duck, name):
     problem = check_one(spark, duck, name, SF_SMOKE)
     assert problem is None, f"{name}: {problem}"
+
+
+def test_sample_prefix_has_no_name_drift():
+    """On a clean (driver-side) import, every curated sample-prefix name
+    must exist in the registry, and the registry must lead with the full
+    curated prefix. Registry's bottom soft-filters missing names so
+    partially-initialized WORKER re-imports don't die — this test is
+    where the drift protection actually lives."""
+    missing = [n for n in registry.SAMPLE_PREFIX_EXPECTED
+               if n not in registry.REGISTRY]
+    assert not missing, f"prefix names not registered: {missing}"
+    head = list(registry.REGISTRY)[:len(registry.SAMPLE_PREFIX_EXPECTED)]
+    assert head == list(registry.SAMPLE_PREFIX_EXPECTED)

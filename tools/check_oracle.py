@@ -104,6 +104,27 @@ def dtype_drift(e, con, scols, srows, sdf) -> list[str]:
     return problems
 
 
+def driver_canon_hazard(cols: list[str], rows: list[tuple],
+                        side: str) -> list[str]:
+    """Replicate the round driver's canonicalization step: it materializes
+    the result as a pandas DataFrame and calls ``sort_values`` over ALL
+    output columns before hashing. pandas factorizes each sort key, which
+    raises ``TypeError: unhashable type`` for list-/dict-valued cells — the
+    exact failure that made embed_random_projection a driver red for two
+    rounds while the fetchall-based mimic kept passing. Probing it here
+    closes that blind spot: any query whose final schema the driver cannot
+    sort/hash fails the mimic pre-commit, not in CORRECTNESS_r{N}."""
+    import pandas as pd
+    df = pd.DataFrame(rows, columns=cols)
+    try:
+        df.sort_values(list(df.columns), kind="stable")
+    except Exception as ex:
+        return [f"driver-canon hazard ({side}): sort_values over all "
+                f"columns raises {type(ex).__name__}: {str(ex)[:120]} — "
+                f"reshape array/map outputs into scalar columns or rows"]
+    return []
+
+
 def check_one(spark, con, name: str, sf_dir: str, explain: bool = False,
               strict: bool = True) -> str | None:
     """Run one registry query vs its oracle; return a failure description or
@@ -120,7 +141,10 @@ def check_one(spark, con, name: str, sf_dir: str, explain: bool = False,
     except Exception as ex:
         return f"spark error: {str(ex)[:400]}"
     if e.oracle is None:
-        return None if len(srows) > 0 else "rows-only query returned zero rows"
+        if len(srows) == 0:
+            return "rows-only query returned zero rows"
+        hazards = driver_canon_hazard(scols, srows, "spark") if strict else []
+        return "; ".join(hazards) if hazards else None
     try:
         cur = con.execute(e.oracle)
         ocols = [d[0] for d in cur.description]
@@ -129,6 +153,8 @@ def check_one(spark, con, name: str, sf_dir: str, explain: bool = False,
         return f"duckdb error: {str(ex)[:400]}"
     problems = []
     if strict:
+        problems.extend(driver_canon_hazard(scols, srows, "spark"))
+        problems.extend(driver_canon_hazard(ocols, orows, "oracle"))
         problems.extend(dtype_drift(e, con, scols, srows, sdf))
     if sorted(scols) != sorted(ocols):
         problems.append(f"schema {sorted(scols)} != {sorted(ocols)}")
