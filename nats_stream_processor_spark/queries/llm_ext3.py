@@ -1,9 +1,1490 @@
-"""Round-5 operator extensions (registered into the r5 sampled prefix).
+"""Round-5 operator extensions: retrieval scoring, sketch-based counting,
+bloom decontamination, curriculum/budget curation, embedding drift, graph
+reach, corpus-concentration and social/behavioral analytics.
 
-Additions land here so the registry bottom can detect them and rotate
-them into the driver's 50-query sample window from day one.
+Registered into the r5 sampled prefix (registry bottom detects this module's
+names and places them inside the driver's 50-query snapshot window), so every
+operator lands with a formal CORRECTNESS row from day one. Style contract
+matches llm_ext/llm_ext2: every computed column aliased identically on both
+engines, rational arithmetic or int-quantized sums wherever a value crosses
+an aggregation (cross-engine FP-order independence), round6_stable for the
+few unavoidable libm calls, scalar output columns only (driver-canon safe).
+
+Reference parity note: the reference (an asyncio NATS enrichment daemon,
+/root/reference/src/service.py) has no analytics surface; these operators
+extend the engine along the LLM-training-data axis the build brief names as
+first-class (retrieval, decontamination, sketches, curriculum, attribution).
 """
 
 from __future__ import annotations
 
-from ..registry import REGISTRY  # noqa: F401  (registration side effects)
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# Registry import FIRST among intra-package imports (worker re-import
+# ordering; see llm_ext2.py's header note).
+from ..registry import REGISTRY, pin, register, spread, table
+
+from ..functions.hashing import hash32_col, hash32_sql_duck
+from ..functions.text import TOKEN_RE, tokens_col
+from ..operators import similarity as sim
+from ..operators.textstats import (
+    lang_id_cols,
+    lang_id_sql,
+    token_stats_cols,
+    token_stats_sql,
+)
+
+_TOKS = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+
+
+# ------------------------------------------------------- BM25 retrieval
+
+# Pinned query terms (drawn from the corpus vocabulary). At serving scale
+# the term list is the small side by construction — a query has O(10)
+# terms regardless of corpus size.
+BM25_TERMS = ("spark", "query", "join", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+           WHERE tok IN ({', '.join(f"'{t}'" for t in BM25_TERMS)})
+           GROUP BY 1, 2),
+    dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(floor(
+                   ln((stats.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1)
+                   * (tf.tf * ({BM25_K1} + 1)) /
+                     (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                        + {BM25_B} * dl.dl * stats.n_docs
+                          / CAST(stats.sum_dl AS DOUBLE)))
+                   * 1e6 + 0.5) AS BIGINT) AS term_ppm
+        FROM tf JOIN dft USING (tok) JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN stats),
+    agg AS (SELECT doc_id, CAST(sum(term_ppm) AS BIGINT) AS bm25_ppm
+            FROM scored GROUP BY 1)
+    SELECT CAST(row_number() OVER (ORDER BY bm25_ppm DESC, doc_id)
+                AS BIGINT) AS rank,
+           doc_id, bm25_ppm
+    FROM agg ORDER BY bm25_ppm DESC, doc_id LIMIT {BM25_TOPK}
+    """,
+    tags=("llm", "retrieval", "bm25"),
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval for a pinned term query — the scoring core of
+    every corpus search / RAG-recall pipeline.
+
+    Scale shape: the term filter prunes the exploded token stream BEFORE
+    any shuffle (only postings for the ~4 query terms survive, a ~1e-4
+    selectivity at web scale); document frequencies and the corpus length
+    stats are tiny aggregates broadcast to the scoring join; the final
+    top-k is a TakeOrderedAndProject, never a global sort. Per-term
+    scores are quantized to int64 ppm BEFORE the per-doc sum, so the
+    aggregation is order-independent and bit-identical cross-engine (the
+    one ln() per term is the only libm call, applied pre-quantization)."""
+    d = pin(spread(table(spark, sf_dir, "documents"))
+            .select("doc_id", tokens_col(F.col("text")).alias("toks")))
+    dl = d.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(F.count("*").cast("bigint").alias("n_docs"),
+                   F.sum("dl").cast("bigint").alias("sum_dl"))
+    tf = (d.select("doc_id", F.explode("toks").alias("tok"))
+          .filter(F.col("tok").isin(*BM25_TERMS))
+          .groupBy("doc_id", "tok").agg(F.count("*").cast("bigint").alias("tf")))
+    dft = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    scored = (tf.join(F.broadcast(dft), "tok")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats)))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    denom = (F.col("tf")
+             + BM25_K1 * (1 - BM25_B
+                          + BM25_B * F.col("dl") * F.col("n_docs")
+                          / F.col("sum_dl").cast("double")))
+    term_ppm = F.floor(idf * (F.col("tf") * (BM25_K1 + 1)) / denom
+                       * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    agg = (scored.select("doc_id", term_ppm.alias("term_ppm"))
+           .groupBy("doc_id").agg(F.sum("term_ppm").cast("bigint")
+                                  .alias("bm25_ppm")))
+    w = Window.orderBy(F.col("bm25_ppm").desc(), "doc_id")
+    return (agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .select("rank", "doc_id", "bm25_ppm")
+            .orderBy(F.col("bm25_ppm").desc(), "doc_id").limit(BM25_TOPK))
+
+
+# ------------------------------------------- tokenizer fertility by lang
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle=(lambda ts: f"""
+    WITH s AS (SELECT lang,
+                      {ts['n_ws_tokens']} AS ws,
+                      {ts['n_re_tokens']} AS re,
+                      {ts['est_bpe_tokens']} AS bpe
+               FROM documents)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ws) AS BIGINT) AS n_words,
+           CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+           {sim.round6_stable_sql(
+               'sum(bpe) / CAST(greatest(sum(ws), 1) AS DOUBLE)')}
+             AS fertility_bpe,
+           {sim.round6_stable_sql(
+               'sum(re) / CAST(greatest(sum(ws), 1) AS DOUBLE)')}
+             AS fertility_re
+    FROM s GROUP BY lang ORDER BY lang
+    """)(token_stats_sql("text")),
+    tags=("llm", "tokenizer", "fertility"),
+)
+def q_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (subword tokens per whitespace word) per
+    language — the standard multilingual-tokenizer health metric: a lang
+    whose fertility is 2x the corpus mean pays 2x the compute per word
+    and starves in a token-budgeted mixture. Int sums only (map-side
+    partial agg), ratios formed once per group — one scan, one tiny
+    shuffle on lang."""
+    d = spread(table(spark, sf_dir, "documents"))
+    ts = token_stats_cols(F.col("text"))
+    s = d.select("lang", ts["n_ws_tokens"].alias("ws"),
+                 ts["n_re_tokens"].alias("re"),
+                 ts["est_bpe_tokens"].alias("bpe"))
+    g = s.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("ws").cast("bigint").alias("n_words"),
+        F.sum("bpe").cast("bigint").alias("n_bpe_tokens"),
+        F.sum("re").cast("bigint").alias("_re"))
+    wsafe = F.greatest(F.col("n_words"), F.lit(1)).cast("double")
+    return (g.select(
+        "lang", "n_docs", "n_words", "n_bpe_tokens",
+        sim.round6_stable(F.col("n_bpe_tokens") / wsafe).alias("fertility_bpe"),
+        sim.round6_stable(F.col("_re") / wsafe).alias("fertility_re"))
+        .orderBy("lang"))
+
+
+# --------------------------------------------- token-share Gini by source
+
+@register(
+    "corpus_token_gini",
+    oracle=f"""
+    WITH n AS (SELECT source, doc_id, len({_TOKS}) AS x FROM documents),
+    r AS (SELECT source, x,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY x, doc_id) AS i
+          FROM n),
+    g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(x) AS BIGINT) AS total_tokens,
+                 CAST(sum(i * x) AS BIGINT) AS s_ix
+          FROM r GROUP BY source)
+    SELECT source, n_docs, total_tokens,
+           {sim.round6_stable_sql(
+               '(2.0 * s_ix) / (n_docs * CAST(greatest(total_tokens, 1) '
+               'AS DOUBLE)) - (n_docs + 1.0) / n_docs')} AS gini
+    FROM g ORDER BY source
+    """,
+    tags=("llm", "corpus-concentration", "gini"),
+)
+def q_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of token mass across documents, per source — the
+    concentration diagnostic for mixture design (a source whose tokens
+    sit in 1% of its docs dedups/filters very differently from a uniform
+    one). Uses the rank formulation G = 2*sum(i*x_i)/(n*sum x) - (n+1)/n
+    over docs sorted by token count: everything that crosses the
+    aggregation is an exact int64 sum, the two divisions happen once per
+    source row. The per-source sort is windowed (partition-local at
+    scale); ties are broken by doc_id so ranks are engine-identical."""
+    d = spread(table(spark, sf_dir, "documents"))
+    n = d.select("source", "doc_id",
+                 F.size(tokens_col(F.col("text"))).alias("x"))
+    w = Window.partitionBy("source").orderBy("x", "doc_id")
+    r = n.withColumn("i", F.row_number().over(w))
+    g = r.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("x").cast("bigint").alias("total_tokens"),
+        F.sum(F.col("i") * F.col("x")).cast("bigint").alias("s_ix"))
+    gini = (2.0 * F.col("s_ix"))
+    gini = gini / (F.col("n_docs")
+                   * F.greatest(F.col("total_tokens"), F.lit(1)).cast("double"))
+    gini = gini - (F.col("n_docs") + 1.0) / F.col("n_docs")
+    return (g.select("source", "n_docs", "total_tokens",
+                     sim.round6_stable(gini).alias("gini"))
+            .orderBy("source"))
+
+
+# --------------------------------------------- quality-rule ablation
+
+def _gopher_flags_sql() -> str:
+    """Doc-level Gopher flags CTE — the same formulas quality_gopher_rules
+    pins (llm.py q_gopher_rules), re-emitted here for rule attribution."""
+    from .llm import (
+        GOPHER_MAX_MEAN_LEN,
+        GOPHER_MAX_PUNCT,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MIN_MEAN_LEN,
+        GOPHER_MIN_STOP,
+        GOPHER_MIN_TOKENS,
+    )
+    from ..operators.textstats import quality_sql
+    ts = token_stats_sql("text")
+    qs = quality_sql("text")
+    mean_len = sim.round6_stable_sql(
+        "coalesce(list_sum(list_transform("
+        f"{_TOKS}, t -> length(t))), 0)"
+        f" / CAST(greatest({ts['n_re_tokens']}, 1) AS DOUBLE)")
+    return f"""
+    WITH g AS (
+        SELECT doc_id,
+               CAST({ts['n_re_tokens']} < {GOPHER_MIN_TOKENS}
+                    OR {ts['n_re_tokens']} > {GOPHER_MAX_TOKENS} AS INT)
+                 AS f_length,
+               CAST({mean_len} < {GOPHER_MIN_MEAN_LEN}
+                    OR {mean_len} > {GOPHER_MAX_MEAN_LEN} AS INT)
+                 AS f_mean_len,
+               CAST({qs['punct_ratio']} > {GOPHER_MAX_PUNCT} AS INT)
+                 AS f_symbol,
+               CAST({qs['stopword_ratio']} < {GOPHER_MIN_STOP} AS INT)
+                 AS f_stopword
+        FROM documents),
+    t AS (SELECT *, f_length + f_mean_len + f_symbol + f_stopword AS nf
+          FROM g),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM t)
+    """
+
+
+@register(
+    "quality_rule_ablation",
+    oracle=_gopher_flags_sql() + """
+    SELECT rule,
+           CAST(n_flagged AS BIGINT) AS n_flagged,
+           CAST(n_only AS BIGINT) AS n_flagged_only,
+           CAST(n_only AS BIGINT) * 1000000 // n_corpus AS solely_ppm
+    FROM (
+        SELECT 'length' AS rule, sum(f_length) AS n_flagged,
+               sum(CASE WHEN f_length = 1 AND nf = 1 THEN 1 ELSE 0 END)
+                 AS n_only FROM t
+        UNION ALL
+        SELECT 'mean_len', sum(f_mean_len),
+               sum(CASE WHEN f_mean_len = 1 AND nf = 1 THEN 1 ELSE 0 END)
+          FROM t
+        UNION ALL
+        SELECT 'symbol', sum(f_symbol),
+               sum(CASE WHEN f_symbol = 1 AND nf = 1 THEN 1 ELSE 0 END)
+          FROM t
+        UNION ALL
+        SELECT 'stopword', sum(f_stopword),
+               sum(CASE WHEN f_stopword = 1 AND nf = 1 THEN 1 ELSE 0 END)
+          FROM t
+    ) CROSS JOIN tot
+    ORDER BY rule
+    """,
+    tags=("llm", "quality-ablation"),
+)
+def q_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule ablation of the Gopher quality filter: how many docs each
+    rule flags, and how many it flags ALONE (its marginal removal — the
+    number you lose by keeping the rule, gain by dropping it). The
+    standard report before tightening/loosening any filter cascade.
+
+    One scan computes all four flags; a single-row aggregate holds the 8
+    sums; the 4-row output is unpivoted from that row — no second pass,
+    no per-rule scans. solely_ppm is exact integer arithmetic."""
+    from .llm import (
+        GOPHER_MAX_MEAN_LEN,
+        GOPHER_MAX_PUNCT,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MIN_MEAN_LEN,
+        GOPHER_MIN_STOP,
+        GOPHER_MIN_TOKENS,
+    )
+    from ..operators.textstats import quality_cols
+    d = spread(table(spark, sf_dir, "documents"))
+    ts = token_stats_cols(F.col("text"))
+    qs = quality_cols(F.col("text"))
+    toks = tokens_col(F.col("text"))
+    n_tok = ts["n_re_tokens"]
+    mean_len = sim.round6_stable(
+        F.coalesce(
+            F.aggregate(F.transform(toks, F.length),
+                        F.lit(0).cast("long"), lambda a, x: a + x),
+            F.lit(0).cast("long"))
+        / F.greatest(n_tok, F.lit(1)).cast("double"))
+    flags = d.select(
+        ((n_tok < GOPHER_MIN_TOKENS) | (n_tok > GOPHER_MAX_TOKENS))
+        .cast("int").alias("f_length"),
+        ((mean_len < GOPHER_MIN_MEAN_LEN) | (mean_len > GOPHER_MAX_MEAN_LEN))
+        .cast("int").alias("f_mean_len"),
+        (qs["punct_ratio"] > GOPHER_MAX_PUNCT).cast("int").alias("f_symbol"),
+        (qs["stopword_ratio"] < GOPHER_MIN_STOP).cast("int").alias("f_stopword"),
+    ).withColumn("nf", F.col("f_length") + F.col("f_mean_len")
+                 + F.col("f_symbol") + F.col("f_stopword"))
+    one = flags.agg(
+        F.count("*").cast("bigint").alias("n_corpus"),
+        *[F.sum(f).cast("bigint").alias(f"n_{f}")
+          for f in ("f_length", "f_mean_len", "f_symbol", "f_stopword")],
+        *[F.sum(((F.col(f) == 1) & (F.col("nf") == 1)).cast("int"))
+          .cast("bigint").alias(f"o_{f}")
+          for f in ("f_length", "f_mean_len", "f_symbol", "f_stopword")])
+    rows = [
+        one.select(F.lit(rule).alias("rule"),
+                   F.col(f"n_f_{col}").alias("n_flagged"),
+                   F.col(f"o_f_{col}").alias("n_flagged_only"),
+                   (F.col(f"o_f_{col}") * 1000000 / F.col("n_corpus"))
+                   .cast("bigint").alias("solely_ppm"))
+        for rule, col in (("length", "length"), ("mean_len", "mean_len"),
+                          ("symbol", "symbol"), ("stopword", "stopword"))
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("rule")
+
+
+# --------------------------------------------- language-ID confusion
+
+@register(
+    "text_langid_confusion",
+    oracle=(lambda ls: f"""
+    SELECT lang, {ls['pred_lang']} AS pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(lang = {ls['pred_lang']} AS INT) AS is_correct
+    FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+    """)(lang_id_sql("text")),
+    tags=("llm", "lang-id", "evaluation"),
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-word language classifier against the
+    corpus's labeled lang column — the evaluation face of text_lang_id
+    (which reports only the predicted census). |langs| x |langs+und| rows;
+    one scan, one tiny shuffle on the (label, prediction) pair."""
+    d = spread(table(spark, sf_dir, "documents"))
+    lc = lang_id_cols(F.col("text"))
+    return (d.select("lang", lc["pred_lang"].alias("pred_lang"))
+            .groupBy("lang", "pred_lang")
+            .agg(F.count("*").cast("bigint").alias("n_docs"))
+            .withColumn("is_correct",
+                        (F.col("lang") == F.col("pred_lang")).cast("int"))
+            .select("lang", "pred_lang", "n_docs", "is_correct")
+            .orderBy("lang", "pred_lang"))
+
+
+# --------------------------------------------- latest-per-key compaction
+
+@register(
+    "compact_latest_per_key",
+    oracle="""
+    WITH r AS (SELECT user_id, event_id, event_type, ts,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC)
+                        AS rn,
+                      CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+                        AS n_versions
+               FROM events)
+    SELECT user_id, event_id AS last_event_id,
+           event_type AS last_event_type, ts AS last_ts,
+           n_versions - 1 AS n_superseded
+    FROM r WHERE rn = 1 ORDER BY user_id
+    """,
+    tags=("events", "compaction", "upsert"),
+)
+def q_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-per-key compaction — the CDC/upsert materialization every
+    lakehouse MERGE pipeline runs: one row per key, newest version wins
+    (ts, then event_id as the deterministic tie-break), with a superseded
+    count for compaction accounting. Both window functions share ONE
+    partitioning on the key, so the whole operator is a single shuffle —
+    at 1e10 keys this is the canonical snapshot-compaction plan (no join
+    back to a max-ts subquery, which would shuffle twice)."""
+    ev = spread(table(spark, sf_dir, "events"))
+    wp = Window.partitionBy("user_id")
+    w = wp.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (ev
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("n_versions", F.count("*").over(wp).cast("bigint"))
+            .filter(F.col("rn") == 1)
+            .select("user_id",
+                    F.col("event_id").alias("last_event_id"),
+                    F.col("event_type").alias("last_event_type"),
+                    F.col("ts").alias("last_ts"),
+                    (F.col("n_versions") - 1).alias("n_superseded"))
+            .orderBy("user_id"))
+
+
+# --------------------------------------- Bloom-filter decontamination
+
+BLOOM_M = 1 << 16  # bits
+BLOOM_K = 4        # hash functions
+
+
+def _bloom_pos_sql(i: int, sid_expr: str) -> str:
+    return (hash32_sql_duck(f"'{i}_' || CAST({sid_expr} AS VARCHAR)")
+            + f" % {BLOOM_M}")
+
+
+def _bloom_pos_col(i: int, sid):
+    return hash32_col(F.concat(F.lit(f"{i}_"), sid.cast("string"))) % BLOOM_M
+
+
+@register(
+    "decontaminate_bloom_filter",
+    oracle=None,  # set below (needs the shingle CTE from llm constants)
+    tags=("llm", "decontamination", "bloom"),
+)
+def q_decon_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the broadcast-bitset variant of
+    eval-set n-gram matching: the eval suite's 8-gram shingles set K=4
+    bit positions in an M=2^16 filter; a corpus gram is a (possible) hit
+    when ALL its positions are set. Exact containment is computed
+    alongside, so the report also surfaces the filter's false positives —
+    the quantity you size M/K against.
+
+    Scale shape: the real win at 100 TB is that the eval side compresses
+    to M BITS (8 KiB here, a few GiB for a full benchmark suite) — a
+    plan literal / broadcast, NOT a join side. Here the bit-set is a
+    broadcast hash join on position ids (the oracle-checkable rendering
+    of the same semantics); corpus grams never shuffle — the only wide
+    op is the per-doc count aggregation keyed by doc_id."""
+    from ..operators.dedup import shingle_ids_tok_col, token_hashes_32_col
+    from .llm import DECON_NGRAM, EVAL_SET_MAX_ID
+
+    d = spread(table(spark, sf_dir, "documents"))
+    sh = pin(d.select(
+        "doc_id",
+        shingle_ids_tok_col(
+            token_hashes_32_col(F.col("text")).alias("hs"),
+            n=DECON_NGRAM).alias("sids")))
+    ev_grams = (sh.filter(F.col("doc_id") < EVAL_SET_MAX_ID)
+                .select(F.explode("sids").alias("sid")).distinct())
+    ev_bits = (ev_grams.select(F.explode(F.array(
+        *[_bloom_pos_col(i, F.col("sid")) for i in range(BLOOM_K)]))
+        .alias("pos")).distinct())
+    corpus = (sh.filter(F.col("doc_id") >= EVAL_SET_MAX_ID)
+              .select("doc_id", F.explode("sids").alias("sid")))
+    pos = corpus.select(
+        "doc_id", "sid",
+        F.posexplode(F.array(
+            *[_bloom_pos_col(i, F.col("sid")) for i in range(BLOOM_K)]))
+        .alias("i", "pos"))
+    matched = (pos.join(F.broadcast(ev_bits), "pos")
+               .groupBy("doc_id", "sid")
+               .agg(F.count_distinct("i").alias("n_in")))
+    gram_flags = (corpus
+                  .join(matched, ["doc_id", "sid"], "left")
+                  .join(F.broadcast(ev_grams.select(
+                      F.col("sid"), F.lit(1).alias("true_hit"))), "sid", "left")
+                  .select("doc_id",
+                          (F.coalesce("n_in", F.lit(0)) == BLOOM_K)
+                          .cast("int").alias("bloom_hit"),
+                          F.coalesce("true_hit", F.lit(0)).alias("true_hit")))
+    return (gram_flags.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_grams"),
+        F.sum("bloom_hit").cast("bigint").alias("n_bloom_hits"),
+        F.sum("true_hit").cast("bigint").alias("n_true_hits"))
+        .withColumn("n_false_pos",
+                    (F.col("n_bloom_hits") - F.col("n_true_hits"))
+                    .cast("bigint"))
+        .withColumn("flagged", (F.col("n_bloom_hits") > 0).cast("int"))
+        .orderBy("doc_id"))
+
+
+def _decon_bloom_oracle() -> str:
+    from ..operators.dedup import shingle_ids_tok_sql, token_hashes_32_duck_sql
+    from .llm import DECON_NGRAM, EVAL_SET_MAX_ID
+    poss = ", ".join(_bloom_pos_sql(i, "sid") for i in range(BLOOM_K))
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    h AS (SELECT doc_id, {token_hashes_32_duck_sql('toks')} AS hs FROM t),
+    s AS (SELECT doc_id, {shingle_ids_tok_sql('hs', n=DECON_NGRAM)} AS sids
+          FROM h),
+    ev_grams AS (SELECT DISTINCT unnest(sids) AS sid FROM s
+                 WHERE doc_id < {EVAL_SET_MAX_ID}),
+    ev_bits AS (SELECT DISTINCT unnest([{poss}]) AS pos FROM ev_grams),
+    corpus AS (SELECT doc_id, unnest(sids) AS sid FROM s
+               WHERE doc_id >= {EVAL_SET_MAX_ID}),
+    pos AS (SELECT doc_id, sid, i - 1 AS i, ([{poss}])[i] AS pos
+            FROM corpus CROSS JOIN (SELECT unnest(range(1, {BLOOM_K} + 1))
+                                    AS i) u),
+    matched AS (SELECT doc_id, sid, count(DISTINCT i) AS n_in
+                FROM pos JOIN ev_bits USING (pos) GROUP BY 1, 2),
+    gf AS (SELECT c.doc_id,
+                  CAST(coalesce(m.n_in, 0) = {BLOOM_K} AS INT) AS bloom_hit,
+                  CAST(c.sid IN (SELECT sid FROM ev_grams) AS INT)
+                    AS true_hit
+           FROM corpus c LEFT JOIN matched m
+                ON m.doc_id = c.doc_id AND m.sid = c.sid)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(bloom_hit) AS BIGINT) AS n_bloom_hits,
+           CAST(sum(true_hit) AS BIGINT) AS n_true_hits,
+           CAST(sum(bloom_hit) - sum(true_hit) AS BIGINT) AS n_false_pos,
+           CAST(sum(bloom_hit) > 0 AS INT) AS flagged
+    FROM gf GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+REGISTRY["decontaminate_bloom_filter"].oracle = _decon_bloom_oracle()
+
+
+# --------------------------------------- Count-Min Sketch validation
+
+CMS_D = 4    # sketch rows (hash functions)
+CMS_W = 256  # counters per row
+CMS_TOP = 10
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    oracle=f"""
+    WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1),
+    pos AS (SELECT user_id, n, i - 1 AS i,
+                   ([{', '.join(
+                       hash32_sql_duck(f"'{i}_' || CAST(user_id AS VARCHAR)")
+                       + f' % {CMS_W}' for i in range(CMS_D))}])[i] AS p
+            FROM u CROSS JOIN (SELECT unnest(range(1, {CMS_D} + 1)) AS i) x),
+    counters AS (SELECT i, p, CAST(sum(n) AS BIGINT) AS cnt
+                 FROM pos GROUP BY 1, 2),
+    top AS (SELECT user_id, n,
+                   row_number() OVER (ORDER BY n DESC, user_id) AS rk
+            FROM u QUALIFY rk <= {CMS_TOP}),
+    est AS (SELECT t.user_id, t.n, t.rk, min(c.cnt) AS cms_est
+            FROM top t JOIN pos ON pos.user_id = t.user_id
+                       JOIN counters c ON c.i = pos.i AND c.p = pos.p
+            GROUP BY 1, 2, 3)
+    SELECT CAST(rk AS BIGINT) AS rank, user_id,
+           n AS exact_n, cms_est,
+           cms_est - n AS overestimate
+    FROM est ORDER BY rank
+    """,
+    tags=("events", "sketch", "count-min"),
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch frequency estimation validated against exact
+    counts for the top-10 keys. The sketch (D=4 x W=256 int64 counters)
+    is the mergeable, fixed-memory structure streaming frequency
+    estimation uses when per-key state is impossible; its one-sided
+    error contract (estimate >= truth) is emitted as `overestimate` and
+    the oracle re-derives the whole sketch, so the contract is
+    value-checked, not asserted.
+
+    Scale shape: counters are a (D*W)-cell aggregate with map-side
+    partial sums — constant memory regardless of key cardinality; the
+    exact top-10 comes from the keyed count (one shuffle); the estimate
+    join touches 10 keys x D positions against a 1024-row broadcast."""
+    ev = spread(table(spark, sf_dir, "events"))
+    u = pin(ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("n")))
+    pos = u.select(
+        "user_id", "n",
+        F.posexplode(F.array(*[
+            (hash32_col(F.concat(F.lit(f"{i}_"),
+                                 F.col("user_id").cast("string"))) % CMS_W)
+            for i in range(CMS_D)])).alias("i", "p"))
+    counters = pos.groupBy("i", "p").agg(F.sum("n").cast("bigint").alias("cnt"))
+    w = Window.orderBy(F.col("n").desc(), "user_id")
+    top = (u.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") <= CMS_TOP))
+    est = (top.join(pos, ["user_id", "n"])
+           .join(F.broadcast(counters), ["i", "p"])
+           .groupBy("user_id", "n", "rk")
+           .agg(F.min("cnt").alias("cms_est")))
+    return (est.select(F.col("rk").cast("bigint").alias("rank"),
+                       "user_id",
+                       F.col("n").alias("exact_n"), "cms_est",
+                       (F.col("cms_est") - F.col("n")).alias("overestimate"))
+            .orderBy("rank"))
+
+
+# --------------------------------------- curriculum schedule
+
+CURRICULUM_CUTS = (0.75, 0.65, 0.55, 0.45)  # quality floors, easy -> hard
+
+
+@register(
+    "curation_curriculum_schedule",
+    oracle=(lambda qs: f"""
+    WITH q AS (SELECT {qs['quality_score']} AS qs,
+                      len({_TOKS}) AS n_tok
+               FROM documents),
+    p AS (SELECT CASE {' '.join(
+        f"WHEN qs >= {c} THEN {i + 1}"
+        for i, c in enumerate(CURRICULUM_CUTS))}
+                 ELSE {len(CURRICULUM_CUTS) + 1} END AS phase, n_tok
+          FROM q),
+    g AS (SELECT phase, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS n_tokens
+          FROM p GROUP BY 1)
+    SELECT phase, n_docs, n_tokens,
+           CAST(sum(n_tokens) OVER (ORDER BY phase) AS BIGINT) AS cum_tokens,
+           CAST(n_tokens * 1000000 // greatest(sum(n_tokens) OVER (), 1)
+                AS BIGINT) AS share_ppm
+    FROM g ORDER BY phase
+    """)(__import__(
+        "nats_stream_processor_spark.operators.textstats",
+        fromlist=["quality_sql"]).quality_sql("text")),
+    tags=("llm", "curriculum"),
+)
+def q_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning data schedule: documents bucketed into phases
+    by quality score (highest-quality first — the standard easy-to-hard
+    ramp), with per-phase token mass, the cumulative token budget through
+    each phase, and corpus share. This is the table a training loop's
+    data loader consumes to know where each phase's token budget ends.
+
+    One scan + a 5-row aggregate; the running total is a window over the
+    5 phase rows (bounded cardinality — WindowExec warnings are benign).
+    Phase assignment uses 6-dp-rounded scores on both engines, so
+    boundary docs cannot land in different phases."""
+    from ..operators.textstats import quality_cols
+    d = spread(table(spark, sf_dir, "documents"))
+    qs = quality_cols(F.col("text"))["quality_score"]
+    phase = F.lit(None).cast("int")
+    expr = None
+    for i, c in enumerate(CURRICULUM_CUTS):
+        cond = qs >= c
+        expr = F.when(cond, i + 1) if expr is None else expr.when(cond, i + 1)
+    phase = expr.otherwise(len(CURRICULUM_CUTS) + 1)
+    g = (d.select(phase.alias("phase"),
+                  F.size(tokens_col(F.col("text"))).alias("n_tok"))
+         .groupBy("phase")
+         .agg(F.count("*").cast("bigint").alias("n_docs"),
+              F.sum("n_tok").cast("bigint").alias("n_tokens")))
+    wcum = Window.orderBy("phase").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    return (g.select(
+        "phase", "n_docs", "n_tokens",
+        F.sum("n_tokens").over(wcum).cast("bigint").alias("cum_tokens"),
+        (F.col("n_tokens") * 1000000
+         / F.greatest(F.sum("n_tokens").over(wall), F.lit(1)))
+        .cast("bigint").alias("share_ppm"))
+        .orderBy("phase"))
+
+
+# --------------------------------------- RFM user segmentation
+
+RFM_NTILES = 4
+
+
+@register(
+    "events_rfm_segments",
+    oracle=f"""
+    WITH mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+    u AS (SELECT user_id,
+                 (mx.max_us - max(epoch_us(ts))) // 86400000000 AS rec_days,
+                 CAST(count(*) AS BIGINT) AS freq,
+                 CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+                      AS BIGINT) AS mon_micro
+          FROM events CROSS JOIN mx GROUP BY user_id, mx.max_us),
+    q AS (SELECT user_id, rec_days, freq, mon_micro,
+                 ntile({RFM_NTILES}) OVER (ORDER BY rec_days, user_id) AS r_q,
+                 ntile({RFM_NTILES}) OVER (ORDER BY freq DESC, user_id) AS f_q,
+                 ntile({RFM_NTILES}) OVER (ORDER BY mon_micro DESC, user_id)
+                   AS m_q
+          FROM u)
+    SELECT CAST(r_q * 100 + f_q * 10 + m_q AS INT) AS rfm_code,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(rec_days) AS BIGINT) AS sum_rec_days,
+           CAST(sum(freq) AS BIGINT) AS sum_freq,
+           CAST(sum(mon_micro) AS BIGINT) AS sum_mon_micro
+    FROM q GROUP BY 1 ORDER BY 1
+    """,
+    tags=("events", "rfm", "segmentation"),
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) user segmentation — the
+    classic behavioral cohorting: quartile each dimension, concatenate
+    into a 3-digit segment code, aggregate per segment. Recency is exact
+    integer microseconds against the corpus max (sub-second timestamps;
+    see the epoch_us/unix_micros note in the verify recipe); monetary
+    sums are int64-quantized per event BEFORE aggregation, so every
+    value that crosses a shuffle is exact.
+
+    Scale: one keyed count/max/sum shuffle; the three ntile windows run
+    over the per-user aggregate (1e8-ish rows at 100 TB — windowed
+    global sorts, the honest cost of exact quantiles; approx_percentile
+    cuts would be the relaxation)."""
+    ev = spread(table(spark, sf_dir, "events"))
+    mx = ev.agg(F.max(F.unix_micros("ts")).alias("max_us"))
+    u = (ev.crossJoin(F.broadcast(mx))
+         .groupBy("user_id", "max_us")
+         .agg(((F.col("max_us") - F.max(F.unix_micros("ts")))
+               / F.lit(86400000000)).cast("bigint").alias("rec_days"),
+              F.count("*").cast("bigint").alias("freq"),
+              F.sum(F.floor(F.col("value") * 1e6 + 0.5).cast("bigint"))
+              .cast("bigint").alias("mon_micro")))
+    q = (u.withColumn("r_q", F.ntile(RFM_NTILES).over(
+            Window.orderBy("rec_days", "user_id")))
+         .withColumn("f_q", F.ntile(RFM_NTILES).over(
+            Window.orderBy(F.col("freq").desc(), "user_id")))
+         .withColumn("m_q", F.ntile(RFM_NTILES).over(
+            Window.orderBy(F.col("mon_micro").desc(), "user_id"))))
+    return (q.groupBy((F.col("r_q") * 100 + F.col("f_q") * 10
+                       + F.col("m_q")).cast("int").alias("rfm_code"))
+            .agg(F.count("*").cast("bigint").alias("n_users"),
+                 F.sum("rec_days").cast("bigint").alias("sum_rec_days"),
+                 F.sum("freq").cast("bigint").alias("sum_freq"),
+                 F.sum("mon_micro").cast("bigint").alias("sum_mon_micro"))
+            .orderBy("rfm_code"))
+
+
+# --------------------------------------- last-touch attribution
+
+@register(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH a AS (
+        SELECT event_type,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS channel
+        FROM events),
+    c AS (SELECT coalesce(channel, 'none') AS channel
+          FROM a WHERE event_type = 'purchase'),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c)
+    SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(count(*) AS BIGINT) * 1000000 // tot.n AS share_ppm
+    FROM c CROSS JOIN tot GROUP BY channel, tot.n ORDER BY channel
+    """,
+    tags=("events", "attribution"),
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase credits the most
+    recent preceding non-purchase event of the same user ('none' when the
+    purchase is the user's first touch). The running last-non-null window
+    keeps this a SINGLE pass per user partition — no self-join of
+    conversions against the event history (which at 100 TB would be a
+    second full shuffle plus a skewed range join). (ts, event_id) ordering
+    makes the credited channel deterministic under same-timestamp ties."""
+    ev = spread(table(spark, sf_dir, "events"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    chan = F.last(F.when(F.col("event_type") != "purchase",
+                         F.col("event_type")), ignorenulls=True).over(w)
+    conv = (ev.withColumn("channel", chan)
+            .filter(F.col("event_type") == "purchase")
+            .select(F.coalesce("channel", F.lit("none")).alias("channel")))
+    tot = conv.agg(F.count("*").cast("bigint").alias("n"))
+    return (conv.crossJoin(F.broadcast(tot))
+            .groupBy("channel", "n")
+            .agg(F.count("*").cast("bigint").alias("n_conversions"))
+            .select("channel", "n_conversions",
+                    (F.col("n_conversions") * 1000000 / F.col("n"))
+                    .cast("bigint").alias("share_ppm"))
+            .orderBy("channel"))
+
+
+# --------------------------------------- per-label centroid drift
+
+DRIFT_Q = 1_000_000  # per-component micro quantization
+
+
+@register(
+    "embed_centroid_drift",
+    oracle=f"""
+    WITH e AS (SELECT label, {sim.as_double_sql('embedding')} AS demb
+               FROM embeddings),
+    q AS (SELECT label, i,
+                 CAST(floor(demb[i] * {DRIFT_Q} + 0.5) AS BIGINT) AS qv
+          FROM e CROSS JOIN (SELECT unnest(range(1, {sim.EMBED_DIM + 1}))
+                             AS i) u),
+    s AS (SELECT label, i, CAST(sum(qv) AS BIGINT) AS sv,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM q GROUP BY 1, 2),
+    g AS (SELECT label, i, sv, n,
+                 CAST(sum(sv) OVER (PARTITION BY i) AS BIGINT) AS gv,
+                 CAST(sum(n) OVER (PARTITION BY i) AS BIGINT) AS gn
+          FROM s),
+    t AS (SELECT label, n,
+                 CAST(floor(
+                     power((sv / CAST(n AS DOUBLE)
+                            - gv / CAST(gn AS DOUBLE)) / {DRIFT_Q}.0, 2)
+                     * 1e12 + 0.5) AS BIGINT) AS term_pico
+          FROM g)
+    SELECT label, n AS n_vecs,
+           {sim.round6_stable_sql('sum(term_pico) / 1e12')} AS l2sq_to_global
+    FROM t GROUP BY 1, 2 ORDER BY label
+    """,
+    tags=("llm", "embedding", "drift"),
+)
+def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid drift: squared L2 distance between
+    each label's centroid and the corpus centroid — the shift/imbalance
+    diagnostic run before clustering-based curation (a label far from
+    the global mean dominates coarse quantizers and skews IVF lists).
+
+    Determinism: components are int64-quantized per vector BEFORE any
+    aggregation, centroids are exact integer-sum ratios, and each dim's
+    squared diff is re-quantized to an int64 pico grid before the final
+    sum — every value that crosses a shuffle or group is an integer, so
+    FP accumulation order cannot flip a bit. (power(x, 2) evaluates as
+    x*x exactly for these magnitudes on both engines.)
+
+    Scale shape: ONE wide aggregate with map-side partial sums (64 sum
+    expressions grouped by label — no row explosion in the Spark plan;
+    the oracle's unnest rendering is semantically identical); the global
+    centroid is a window over the |labels| result rows."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "label", sim.as_double(F.col("embedding")).alias("demb"))
+    qcols = [F.floor(F.element_at("demb", i + 1) * DRIFT_Q + F.lit(0.5))
+             .cast("bigint").alias(f"q{i}") for i in range(sim.EMBED_DIM)]
+    per = (spread(e).select("label", *qcols)
+           .groupBy("label")
+           .agg(F.count("*").cast("bigint").alias("n"),
+                *[F.sum(f"q{i}").cast("bigint").alias(f"s{i}")
+                  for i in range(sim.EMBED_DIM)]))
+    wall = Window.partitionBy()
+    for i in range(sim.EMBED_DIM):
+        per = per.withColumn(f"g{i}", F.sum(f"s{i}").over(wall).cast("bigint"))
+    per = per.withColumn("gn", F.sum("n").over(wall).cast("bigint"))
+    total = None
+    for i in range(sim.EMBED_DIM):
+        d = (F.col(f"s{i}") / F.col("n").cast("double")
+             - F.col(f"g{i}") / F.col("gn").cast("double")) / float(DRIFT_Q)
+        term = F.floor(F.pow(d, F.lit(2)) * F.lit(1e12) + F.lit(0.5)) \
+                .cast("bigint")
+        total = term if total is None else total + term
+    return (per.select("label", F.col("n").alias("n_vecs"),
+                       sim.round6_stable(total / F.lit(1e12))
+                       .alias("l2sq_to_global"))
+            .orderBy("label"))
+
+
+# --------------------------------------- two-hop kNN reach
+
+@register(
+    "graph_knn_two_hop",
+    oracle=None,  # set below (imports the shared kNN CTE lazily)
+    tags=("llm", "graph", "two-hop"),
+)
+def q_knn_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop neighborhood size over the approximate kNN graph — the
+    expansion statistic that predicts label-propagation / graph-dedup
+    fan-out (hub-heavy graphs explode at hop 2). reach(v) = |{u != v :
+    dist(v,u) <= 2 hops}|, reported as a histogram.
+
+    Scale shape: one self-join of a k-bounded edge list on the hop key —
+    each node contributes at most k^2 candidate second hops (k=3), so
+    the join output is k^2 * |V|, never |V|^2; the distinct and the two
+    aggregations are keyed shuffles on node ids."""
+    from .knn_shared import _knn_graph_df
+
+    g = pin(_knn_graph_df(spark, sf_dir).select("src", "dst"))
+    a, b = g.alias("a"), g.alias("b")
+    two = (a.join(b, F.col("a.dst") == F.col("b.src"))
+           .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst")))
+    reach = (g.unionAll(two)
+             .filter(F.col("dst") != F.col("src"))
+             .distinct()
+             .groupBy("src").agg(F.count("*").cast("bigint").alias("reach")))
+    return (reach.groupBy("reach")
+            .agg(F.count("*").cast("bigint").alias("n_nodes"))
+            .orderBy("reach"))
+
+
+def _two_hop_oracle() -> str:
+    from .knn_shared import _KNN_CTE
+    return f"""
+    {_KNN_CTE},
+    g AS (SELECT src, dst FROM knn),
+    two AS (SELECT a.src, b.dst FROM g a JOIN g b ON a.dst = b.src),
+    r AS (SELECT src, CAST(count(DISTINCT dst) AS BIGINT) AS reach
+          FROM (SELECT * FROM g UNION ALL SELECT * FROM two)
+          WHERE dst <> src GROUP BY src)
+    SELECT reach, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM r GROUP BY reach ORDER BY reach
+    """
+
+
+REGISTRY["graph_knn_two_hop"].oracle = _two_hop_oracle()
+
+
+# --------------------------------------- LSH band observability
+
+@register(
+    "dedup_lsh_band_stats",
+    oracle=None,  # set below (imports the shingle CTE lazily)
+    tags=("llm", "dedup-minhash-lsh", "observability"),
+)
+def q_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band LSH bucket statistics: bucket count, largest bucket, and
+    the exact candidate-pair mass sum(C(size,2)) each band contributes.
+    This is the skew dashboard for MinHash LSH tuning — one hot bucket
+    in one band is what turns a banded join quadratic, and this report
+    is how you see it coming BEFORE running the pair join (at 100 TB you
+    run this first, then cap or salt the offending buckets).
+
+    One aggregation keyed by (band, bucket) — identical partitioning to
+    the candidate join itself — then an 8-row rollup per band."""
+    from ..operators.dedup import (
+        minhash_band_explode,
+        minhash_signature_col,
+        shingle_ids_tok_col,
+        token_hashes_32_col,
+    )
+    d = spread(table(spark, sf_dir, "documents"))
+    sig = (d.select("doc_id",
+                    token_hashes_32_col(F.col("text")).alias("hs"))
+           .select("doc_id", shingle_ids_tok_col(F.col("hs")).alias("sids"))
+           .select("doc_id",
+                   minhash_signature_col(F.col("sids")).alias("sig")))
+    bands = minhash_band_explode(sig, "doc_id", "sig")
+    bk = (bands.groupBy("band", "bucket")
+          .agg(F.count("*").cast("bigint").alias("sz")))
+    return (bk.groupBy("band")
+            .agg(F.count("*").cast("bigint").alias("n_buckets"),
+                 F.sum("sz").cast("bigint").alias("n_docs"),
+                 F.max("sz").cast("bigint").alias("max_bucket"),
+                 F.sum(F.col("sz") * (F.col("sz") - 1) / 2)
+                 .cast("bigint").alias("candidate_pairs"))
+            .orderBy("band"))
+
+
+def _band_stats_oracle() -> str:
+    from .llm import _SH_CTE
+    return f"""
+    {_SH_CTE}
+    SELECT band_idx AS band,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(max(sz) AS BIGINT) AS max_bucket,
+           CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS candidate_pairs
+    FROM (SELECT band_idx, bucket, count(*) AS sz
+          FROM bands GROUP BY 1, 2)
+    GROUP BY 1 ORDER BY band
+    """
+
+
+REGISTRY["dedup_lsh_band_stats"].oracle = _band_stats_oracle()
+
+
+# --------------------------------------- market share (TPC-H Q8 shape)
+
+MKT_REGION = "ASIA"
+MKT_NATION = "NATION_2"
+
+
+@register(
+    "join_market_share",
+    oracle=f"""
+    WITH rev AS (
+        SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+               CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e6
+                          + 0.5) AS BIGINT) AS rev_micro,
+               sn.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = cn.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        WHERE r.r_name = '{MKT_REGION}')
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = '{MKT_NATION}'
+                         THEN rev_micro ELSE 0 END) AS BIGINT)
+             AS nation_rev_micro,
+           CAST(sum(rev_micro) AS BIGINT) AS total_rev_micro,
+           {sim.round6_stable_sql(
+               "sum(CASE WHEN supp_nation = '" + MKT_NATION + "' "
+               "THEN rev_micro ELSE 0 END) "
+               "/ CAST(greatest(sum(rev_micro), 1) AS DOUBLE)")}
+             AS mkt_share
+    FROM rev GROUP BY o_year ORDER BY o_year
+    """,
+    tags=("relational", "join", "market-share"),
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share within a regional market by order year (the
+    TPC-H Q8 shape): of all lineitem revenue sold to customers in
+    {MKT_REGION}, what fraction was supplied from {MKT_NATION}?
+
+    Plan shape: nation/region/supplier are broadcast (dimension tables);
+    the only big-big join is lineitem-orders on the order key — one fact
+    shuffle; customer joins before the region filter so partition
+    pruning and the broadcast-filter cut the fact early. Revenue is
+    quantized to int64 micros per row BEFORE aggregation (exact,
+    order-independent); the share ratio is formed once per year row."""
+    li = spread(table(spark, sf_dir, "lineitem"))
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    s = table(spark, sf_dir, "supplier")
+    cust_region = (c.join(F.broadcast(n),
+                          c.c_nationkey == n.n_nationkey)
+                   .join(F.broadcast(r.filter(F.col("r_name") == MKT_REGION)),
+                         F.col("n_regionkey") == F.col("r_regionkey"))
+                   .select("c_custkey"))
+    supp_nation = (s.join(F.broadcast(n.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"))),
+        s.s_nationkey == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation"))
+    rev = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .join(cust_region, o.o_custkey == F.col("c_custkey"))
+           .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+           .select(F.year("o_orderdate").cast("int").alias("o_year"),
+                   F.floor(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount")) * 1e6 + F.lit(0.5))
+                   .cast("bigint").alias("rev_micro"),
+                   "supp_nation"))
+    g = rev.groupBy("o_year").agg(
+        F.sum(F.when(F.col("supp_nation") == MKT_NATION,
+                     F.col("rev_micro")).otherwise(0))
+        .cast("bigint").alias("nation_rev_micro"),
+        F.sum("rev_micro").cast("bigint").alias("total_rev_micro"))
+    return (g.select(
+        "o_year", "nation_rev_micro", "total_rev_micro",
+        sim.round6_stable(
+            F.col("nation_rev_micro")
+            / F.greatest(F.col("total_rev_micro"), F.lit(1)).cast("double"))
+        .alias("mkt_share"))
+        .orderBy("o_year"))
+
+
+# --------------------------------------- promo revenue share (Q14 shape)
+
+PROMO_TYPE = "ECONOMY"
+
+
+@register(
+    "join_promo_revenue_share",
+    oracle=f"""
+    WITH rev AS (
+        SELECT CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate) AS INT)
+                 AS ship_month,
+               CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e6
+                          + 0.5) AS BIGINT) AS rev_micro,
+               p.p_type AS p_type
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
+    SELECT ship_month,
+           CAST(sum(CASE WHEN p_type = '{PROMO_TYPE}'
+                         THEN rev_micro ELSE 0 END) AS BIGINT)
+             AS promo_rev_micro,
+           CAST(sum(rev_micro) AS BIGINT) AS total_rev_micro,
+           {sim.round6_stable_sql(
+               "100.0 * sum(CASE WHEN p_type = '" + PROMO_TYPE + "' "
+               "THEN rev_micro ELSE 0 END) "
+               "/ CAST(greatest(sum(rev_micro), 1) AS DOUBLE)")}
+             AS promo_pct
+    FROM rev GROUP BY ship_month ORDER BY ship_month
+    """,
+    tags=("relational", "join", "promo-share"),
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue share per ship month (the TPC-H Q14 shape): the
+    percentage of monthly revenue from parts of the promo type. part is
+    the broadcast side (a dimension); lineitem takes ONE pass with a
+    conditional aggregate — no second scan for the denominator. Revenue
+    int64-quantized per row pre-aggregation, ratio formed per month."""
+    li = spread(table(spark, sf_dir, "lineitem"))
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+           .select((F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+                   .cast("int").alias("ship_month"),
+                   F.floor(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount")) * 1e6 + F.lit(0.5))
+                   .cast("bigint").alias("rev_micro"),
+                   "p_type"))
+    g = rev.groupBy("ship_month").agg(
+        F.sum(F.when(F.col("p_type") == PROMO_TYPE, F.col("rev_micro"))
+              .otherwise(0)).cast("bigint").alias("promo_rev_micro"),
+        F.sum("rev_micro").cast("bigint").alias("total_rev_micro"))
+    return (g.select(
+        "ship_month", "promo_rev_micro", "total_rev_micro",
+        sim.round6_stable(
+            100.0 * F.col("promo_rev_micro")
+            / F.greatest(F.col("total_rev_micro"), F.lit(1)).cast("double"))
+        .alias("promo_pct"))
+        .orderBy("ship_month"))
+
+
+# --------------------------------------- boilerplate n-gram report
+
+BOILER_N = 8       # tokens per phrase shingle
+BOILER_MIN_DOCS = 5  # distinct docs (same source) for "boilerplate"
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle=None,  # set below
+    tags=("llm", "boilerplate"),
+)
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source boilerplate phrase detection — the C4-style pass
+    that finds templated 8-token phrases repeated across many documents
+    of one source (navigation chrome, legal footers) so they can be
+    stripped before dedup inflates their weight. A phrase is boilerplate
+    when it appears in >= {BOILER_MIN_DOCS} distinct docs of the source.
+
+    Scale shape: phrases travel as int64 shingle ids (never text); the
+    count is one (source, phrase_id) shuffle — the same blocking key the
+    removal pass would use; the affected-docs rollup re-joins doc ids
+    against the boilerplate ids per source. Output is one row per
+    source: phrase count, affected docs, affected ppm."""
+    from ..operators.dedup import shingle_ids_tok_col, token_hashes_32_col
+
+    d = spread(table(spark, sf_dir, "documents"))
+    ex = pin(d.select(
+        "source", "doc_id",
+        F.explode(shingle_ids_tok_col(
+            token_hashes_32_col(F.col("text")).alias("hs"),
+            n=BOILER_N)).alias("sid")))
+    boiler = (ex.groupBy("source", "sid")
+              .agg(F.count_distinct("doc_id").alias("nd"))
+              .filter(F.col("nd") >= BOILER_MIN_DOCS)
+              .select("source", "sid"))
+    affected = (ex.join(boiler, ["source", "sid"])
+                .select("source", "doc_id").distinct()
+                .groupBy("source")
+                .agg(F.count("*").cast("bigint").alias("n_docs_affected")))
+    nb = (boiler.groupBy("source")
+          .agg(F.count("*").cast("bigint").alias("n_boiler_phrases")))
+    totals = d.groupBy("source").agg(F.count("*").cast("bigint")
+                                     .alias("n_docs"))
+    return (totals.join(nb, "source", "left").join(affected, "source", "left")
+            .select(
+                "source", "n_docs",
+                F.coalesce("n_boiler_phrases", F.lit(0)).cast("bigint")
+                .alias("n_boiler_phrases"),
+                F.coalesce("n_docs_affected", F.lit(0)).cast("bigint")
+                .alias("n_docs_affected"),
+                (F.coalesce("n_docs_affected", F.lit(0)) * 1000000
+                 / F.col("n_docs")).cast("bigint").alias("affected_ppm"))
+            .orderBy("source"))
+
+
+def _boilerplate_oracle() -> str:
+    from ..operators.dedup import shingle_ids_tok_sql, token_hashes_32_duck_sql
+    return f"""
+    WITH t AS (SELECT source, doc_id, {_TOKS} AS toks FROM documents),
+    h AS (SELECT source, doc_id, {token_hashes_32_duck_sql('toks')} AS hs
+          FROM t),
+    ex AS (SELECT source, doc_id,
+                  unnest({shingle_ids_tok_sql('hs', n=BOILER_N)}) AS sid
+           FROM h),
+    boiler AS (SELECT source, sid
+               FROM ex GROUP BY 1, 2
+               HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DOCS}),
+    affected AS (SELECT source,
+                        CAST(count(*) AS BIGINT) AS n_docs_affected
+                 FROM (SELECT DISTINCT e.source, e.doc_id
+                       FROM ex e JOIN boiler b
+                            ON b.source = e.source AND b.sid = e.sid)
+                 GROUP BY source),
+    nb AS (SELECT source, CAST(count(*) AS BIGINT) AS n_boiler_phrases
+           FROM boiler GROUP BY source),
+    totals AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY source)
+    SELECT t.source, t.n_docs,
+           CAST(coalesce(nb.n_boiler_phrases, 0) AS BIGINT)
+             AS n_boiler_phrases,
+           CAST(coalesce(a.n_docs_affected, 0) AS BIGINT)
+             AS n_docs_affected,
+           CAST(coalesce(a.n_docs_affected, 0) * 1000000 // t.n_docs
+                AS BIGINT) AS affected_ppm
+    FROM totals t LEFT JOIN nb ON nb.source = t.source
+                  LEFT JOIN affected a ON a.source = t.source
+    ORDER BY t.source
+    """
+
+
+REGISTRY["text_boilerplate_ngrams"].oracle = _boilerplate_oracle()
+
+
+# --------------------------------------- per-source dataset card
+
+@register(
+    "curation_dataset_card",
+    oracle=(lambda qs: f"""
+    WITH d AS (SELECT source, lang,
+                      md5(lower(trim(text))) AS ck,
+                      len({_TOKS}) AS n_tok,
+                      CAST(floor({qs['quality_score']} * 1e6 + 0.5)
+                           AS BIGINT) AS q_ppm,
+                      CAST(len(regexp_extract_all(text,
+                           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}'
+                           )) > 0 AS INT) AS has_email
+               FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           {sim.round6_stable_sql('sum(q_ppm) / (count(*) * 1e6)')}
+             AS mean_quality,
+           CAST(count(*) - count(DISTINCT ck) AS BIGINT) AS n_exact_dups,
+           CAST((count(*) - count(DISTINCT ck)) * 1000000 // count(*)
+                AS BIGINT) AS dup_ppm,
+           CAST(sum(has_email) * 1000000 // count(*) AS BIGINT)
+             AS email_ppm,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM d GROUP BY source ORDER BY source
+    """)(__import__(
+        "nats_stream_processor_spark.operators.textstats",
+        fromlist=["quality_sql"]).quality_sql("text")),
+    tags=("llm", "dataset-card"),
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card — the one-scan publication stats block a
+    curated corpus ships with: volume (docs, tokens), mean quality,
+    exact-dup mass, PII (email) exposure, language spread. Everything is
+    fused into ONE aggregation over one scan (content digests and flags
+    computed inline); quality is ppm-quantized per doc BEFORE the sum so
+    the mean is an exact integer ratio. The two count-distincts ride
+    Spark's expand + partial-agg path — still a single shuffle keyed by
+    source."""
+    from ..operators.dedup import normalized_key
+    from ..operators.textstats import quality_cols
+    from .llm import EMAIL_RE
+    d = spread(table(spark, sf_dir, "documents"))
+    qs = quality_cols(F.col("text"))["quality_score"]
+    base = d.select(
+        "source", "lang",
+        normalized_key(F.col("text")).alias("ck"),
+        F.size(tokens_col(F.col("text"))).alias("n_tok"),
+        F.floor(qs * 1e6 + F.lit(0.5)).cast("bigint").alias("q_ppm"),
+        (F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), 0)) > 0)
+        .cast("int").alias("has_email"))
+    g = base.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.sum("q_ppm").cast("bigint").alias("_q_sum"),
+        F.count_distinct("ck").cast("bigint").alias("_n_keys"),
+        F.sum("has_email").cast("bigint").alias("_n_email"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"))
+    return (g.select(
+        "source", "n_docs", "n_tokens",
+        sim.round6_stable(F.col("_q_sum") / (F.col("n_docs") * F.lit(1e6)))
+        .alias("mean_quality"),
+        (F.col("n_docs") - F.col("_n_keys")).cast("bigint")
+        .alias("n_exact_dups"),
+        ((F.col("n_docs") - F.col("_n_keys")) * 1000000 / F.col("n_docs"))
+        .cast("bigint").alias("dup_ppm"),
+        (F.col("_n_email") * 1000000 / F.col("n_docs")).cast("bigint")
+        .alias("email_ppm"),
+        "n_langs")
+        .orderBy("source"))
+
+
+# --------------------------------------- embedding norm hygiene
+
+NORM_OUTLIER_FACTOR = 2  # ||v||^2 > factor * corpus mean -> outlier
+
+
+@register(
+    "embed_norm_outliers",
+    oracle=f"""
+    WITH e AS (SELECT label, {sim.as_double_sql('embedding')} AS demb
+               FROM embeddings),
+    n AS (SELECT label,
+                 CAST(floor({sim.dot_unrolled_sql('demb', 'demb')} * 1e6
+                            + 0.5) AS BIGINT) AS nsq_micro
+          FROM e),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+                   CAST(sum(nsq_micro) AS BIGINT) AS s_all FROM n)
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           {sim.round6_stable_sql(
+               'sum(nsq_micro) / (count(*) * 1e6)')} AS mean_norm_sq,
+           CAST(sum(CASE WHEN nsq_micro * tot.n_all
+                              > {NORM_OUTLIER_FACTOR} * tot.s_all
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM n CROSS JOIN tot GROUP BY label, tot.n_all, tot.s_all
+    ORDER BY label
+    """,
+    tags=("llm", "embedding", "hygiene"),
+)
+def q_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding norm hygiene per label: mean squared norm and the count
+    of vectors whose ||v||^2 exceeds {NORM_OUTLIER_FACTOR}x the corpus
+    mean — the pre-flight check before cosine/IVF work (zero and huge
+    norms are what poison normalized similarity and centroid training).
+
+    Exactness: squared norms are micro-quantized int64 per vector; the
+    outlier comparison is the integer cross-multiplication
+    nsq * N > factor * S (no division, no doubles), so the cut is
+    bit-exact on both engines. One scan + a broadcast 1-row total."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "label", sim.as_double(F.col("embedding")).alias("demb"))
+    n = pin(spread(e).select(
+        "label",
+        F.floor(sim.dot(F.col("demb"), F.col("demb")) * 1e6 + F.lit(0.5))
+        .cast("bigint").alias("nsq_micro")))
+    tot = n.agg(F.count("*").cast("bigint").alias("n_all"),
+                F.sum("nsq_micro").cast("bigint").alias("s_all"))
+    return (n.crossJoin(F.broadcast(tot))
+            .groupBy("label", "n_all", "s_all")
+            .agg(F.count("*").cast("bigint").alias("n_vecs"),
+                 F.sum("nsq_micro").cast("bigint").alias("_s"),
+                 F.sum(F.when(F.col("nsq_micro") * F.col("n_all")
+                              > NORM_OUTLIER_FACTOR * F.col("s_all"), 1)
+                       .otherwise(0)).cast("bigint").alias("n_outliers"))
+            .select("label", "n_vecs",
+                    sim.round6_stable(F.col("_s")
+                                      / (F.col("n_vecs") * F.lit(1e6)))
+                    .alias("mean_norm_sq"),
+                    "n_outliers")
+            .orderBy("label"))
+
+
+# --------------------------------------- weekly seasonality profile
+
+@register(
+    "events_seasonality_profile",
+    oracle="""
+    WITH b AS (SELECT CAST(isodow(ts) AS INT) AS dow,
+                      CAST(hour(ts) AS INT) AS hod,
+                      CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v_micro
+               FROM events),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b)
+    SELECT dow, hod, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) * 1000000 // tot.n AS BIGINT) AS share_ppm,
+           CAST(sum(v_micro) AS BIGINT) AS sum_value_micro
+    FROM b CROSS JOIN tot GROUP BY dow, hod, tot.n ORDER BY dow, hod
+    """,
+    tags=("events", "seasonality"),
+)
+def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity profile — the calendar
+    seasonality matrix capacity planning and anomaly baselines read
+    (events_hourly_zscore is the anomaly face; this is the baseline).
+    ISO day numbering on both engines (Spark weekday+1 == DuckDB isodow);
+    values int64-quantized pre-sum. One scan, one 168-cell aggregate."""
+    ev = spread(table(spark, sf_dir, "events"))
+    b = ev.select((F.expr("weekday(ts)") + 1).cast("int").alias("dow"),
+                  F.hour("ts").cast("int").alias("hod"),
+                  F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")
+                  .alias("v_micro"))
+    tot = b.agg(F.count("*").cast("bigint").alias("n"))
+    return (b.crossJoin(F.broadcast(tot))
+            .groupBy("dow", "hod", "n")
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 F.sum("v_micro").cast("bigint").alias("sum_value_micro"))
+            .select("dow", "hod", "n_events",
+                    (F.col("n_events") * 1000000 / F.col("n")).cast("bigint")
+                    .alias("share_ppm"),
+                    "sum_value_micro")
+            .orderBy("dow", "hod"))
+
+
+# --------------------------------------- TPC-H Q6 forecast revenue
+
+Q6_YEAR = 1996
+Q6_DISC_LO = 0.05
+Q6_DISC_HI = 0.07
+Q6_MAX_QTY = 24
+
+
+@register(
+    "agg_revenue_q6",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(l_extendedprice * l_discount * 1e6 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_micro
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR}-01-01'
+      AND l_shipdate < TIMESTAMP '{Q6_YEAR + 1}-01-01'
+      AND l_discount BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+      AND l_quantity < {Q6_MAX_QTY}
+    """,
+    tags=("relational", "agg", "tpch-q6"),
+)
+def q_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): a pure scan-filter-aggregate
+    whose entire cost model is predicate pushdown — date range, discount
+    band and quantity cap must all reach the parquet scan (plan-asserted
+    in test_plan_audit), leaving a map-only partial+final sum. Revenue
+    quantized to int64 micros per row."""
+    li = table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit(f"{Q6_YEAR}-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{Q6_YEAR + 1}-01-01")
+           .cast("timestamp"))
+        & (F.col("l_discount") >= Q6_DISC_LO)
+        & (F.col("l_discount") <= Q6_DISC_HI)
+        & (F.col("l_quantity") < Q6_MAX_QTY))
+    return f.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.floor(F.col("l_extendedprice") * F.col("l_discount") * 1e6
+                      + F.lit(0.5)).cast("bigint"))
+        .cast("bigint").alias("revenue_micro"))
+
+
+# --------------------------------------- kNN semantic components
+
+@register(
+    "graph_knn_components",
+    oracle=None,  # set below
+    tags=("llm", "graph", "components", "iterative"),
+)
+def q_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the kNN similarity graph — semantic
+    grouping WITHOUT training a quantizer (the graph-native alternative
+    to k-means clustering): mutual-reachability components of the
+    LSH-built kNN edges, reported as a component-size histogram.
+
+    Reuses the shared banded kNN builder and the iterative min-label
+    propagation operator (one shuffle + localCheckpoint per round,
+    driver carries a convergence count only); the oracle replays the
+    fixpoint as a recursive transitive-closure CTE. Isolated vectors
+    (no edges at this k) are counted as singleton components via the
+    left anti side."""
+    from ..operators.dedup import connected_components
+    from .knn_shared import _knn_graph_df
+
+    g = pin(_knn_graph_df(spark, sf_dir).select("src", "dst"))
+    # The kNN graph is DIRECTED (dst in src's top-k does not imply the
+    # reverse); canonicalize every edge with least/greatest — filtering
+    # src < dst would silently drop edges present only as (big -> small).
+    edges = (g.select(F.least("src", "dst").alias("doc_a"),
+                      F.greatest("src", "dst").alias("doc_b"))
+             .distinct())
+    comp = connected_components(edges)
+    sizes = comp.groupBy("comp").agg(F.count("*").cast("bigint").alias("sz"))
+    e = table(spark, sf_dir, "embeddings").select("vec_id")
+    n_iso = (e.join(comp.select(F.col("doc_id").alias("vec_id")),
+                    "vec_id", "left_anti")
+             .agg(F.count("*").cast("bigint").alias("n_iso")))
+    hist = (sizes.groupBy("sz")
+            .agg(F.count("*").cast("bigint").alias("n_components")))
+    iso_row = (n_iso.filter(F.col("n_iso") > 0)
+               .select(F.lit(1).cast("bigint").alias("sz"),
+                       F.col("n_iso").alias("n_components")))
+    return (hist.unionAll(iso_row)
+            .groupBy("sz")
+            .agg(F.sum("n_components").cast("bigint").alias("n_components"))
+            .select(F.col("sz").alias("component_size"), "n_components")
+            .orderBy("component_size"))
+
+
+def _knn_components_oracle() -> str:
+    from .knn_shared import _KNN_CTE
+    return f"""
+    {_KNN_CTE.replace("WITH ", "WITH RECURSIVE ", 1)},
+    ed AS (SELECT src AS a, dst AS b FROM knn
+           UNION SELECT dst AS a, src AS b FROM knn),
+    nodes AS (SELECT DISTINCT a AS v FROM ed),
+    reach(src, dst) AS (
+        SELECT v, v FROM nodes
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN ed e ON r.dst = e.a),
+    comp AS (SELECT src AS v, min(dst) AS comp FROM reach GROUP BY src),
+    sizes AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz
+              FROM comp GROUP BY comp),
+    iso AS (SELECT CAST(count(*) AS BIGINT) AS n_iso
+            FROM embeddings WHERE vec_id NOT IN (SELECT v FROM comp))
+    SELECT CAST(sz AS BIGINT) AS component_size,
+           CAST(sum(n_components) AS BIGINT) AS n_components
+    FROM (
+        SELECT sz, count(*) AS n_components FROM sizes GROUP BY sz
+        UNION ALL
+        SELECT 1, n_iso FROM iso WHERE n_iso > 0
+    ) GROUP BY sz ORDER BY component_size
+    """
+
+
+REGISTRY["graph_knn_components"].oracle = _knn_components_oracle()

@@ -34,7 +34,11 @@ def test_random_projection_preserves_cosine(spark):
     contract that makes the projection a usable ANN pre-filter, sized to
     the theory rather than wishful tightness (measured on this corpus:
     mean_err 0.201, corr 0.50)."""
-    proj = {r.vec_id: r.rp for r in _run(spark, "embed_random_projection").collect()}
+    rows = _run(spark, "embed_random_projection").collect()
+    # r5 reshape: components are scalar columns rp_00..rp_15 (driver-canon
+    # safe), reassembled into vectors here.
+    rp_cols = sorted(c for c in rows[0].asDict() if c.startswith("rp_"))
+    proj = {r.vec_id: [r[c] for c in rp_cols] for r in rows}
     orig = {
         r.vec_id: [float(x) for x in r.embedding]
         for r in spark.read.parquet(f"{SF}/embeddings.parquet")

@@ -1,0 +1,289 @@
+"""Invariants of the round-5 extension queries (queries/llm_ext3.py) that
+the oracle hash cannot express: the Bloom filter's one-sided error, the
+Count-Min overestimate contract, BM25 ranking against a hand-scored
+fixture, Gini bounds, curriculum-phase partitioning, attribution
+conservation, and the CMS/bloom parameter invariants."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nats_stream_processor_spark import registry
+from nats_stream_processor_spark.queries import llm_ext3 as x3
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _release():
+    yield
+    registry.release_pins()
+
+
+def _run(spark, name, sf=SF):
+    return registry.REGISTRY[name].fn(spark, sf)
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    """One-sided error contract: a true containment hit must ALWAYS be a
+    bloom hit (n_false_pos >= 0 on every row and bloom >= true), and the
+    FP count must be exactly bloom - true."""
+    rows = _run(spark, "decontaminate_bloom_filter").collect()
+    assert rows
+    for r in rows:
+        assert r.n_bloom_hits >= r.n_true_hits, r
+        assert r.n_false_pos == r.n_bloom_hits - r.n_true_hits
+        assert 0 <= r.n_bloom_hits <= r.n_grams
+
+
+def test_cms_overestimates_and_matches_exact_ranks(spark):
+    """CMS estimate >= exact count on every reported key (the sketch's
+    one-sided guarantee); ranks are 1..10 by exact count."""
+    rows = _run(spark, "sketch_cms_heavy_hitters").collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    ns = [r.exact_n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    for r in rows:
+        assert r.overestimate >= 0, r
+        assert r.cms_est == r.exact_n + r.overestimate
+
+
+def test_bm25_ranks_match_reference_formula(spark):
+    """Re-score BM25 in pure Python from raw tokens and compare the ppm
+    scores and the ranking for every returned doc."""
+    docs = {r.doc_id: r.text.lower().split()
+            for r in spark.read.parquet(f"{SF}/documents.parquet").collect()}
+    N = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / N
+    df = {t: sum(1 for toks in docs.values() if t in toks)
+          for t in x3.BM25_TERMS}
+    expect = {}
+    for d, toks in docs.items():
+        s = 0
+        for t in x3.BM25_TERMS:
+            tf = toks.count(t)
+            if not tf or not df[t]:
+                continue
+            idf = math.log((N - df[t] + 0.5) / (df[t] + 0.5) + 1)
+            dl = len(toks)
+            term = idf * tf * (x3.BM25_K1 + 1) / (
+                tf + x3.BM25_K1 * (1 - x3.BM25_B + x3.BM25_B * dl / avgdl))
+            s += math.floor(term * 1e6 + 0.5)
+        if s:
+            expect[d] = s
+    top = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:x3.BM25_TOPK]
+    got = [(r.doc_id, r.bm25_ppm)
+           for r in _run(spark, "text_bm25_topk").collect()]
+    assert got == top
+
+
+def test_gini_bounds_and_uniform_case(spark, tmp_path):
+    """Gini in [0, 1) on real data; exactly (n-1)/(3n) -> 0-ish for a
+    constructed uniform corpus (all docs equal length gives G = 0 up to
+    the discrete correction, which the rank formula makes exactly 0)."""
+    for r in _run(spark, "corpus_token_gini").collect():
+        assert -1e-6 <= r.gini < 1.0, r
+    rows = [(i, "alpha beta gamma delta", "en", "s0", 22) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    out = _run(spark, "corpus_token_gini", sf).collect()
+    assert len(out) == 1
+    assert abs(out[0].gini) < 1e-9  # equal shares -> zero concentration
+
+
+def test_curriculum_phases_partition_corpus(spark):
+    """Phase rows must partition the corpus (docs and tokens), cum_tokens
+    must be the running sum in phase order, and shares must total ~1e6."""
+    rows = _run(spark, "curation_curriculum_schedule").collect()
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = d.count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    run = 0
+    for r in sorted(rows, key=lambda r: r.phase):
+        run += r.n_tokens
+        assert r.cum_tokens == run
+    total = sum(r.n_tokens for r in rows)
+    assert total == rows[-1].cum_tokens
+    share = sum(r.share_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= share <= 1_000_000
+
+
+def test_attribution_conserves_conversions(spark):
+    """Every purchase is attributed exactly once; shares total ~1e6; the
+    'none' channel only appears when a user's first event is a purchase."""
+    rows = _run(spark, "events_attribution_last_touch").collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    assert sum(r.n_conversions for r in rows) == n_purch
+    assert all(r.channel != "purchase" for r in rows)
+    share = sum(r.share_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= share <= 1_000_000
+
+
+def test_rfm_segments_partition_users(spark):
+    """Segment rows partition the user base; every code digit is a valid
+    quartile index."""
+    rows = _run(spark, "events_rfm_segments").collect()
+    n_users = (spark.read.parquet(f"{SF}/events.parquet")
+               .select("user_id").distinct().count())
+    assert sum(r.n_users for r in rows) == n_users
+    for r in rows:
+        code = r.rfm_code
+        rq, fq, mq = code // 100, (code // 10) % 10, code % 10
+        for q in (rq, fq, mq):
+            assert 1 <= q <= x3.RFM_NTILES, code
+
+
+def test_ablation_counts_consistent_with_gopher(spark):
+    """Rule-level flag totals must equal the per-doc flag sums of
+    quality_gopher_rules (same formulas, different aggregation), and
+    n_flagged_only <= n_flagged."""
+    ab = {r.rule: r for r in _run(spark, "quality_rule_ablation").collect()}
+    registry.release_pins()
+    g = _run(spark, "quality_gopher_rules").collect()
+    assert ab["length"].n_flagged == sum(r.flag_length for r in g)
+    assert ab["mean_len"].n_flagged == sum(r.flag_mean_len for r in g)
+    assert ab["symbol"].n_flagged == sum(r.flag_symbol for r in g)
+    assert ab["stopword"].n_flagged == sum(r.flag_stopword for r in g)
+    for r in ab.values():
+        assert 0 <= r.n_flagged_only <= r.n_flagged
+
+
+def test_two_hop_reach_bounds(spark):
+    """Reach is bounded by k + k^2 (k=3 -> 12) and covers every node that
+    has at least one edge."""
+    from nats_stream_processor_spark.queries.knn_shared import KNN_GRAPH_K
+    rows = _run(spark, "graph_knn_two_hop").collect()
+    cap = KNN_GRAPH_K + KNN_GRAPH_K * KNN_GRAPH_K
+    for r in rows:
+        assert 1 <= r.reach <= cap, r
+    registry.release_pins()
+    n_nodes = (_run(spark, "sim_knn_graph").select("src").distinct().count())
+    assert sum(r.n_nodes for r in rows) == n_nodes
+
+
+def test_band_stats_account_all_docs_and_pairs(spark):
+    """Each band sees every document exactly once; candidate_pairs is
+    non-negative and consistent with C(max_bucket, 2) <= pairs."""
+    rows = _run(spark, "dedup_lsh_band_stats").collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    from nats_stream_processor_spark.operators.dedup import LSH_BANDS
+    assert len(rows) == LSH_BANDS
+    for r in rows:
+        assert r.n_docs == n_docs
+        mx = r.max_bucket
+        assert r.candidate_pairs >= mx * (mx - 1) // 2
+        assert r.n_buckets <= n_docs
+
+
+def test_market_share_bounded_and_conserved(spark):
+    """Share in [0,1]; the nation's revenue never exceeds the market's."""
+    rows = _run(spark, "join_market_share").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.nation_rev_micro <= r.total_rev_micro
+        assert 0.0 <= r.mkt_share <= 1.0
+
+
+def test_compact_latest_is_max_ts_per_user(spark):
+    """The kept row per user carries that user's max (ts, event_id)."""
+    got = {r.user_id: r for r in _run(spark, "compact_latest_per_key").collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    from collections import defaultdict
+    best, counts = {}, defaultdict(int)
+    for e in ev:
+        counts[e.user_id] += 1
+        k = (e.ts, e.event_id)
+        if e.user_id not in best or k > best[e.user_id]:
+            best[e.user_id] = k
+    assert set(got) == set(best)
+    for u, (ts, eid) in best.items():
+        assert got[u].last_event_id == eid
+        assert got[u].n_superseded == counts[u] - 1
+
+
+def test_param_invariants():
+    """Constant relationships the operators' exactness arguments rely on."""
+    assert x3.BLOOM_M & (x3.BLOOM_M - 1) == 0  # power of two
+    assert 1 <= x3.BLOOM_K <= 8
+    assert x3.CMS_D >= 2 and x3.CMS_W >= 64
+    assert x3.BOILER_MIN_DOCS >= 2
+    assert len(x3.CURRICULUM_CUTS) == len(set(x3.CURRICULUM_CUTS))
+    assert list(x3.CURRICULUM_CUTS) == sorted(x3.CURRICULUM_CUTS, reverse=True)
+
+
+def test_dataset_card_cross_checks_other_queries(spark):
+    """The fused card must agree with the standalone operators it
+    summarizes: token totals with text_token_stats' corpus, dup counts
+    with dedup_rate_by_source."""
+    card = {r.source: r for r in _run(spark, "curation_dataset_card").collect()}
+    registry.release_pins()
+    dup = {r.source: r for r in _run(spark, "dedup_rate_by_source").collect()}
+    assert set(card) == set(dup)
+    for s, c in card.items():
+        assert c.n_exact_dups == dup[s].n_docs - dup[s].n_unique
+        assert 0 <= c.dup_ppm <= 1_000_000
+        assert 0.0 <= c.mean_quality <= 1.0
+        assert c.n_langs >= 1
+
+
+def test_norm_outliers_integer_cut_is_exact(spark):
+    """Recompute the outlier cut in Python ints from the raw embeddings
+    and compare counts per label."""
+    import math as m
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    nsq = {}
+    for r in rows:
+        v = [float(x) for x in r.embedding]
+        d = sum((a * b for a, b in zip(v, v)))
+        nsq.setdefault(r.label, []).append(m.floor(d * 1e6 + 0.5))
+    n_all = sum(len(v) for v in nsq.values())
+    s_all = sum(sum(v) for v in nsq.values())
+    got = {r.label: r for r in _run(spark, "embed_norm_outliers").collect()}
+    assert set(got) == set(nsq)
+    for lab, vals in nsq.items():
+        expect_out = sum(1 for x in vals
+                         if x * n_all > x3.NORM_OUTLIER_FACTOR * s_all)
+        assert got[lab].n_vecs == len(vals)
+        assert got[lab].n_outliers == expect_out, lab
+
+
+def test_seasonality_covers_all_events(spark):
+    rows = _run(spark, "events_seasonality_profile").collect()
+    n = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert sum(r.n_events for r in rows) == n
+    for r in rows:
+        assert 1 <= r.dow <= 7 and 0 <= r.hod <= 23
+    share = sum(r.share_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= share <= 1_000_000
+
+
+def test_q6_matches_python_filter(spark):
+    import datetime
+    import math as m
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").collect()
+    lo = datetime.datetime(x3.Q6_YEAR, 1, 1)
+    hi = datetime.datetime(x3.Q6_YEAR + 1, 1, 1)
+    keep = [r for r in li
+            if lo <= r.l_shipdate < hi
+            and x3.Q6_DISC_LO <= r.l_discount <= x3.Q6_DISC_HI
+            and r.l_quantity < x3.Q6_MAX_QTY]
+    rev = sum(m.floor(r.l_extendedprice * r.l_discount * 1e6 + 0.5)
+              for r in keep)
+    got = _run(spark, "agg_revenue_q6").collect()[0]
+    assert got.n_rows == len(keep)
+    assert got.revenue_micro == rev
+
+
+def test_knn_components_conserve_vectors(spark):
+    """Component sizes (including singletons) must account for every
+    vector exactly once, and sizes must be >= 1."""
+    rows = _run(spark, "graph_knn_components").collect()
+    n_vec = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert sum(r.component_size * r.n_components for r in rows) == n_vec
+    assert all(r.component_size >= 1 and r.n_components >= 1 for r in rows)

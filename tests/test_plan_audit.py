@@ -289,3 +289,79 @@ def test_dau_wau_range_join_broadcasts_day_list(spark):
     p = plan_str(spark, "events_dau_wau", "simple")
     assert "BroadcastNestedLoopJoin" in p, p[:500]
     assert "CartesianProduct" not in p
+
+
+def test_bm25_broadcasts_stats_and_takes_ordered_head(spark):
+    """BM25: document frequencies and corpus length stats must be the
+    BROADCAST side (they are O(query terms) and O(1)); the top-k head
+    must be TakeOrderedAndProject, never a global sort of all scored
+    docs."""
+    p = plan_str(spark, "text_bm25_topk")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" in p  # 1-row stats crossJoin
+    assert "TakeOrderedAndProject" in p
+
+
+def test_market_share_broadcasts_dims_single_fact_shuffle(spark):
+    """Q8 shape: nation/region/supplier ride broadcasts; the only
+    big-big SortMergeJoins allowed are lineitem-orders (order key) and
+    orders-customer (customer scales WITH the fact — broadcasting it
+    would be the 100 TB mistake)."""
+    p = plan_str(spark, "join_market_share")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert p.count("SortMergeJoin") <= 2
+
+
+def test_promo_share_part_is_broadcast(spark):
+    """Q14 shape: part is a dimension — must broadcast against the
+    lineitem fact, one conditional-agg pass (partial+final)."""
+    p = plan_str(spark, "join_promo_revenue_share")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "partial_sum" in p
+
+
+def test_compact_latest_single_exchange(spark):
+    """Latest-per-key compaction: row_number and the version count share
+    ONE hash partitioning on the key — exactly one hash exchange in the
+    plan (plus nothing for the count)."""
+    p = plan_str(spark, "compact_latest_per_key")
+    hashex = re.findall(r"hashpartitioning\(([^)]*)\)", p)
+    assert len(hashex) == 1 and "user_id" in hashex[0], hashex
+
+
+def test_bloom_decontamination_broadcasts_bitset(spark):
+    """The Bloom bit-set and the exact eval-gram set are the broadcast
+    sides; corpus grams must never be the build side."""
+    p = plan_str(spark, "decontaminate_bloom_filter")
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_cms_counters_broadcast_to_estimate_join(spark):
+    """The D x W counter table (constant-size) must broadcast into the
+    estimate join; the per-key count is a partial+final aggregate."""
+    p = plan_str(spark, "sketch_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in p
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_centroid_drift_is_wide_agg_no_explode(spark):
+    """The Spark plan must aggregate 64 quantized component sums grouped
+    by label (map-side partials) — no Generate/explode row blowup (the
+    oracle's unnest rendering is the oracle's business)."""
+    p = plan_str(spark, "embed_centroid_drift")
+    assert "Generate" not in p
+    assert "partial_sum" in p
+
+
+def test_boilerplate_shuffles_shingle_ids_not_text(spark):
+    """Boilerplate detection: every hash-partitioned exchange must carry
+    only ids/digests — document text never crosses a shuffle."""
+    p = plan_str(spark, "text_boilerplate_ngrams")
+    hash_exchanges = [s for s in re.split(r"\n\(\d+\) ", p)
+                      if s.startswith("Exchange") and "hashpartitioning" in s]
+    assert hash_exchanges, p[:400]
+    for section in hash_exchanges:
+        input_line = next(
+            (ln for ln in section.splitlines() if ln.startswith("Input")), "")
+        assert "text#" not in input_line, section[:400]
