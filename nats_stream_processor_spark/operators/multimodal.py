@@ -120,3 +120,96 @@ def with_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     media; utf-8 bytes stand in so the binary-column path is exercised
     end-to-end with verifiable values)."""
     return df.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
+
+
+PHASH_BITS = 60          # signature width (fits signed 64 with headroom)
+PHASH_CHUNKS = 4         # banding chunks (pigeonhole recall for dist <= 3)
+PHASH_CHUNK_BITS = 15    # BITS / CHUNKS
+PHASH_MAX_DIST = 3       # Hamming radius for "near-dup frames"
+
+MEDIA_PHASH_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("phash", LongType()),
+])
+
+
+def phash_signature(payload: bytes) -> int:
+    """Perceptual-hash STYLE signature over the stub decode: sample
+    PHASH_BITS evenly-spaced bytes, threshold each against the sample
+    median (interpolated for even counts — matching SQL median()), pack
+    the > bits into an int. A real deployment would DCT the decoded
+    luma plane here; the sampling/threshold/packing and the banded
+    near-dup join around it are the production shape, and every step is
+    byte-arithmetic an engine-independent oracle can replay."""
+    import statistics
+
+    n = len(payload)
+    if n == 0:
+        return 0
+    vals = [payload[(i * n) // PHASH_BITS] for i in range(PHASH_BITS)]
+    med = statistics.median(vals)
+    sig = 0
+    for i, v in enumerate(vals):
+        if v > med:
+            sig |= 1 << i
+    return sig
+
+
+def media_phash(df: DataFrame, payload_col: str = "payload",
+                id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched signature extraction; payloads never leave the map
+    side — only the (id, int64) signature rows shuffle."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].values,
+                "phash": [phash_signature(bytes(p))
+                          for p in pdf[payload_col]],
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        extract, MEDIA_PHASH_SCHEMA)
+
+
+AUDIO_WIN = 256      # bytes per analysis window
+AUDIO_HOP = 128      # hop (50% overlap)
+AUDIO_MAX_WINS = 6   # cap per item (head is enough for fingerprinting)
+
+MEDIA_AUDIO_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("win_idx", IntegerType()),
+    StructField("byte_offset", LongType()),
+    StructField("energy_sum", LongType()),
+    StructField("window_hash", StringType()),
+])
+
+
+def audio_windows(df: DataFrame, payload_col: str = "payload",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Overlapping fixed-width window features over binary media — the
+    audio analog of frame sampling (STFT hop pattern): per window an
+    integer energy proxy (byte-value sum; a real pipeline computes RMS
+    of decoded PCM here) and a content hash. 1→N mapInPandas; windows
+    shuffle, payloads never do."""
+
+    def windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(p)
+                n = len(p)
+                n_wins = min(AUDIO_MAX_WINS,
+                             1 + max(0, n - AUDIO_WIN) // AUDIO_HOP)
+                for j in range(n_wins):
+                    off = j * AUDIO_HOP
+                    chunk = p[off:off + AUDIO_WIN]
+                    rows.append((
+                        did, j, off, sum(chunk),
+                        hashlib.md5(chunk.hex().encode()).hexdigest(),
+                    ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_AUDIO_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        windows, MEDIA_AUDIO_SCHEMA)

@@ -1488,3 +1488,154 @@ def _knn_components_oracle() -> str:
 
 
 REGISTRY["graph_knn_components"].oracle = _knn_components_oracle()
+
+
+# --------------------------------------- perceptual-hash media near-dup
+
+@register(
+    "media_phash_near_dup",
+    oracle=None,  # set below
+    tags=("llm", "multimodal", "phash", "near-dup"),
+)
+def q_media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over binary media — the
+    image/video analog of SimHash text dedup: mapInPandas extracts a
+    60-bit threshold signature per payload (decode stubbed; see
+    operators/multimodal.phash_signature), signatures band into 4
+    15-bit chunks, candidates collide on any chunk, pairs verify at
+    Hamming distance <= 3 via XOR popcount.
+
+    Scale shape: payloads never shuffle — only (id, int64) signature
+    rows do; the chunk equi-join is the banding that keeps candidate
+    generation linear; the verify is a bit op on two int64s. The oracle
+    replays every byte: sampled positions, interpolated median,
+    bit packing, banding and popcount."""
+    from ..operators.multimodal import (
+        PHASH_CHUNK_BITS,
+        PHASH_CHUNKS,
+        PHASH_MAX_DIST,
+        media_phash,
+        with_payload,
+    )
+    d = with_payload(spread(table(spark, sf_dir, "documents")))
+    sig = pin(media_phash(d))
+    chunks = sig.select(
+        "doc_id", "phash",
+        F.posexplode(F.array(*[
+            F.shiftright("phash", PHASH_CHUNK_BITS * c)
+            .bitwiseAND(F.lit((1 << PHASH_CHUNK_BITS) - 1))
+            for c in range(PHASH_CHUNKS)])).alias("c", "chunk"))
+    a = chunks.select(F.col("doc_id").alias("doc_a"),
+                      F.col("phash").alias("ph_a"), "c", "chunk")
+    b = chunks.select(F.col("doc_id").alias("doc_b"),
+                      F.col("phash").alias("ph_b"), "c", "chunk")
+    cand = (a.join(b, ["c", "chunk"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "ph_a", "ph_b").distinct())
+    return (cand.select(
+        "doc_a", "doc_b",
+        F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("int")
+        .alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_MAX_DIST)
+        .orderBy("doc_a", "doc_b"))
+
+
+def _phash_oracle() -> str:
+    from ..operators.multimodal import (
+        PHASH_BITS,
+        PHASH_CHUNK_BITS,
+        PHASH_CHUNKS,
+        PHASH_MAX_DIST,
+    )
+    return f"""
+    WITH p AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+                      octet_length(encode(text)) AS n
+               FROM documents),
+    v AS (SELECT doc_id, n,
+                 CASE WHEN n = 0 THEN [] ELSE
+                     list_transform(range(0, {PHASH_BITS}),
+                         i -> CAST('0x' ||
+                              substr(hx, 2 * ((i * n) // {PHASH_BITS}) + 1,
+                                     2) AS INT))
+                 END AS vals
+          FROM p),
+    m AS (SELECT doc_id, vals,
+                 CASE WHEN len(vals) = 0 THEN 0
+                      ELSE list_aggregate(vals, 'median') END AS med
+          FROM v),
+    sig AS (SELECT doc_id,
+                   CASE WHEN len(vals) = 0 THEN CAST(0 AS BIGINT) ELSE
+                       CAST(list_sum(list_transform(
+                           range(0, {PHASH_BITS}),
+                           i -> CASE WHEN vals[i + 1] > med
+                                THEN (CAST(1 AS BIGINT) << i)
+                                ELSE 0 END)) AS BIGINT)
+                   END AS phash
+            FROM m),
+    ch AS (SELECT doc_id, phash, c,
+                  (phash >> ({PHASH_CHUNK_BITS} * c))
+                    & {(1 << PHASH_CHUNK_BITS) - 1} AS chunk
+           FROM sig CROSS JOIN (SELECT unnest(range(0, {PHASH_CHUNKS}))
+                                AS c) u),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.phash AS ph_a, b.phash AS ph_b
+             FROM ch a JOIN ch b
+               ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= {PHASH_MAX_DIST}
+    ORDER BY doc_a, doc_b
+    """
+
+
+REGISTRY["media_phash_near_dup"].oracle = _phash_oracle()
+
+
+# --------------------------------------- audio-style window features
+
+@register(
+    "media_audio_windows",
+    oracle=None,  # set below
+    tags=("llm", "multimodal", "audio-windows"),
+)
+def q_media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping window features over binary media (the STFT-hop
+    pattern): up to 6 half-overlapping 256-byte windows per item, each
+    with an integer energy proxy and a content hash — the fingerprint
+    substrate audio dedup/search builds on. 1→N mapInPandas fan-out;
+    window rows shuffle, payloads never do; the oracle replays offsets,
+    byte sums and hashes from the hex encoding."""
+    from ..operators.multimodal import audio_windows, with_payload
+    d = with_payload(spread(table(spark, sf_dir, "documents")))
+    return audio_windows(d).orderBy("doc_id", "win_idx")
+
+
+def _audio_windows_oracle() -> str:
+    from ..operators.multimodal import AUDIO_HOP, AUDIO_MAX_WINS, AUDIO_WIN
+    return f"""
+    WITH p AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+                      octet_length(encode(text)) AS n
+               FROM documents),
+    w AS (SELECT doc_id, hx, n,
+                 least({AUDIO_MAX_WINS},
+                       1 + greatest(0, n - {AUDIO_WIN}) // {AUDIO_HOP})
+                   AS n_wins
+          FROM p),
+    x AS (SELECT doc_id, hx, n, CAST(j AS INT) AS win_idx,
+                 CAST(j * {AUDIO_HOP} AS BIGINT) AS byte_offset
+          FROM w CROSS JOIN (SELECT unnest(range(0, {AUDIO_MAX_WINS}))
+                             AS j) u
+          WHERE j < n_wins)
+    SELECT doc_id, win_idx, byte_offset,
+           CAST(coalesce(list_sum(list_transform(
+                    range(byte_offset,
+                          least(byte_offset + {AUDIO_WIN}, n)),
+                    k -> CAST('0x' || substr(hx, 2 * k + 1, 2) AS INT))),
+                0) AS BIGINT) AS energy_sum,
+           md5(substr(hx, 2 * byte_offset + 1, {2 * AUDIO_WIN}))
+             AS window_hash
+    FROM x ORDER BY doc_id, win_idx
+    """
+
+
+REGISTRY["media_audio_windows"].oracle = _audio_windows_oracle()

@@ -287,3 +287,57 @@ def test_knn_components_conserve_vectors(spark):
     n_vec = spark.read.parquet(f"{SF}/embeddings.parquet").count()
     assert sum(r.component_size * r.n_components for r in rows) == n_vec
     assert all(r.component_size >= 1 and r.n_components >= 1 for r in rows)
+
+
+def test_phash_signature_matches_python_reference(spark):
+    """The distributed signatures must equal a direct Python evaluation
+    of phash_signature over the same payloads, and banding must find
+    every pair within the Hamming radius that shares a chunk."""
+    from nats_stream_processor_spark.operators.multimodal import (
+        PHASH_BITS,
+        phash_signature,
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    expect = {r.doc_id: phash_signature(r.text.encode("utf-8")) for r in docs}
+    from nats_stream_processor_spark.operators.multimodal import (
+        media_phash,
+        with_payload,
+    )
+    d = with_payload(spark.read.parquet(f"{SF}/documents.parquet"))
+    got = {r.doc_id: r.phash for r in media_phash(d).collect()}
+    assert got == expect
+    for s in got.values():
+        assert 0 <= s < (1 << PHASH_BITS)
+
+
+def test_phash_near_dup_pairs_are_within_radius(spark):
+    from nats_stream_processor_spark.operators.multimodal import PHASH_MAX_DIST
+    rows = _run(spark, "media_phash_near_dup").collect()
+    for r in rows:
+        assert 0 <= r.hamming <= PHASH_MAX_DIST
+        assert r.doc_a < r.doc_b
+
+
+def test_audio_windows_cover_head_with_overlap(spark):
+    """Window offsets follow the hop grid, energy sums equal direct byte
+    sums, and the window count honors the cap."""
+    from nats_stream_processor_spark.operators.multimodal import (
+        AUDIO_HOP,
+        AUDIO_MAX_WINS,
+        AUDIO_WIN,
+    )
+    docs = {r.doc_id: r.text.encode("utf-8")
+            for r in spark.read.parquet(f"{SF}/documents.parquet").collect()}
+    rows = _run(spark, "media_audio_windows").collect()
+    from collections import defaultdict
+    per = defaultdict(list)
+    for r in rows:
+        per[r.doc_id].append(r)
+    assert set(per) == set(docs)
+    for did, ws in per.items():
+        p = docs[did]
+        n_exp = min(AUDIO_MAX_WINS, 1 + max(0, len(p) - AUDIO_WIN) // AUDIO_HOP)
+        assert len(ws) == n_exp, did
+        for r in ws:
+            assert r.byte_offset == r.win_idx * AUDIO_HOP
+            assert r.energy_sum == sum(p[r.byte_offset:r.byte_offset + AUDIO_WIN])
