@@ -294,6 +294,45 @@ NOTES = {
         "ids. The report itself is three 1-row aggregates cross-joined "
         "— constant data regardless of corpus size."
     ),
+    "text_bm25_topk": (
+        "Query-term filter prunes the exploded postings BEFORE the "
+        "(doc, term) shuffle; document frequencies and the corpus "
+        "length stats are broadcast (BHJ + 1-row BNLJ); the head is "
+        "TakeOrderedAndProject, never a global sort."
+    ),
+    "decontaminate_bloom_filter": (
+        "The Bloom bit-set and the exact eval-gram set are broadcast "
+        "build sides (at deploy scale the bit-set is literally M bits); "
+        "corpus grams flow map-side into one per-doc aggregation — no "
+        "corpus-side shuffle before the count."
+    ),
+    "sketch_cms_heavy_hitters": (
+        "The D x W counter table is a constant-size aggregate broadcast "
+        "into the estimate join; the keyed count is partial+final; the "
+        "exact top-10 is a bounded window over the per-key aggregate."
+    ),
+    "join_market_share": (
+        "nation/region/supplier broadcast; the two legitimate big-big "
+        "SortMergeJoins are lineitem-orders and orders-customer "
+        "(customer scales WITH the fact — broadcasting it would be the "
+        "100 TB mistake). Revenue is int64-quantized before the "
+        "partial aggregation."
+    ),
+    "compact_latest_per_key": (
+        "row_number and the per-key version count share ONE hash "
+        "exchange on the key — the single-shuffle CDC/upsert "
+        "compaction plan (no join back to a max-ts subquery)."
+    ),
+    "embed_centroid_drift": (
+        "64 quantized component sums grouped by label — map-side "
+        "partials, no Generate/explode row blowup; the global centroid "
+        "is a window over the |labels| result rows."
+    ),
+    "media_phash_near_dup": (
+        "Signatures extracted map-side via mapInPandas (payloads never "
+        "shuffle); the 15-bit chunk equi-join is the banding that keeps "
+        "candidates linear; verification is XOR popcount on int64s."
+    ),
 }
 
 
