@@ -1639,3 +1639,406 @@ def _audio_windows_oracle() -> str:
 
 
 REGISTRY["media_audio_windows"].oracle = _audio_windows_oracle()
+
+
+# --------------------------------------- RAKE keyphrase extraction
+
+from ..operators.textstats import STOPWORDS as _STOP
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOP)
+
+
+@register(
+    "text_keyphrases_rake",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    t AS (SELECT doc_id,
+                 CAST(generate_subscripts(toks, 1) - 1 AS INT) AS pos,
+                 unnest(toks) AS tok,
+                 CAST(unnest(toks) IN ({_STOP_SQL}) AS INT) AS is_stop
+          FROM d),
+    r AS (SELECT *, CAST(sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+          FROM t),
+    nw AS (SELECT doc_id, run_id, pos, tok FROM r WHERE is_stop = 0),
+    ph AS (SELECT doc_id, run_id,
+                  string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                  CAST(count(*) AS BIGINT) AS plen
+           FROM nw GROUP BY 1, 2),
+    wf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS freq
+           FROM nw GROUP BY 1, 2),
+    dg AS (SELECT nw.doc_id, nw.tok, CAST(sum(ph.plen) AS BIGINT) AS degree
+           FROM nw JOIN ph ON ph.doc_id = nw.doc_id
+                          AND ph.run_id = nw.run_id
+           GROUP BY 1, 2),
+    ws AS (SELECT wf.doc_id, wf.tok,
+                  CAST(dg.degree * 1000000 // wf.freq AS BIGINT) AS w_ppm
+           FROM wf JOIN dg ON dg.doc_id = wf.doc_id AND dg.tok = wf.tok),
+    ps AS (SELECT nw.doc_id, nw.run_id,
+                  CAST(sum(ws.w_ppm) AS BIGINT) AS score_ppm
+           FROM nw JOIN ws ON ws.doc_id = nw.doc_id AND ws.tok = nw.tok
+           GROUP BY 1, 2),
+    top AS (SELECT ps.doc_id, ph.phrase, ps.score_ppm,
+                   row_number() OVER (PARTITION BY ps.doc_id
+                                      ORDER BY ps.score_ppm DESC, ph.phrase)
+                     AS rk,
+                   CAST(count(*) OVER (PARTITION BY ps.doc_id) AS BIGINT)
+                     AS n_phrases
+            FROM ps JOIN ph ON ph.doc_id = ps.doc_id
+                           AND ph.run_id = ps.run_id)
+    SELECT doc_id, phrase AS top_phrase, score_ppm, n_phrases
+    FROM top WHERE rk = 1 ORDER BY doc_id
+    """,
+    tags=("llm", "keyphrase", "rake"),
+)
+def q_keyphrases_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction — stopword-delimited candidate phrases
+    scored by summed word degree/frequency, top phrase per document. The
+    unsupervised keyword tagger corpus indexing and topic labeling run
+    before anything model-based.
+
+    Exactness: word scores are integer-divided ppm (degree*1e6 // freq),
+    phrase scores are int64 sums — the ranking is integer-exact on both
+    engines, ties broken lexicographically. Plan shape: every shuffle is
+    keyed by doc_id (positions, phrases, word stats all co-partition),
+    so at 100 TB this is per-document work with no cross-document state;
+    phrase strings are assembled from sorted (pos, tok) structs, never
+    relying on collect order."""
+    d = spread(table(spark, sf_dir, "documents"))
+    t = (d.select("doc_id", F.posexplode(tokens_col(F.col("text")))
+                  .alias("pos", "tok"))
+         .withColumn("is_stop", F.col("tok").isin(*_STOP).cast("int")))
+    wrun = (Window.partitionBy("doc_id").orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    nw = (t.withColumn("run_id", F.sum("is_stop").over(wrun).cast("bigint"))
+          .filter(F.col("is_stop") == 0)
+          .select("doc_id", "run_id", "pos", "tok"))
+    nw = pin(nw)
+    ph = (nw.groupBy("doc_id", "run_id")
+          .agg(F.concat_ws(
+                  " ",
+                  F.transform(F.sort_array(F.collect_list(
+                      F.struct("pos", "tok"))), lambda s: s["tok"]))
+               .alias("phrase"),
+               F.count("*").cast("bigint").alias("plen")))
+    ph = pin(ph)
+    wf = nw.groupBy("doc_id", "tok").agg(F.count("*").cast("bigint")
+                                         .alias("freq"))
+    dg = (nw.join(ph.select("doc_id", "run_id", "plen"),
+                  ["doc_id", "run_id"])
+          .groupBy("doc_id", "tok")
+          .agg(F.sum("plen").cast("bigint").alias("degree")))
+    ws = (wf.join(dg, ["doc_id", "tok"])
+          .select("doc_id", "tok",
+                  (F.col("degree") * 1000000 / F.col("freq"))
+                  .cast("bigint").alias("w_ppm")))
+    ps = (nw.join(ws, ["doc_id", "tok"])
+          .groupBy("doc_id", "run_id")
+          .agg(F.sum("w_ppm").cast("bigint").alias("score_ppm")))
+    scored = ps.join(ph.select("doc_id", "run_id", "phrase"),
+                     ["doc_id", "run_id"])
+    wtop = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), "phrase")
+    wcnt = Window.partitionBy("doc_id")
+    return (scored
+            .withColumn("rk", F.row_number().over(wtop))
+            .withColumn("n_phrases", F.count("*").over(wcnt).cast("bigint"))
+            .filter(F.col("rk") == 1)
+            .select("doc_id", F.col("phrase").alias("top_phrase"),
+                    "score_ppm", "n_phrases")
+            .orderBy("doc_id"))
+
+
+# --------------------------------------- two-phase annealing mixture
+
+ANNEAL_FRAC_DEN = 10  # anneal budget = total // 10
+
+
+@register(
+    "curation_annealing_mixture",
+    oracle=(lambda qs: f"""
+    WITH d AS (SELECT source,
+                      len({_TOKS}) AS n_tok,
+                      CAST(floor({qs['quality_score']} * 1e6 + 0.5)
+                           AS BIGINT) AS q_ppm
+               FROM documents),
+    s AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tok,
+                 CAST(sum(q_ppm * n_tok) AS BIGINT) AS qtok
+          FROM d GROUP BY source),
+    g AS (SELECT *, CAST(sum(tok) OVER () AS BIGINT) AS t_all,
+                 CAST(sum(qtok) OVER () AS BIGINT) AS qt_all
+          FROM s)
+    SELECT source, tok AS n_tokens,
+           CAST((t_all - t_all // {ANNEAL_FRAC_DEN}) * tok // t_all
+                AS BIGINT) AS pretrain_tokens,
+           CAST((t_all // {ANNEAL_FRAC_DEN}) * qtok
+                // greatest(qt_all, 1) AS BIGINT) AS anneal_tokens,
+           CAST((t_all // {ANNEAL_FRAC_DEN}) * qtok // greatest(qt_all, 1)
+                * 1000000 // greatest(t_all // {ANNEAL_FRAC_DEN}, 1)
+                AS BIGINT) AS anneal_share_ppm
+    FROM g ORDER BY source
+    """)(__import__(
+        "nats_stream_processor_spark.operators.textstats",
+        fromlist=["quality_sql"]).quality_sql("text")),
+    tags=("llm", "curation", "annealing"),
+)
+def q_annealing_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase training mixture: the pretrain phase allocates 90% of
+    the token budget proportional to raw source size; the anneal phase
+    (final 10%) reallocates proportional to QUALITY-WEIGHTED tokens —
+    the standard end-of-training upweighting of high-quality sources.
+    Per-doc quality is ppm-quantized before the weighted sum, so every
+    allocation is exact integer arithmetic; totals are windows over the
+    ~|sources|-row aggregate (bounded cardinality)."""
+    from ..operators.textstats import quality_cols
+    d = spread(table(spark, sf_dir, "documents"))
+    qs = quality_cols(F.col("text"))["quality_score"]
+    s = (d.select("source",
+                  F.size(tokens_col(F.col("text"))).alias("n_tok"),
+                  F.floor(qs * 1e6 + F.lit(0.5)).cast("bigint")
+                  .alias("q_ppm"))
+         .groupBy("source")
+         .agg(F.sum("n_tok").cast("bigint").alias("tok"),
+              F.sum(F.col("q_ppm") * F.col("n_tok")).cast("bigint")
+              .alias("qtok")))
+    wall = Window.partitionBy()
+    g = (s.withColumn("t_all", F.sum("tok").over(wall).cast("bigint"))
+         .withColumn("qt_all", F.sum("qtok").over(wall).cast("bigint")))
+    # All allocations via integer `div` so Spark matches the oracle's //
+    # exactly (no double round-trip).
+    den = ANNEAL_FRAC_DEN
+    return (g.select(
+        "source", F.col("tok").alias("n_tokens"),
+        F.expr(f"(t_all - t_all div {den}) * tok div t_all")
+        .cast("bigint").alias("pretrain_tokens"),
+        F.expr(f"(t_all div {den}) * qtok div greatest(qt_all, 1)")
+        .cast("bigint").alias("anneal_tokens"),
+        F.expr(f"(t_all div {den}) * qtok div greatest(qt_all, 1) "
+               f"* 1000000 div greatest(t_all div {den}, 1)")
+        .cast("bigint").alias("anneal_share_ppm"))
+        .orderBy("source"))
+
+
+# --------------------------------------- cohort LTV matrix
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+    WITH u AS (SELECT user_id,
+                      CAST(date_trunc('week', min(ts)) AS DATE)
+                        AS cohort_week
+               FROM events GROUP BY 1),
+    e AS (SELECT ev.user_id, u.cohort_week,
+                 CAST(date_diff('day', u.cohort_week,
+                      CAST(date_trunc('week', ev.ts) AS DATE)) // 7
+                      AS INT) AS age_weeks,
+                 CAST(floor(ev.value * 1e6 + 0.5) AS BIGINT) AS v_micro
+          FROM events ev JOIN u USING (user_id)),
+    g AS (SELECT cohort_week, age_weeks,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users,
+                 CAST(sum(v_micro) AS BIGINT) AS value_micro
+          FROM e GROUP BY 1, 2)
+    SELECT cohort_week, age_weeks, n_active_users, value_micro,
+           CAST(sum(value_micro) OVER (PARTITION BY cohort_week
+                                       ORDER BY age_weeks) AS BIGINT)
+             AS cum_value_micro
+    FROM g ORDER BY cohort_week, age_weeks
+    """,
+    tags=("events", "cohort", "ltv"),
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: users grouped by first-seen ISO
+    week, event value accumulated by weeks-since-cohort — the LTV curve
+    per acquisition cohort (events_retention_cohorts is the activity
+    face; this is the value face). Week truncation is ISO-Monday on
+    both engines; values int64-quantized pre-sum; the cumulative sum is
+    a window over the bounded (cohort x age) grid. Two keyed shuffles:
+    first-seen per user, then the cohort-age aggregate."""
+    ev = spread(table(spark, sf_dir, "events"))
+    u = (ev.groupBy("user_id")
+         .agg(F.date_trunc("week", F.min("ts")).cast("date")
+              .alias("cohort_week")))
+    e = (ev.join(u, "user_id")
+         .select("user_id", "cohort_week",
+                 (F.datediff(F.date_trunc("week", F.col("ts")).cast("date"),
+                             F.col("cohort_week")) / 7).cast("int")
+                 .alias("age_weeks"),
+                 F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")
+                 .alias("v_micro")))
+    g = (e.groupBy("cohort_week", "age_weeks")
+         .agg(F.count_distinct("user_id").cast("bigint")
+              .alias("n_active_users"),
+              F.sum("v_micro").cast("bigint").alias("value_micro")))
+    wcum = (Window.partitionBy("cohort_week").orderBy("age_weeks")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    return (g.withColumn("cum_value_micro",
+                         F.sum("value_micro").over(wcum).cast("bigint"))
+            .orderBy("cohort_week", "age_weeks"))
+
+
+# --------------------------------------- corpus novelty decay (Heaps)
+
+NOVELTY_DECILES = 10
+
+
+@register(
+    "corpus_novelty_decay",
+    oracle=None,  # set below
+    tags=("llm", "novelty-decay", "heaps"),
+)
+def q_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve over ingestion order: the
+    corpus is cut into 10 doc-id deciles; per decile, how many distinct
+    8-gram shingles appear at all vs appear for the FIRST time. The
+    decay of first-time grams is the saturation diagnostic that tells a
+    crawl when additional data stops adding novel content.
+
+    Shuffles carry int64 shingle ids keyed by sid (first-decile = min
+    aggregate) — never text; the decile histogram is a 10-row result."""
+    from ..operators.dedup import shingle_ids_tok_col, token_hashes_32_col
+    from .llm import DECON_NGRAM
+
+    d = spread(table(spark, sf_dir, "documents"))
+    mx = d.agg(F.max("doc_id").alias("max_id"))
+    ex = (d.crossJoin(F.broadcast(mx))
+          .select(F.least(F.lit(NOVELTY_DECILES - 1),
+                          (F.col("doc_id") * NOVELTY_DECILES
+                           / (F.col("max_id") + 1)).cast("int"))
+                  .alias("decile"),
+                  F.explode(shingle_ids_tok_col(
+                      token_hashes_32_col(F.col("text")).alias("hs"),
+                      n=DECON_NGRAM)).alias("sid")))
+    ex = pin(ex.distinct())
+    per = ex.groupBy("decile").agg(F.count("*").cast("bigint")
+                                   .alias("n_distinct_grams"))
+    first = (ex.groupBy("sid").agg(F.min("decile").alias("decile"))
+             .groupBy("decile").agg(F.count("*").cast("bigint")
+                                    .alias("n_new_grams")))
+    return (per.join(first, "decile", "left")
+            .select("decile", "n_distinct_grams",
+                    F.coalesce("n_new_grams", F.lit(0)).cast("bigint")
+                    .alias("n_new_grams"))
+            .withColumn("novelty_ppm",
+                        (F.col("n_new_grams") * 1000000
+                         / F.greatest(F.col("n_distinct_grams"), F.lit(1)))
+                        .cast("bigint"))
+            .orderBy("decile"))
+
+
+def _novelty_oracle() -> str:
+    from ..operators.dedup import shingle_ids_tok_sql, token_hashes_32_duck_sql
+    from .llm import DECON_NGRAM
+    return f"""
+    WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+    t AS (SELECT least({NOVELTY_DECILES - 1},
+                       CAST(doc_id * {NOVELTY_DECILES} // (mx.max_id + 1)
+                            AS INT)) AS decile,
+                 {_TOKS} AS toks
+          FROM documents CROSS JOIN mx),
+    h AS (SELECT decile, {token_hashes_32_duck_sql('toks')} AS hs FROM t),
+    ex AS (SELECT DISTINCT decile,
+                  unnest({shingle_ids_tok_sql('hs', n=DECON_NGRAM)}) AS sid
+           FROM h),
+    per AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_distinct_grams
+            FROM ex GROUP BY 1),
+    fst AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_new_grams
+            FROM (SELECT sid, min(decile) AS decile FROM ex GROUP BY sid)
+            GROUP BY 1)
+    SELECT per.decile, per.n_distinct_grams,
+           CAST(coalesce(fst.n_new_grams, 0) AS BIGINT) AS n_new_grams,
+           CAST(coalesce(fst.n_new_grams, 0) * 1000000
+                // greatest(per.n_distinct_grams, 1) AS BIGINT)
+             AS novelty_ppm
+    FROM per LEFT JOIN fst ON fst.decile = per.decile
+    ORDER BY per.decile
+    """
+
+
+REGISTRY["corpus_novelty_decay"].oracle = _novelty_oracle()
+
+
+# --------------------------------------- bot-regularity flags
+
+BOT_GAP_CAP_S = 604_800   # gaps capped at one week (bounds sum-of-squares)
+BOT_CV2_MAX = 0.1         # squared coefficient of variation "too regular"
+BOT_MIN_EVENTS = 20       # flag only active users
+
+
+@register(
+    "events_bot_regularity_flags",
+    oracle=f"""
+    WITH s AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+    g AS (SELECT user_id,
+                 CASE WHEN prev_us IS NULL THEN NULL
+                      ELSE least((us - prev_us) // 1000000,
+                                 {BOT_GAP_CAP_S}) END AS gap_s
+          FROM (SELECT user_id, us,
+                       lag(us) OVER (PARTITION BY user_id
+                                     ORDER BY us, event_id) AS prev_us
+                FROM s)),
+    u AS (SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(count(gap_s) AS BIGINT) AS n_gaps,
+                 CAST(coalesce(sum(gap_s), 0) AS BIGINT) AS sum_g,
+                 CAST(coalesce(sum(gap_s * gap_s), 0) AS BIGINT) AS sum_g2
+          FROM g GROUP BY 1)
+    SELECT user_id, n_events,
+           {sim.round6_stable_sql(
+               'CASE WHEN n_gaps > 0 THEN sum_g / CAST(n_gaps AS DOUBLE) '
+               'ELSE 0 END')} AS mean_gap_s,
+           {sim.round6_stable_sql(
+               'CASE WHEN n_gaps > 1 AND sum_g > 0 THEN '
+               'n_gaps * sum_g2 / (CAST(sum_g AS DOUBLE) * sum_g) - 1 '
+               'ELSE 0 END')} AS cv2,
+           CAST(n_events >= {BOT_MIN_EVENTS} AND n_gaps > 1 AND sum_g > 0
+                AND {sim.round6_stable_sql(
+                    'n_gaps * sum_g2 / (CAST(sum_g AS DOUBLE) * sum_g) - 1')}
+                    < {BOT_CV2_MAX} AS INT) AS flag_regular
+    FROM u ORDER BY user_id
+    """,
+    tags=("events", "bot-detection"),
+)
+def q_bot_regularity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automation-signal scoring per user: inter-event gap statistics
+    and the squared coefficient of variation — near-constant gaps
+    (cv^2 < {BOT_CV2_MAX}) on an active account are the classic
+    scheduled-bot signature human traffic doesn't produce.
+
+    Exactness: gaps are exact integer seconds (microsecond timestamps,
+    integer division), capped at one week so the int64 sum of squares
+    cannot overflow at any realistic per-user event count; cv^2 is
+    formed once per user from the integer moments and stable-rounded
+    BEFORE the threshold compare, so the flag cannot straddle engines.
+    One lag window + one aggregate, both on the same user partitioning."""
+    ev = spread(table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g = (ev.select("user_id", F.unix_micros("ts").alias("us"), "event_id")
+         .withColumn("prev_us", F.lag("us").over(w))
+         .withColumn("gap_s",
+                     F.when(F.col("prev_us").isNull(), F.lit(None))
+                     .otherwise(F.least(
+                         F.expr("(us - prev_us) div 1000000"),
+                         F.lit(BOT_GAP_CAP_S).cast("bigint")))))
+    u = (g.groupBy("user_id")
+         .agg(F.count("*").cast("bigint").alias("n_events"),
+              F.count("gap_s").cast("bigint").alias("n_gaps"),
+              F.coalesce(F.sum("gap_s"), F.lit(0)).cast("bigint")
+              .alias("sum_g"),
+              F.coalesce(F.sum(F.col("gap_s") * F.col("gap_s")), F.lit(0))
+              .cast("bigint").alias("sum_g2")))
+    mean_gap = F.when(F.col("n_gaps") > 0,
+                      F.col("sum_g") / F.col("n_gaps").cast("double")) \
+                .otherwise(F.lit(0.0))
+    cv2_raw = (F.col("n_gaps") * F.col("sum_g2")
+               / (F.col("sum_g").cast("double") * F.col("sum_g")) - 1)
+    cv2 = F.when((F.col("n_gaps") > 1) & (F.col("sum_g") > 0), cv2_raw) \
+           .otherwise(F.lit(0.0))
+    return (u.select(
+        "user_id", "n_events",
+        sim.round6_stable(mean_gap).alias("mean_gap_s"),
+        sim.round6_stable(cv2).alias("cv2"),
+        ((F.col("n_events") >= BOT_MIN_EVENTS) & (F.col("n_gaps") > 1)
+         & (F.col("sum_g") > 0)
+         & (sim.round6_stable(cv2_raw) < BOT_CV2_MAX)).cast("int")
+        .alias("flag_regular"))
+        .orderBy("user_id"))

@@ -341,3 +341,99 @@ def test_audio_windows_cover_head_with_overlap(spark):
         for r in ws:
             assert r.byte_offset == r.win_idx * AUDIO_HOP
             assert r.energy_sum == sum(p[r.byte_offset:r.byte_offset + AUDIO_WIN])
+
+
+def test_rake_top_phrase_matches_python_reference(spark):
+    """Re-run RAKE in pure Python (stopword runs, degree/freq ppm
+    scoring) and compare the winning phrase and score for every doc."""
+    import re as _re
+    from nats_stream_processor_spark.operators.textstats import STOPWORDS
+    docs = {r.doc_id: _re.findall(r"[a-z0-9]+", r.text.lower())
+            for r in spark.read.parquet(f"{SF}/documents.parquet").collect()}
+    expect = {}
+    for did, toks in docs.items():
+        runs, cur = [], []
+        for t in toks:
+            if t in STOPWORDS:
+                if cur:
+                    runs.append(cur)
+                cur = []
+            else:
+                cur.append(t)
+        if cur:
+            runs.append(cur)
+        if not runs:
+            continue
+        freq, degree = {}, {}
+        for run in runs:
+            for t in run:
+                freq[t] = freq.get(t, 0) + 1
+                degree[t] = degree.get(t, 0) + len(run)
+        wppm = {t: degree[t] * 1_000_000 // freq[t] for t in freq}
+        scored = [(sum(wppm[t] for t in run), " ".join(run)) for run in runs]
+        best = max(scored, key=lambda sv: (sv[0], [-ord(c) for c in sv[1]]))
+        # max by score, tie-break LOWEST phrase lexicographically:
+        top_score = max(s for s, _ in scored)
+        best_phrase = min(p for s, p in scored if s == top_score)
+        expect[did] = (best_phrase, top_score, len(runs))
+    got = {r.doc_id: (r.top_phrase, r.score_ppm, r.n_phrases)
+           for r in _run(spark, "text_keyphrases_rake").collect()}
+    assert got == expect
+
+
+def test_annealing_budgets_conserve_and_upweight_quality(spark):
+    """Pretrain + anneal allocations stay within their phase budgets;
+    anneal share sums to ~1e6; a source's anneal share can differ from
+    its raw-size share only via quality weighting."""
+    rows = _run(spark, "curation_annealing_mixture").collect()
+    t_all = sum(r.n_tokens for r in rows)
+    ab = t_all // x3.ANNEAL_FRAC_DEN
+    assert sum(r.pretrain_tokens for r in rows) <= t_all - ab
+    assert sum(r.anneal_tokens for r in rows) <= ab
+    share = sum(r.anneal_share_ppm for r in rows)
+    # anneal_tokens are floored BEFORE the ppm share, so the total can
+    # fall short by up to 1 token per source, i.e. ~1e6/ab ppm each.
+    slack = len(rows) * (1 + 1_000_000 // max(ab, 1))
+    assert 1_000_000 - slack <= share <= 1_000_000
+
+
+def test_cohort_ltv_cumulative_and_conserved(spark):
+    """cum_value_micro is the running sum per cohort; total value across
+    the matrix equals the corpus total (quantized)."""
+    import math as m
+    rows = _run(spark, "events_cohort_ltv").collect()
+    from collections import defaultdict
+    per = defaultdict(list)
+    for r in rows:
+        per[r.cohort_week].append(r)
+    for wk, rs in per.items():
+        rs.sort(key=lambda r: r.age_weeks)
+        run = 0
+        for r in rs:
+            run += r.value_micro
+            assert r.cum_value_micro == run, (wk, r.age_weeks)
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    total = sum(m.floor(e.value * 1e6 + 0.5) for e in ev)
+    assert sum(r.value_micro for r in rows) == total
+
+
+def test_novelty_decay_monotone_accounting(spark):
+    """Every decile's new grams <= distinct grams; decile 0 is 100%
+    novel by construction; total new grams equal the corpus-wide
+    distinct gram count."""
+    rows = sorted(_run(spark, "corpus_novelty_decay").collect(),
+                  key=lambda r: r.decile)
+    assert rows[0].n_new_grams == rows[0].n_distinct_grams
+    assert rows[0].novelty_ppm == 1_000_000
+    for r in rows:
+        assert 0 <= r.n_new_grams <= r.n_distinct_grams
+        assert 0 <= r.novelty_ppm <= 1_000_000
+
+
+def test_bot_flags_only_on_active_regular_users(spark):
+    rows = _run(spark, "events_bot_regularity_flags").collect()
+    for r in rows:
+        assert r.cv2 >= -1e-6 or r.n_events < 2
+        if r.flag_regular:
+            assert r.n_events >= x3.BOT_MIN_EVENTS
+            assert r.cv2 < x3.BOT_CV2_MAX
