@@ -2042,3 +2042,65 @@ def q_bot_regularity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
          & (sim.round6_stable(cv2_raw) < BOT_CV2_MAX)).cast("int")
         .alias("flag_regular"))
         .orderBy("user_id"))
+
+
+# --------------------------------------- native recursive-CTE BFS
+
+BFS_SEED_MAX = 5   # seed set: vec_id < 5
+BFS_MAX_DEPTH = 3  # hop cap (bounds recursive work at any scale)
+
+_BFS_SQL = f"""
+WITH RECURSIVE walk(v, lvl) AS (
+    SELECT vec_id AS v, 0 AS lvl FROM {{emb}} WHERE vec_id < {BFS_SEED_MAX}
+    UNION ALL
+    SELECT e.dst AS v, w.lvl + 1 AS lvl
+    FROM walk w JOIN {{edges}} e ON e.src = w.v
+    WHERE w.lvl < {BFS_MAX_DEPTH}
+)
+SELECT CAST(lvl AS INT) AS lvl,
+       CAST(count(*) AS BIGINT) AS n_first_reached
+FROM (SELECT v, min(lvl) AS lvl FROM walk GROUP BY v)
+GROUP BY lvl ORDER BY lvl
+"""
+
+
+@register(
+    "graph_knn_bfs_recursive",
+    oracle=None,  # set below
+    tags=("llm", "graph", "recursive-cte"),
+)
+def q_knn_bfs_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS from a seed set over the kNN graph via Spark's
+    NATIVE recursive CTE (WITH RECURSIVE, Spark 4.x) — nodes first
+    reached at each hop level. The relational face of iterative graph
+    traversal: where connected_components hand-rolls the driver loop,
+    this lets Catalyst plan the fixpoint (UnionLoop), the same SQL text
+    both engines execute.
+
+    Scale: work per recursion step is seed-frontier x k (k=3 out-edges),
+    capped at {BFS_MAX_DEPTH} hops — bounded regardless of graph size;
+    the min-level dedup is one keyed aggregate over at most
+    |seeds| * k^depth path rows."""
+    from .knn_shared import _knn_graph_df
+
+    g = pin(_knn_graph_df(spark, sf_dir).select("src", "dst"))
+    g.createOrReplaceTempView("knn_edges_bfs")
+    table(spark, sf_dir, "embeddings").select("vec_id") \
+        .createOrReplaceTempView("emb_bfs")
+    return spark.sql(_BFS_SQL.format(emb="emb_bfs", edges="knn_edges_bfs"))
+
+
+def _bfs_oracle() -> str:
+    from .knn_shared import _KNN_CTE
+    # Same recursive SQL; the kNN edge list comes from the shared CTE.
+    body = _BFS_SQL.format(emb="embeddings", edges="ed")
+    assert body.startswith("\nWITH RECURSIVE ")
+    inner = body[len("\nWITH RECURSIVE "):]
+    return f"""
+    {_KNN_CTE.replace("WITH ", "WITH RECURSIVE ", 1)},
+    ed AS (SELECT src, dst FROM knn),
+    {inner}
+    """
+
+
+REGISTRY["graph_knn_bfs_recursive"].oracle = _bfs_oracle()

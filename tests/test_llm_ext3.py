@@ -437,3 +437,16 @@ def test_bot_flags_only_on_active_regular_users(spark):
         if r.flag_regular:
             assert r.n_events >= x3.BOT_MIN_EVENTS
             assert r.cv2 < x3.BOT_CV2_MAX
+
+
+def test_bfs_levels_bounded_and_rooted(spark):
+    """Level 0 counts exactly the seeds present; levels are within the
+    hop cap; counts are positive."""
+    rows = sorted(_run(spark, "graph_knn_bfs_recursive").collect(),
+                  key=lambda r: r.lvl)
+    n_seeds = (spark.read.parquet(f"{SF}/embeddings.parquet")
+               .filter(F.col("vec_id") < x3.BFS_SEED_MAX).count())
+    assert rows[0].lvl == 0 and rows[0].n_first_reached == n_seeds
+    for r in rows:
+        assert 0 <= r.lvl <= x3.BFS_MAX_DEPTH
+        assert r.n_first_reached >= 1
