@@ -3,8 +3,12 @@ bloom decontamination, curriculum/budget curation, embedding drift, graph
 reach, corpus-concentration and social/behavioral analytics.
 
 Registered into the r5 sampled prefix (registry bottom detects this module's
-names and places them inside the driver's 50-query snapshot window), so every
-operator lands with a formal CORRECTNESS row from day one. Style contract
+names and fills the driver's 50-query snapshot window with them, in
+registration order, after the 28 curated rotation names). The module grew
+past that 22-slot budget during the round: the first 22 operators get
+formal CORRECTNESS rows at r5; the remaining 8 (the media pair, wave 4,
+and the recursive BFS) sit just behind the window — mimic-verified at
+sf0.001/0.01/0.1 — and rotate into the r6 sample. Style contract
 matches llm_ext/llm_ext2: every computed column aliased identically on both
 engines, rational arithmetic or int-quantized sums wherever a value crosses
 an aggregation (cross-engine FP-order independence), round6_stable for the
@@ -31,11 +35,16 @@ from ..operators import similarity as sim
 from ..operators.textstats import (
     lang_id_cols,
     lang_id_sql,
+    quality_sql,
     token_stats_cols,
     token_stats_sql,
 )
 
 _TOKS = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+
+# Shared PII pattern (llm.py): interpolated into oracles so an EMAIL_RE
+# edit can never desynchronize the engines.
+from .llm import EMAIL_RE as _EMAIL_RE  # noqa: E402
 
 
 # ------------------------------------------------------- BM25 retrieval
@@ -208,7 +217,8 @@ def q_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = r.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("x").cast("bigint").alias("total_tokens"),
-        F.sum(F.col("i") * F.col("x")).cast("bigint").alias("s_ix"))
+        F.sum(F.col("i").cast("bigint") * F.col("x")).cast("bigint")
+        .alias("s_ix"))
     gini = (2.0 * F.col("s_ix"))
     gini = gini / (F.col("n_docs")
                    * F.greatest(F.col("total_tokens"), F.lit(1)).cast("double"))
@@ -335,7 +345,7 @@ def q_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         one.select(F.lit(rule).alias("rule"),
                    F.col(f"n_f_{col}").alias("n_flagged"),
                    F.col(f"o_f_{col}").alias("n_flagged_only"),
-                   (F.col(f"o_f_{col}") * 1000000 / F.col("n_corpus"))
+                   F.expr(f"o_f_{col} * 1000000 div n_corpus")
                    .cast("bigint").alias("solely_ppm"))
         for rule, col in (("length", "length"), ("mean_len", "mean_len"),
                           ("symbol", "symbol"), ("stopword", "stopword"))
@@ -623,9 +633,7 @@ CURRICULUM_CUTS = (0.75, 0.65, 0.55, 0.45)  # quality floors, easy -> hard
            CAST(n_tokens * 1000000 // greatest(sum(n_tokens) OVER (), 1)
                 AS BIGINT) AS share_ppm
     FROM g ORDER BY phase
-    """)(__import__(
-        "nats_stream_processor_spark.operators.textstats",
-        fromlist=["quality_sql"]).quality_sql("text")),
+    """)(quality_sql("text")),
     tags=("llm", "curriculum"),
 )
 def q_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -642,7 +650,6 @@ def q_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import quality_cols
     d = spread(table(spark, sf_dir, "documents"))
     qs = quality_cols(F.col("text"))["quality_score"]
-    phase = F.lit(None).cast("int")
     expr = None
     for i, c in enumerate(CURRICULUM_CUTS):
         cond = qs >= c
@@ -658,9 +665,11 @@ def q_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (g.select(
         "phase", "n_docs", "n_tokens",
         F.sum("n_tokens").over(wcum).cast("bigint").alias("cum_tokens"),
-        (F.col("n_tokens") * 1000000
-         / F.greatest(F.sum("n_tokens").over(wall), F.lit(1)))
-        .cast("bigint").alias("share_ppm"))
+        F.greatest(F.sum("n_tokens").over(wall), F.lit(1))
+        .cast("bigint").alias("_tot"))
+        .select("phase", "n_docs", "n_tokens", "cum_tokens",
+                F.expr("n_tokens * 1000000 div _tot").cast("bigint")
+                .alias("share_ppm"))
         .orderBy("phase"))
 
 
@@ -774,7 +783,7 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("channel", "n")
             .agg(F.count("*").cast("bigint").alias("n_conversions"))
             .select("channel", "n_conversions",
-                    (F.col("n_conversions") * 1000000 / F.col("n"))
+                    F.expr("n_conversions * 1000000 div n")
                     .cast("bigint").alias("share_ppm"))
             .orderBy("channel"))
 
@@ -839,9 +848,13 @@ def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[F.sum(f"q{i}").cast("bigint").alias(f"s{i}")
                   for i in range(sim.EMBED_DIM)]))
     wall = Window.partitionBy()
-    for i in range(sim.EMBED_DIM):
-        per = per.withColumn(f"g{i}", F.sum(f"s{i}").over(wall).cast("bigint"))
-    per = per.withColumn("gn", F.sum("n").over(wall).cast("bigint"))
+    # One projection for all 65 window columns — a withColumn loop would
+    # re-analyze the full plan per call (O(dim^2) driver work).
+    per = per.select(
+        "*",
+        *[F.sum(f"s{i}").over(wall).cast("bigint").alias(f"g{i}")
+          for i in range(sim.EMBED_DIM)],
+        F.sum("n").over(wall).cast("bigint").alias("gn"))
     total = None
     for i in range(sim.EMBED_DIM):
         d = (F.col(f"s{i}") / F.col("n").cast("double")
@@ -1155,8 +1168,9 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("n_boiler_phrases"),
                 F.coalesce("n_docs_affected", F.lit(0)).cast("bigint")
                 .alias("n_docs_affected"),
-                (F.coalesce("n_docs_affected", F.lit(0)) * 1000000
-                 / F.col("n_docs")).cast("bigint").alias("affected_ppm"))
+                F.expr("coalesce(n_docs_affected, 0) * 1000000 "
+                       "div n_docs")
+                .cast("bigint").alias("affected_ppm"))
             .orderBy("source"))
 
 
@@ -1209,8 +1223,7 @@ REGISTRY["text_boilerplate_ngrams"].oracle = _boilerplate_oracle()
                       CAST(floor({qs['quality_score']} * 1e6 + 0.5)
                            AS BIGINT) AS q_ppm,
                       CAST(len(regexp_extract_all(text,
-                           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}'
-                           )) > 0 AS INT) AS has_email
+                           '{_EMAIL_RE}')) > 0 AS INT) AS has_email
                FROM documents)
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -1224,9 +1237,7 @@ REGISTRY["text_boilerplate_ngrams"].oracle = _boilerplate_oracle()
              AS email_ppm,
            CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
     FROM d GROUP BY source ORDER BY source
-    """)(__import__(
-        "nats_stream_processor_spark.operators.textstats",
-        fromlist=["quality_sql"]).quality_sql("text")),
+    """)(quality_sql("text")),
     tags=("llm", "dataset-card"),
 )
 def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1263,9 +1274,9 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mean_quality"),
         (F.col("n_docs") - F.col("_n_keys")).cast("bigint")
         .alias("n_exact_dups"),
-        ((F.col("n_docs") - F.col("_n_keys")) * 1000000 / F.col("n_docs"))
+        F.expr("(n_docs - _n_keys) * 1000000 div n_docs")
         .cast("bigint").alias("dup_ppm"),
-        (F.col("_n_email") * 1000000 / F.col("n_docs")).cast("bigint")
+        F.expr("_n_email * 1000000 div n_docs").cast("bigint")
         .alias("email_ppm"),
         "n_langs")
         .orderBy("source"))
@@ -1365,7 +1376,7 @@ def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("bigint").alias("n_events"),
                  F.sum("v_micro").cast("bigint").alias("sum_value_micro"))
             .select("dow", "hod", "n_events",
-                    (F.col("n_events") * 1000000 / F.col("n")).cast("bigint")
+                    F.expr("n_events * 1000000 div n").cast("bigint")
                     .alias("share_ppm"),
                     "sum_value_micro")
             .orderBy("dow", "hod"))
@@ -1730,7 +1741,7 @@ def q_keyphrases_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
           .agg(F.sum("plen").cast("bigint").alias("degree")))
     ws = (wf.join(dg, ["doc_id", "tok"])
           .select("doc_id", "tok",
-                  (F.col("degree") * 1000000 / F.col("freq"))
+                  F.expr("degree * 1000000 div freq")
                   .cast("bigint").alias("w_ppm")))
     ps = (nw.join(ws, ["doc_id", "tok"])
           .groupBy("doc_id", "run_id")
@@ -1777,9 +1788,7 @@ ANNEAL_FRAC_DEN = 10  # anneal budget = total // 10
                 * 1000000 // greatest(t_all // {ANNEAL_FRAC_DEN}, 1)
                 AS BIGINT) AS anneal_share_ppm
     FROM g ORDER BY source
-    """)(__import__(
-        "nats_stream_processor_spark.operators.textstats",
-        fromlist=["quality_sql"]).quality_sql("text")),
+    """)(quality_sql("text")),
     tags=("llm", "curation", "annealing"),
 )
 def q_annealing_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1919,8 +1928,8 @@ def q_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("n_new_grams", F.lit(0)).cast("bigint")
                     .alias("n_new_grams"))
             .withColumn("novelty_ppm",
-                        (F.col("n_new_grams") * 1000000
-                         / F.greatest(F.col("n_distinct_grams"), F.lit(1)))
+                        F.expr("n_new_grams * 1000000 "
+                               "div greatest(n_distinct_grams, 1)")
                         .cast("bigint"))
             .orderBy("decile"))
 

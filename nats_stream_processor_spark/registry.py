@@ -280,7 +280,12 @@ _ext3_names = [n for n in REGISTRY if n not in _pre_ext3]
 #    broke the driver's pandas canonicalizer) — output reshaped to scalar
 #    rp_00..rp_15 columns this round, kept in the sample so the fix shows
 #    up as a green driver row;
-#  - the round-5 additions (llm_ext3), formally checked from day one.
+#  - as many round-5 additions (llm_ext3, registration order) as the
+#    remaining 22 slots hold. llm_ext3 grew past that budget during the
+#    round, so its LAST 8 entries (media_phash_near_dup,
+#    media_audio_windows, the wave-4 five, graph_knn_bfs_recursive) sit
+#    just behind the window — mimic-green at sf0.001/0.01/0.1, rotating
+#    into the r6 sample for their formal rows.
 # Everything else — driver-green in r1-r4 — rotates behind.
 SAMPLE_PREFIX_EXPECTED = [
     "embed_random_projection", "agg_approx_distinct",

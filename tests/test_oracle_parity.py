@@ -35,3 +35,16 @@ def test_sample_prefix_has_no_name_drift():
     assert not missing, f"prefix names not registered: {missing}"
     head = list(registry.REGISTRY)[:len(registry.SAMPLE_PREFIX_EXPECTED)]
     assert head == list(registry.SAMPLE_PREFIX_EXPECTED)
+    # The 50-slot window beyond the curated names is filled from llm_ext3
+    # in registration order. Assert the FULL window composition so a
+    # silent budget overflow (more additions than slots, r5's near-miss)
+    # is caught here rather than discovered in the round artifact.
+    window = list(registry.REGISTRY)[:50]
+    from nats_stream_processor_spark.queries import llm_ext3  # noqa: F401
+    n_curated = len(registry.SAMPLE_PREFIX_EXPECTED)
+    overflow = [n for n in registry._ext3_names
+                if n not in window]
+    assert window[n_curated:] == registry._ext3_names[:50 - n_curated]
+    # Every overflowed name must still be registered (it keeps its mimic
+    # coverage and rotates into the next round's sample).
+    assert all(n in registry.REGISTRY for n in overflow)
