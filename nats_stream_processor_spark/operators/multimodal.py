@@ -213,3 +213,37 @@ def audio_windows(df: DataFrame, payload_col: str = "payload",
 
     return df.select(id_col, payload_col).mapInPandas(
         windows, MEDIA_AUDIO_SCHEMA)
+
+
+THUMB_K = 16  # output "pixels" (sampled bytes) per thumbnail
+
+MEDIA_THUMB_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_bytes", LongType()),
+    StructField("thumb_hex", StringType()),
+])
+
+
+def resize_thumbnail(df: DataFrame, payload_col: str = "payload",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Nearest-neighbor 'resize' of a binary payload to THUMB_K sampled
+    bytes, emitted as a fixed-width hex string — the downsample step of
+    an image/audio thumbnail pipeline (a real deployment resamples the
+    decoded pixel/PCM plane; the index arithmetic i*n//K and the
+    fixed-size output contract are identical). Map-only mapInPandas:
+    payloads in, 2*K-char strings out — nothing wide ever shuffles."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(p)
+                n = len(p)
+                thumb = bytes(p[(i * n) // THUMB_K] for i in range(THUMB_K)) \
+                    if n else b""
+                rows.append((did, n, thumb.hex()))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_THUMB_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        resize, MEDIA_THUMB_SCHEMA)

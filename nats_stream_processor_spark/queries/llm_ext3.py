@@ -2113,3 +2113,40 @@ def _bfs_oracle() -> str:
 
 
 REGISTRY["graph_knn_bfs_recursive"].oracle = _bfs_oracle()
+
+
+# --------------------------------------- media resize / thumbnail
+
+@register(
+    "media_resize_thumbnail",
+    oracle=None,  # set below
+    tags=("llm", "multimodal", "resize"),
+)
+def q_media_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media 'resize': nearest-neighbor downsample of every payload to a
+    fixed 16-byte thumbnail (operators/multimodal.resize_thumbnail) —
+    the missing decode/EXTRACT/RESIZE/sample verb of the multimodal
+    quartet. Map-only plan; the oracle replays the i*n//K sampling from
+    the hex encoding byte-for-byte."""
+    from ..operators.multimodal import resize_thumbnail, with_payload
+    d = with_payload(spread(table(spark, sf_dir, "documents")))
+    return resize_thumbnail(d).orderBy("doc_id")
+
+
+def _thumb_oracle() -> str:
+    from ..operators.multimodal import THUMB_K
+    return f"""
+    WITH p AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+                      octet_length(encode(text)) AS n
+               FROM documents)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+           CASE WHEN n = 0 THEN '' ELSE
+               list_aggregate(list_transform(range(0, {THUMB_K}),
+                   i -> substr(hx, 2 * ((i * n) // {THUMB_K}) + 1, 2)),
+                   'string_agg', '')
+           END AS thumb_hex
+    FROM p ORDER BY doc_id
+    """
+
+
+REGISTRY["media_resize_thumbnail"].oracle = _thumb_oracle()

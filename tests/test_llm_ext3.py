@@ -450,3 +450,19 @@ def test_bfs_levels_bounded_and_rooted(spark):
     for r in rows:
         assert 0 <= r.lvl <= x3.BFS_MAX_DEPTH
         assert r.n_first_reached >= 1
+
+
+def test_thumbnail_matches_python_resample(spark):
+    """Thumbnails must equal the direct nearest-neighbor byte resample of
+    every payload, fixed width, empty payloads handled."""
+    from nats_stream_processor_spark.operators.multimodal import THUMB_K
+    docs = {r.doc_id: r.text.encode("utf-8")
+            for r in spark.read.parquet(f"{SF}/documents.parquet").collect()}
+    got = {r.doc_id: (r.n_bytes, r.thumb_hex)
+           for r in _run(spark, "media_resize_thumbnail").collect()}
+    assert set(got) == set(docs)
+    for did, p in docs.items():
+        n = len(p)
+        exp = (bytes(p[(i * n) // THUMB_K] for i in range(THUMB_K)).hex()
+               if n else "")
+        assert got[did] == (n, exp), did
