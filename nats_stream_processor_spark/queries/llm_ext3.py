@@ -2150,3 +2150,55 @@ def _thumb_oracle() -> str:
 
 
 REGISTRY["media_resize_thumbnail"].oracle = _thumb_oracle()
+
+
+# --------------------------------------- disjunctive bracket join (Q19)
+
+Q19_BRACKETS = (
+    ("Brand#1", 1, 10, 1.0, 11.0),
+    ("Brand#2", 1, 15, 10.0, 20.0),
+    ("Brand#3", 1, 25, 20.0, 30.0),
+)
+
+
+def _q19_pred_sql() -> str:
+    return " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi} "
+        f"AND l_quantity >= {qlo} AND l_quantity <= {qhi})"
+        for b, slo, shi, qlo, qhi in Q19_BRACKETS)
+
+
+@register(
+    "join_disjunctive_brackets",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e6
+                               + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_micro
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE {_q19_pred_sql()}
+    """,
+    tags=("relational", "join", "tpch-q19"),
+)
+def q_disjunctive_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted-revenue over disjunctive (brand, size, quantity)
+    brackets — the TPC-H Q19 shape whose whole point is the OR-of-ANDs
+    predicate: the optimizer must keep the part dimension broadcast and
+    evaluate the disjunction post-join rather than falling back to a
+    cartesian or a union of three scans. One fact pass, revenue
+    int64-quantized per row, single-row partial+final aggregate."""
+    li = spread(table(spark, sf_dir, "lineitem"))
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    pred = None
+    for b, slo, shi, qlo, qhi in Q19_BRACKETS:
+        c = ((F.col("p_brand") == b)
+             & F.col("p_size").between(slo, shi)
+             & (F.col("l_quantity") >= qlo) & (F.col("l_quantity") <= qhi))
+        pred = c if pred is None else pred | c
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .filter(pred)
+            .agg(F.count("*").cast("bigint").alias("n_rows"),
+                 F.sum(F.floor(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount")) * 1e6
+                               + F.lit(0.5)).cast("bigint"))
+                 .cast("bigint").alias("revenue_micro")))

@@ -466,3 +466,19 @@ def test_thumbnail_matches_python_resample(spark):
         exp = (bytes(p[(i * n) // THUMB_K] for i in range(THUMB_K)).hex()
                if n else "")
         assert got[did] == (n, exp), did
+
+
+def test_q19_brackets_match_python_filter(spark):
+    import math as m
+    parts = {r.p_partkey: r
+             for r in spark.read.parquet(f"{SF}/part.parquet").collect()}
+    n, rev = 0, 0
+    for r in spark.read.parquet(f"{SF}/lineitem.parquet").collect():
+        p = parts[r.l_partkey]
+        if any(p.p_brand == b and slo <= p.p_size <= shi
+               and qlo <= r.l_quantity <= qhi
+               for b, slo, shi, qlo, qhi in x3.Q19_BRACKETS):
+            n += 1
+            rev += m.floor(r.l_extendedprice * (1 - r.l_discount) * 1e6 + 0.5)
+    got = _run(spark, "join_disjunctive_brackets").collect()[0]
+    assert (got.n_rows, got.revenue_micro) == (n, rev)
