@@ -2202,3 +2202,160 @@ def q_disjunctive_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                * (1 - F.col("l_discount")) * 1e6
                                + F.lit(0.5)).cast("bigint"))
                  .cast("bigint").alias("revenue_micro")))
+
+
+# --------------------------------------- edit-distance dedup verify
+
+EDIT_PREFIX = 256          # chars compared (bounds the O(n*m) DP)
+EDIT_MAX_RATIO_PPM = 200_000  # lev/maxlen <= 0.2 -> near-dup
+
+
+@register(
+    "dedup_edit_distance_verify",
+    oracle=None,  # set below
+    tags=("llm", "dedup-edit-distance"),
+)
+def q_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of MinHash-banded candidates — the
+    character-level near-dup check (OCR noise, small insertions) that
+    set-based Jaccard under-measures. Levenshtein runs on a 256-char
+    prefix (bounding the quadratic DP per pair), normalized by the
+    longer prefix; pairs at ratio <= 0.2 survive.
+
+    Scale shape: the banded LSH join bounds candidate pairs (never
+    all-pairs — machine-asserted by the no-cartesian audit); text joins
+    the candidate list by doc id, so full documents flow only for
+    actual candidates; the DP cost is capped by the prefix. Both
+    engines implement classic Levenshtein (verified equal)."""
+    from .llm import _minhash_pairs
+
+    cand = _minhash_pairs(spark, sf_dir, fast=False, min_jaccard=0.0) \
+        .select("doc_a", "doc_b")
+    d = table(spark, sf_dir, "documents") \
+        .select("doc_id", F.substring("text", 1, EDIT_PREFIX).alias("pre"))
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("pre").alias("pa"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("pre").alias("pb"))
+    j = (cand.join(a, "doc_a").join(b, "doc_b")
+         .select("doc_a", "doc_b",
+                 F.levenshtein("pa", "pb").cast("bigint").alias("lev"),
+                 F.greatest(F.length("pa"), F.length("pb"), F.lit(1))
+                 .cast("bigint").alias("mx")))
+    return (j.select("doc_a", "doc_b", "lev",
+                     F.expr("lev * 1000000 div mx").cast("bigint")
+                     .alias("ratio_ppm"))
+            .filter(F.col("ratio_ppm") <= EDIT_MAX_RATIO_PPM)
+            .orderBy("doc_a", "doc_b"))
+
+
+def _edit_verify_oracle() -> str:
+    from .llm import _SH_CTE
+    return f"""
+    {_SH_CTE},
+    pre AS (SELECT doc_id, substr(text, 1, {EDIT_PREFIX}) AS p
+            FROM documents),
+    j AS (SELECT cand.doc_a, cand.doc_b,
+                 CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev,
+                 CAST(greatest(length(a.p), length(b.p), 1) AS BIGINT) AS mx
+          FROM cand JOIN pre a ON a.doc_id = cand.doc_a
+                    JOIN pre b ON b.doc_id = cand.doc_b)
+    SELECT doc_a, doc_b, lev,
+           CAST(lev * 1000000 // mx AS BIGINT) AS ratio_ppm
+    FROM j WHERE lev * 1000000 // mx <= {EDIT_MAX_RATIO_PPM}
+    ORDER BY doc_a, doc_b
+    """
+
+
+REGISTRY["dedup_edit_distance_verify"].oracle = _edit_verify_oracle()
+
+
+# --------------------------------------- multi-epoch decay schedule
+
+EPOCH_BUDGET_X = 2    # token budget = 2x the corpus
+EPOCH_DECAY = 0.7     # value multiplier per repeated epoch (pinned)
+EPOCH_MAX = 8         # decay table depth (repeats clamp here)
+# Pinned power table: identical double literals in both plans, so the
+# decay application is bit-exact without trusting cross-engine pow().
+_DECAY_POW = [EPOCH_DECAY ** e for e in range(EPOCH_MAX + 1)]
+
+
+@register(
+    "curation_epoch_decay_schedule",
+    oracle=(lambda qs: f"""
+    WITH d AS (SELECT source,
+                      len({_TOKS}) AS n_tok,
+                      CAST(floor({qs['quality_score']} * 1e6 + 0.5)
+                           AS BIGINT) AS q_ppm
+               FROM documents),
+    s AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tok,
+                 CAST(sum(q_ppm * n_tok) AS BIGINT) AS qtok
+          FROM d GROUP BY source),
+    g AS (SELECT *, CAST(sum(tok) OVER () AS BIGINT) AS t_all,
+                 CAST(sum(qtok) OVER () AS BIGINT) AS qt_all
+          FROM s),
+    a AS (SELECT source, tok,
+                 CAST({EPOCH_BUDGET_X} * t_all * qtok
+                      // greatest(qt_all, 1) AS BIGINT) AS target
+          FROM g WHERE tok > 0),
+    e AS (SELECT source, tok, target,
+                 least(CAST(target // tok AS BIGINT), {EPOCH_MAX})
+                   AS full_epochs,
+                 CASE WHEN target // tok >= {EPOCH_MAX}
+                      THEN CAST(0 AS BIGINT)
+                      ELSE target % tok END AS partial
+          FROM a)
+    SELECT source, tok AS n_tokens, target AS target_tokens, full_epochs,
+           {sim.round6_stable_sql(
+               f"tok * (1 - ([{', '.join(repr(x) for x in _DECAY_POW)}]"
+               f")[full_epochs + 1]) / {1 - EPOCH_DECAY!r}"
+               f" + partial * ([{', '.join(repr(x) for x in _DECAY_POW)}]"
+               f")[full_epochs + 1]")} AS effective_tokens
+    FROM e ORDER BY source
+    """)(quality_sql("text")),
+    tags=("llm", "curation", "epoch-decay"),
+)
+def q_epoch_decay_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch repetition-decay accounting: a 2x-corpus token budget
+    allocated by quality weight forces small high-quality sources to
+    repeat; repeated epochs are worth EPOCH_DECAY^e of fresh tokens
+    (the diminishing-returns rule from data-constrained scaling
+    studies), so the schedule reports each source's EFFECTIVE token
+    value next to its raw allocation.
+
+    Exactness: allocations/epoch splits are pure integer arithmetic;
+    the decay powers are a pinned literal table baked into BOTH plans
+    (no cross-engine pow()), and the geometric-sum application is the
+    same fixed expression over those literals."""
+    from ..operators.textstats import quality_cols
+    d = spread(table(spark, sf_dir, "documents"))
+    qs = quality_cols(F.col("text"))["quality_score"]
+    s = (d.select("source",
+                  F.size(tokens_col(F.col("text"))).alias("n_tok"),
+                  F.floor(qs * 1e6 + F.lit(0.5)).cast("bigint")
+                  .alias("q_ppm"))
+         .groupBy("source")
+         .agg(F.sum("n_tok").cast("bigint").alias("tok"),
+              F.sum(F.col("q_ppm") * F.col("n_tok")).cast("bigint")
+              .alias("qtok")))
+    wall = Window.partitionBy()
+    g = (s.withColumn("t_all", F.sum("tok").over(wall).cast("bigint"))
+         .withColumn("qt_all", F.sum("qtok").over(wall).cast("bigint"))
+         .filter(F.col("tok") > 0))
+    a = g.withColumn(
+        "target",
+        F.expr(f"{EPOCH_BUDGET_X} * t_all * qtok div greatest(qt_all, 1)")
+        .cast("bigint"))
+    e = (a.withColumn("full_epochs",
+                      F.least(F.expr("target div tok"),
+                              F.lit(EPOCH_MAX)).cast("bigint"))
+         .withColumn("partial",
+                     F.when(F.expr("target div tok") >= EPOCH_MAX,
+                            F.lit(0))
+                     .otherwise(F.expr("target % tok")).cast("bigint")))
+    pow_arr = F.array(*[F.lit(x) for x in _DECAY_POW])
+    decay_f = F.element_at(pow_arr, (F.col("full_epochs") + 1).cast("int"))
+    eff = (F.col("tok") * (1 - decay_f) / (1 - EPOCH_DECAY)
+           + F.col("partial") * decay_f)
+    return (e.select("source", F.col("tok").alias("n_tokens"),
+                     F.col("target").alias("target_tokens"), "full_epochs",
+                     sim.round6_stable(eff).alias("effective_tokens"))
+            .orderBy("source"))

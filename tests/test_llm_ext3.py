@@ -482,3 +482,41 @@ def test_q19_brackets_match_python_filter(spark):
             rev += m.floor(r.l_extendedprice * (1 - r.l_discount) * 1e6 + 0.5)
     got = _run(spark, "join_disjunctive_brackets").collect()[0]
     assert (got.n_rows, got.revenue_micro) == (n, rev)
+
+
+def test_edit_distance_pairs_symmetric_reference(spark):
+    """Every surviving pair must satisfy the ratio cut when recomputed
+    in Python (difflib-free classic Levenshtein on the same prefixes)."""
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    docs = {r.doc_id: r.text[:x3.EDIT_PREFIX]
+            for r in spark.read.parquet(f"{SF}/documents.parquet").collect()}
+    rows = _run(spark, "dedup_edit_distance_verify").collect()
+    for r in rows:
+        d = lev(docs[r.doc_a], docs[r.doc_b])
+        mx = max(len(docs[r.doc_a]), len(docs[r.doc_b]), 1)
+        assert r.lev == d, (r.doc_a, r.doc_b)
+        assert r.ratio_ppm == d * 1_000_000 // mx
+        assert r.ratio_ppm <= x3.EDIT_MAX_RATIO_PPM
+
+
+def test_epoch_decay_effective_bounded_by_target(spark):
+    """Effective tokens <= target tokens (decay only reduces), >= fresh
+    tokens when the source repeats at all, and full_epochs respects the
+    clamp."""
+    rows = _run(spark, "curation_epoch_decay_schedule").collect()
+    for r in rows:
+        assert 0 <= r.full_epochs <= x3.EPOCH_MAX
+        assert r.effective_tokens <= r.target_tokens + 1e-6
+        if r.target_tokens >= r.n_tokens:
+            assert r.effective_tokens >= r.n_tokens - 1e-6
