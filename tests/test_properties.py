@@ -270,3 +270,144 @@ def test_waterfill_sql_invariants(sizes, pct):
         if uncapped:
             assert min(v["n"] for v in capped) >= max(
                 v["n"] for v in uncapped)
+
+
+def _swap_table(oracle: str, table: str, values_sql: str) -> str:
+    """Point a registered oracle at a VALUES-backed relation. Asserts the
+    table is referenced exactly once so the swap is total."""
+    needle = f"FROM {table}"
+    assert oracle.count(needle) == 1, oracle.count(needle)
+    return oracle.replace(needle, f"FROM ({values_sql}) AS {table}")
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(
+    ["the", "a", "of", "data", "spark", "query", "fast", "row", "x9"]),
+    min_size=0, max_size=24), min_size=1, max_size=8))
+def test_rake_oracle_matches_python_reference(docs):
+    """The registered RAKE oracle must equal a from-scratch Python RAKE
+    (stopword runs, degree/freq integer-ppm scores, lexicographic ties)
+    for ARBITRARY token sequences — including all-stopword docs, empty
+    docs and repeated words the corpus fixtures never produce."""
+    import duckdb
+
+    from nats_stream_processor_spark import registry
+    from nats_stream_processor_spark.operators.textstats import STOPWORDS
+
+    texts = [" ".join(words) for words in docs]
+    vals = ", ".join(
+        f"({i}, '{t}')" for i, t in enumerate(texts))
+    values_sql = f"SELECT * FROM (VALUES {vals}) v(doc_id, text)"
+    oracle = _swap_table(
+        registry.REGISTRY["text_keyphrases_rake"].oracle, "documents",
+        values_sql)
+    con = duckdb.connect()
+    got = {r[0]: (r[1], r[2], r[3]) for r in con.execute(oracle).fetchall()}
+    con.close()
+
+    expect = {}
+    for did, toks in enumerate(docs):
+        runs, cur = [], []
+        for t in toks:
+            if t in STOPWORDS:
+                if cur:
+                    runs.append(cur)
+                cur = []
+            else:
+                cur.append(t)
+        if cur:
+            runs.append(cur)
+        if not runs:
+            continue
+        freq, degree = {}, {}
+        for run in runs:
+            for t in run:
+                freq[t] = freq.get(t, 0) + 1
+                degree[t] = degree.get(t, 0) + len(run)
+        wppm = {t: degree[t] * 1_000_000 // freq[t] for t in freq}
+        scored = [(sum(wppm[t] for t in run), " ".join(run)) for run in runs]
+        top_score = max(s for s, _ in scored)
+        best = min(p for s, p in scored if s == top_score)
+        expect[did] = (best, top_score, len(runs))
+    assert got == expect
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=30),
+                min_size=1, max_size=200))
+def test_cms_oracle_overestimate_guarantee(user_ids):
+    """The Count-Min oracle's one-sided contract (estimate >= exact, rank
+    order by exact count) must hold for ANY key multiset — including the
+    all-same-key and all-distinct extremes."""
+    import duckdb
+
+    from nats_stream_processor_spark import registry
+
+    vals = ", ".join(f"({u})" for u in user_ids)
+    values_sql = f"SELECT * FROM (VALUES {vals}) v(user_id)"
+    oracle = _swap_table(
+        registry.REGISTRY["sketch_cms_heavy_hitters"].oracle, "events",
+        values_sql)
+    con = duckdb.connect()
+    rows = con.execute(oracle).fetchall()
+    con.close()
+    assert rows, "top-k must be non-empty for non-empty input"
+    from collections import Counter
+    exact = Counter(user_ids)
+    prev = None
+    for rank, uid, n, est, over in rows:
+        assert n == exact[uid]
+        assert est >= n and over == est - n
+        if prev is not None:
+            assert prev >= n
+        prev = n
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=2),
+                          st.integers(min_value=0, max_value=10**7)),
+                min_size=1, max_size=60))
+def test_bot_flags_oracle_matches_python_moments(events):
+    """Bot-regularity oracle vs Python: capped integer gap moments and
+    the rounded cv^2 cut for arbitrary (user, second-offset) events —
+    including same-timestamp ties, where the event_id tiebreak pins the
+    lag order."""
+    import duckdb
+    import math
+
+    from nats_stream_processor_spark import registry
+    from nats_stream_processor_spark.queries import llm_ext3 as x3
+
+    rows = [(eid, u, s) for eid, (u, s) in enumerate(events)]
+    vals = ", ".join(
+        f"({eid}, {u}, TIMESTAMP '2024-01-01 00:00:00' "
+        f"+ INTERVAL ({s}) SECOND)" for eid, u, s in rows)
+    values_sql = (f"SELECT * FROM (VALUES {vals}) v(event_id, user_id, ts)")
+    oracle = _swap_table(
+        registry.REGISTRY["events_bot_regularity_flags"].oracle, "events",
+        values_sql)
+    con = duckdb.connect()
+    got = {r[0]: r for r in con.execute(oracle).fetchall()}
+    con.close()
+
+    from collections import defaultdict
+    per = defaultdict(list)
+    for eid, u, s in rows:
+        per[u].append((s * 1_000_000, eid))
+    for u, evs in per.items():
+        evs.sort()
+        gaps = [min((b[0] - a[0]) // 1_000_000, x3.BOT_GAP_CAP_S)
+                for a, b in zip(evs, evs[1:])]
+        n_ev, n_g = len(evs), len(gaps)
+        sg, sg2 = sum(gaps), sum(g * g for g in gaps)
+        r = got[u]
+        assert r[1] == n_ev
+        def r6(x):
+            return math.floor(x * 1e6 + 0.5) / 1e6
+        mean = r6(sg / n_g) if n_g else 0.0
+        assert r[2] == mean, (u, r[2], mean)
+        cv2 = r6(n_g * sg2 / (sg * sg) - 1) if (n_g > 1 and sg > 0) else 0.0
+        assert r[3] == cv2
+        exp_flag = int(n_ev >= x3.BOT_MIN_EVENTS and n_g > 1 and sg > 0
+                       and cv2 < x3.BOT_CV2_MAX)
+        assert r[4] == exp_flag
