@@ -2359,3 +2359,102 @@ def q_epoch_decay_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("target").alias("target_tokens"), "full_epochs",
                      sim.round6_stable(eff).alias("effective_tokens"))
             .orderBy("source"))
+
+
+# --------------------------------------- Matryoshka prefix-dim recall
+
+MRL_PANEL = 20        # query panel: vec_id < 20 (bounded at any scale)
+MRL_PREFIXES = (16, 32)
+MRL_TOPK = 5
+
+
+@register(
+    "sim_matryoshka_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {sim.as_double_sql('embedding')} AS demb
+               FROM embeddings),
+    p AS (SELECT a.vec_id AS q, b.vec_id AS c,
+          {', '.join(
+              sim.round6_stable_sql(
+                  sim.dot_sql('a.demb', 'b.demb', dim=L)
+                  + f" / greatest({sim.norm_sql('a.demb', dim=L)}"
+                  + f" * {sim.norm_sql('b.demb', dim=L)}, 1e-12)")
+              + f' AS cos{L}'
+              for L in (*MRL_PREFIXES, sim.EMBED_DIM))}
+          FROM e a JOIN e b ON b.vec_id <> a.vec_id
+          WHERE a.vec_id < {MRL_PANEL}),
+    base AS (SELECT q, c FROM (
+          SELECT q, c, row_number() OVER (PARTITION BY q
+                       ORDER BY cos{sim.EMBED_DIM} DESC, c) AS rk FROM p)
+          WHERE rk <= {MRL_TOPK}),
+    rec AS (
+        {' UNION ALL '.join(f'''
+        SELECT {L} AS prefix_len, t.q,
+               CAST(count(base.c) AS BIGINT) AS hits
+        FROM (SELECT q, c FROM (
+              SELECT q, c, row_number() OVER (PARTITION BY q
+                           ORDER BY cos{L} DESC, c) AS rk FROM p)
+              WHERE rk <= {MRL_TOPK}) t
+        LEFT JOIN base ON base.q = t.q AND base.c = t.c
+        GROUP BY t.q''' for L in MRL_PREFIXES)}
+    )
+    SELECT prefix_len, CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(hits) * 1000000 // (count(*) * {MRL_TOPK}) AS BIGINT)
+             AS mean_recall_ppm
+    FROM rec GROUP BY prefix_len ORDER BY prefix_len
+    """,
+    tags=("llm", "similarity", "matryoshka"),
+)
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (truncated-dimension) retrieval evaluation: recall@5 of
+    cosine top-k using only the first 16/32 embedding dims against the
+    full 64-dim ranking — the measurement that decides how far MRL-style
+    prefix truncation can cut ANN memory before recall pays.
+
+    One pair table (bounded query panel x corpus) carries the prefix
+    dots as three columns from a single pass — the corpus is scanned
+    once, not once per prefix; rankings are windows over the panel
+    partitions; recall joins stay on (query, candidate) ids. Prefix
+    norms use the same fold order on both engines, so the 6-dp cosine
+    ranking ties cannot diverge."""
+    e = pin(spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("demb")))
+    q = e.filter(F.col("vec_id") < MRL_PANEL).select(
+        F.col("vec_id").alias("q"), F.col("demb").alias("qv"))
+    c = e.select(F.col("vec_id").alias("c"), F.col("demb").alias("cv"))
+    cols = []
+    for L in (*MRL_PREFIXES, sim.EMBED_DIM):
+        qs_, cs_ = F.slice("qv", 1, L), F.slice("cv", 1, L)
+        cos = sim.round6_stable(
+            sim.dot(qs_, cs_)
+            / F.greatest(F.sqrt(sim.dot(qs_, qs_))
+                         * F.sqrt(sim.dot(cs_, cs_)), F.lit(1e-12)))
+        cols.append(cos.alias(f"cos{L}"))
+    p = pin(q.join(c, F.col("c") != F.col("q"))
+            .select("q", "c", *cols))
+
+    def topk(col: str):
+        w = Window.partitionBy("q").orderBy(F.col(col).desc(), "c")
+        return (p.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= MRL_TOPK).select("q", "c"))
+
+    base = topk(f"cos{sim.EMBED_DIM}") \
+        .select("q", F.col("c").alias("bc"), F.lit(1).alias("hit"))
+    parts = []
+    for L in MRL_PREFIXES:
+        t = topk(f"cos{L}")
+        rec = (t.join(F.broadcast(base),
+                      (t.q == base.q) & (t.c == F.col("bc")), "left")
+               .groupBy(t.q)
+               .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("bigint")
+                    .alias("hits"))
+               .select(F.lit(L).alias("prefix_len"), "hits"))
+        parts.append(rec)
+    rec = parts[0]
+    for x in parts[1:]:
+        rec = rec.unionAll(x)
+    return (rec.groupBy("prefix_len")
+            .agg(F.count("*").cast("bigint").alias("n_queries"),
+                 F.expr(f"sum(hits) * 1000000 div (count(*) * {MRL_TOPK})")
+                 .cast("bigint").alias("mean_recall_ppm"))
+            .orderBy("prefix_len"))

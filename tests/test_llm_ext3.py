@@ -520,3 +520,20 @@ def test_epoch_decay_effective_bounded_by_target(spark):
         assert r.effective_tokens <= r.target_tokens + 1e-6
         if r.target_tokens >= r.n_tokens:
             assert r.effective_tokens >= r.n_tokens - 1e-6
+
+
+def test_matryoshka_recall_monotone_in_prefix(spark):
+    """Recall must not decrease with more dims, stay in [0, 1e6], and
+    cover the full query panel; the 64-dim baseline is by definition
+    recall 1.0 (so every prefix is <= 1e6)."""
+    rows = sorted(_run(spark, "sim_matryoshka_recall").collect(),
+                  key=lambda r: r.prefix_len)
+    assert [r.prefix_len for r in rows] == sorted(x3.MRL_PREFIXES)
+    n_q = min(x3.MRL_PANEL,
+              spark.read.parquet(f"{SF}/embeddings.parquet").count())
+    recalls = []
+    for r in rows:
+        assert r.n_queries == n_q
+        assert 0 <= r.mean_recall_ppm <= 1_000_000
+        recalls.append(r.mean_recall_ppm)
+    assert recalls == sorted(recalls)
