@@ -2458,3 +2458,143 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr(f"sum(hits) * 1000000 div (count(*) * {MRL_TOPK})")
                  .cast("bigint").alias("mean_recall_ppm"))
             .orderBy("prefix_len"))
+
+
+# --------------------------------------- gaps-and-islands streaks
+
+@register(
+    "events_longest_streak",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+               FROM events),
+    r AS (SELECT user_id, day,
+                 date_diff('day', DATE '1970-01-01', day)
+                   - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                   AS grp
+          FROM d),
+    s AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+          FROM r GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("events", "gaps-and-islands"),
+)
+def q_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the classic
+    gaps-and-islands problem via the epoch_day - row_number trick:
+    consecutive days share a constant difference, so islands fall out of
+    one grouped count (no self-join, no iterative logic). Engagement
+    metric every retention dashboard carries. All integer arithmetic;
+    two aggregations sharing the user partitioning."""
+    ev = spread(table(spark, sf_dir, "events"))
+    d = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    r = d.withColumn(
+        "grp",
+        F.datediff("day", F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w))
+    s = r.groupBy("user_id", "grp").agg(F.count("*").cast("bigint")
+                                        .alias("len"))
+    return (s.groupBy("user_id")
+            .agg(F.sum("len").cast("bigint").alias("n_active_days"),
+                 F.max("len").cast("bigint").alias("longest_streak"),
+                 F.count("*").cast("bigint").alias("n_streaks"))
+            .orderBy("user_id"))
+
+
+# --------------------------------------- contamination by benchmark
+
+CONTAM_BENCHES = 2  # eval docs split into pseudo-benchmarks by doc_id % 2
+
+
+@register(
+    "curation_contamination_by_benchmark",
+    oracle=None,  # set below
+    tags=("llm", "decontamination", "per-benchmark"),
+)
+def q_contamination_by_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-benchmark contamination report: the eval suite (doc_id < 20)
+    split into pseudo-benchmarks (doc_id % 2), and for every (source,
+    benchmark) cell the count and ppm of corpus documents sharing at
+    least one 8-gram with THAT benchmark — the per-suite breakdown a
+    release report publishes (aggregate overlap says 'contaminated',
+    this says by what).
+
+    Eval grams broadcast with their benchmark tag; corpus grams flow
+    map-side into the distinct (doc, bench) hit set; per-source totals
+    join at |sources| x |benchmarks| cardinality. Shuffles carry int64
+    shingle ids and doc ids, never text."""
+    from ..operators.dedup import shingle_ids_tok_col, token_hashes_32_col
+    from .llm import DECON_NGRAM, EVAL_SET_MAX_ID
+
+    d = spread(table(spark, sf_dir, "documents"))
+    sh = pin(d.select(
+        "source", "doc_id",
+        shingle_ids_tok_col(
+            token_hashes_32_col(F.col("text")).alias("hs"),
+            n=DECON_NGRAM).alias("sids")))
+    ev_grams = (sh.filter(F.col("doc_id") < EVAL_SET_MAX_ID)
+                .select((F.col("doc_id") % CONTAM_BENCHES).cast("int")
+                        .alias("bench"),
+                        F.explode("sids").alias("sid")).distinct())
+    corpus = (sh.filter(F.col("doc_id") >= EVAL_SET_MAX_ID)
+              .select("source", "doc_id", F.explode("sids").alias("sid")))
+    hits = (corpus.join(F.broadcast(ev_grams), "sid")
+            .select("source", "doc_id", "bench").distinct()
+            .groupBy("source", "bench")
+            .agg(F.count("*").cast("bigint").alias("n_contaminated")))
+    totals = (sh.filter(F.col("doc_id") >= EVAL_SET_MAX_ID)
+              .groupBy("source")
+              .agg(F.count("*").cast("bigint").alias("n_docs")))
+    benches = totals.sparkSession.range(CONTAM_BENCHES) \
+        .select(F.col("id").cast("int").alias("bench"))
+    grid = totals.crossJoin(F.broadcast(benches))
+    return (grid.join(hits, ["source", "bench"], "left")
+            .select("source", "bench", "n_docs",
+                    F.coalesce("n_contaminated", F.lit(0)).cast("bigint")
+                    .alias("n_contaminated"))
+            .withColumn("contaminated_ppm",
+                        F.expr("n_contaminated * 1000000 div n_docs")
+                        .cast("bigint"))
+            .orderBy("source", "bench"))
+
+
+def _contam_bench_oracle() -> str:
+    from ..operators.dedup import shingle_ids_tok_sql, token_hashes_32_duck_sql
+    from .llm import DECON_NGRAM, EVAL_SET_MAX_ID
+    return f"""
+    WITH t AS (SELECT source, doc_id, {_TOKS} AS toks FROM documents),
+    h AS (SELECT source, doc_id, {token_hashes_32_duck_sql('toks')} AS hs
+          FROM t),
+    s AS (SELECT source, doc_id, {shingle_ids_tok_sql('hs', n=DECON_NGRAM)}
+                 AS sids
+          FROM h),
+    ev AS (SELECT DISTINCT CAST(doc_id % {CONTAM_BENCHES} AS INT) AS bench,
+                  unnest(sids) AS sid
+           FROM s WHERE doc_id < {EVAL_SET_MAX_ID}),
+    corpus AS (SELECT source, doc_id, unnest(sids) AS sid
+               FROM s WHERE doc_id >= {EVAL_SET_MAX_ID}),
+    hits AS (SELECT source, bench, CAST(count(*) AS BIGINT)
+                    AS n_contaminated
+             FROM (SELECT DISTINCT c.source, c.doc_id, ev.bench
+                   FROM corpus c JOIN ev USING (sid))
+             GROUP BY 1, 2),
+    totals AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+               FROM s WHERE doc_id >= {EVAL_SET_MAX_ID} GROUP BY 1),
+    grid AS (SELECT source, n_docs, CAST(b AS INT) AS bench
+             FROM totals CROSS JOIN
+                  (SELECT unnest(range(0, {CONTAM_BENCHES})) AS b) u)
+    SELECT g.source, g.bench, g.n_docs,
+           CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           CAST(coalesce(h.n_contaminated, 0) * 1000000 // g.n_docs
+                AS BIGINT) AS contaminated_ppm
+    FROM grid g LEFT JOIN hits h
+         ON h.source = g.source AND h.bench = g.bench
+    ORDER BY g.source, g.bench
+    """
+
+
+REGISTRY["curation_contamination_by_benchmark"].oracle = _contam_bench_oracle()

@@ -537,3 +537,44 @@ def test_matryoshka_recall_monotone_in_prefix(spark):
         assert 0 <= r.mean_recall_ppm <= 1_000_000
         recalls.append(r.mean_recall_ppm)
     assert recalls == sorted(recalls)
+
+
+def test_longest_streak_matches_python(spark):
+    """Streaks recomputed directly from distinct active days."""
+    from collections import defaultdict
+    days = defaultdict(set)
+    for r in spark.read.parquet(f"{SF}/events.parquet").collect():
+        days[r.user_id].add(r.ts.date())
+    got = {r.user_id: r for r in _run(spark, "events_longest_streak").collect()}
+    assert set(got) == set(days)
+    for u, ds in days.items():
+        sd = sorted(ds)
+        streaks, cur = [], 1
+        for a, b in zip(sd, sd[1:]):
+            if (b - a).days == 1:
+                cur += 1
+            else:
+                streaks.append(cur)
+                cur = 1
+        streaks.append(cur)
+        r = got[u]
+        assert r.n_active_days == len(ds)
+        assert r.longest_streak == max(streaks)
+        assert r.n_streaks == len(streaks)
+
+
+def test_contamination_grid_complete_and_bounded(spark):
+    """Every (source, bench) cell exists; contaminated <= n_docs; per-
+    source totals agree across benches."""
+    rows = _run(spark, "curation_contamination_by_benchmark").collect()
+    from collections import defaultdict
+    per = defaultdict(dict)
+    for r in rows:
+        per[r.source][r.bench] = r
+    for s, cells in per.items():
+        assert sorted(cells) == list(range(x3.CONTAM_BENCHES))
+        nd = {c.n_docs for c in cells.values()}
+        assert len(nd) == 1
+        for c in cells.values():
+            assert 0 <= c.n_contaminated <= c.n_docs
+            assert 0 <= c.contaminated_ppm <= 1_000_000
