@@ -1569,7 +1569,10 @@ HH_SHARDS = 32
 # Exactness argument (a true top-K user cannot be pruned because sharding
 # is BY the key) requires every shard to surface at least HH_TOP
 # candidates — raising HH_TOP without HH_PER_SHARD would silently break it.
-assert HH_PER_SHARD >= HH_TOP, "per-shard width must cover the report head"
+# Explicit raise, not `assert`: the guard must survive `python -O`.
+if HH_PER_SHARD < HH_TOP:
+    raise ValueError("per-shard width must cover the report head "
+                     f"(HH_PER_SHARD={HH_PER_SHARD} < HH_TOP={HH_TOP})")
 
 
 @register(

