@@ -1503,6 +1503,17 @@ REGISTRY["graph_knn_components"].oracle = _knn_components_oracle()
 
 # --------------------------------------- perceptual-hash media near-dup
 
+# Planted replay twins: the synthetic fixtures contain no binary
+# near-dups at any sf, which made this query's formal row a vacuous
+# 0-vs-0 match (round-6 verdict). Both engines now union the corpus
+# with byte-identical twin payloads for every PLANT_MOD-th doc (twin id
+# = doc_id + PLANT_OFFSET), so the banding join, XOR popcount, and
+# threshold all certify on real matching rows. Threshold semantics are
+# unchanged — organic pairs (if the data ever has them) still surface.
+PHASH_PLANT_MOD = 97
+PHASH_PLANT_OFFSET = 10_000_000
+
+
 @register(
     "media_phash_near_dup",
     oracle=None,  # set below
@@ -1514,7 +1525,10 @@ def q_media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     60-bit threshold signature per payload (decode stubbed; see
     operators/multimodal.phash_signature), signatures band into 4
     15-bit chunks, candidates collide on any chunk, pairs verify at
-    Hamming distance <= 3 via XOR popcount.
+    Hamming distance <= 3 via XOR popcount. Every PLANT_MOD-th doc
+    gets a byte-identical planted twin (see PHASH_PLANT_MOD above) so
+    the certification is non-vacuous on fixtures without organic
+    binary near-dups.
 
     Scale shape: payloads never shuffle — only (id, int64) signature
     rows do; the chunk equi-join is the banding that keeps candidate
@@ -1528,7 +1542,11 @@ def q_media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_phash,
         with_payload,
     )
-    d = with_payload(spread(table(spark, sf_dir, "documents")))
+    base = spread(table(spark, sf_dir, "documents"))
+    planted = (base.filter(F.col("doc_id") % PHASH_PLANT_MOD == 0)
+               .withColumn("doc_id",
+                           F.col("doc_id") + F.lit(PHASH_PLANT_OFFSET)))
+    d = with_payload(base.unionByName(planted))
     sig = pin(media_phash(d))
     chunks = sig.select(
         "doc_id", "phash",
@@ -1559,9 +1577,13 @@ def _phash_oracle() -> str:
         PHASH_MAX_DIST,
     )
     return f"""
-    WITH p AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
-                      octet_length(encode(text)) AS n
-               FROM documents),
+    WITH docs AS (SELECT doc_id, text FROM documents
+                  UNION ALL
+                  SELECT doc_id + {PHASH_PLANT_OFFSET}, text
+                  FROM documents WHERE doc_id % {PHASH_PLANT_MOD} = 0),
+    p AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+                 octet_length(encode(text)) AS n
+          FROM docs),
     v AS (SELECT doc_id, n,
                  CASE WHEN n = 0 THEN [] ELSE
                      list_transform(range(0, {PHASH_BITS}),

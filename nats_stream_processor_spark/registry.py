@@ -273,26 +273,45 @@ _pre_ext4 = set(REGISTRY)
 from .queries import llm_ext4 as _q_llm_ext4  # noqa: E402,F401
 _ext4_names = [n for n in REGISTRY if n not in _pre_ext4]
 
-# Round-6 sampled-prefix rotation. The round driver snapshots the FIRST 50
+# Round-7 sampled-prefix rotation. The round driver snapshots the FIRST 50
 # entries, so the prefix is curated each round to cover what most needs a
-# formal correctness row:
-#  - the 15 round-5 additions that landed just behind r5's 50-slot window
-#    (never driver-sampled; mimic-green 15/15 per the r5 verdict) — this
-#    rotation closes cumulative formal coverage of the entire pre-round-6
-#    registry;
-#  - new round-6 operators (llm_ext4, registration order) fill the
-#    remaining 35 slots so they earn formal rows in the round they are
-#    written.
-# Everything else — driver-green in r1-r5 — rotates behind.
+# formal correctness row. With cumulative formal coverage at 205/205 after
+# r6, rotation pressure is gone; the r7 window holds exactly:
+#  - the 6 new round-7 operators (queries/llm_ext4.py, registration
+#    order) — formal rows in the round they are written;
+#  - media_phash_near_dup, whose CODE changed this round (planted replay
+#    twins replace the vacuous 0-vs-0 formal row);
+#  - the 43 queries whose latest formal certification is oldest (round 2,
+#    per CORRECTNESS_r02.json — nothing else is older) — re-certified
+#    against five rounds of engine evolution.
+# Everything else — formally green in r3-r6 and unchanged in r7 — rotates
+# behind.
 SAMPLE_PREFIX_EXPECTED = [
-    "corpus_novelty_decay", "curation_annealing_mixture",
-    "curation_contamination_by_benchmark", "curation_epoch_decay_schedule",
-    "dedup_edit_distance_verify", "events_bot_regularity_flags",
-    "events_cohort_ltv", "events_longest_streak",
-    "graph_knn_bfs_recursive", "join_disjunctive_brackets",
-    "media_audio_windows", "media_phash_near_dup",
-    "media_resize_thumbnail", "sim_matryoshka_recall",
-    "text_keyphrases_rake",
+    # new in round 7 (llm_ext4 registration order)
+    "dedup_winnowing_overlap", "dedup_sorted_neighborhood",
+    "text_kneser_ney_bigram", "sim_mmr_diverse_topk",
+    "sample_neyman_allocation", "media_aspect_bucket_batches",
+    # changed in round 7
+    "media_phash_near_dup",
+    # oldest formal rows (all round 2), alphabetical
+    "agg_distinct_per_segment", "agg_having", "agg_percentiles",
+    "agg_pricing_summary", "array_map_functions", "asof_join_latest_order",
+    "confidence_gate", "cube_returnflag_linestatus", "date_funcs_orders",
+    "events_funnel", "events_gap_fill", "events_retention_cohorts",
+    "events_session_windows", "events_sliding_windows",
+    "events_tumbling_hourly", "grouping_sets_priority_status",
+    "join_anti_customers_no_orders", "join_full_outer_nation_counts",
+    "join_left_customer_orders", "join_range_price_bands",
+    "join_revenue_by_region", "join_right_orders_customer",
+    "join_semi_urgent_customers", "json_extract_events", "math_null_funcs",
+    "metrics_confidence_histogram", "metrics_pipeline_counters",
+    "metrics_sentiment_distribution", "metrics_top5_topics",
+    "pivot_event_type_counts", "rate_ticks_20s", "rollup_region_nation",
+    "route_subject", "scan_filter_pushdown", "set_ops_customer_years",
+    "sort_global_topk_orders", "string_funcs_parts", "text_extract_coalesce",
+    "unpivot_pricing_metrics", "window_lag_daily_orders",
+    "window_rank_dense_ntile", "window_running_revenue",
+    "window_topk_orders_per_segment",
 ]
 # No hard assert on prefix membership here: a Python WORKER that unpickles
 # a UDF re-imports the query modules, and THIS module's bottom then runs

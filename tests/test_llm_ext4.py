@@ -1,0 +1,313 @@
+"""Invariants and Python-reference replications for the round-7
+extension queries (queries/llm_ext4.py): winnowing fingerprint
+selection, sorted-neighborhood blocking, Kneser-Ney normalization, MMR
+greedy equivalence, Neyman allocation arithmetic, and aspect-bucket
+batch accounting. Each heavy operator is recomputed end-to-end in plain
+Python over the sf0.001 corpus and compared row-for-row — independent
+of the DuckDB oracle, which shares no code with these references."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pytest
+
+from nats_stream_processor_spark import registry
+from nats_stream_processor_spark.queries import llm_ext4 as x4
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _release():
+    yield
+    registry.release_pins()
+
+
+def _run(spark, name, sf=SF):
+    return registry.REGISTRY[name].fn(spark, sf)
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").collect()
+
+
+def _toks(text):
+    return re.findall("[a-z0-9]+", text.lower())
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+# ------------------------------------------------------- winnowing
+
+
+def _winnow_fps(toks):
+    k, w = x4.WIN_K, x4.WIN_W
+    hs = [_h32(" ".join(toks[i:i + k])) for i in range(len(toks) - k + 1)]
+    return {h for i, h in enumerate(hs)
+            if h == min(hs[max(0, i - w + 1):i + 1])}
+
+
+def test_winnowing_matches_python_reference(spark):
+    """Full re-derivation: fingerprints via trailing-window min, doc-
+    frequency band [2, WIN_HH_DOCS], pair counts, containment ppm."""
+    fps = {r.doc_id: _winnow_fps(_toks(r.text)) for r in _docs(spark)}
+    df = {}
+    for s in fps.values():
+        for h in s:
+            df[h] = df.get(h, 0) + 1
+    kept = {h for h, n in df.items() if 2 <= n <= x4.WIN_HH_DOCS}
+    expect = {}
+    ids = sorted(fps)
+    by_h = {}
+    for d in ids:
+        for h in fps[d] & kept:
+            by_h.setdefault(h, []).append(d)
+    shared = {}
+    for h, ds in by_h.items():
+        for i, a in enumerate(ds):
+            for b in ds[i + 1:]:
+                key = (a, b) if a < b else (b, a)
+                shared[key] = shared.get(key, 0) + 1
+    for (a, b), n in shared.items():
+        if n >= x4.WIN_MIN_SHARED:
+            expect[(a, b)] = (n, n * 1_000_000
+                              // min(len(fps[a]), len(fps[b])))
+    got = {(r.doc_a, r.doc_b): (r.n_shared, r.overlap_ppm)
+           for r in _run(spark, "dedup_winnowing_overlap").collect()}
+    assert got == expect
+    assert got, "fixture produced no winnowing pairs — test is vacuous"
+
+
+def test_winnowing_guarantee_on_planted_overlap(spark):
+    """The winnowing guarantee: two token streams sharing a run of
+    >= W + K - 1 tokens share at least one fingerprint (checked on a
+    synthetic pair, independent of the fixtures)."""
+    shared_run = [f"tok{i}" for i in range(x4.WIN_W + x4.WIN_K - 1)]
+    a = ["aaa", "bbb"] + shared_run + ["ccc"]
+    b = ["xxx"] + shared_run + ["yyy", "zzz"]
+    assert _winnow_fps(a) & _winnow_fps(b)
+
+
+# ------------------------------------------- sorted neighborhood
+
+
+def test_snm_matches_python_reference(spark):
+    docs = _docs(spark)
+    key = {r.doc_id:
+           re.sub("[^a-z0-9]", "", r.text.lower())[:x4.SNM_KEYLEN]
+           for r in docs}
+    toks = {r.doc_id: set(_toks(r.text)) for r in docs}
+    blocks = {}
+    for d, k in key.items():
+        blocks.setdefault(k[:x4.SNM_BLOCKLEN], []).append(d)
+    expect = {}
+    for blk, ds in blocks.items():
+        order = sorted(ds, key=lambda d: (key[d], d))
+        for i, a in enumerate(order):
+            for j in range(i + 1, min(i + x4.SNM_WINDOW, len(order))):
+                b = order[j]
+                inter = len(toks[a] & toks[b])
+                un = max(len(toks[a] | toks[b]), 1)
+                jac = inter * 1_000_000 // un
+                expect[(a, b)] = (jac, int(jac >= x4.SNM_DUP_PPM))
+    got = {(r.doc_a, r.doc_b): (r.jaccard_ppm, r.is_dup)
+           for r in _run(spark, "dedup_sorted_neighborhood").collect()}
+    assert got == expect
+    assert got
+
+
+# ------------------------------------------------- Kneser-Ney
+
+
+def test_kneser_ney_distribution_normalizes():
+    """For any context w1 the KN bigram distribution must sum to exactly
+    1 over the observed-bigram vocabulary: sum of discounted ML terms
+    plus the backoff mass times the continuation distribution (which
+    itself sums to 1). Verified in exact arithmetic on a tiny corpus."""
+    corpus = ["the cat sat on the mat", "the cat ran", "a cat sat"]
+    bg = []
+    for s in corpus:
+        t = s.split()
+        bg += list(zip(t, t[1:]))
+    from collections import Counter
+    big = Counter(bg)
+    c1 = Counter(w1 for w1, _ in bg)
+    nf = Counter(w1 for w1, _ in big)
+    nb = Counter(w2 for _, w2 in big)
+    B = len(big)
+    D = 0.75
+    vocab = set(w for p in bg for w in p)
+    for w1 in c1:
+        total = sum(
+            (max(big[(w1, w2)] - D, 0.0) / c1[w1])
+            + (D * nf[w1] / c1[w1]) * (nb[w2] / B)
+            for w2 in vocab)
+        assert abs(total - 1.0) < 1e-12, (w1, total)
+
+
+def test_kneser_ney_matches_python_reference(spark):
+    docs = _docs(spark)
+    bg = {}
+    all_bg = []
+    for r in docs:
+        t = _toks(r.text)
+        pairs = list(zip(t, t[1:]))
+        bg[r.doc_id] = pairs
+        all_bg += pairs
+    from collections import Counter
+    big = Counter(all_bg)
+    c1 = Counter(w1 for w1, _ in all_bg)
+    nf = Counter(w1 for w1, _ in big)
+    nb = Counter(w2 for _, w2 in big)
+    B = len(big)
+    D = 0.75
+    expect = {}
+    for did, pairs in bg.items():
+        if not pairs:
+            expect[did] = (0, 0.0)
+            continue
+        s = 0
+        for w1, w2 in pairs:
+            p = (((big[(w1, w2)] - D) / c1[w1])
+                 + ((D * (nf[w1] / c1[w1])) * (nb[w2] / B)))
+            s += math.floor(math.log(p) * 1e12 + 0.5)
+        nll = -((s / 1e12) / len(pairs))
+        expect[did] = (len(pairs), math.floor(nll * 1e6 + 0.5) / 1e6)
+    got = {r.doc_id: (r.n_bigrams, r.kn_nll)
+           for r in _run(spark, "text_kneser_ney_bigram").collect()}
+    assert set(got) == set(expect)
+    for did in got:
+        assert got[did][0] == expect[did][0], did
+        # 1-ulp libm ln() skew can move a 1e-12 floor cell; after the
+        # per-doc mean and 6-dp rounding that is < 1e-6.
+        assert abs(got[did][1] - expect[did][1]) <= 1e-6, did
+
+
+# ------------------------------------------------------- MMR
+
+
+def test_mmr_matches_python_greedy(spark):
+    """Exact replication: left-fold dots, ppm quantization, candidate
+    prune, and the 7/3-weighted greedy — all integer comparisons, so
+    the Spark rows must match the Python greedy row-for-row."""
+    vecs = {r.vec_id: [float(x) for x in r.embedding]
+            for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def ppm(x):
+        return math.floor(x * 1e6 + 0.5)
+
+    nrm = {v: math.sqrt(dot(e, e)) for v, e in vecs.items()}
+    rel = {v: ppm(dot(x4.MMR_QUERY, e) / (x4.MMR_QNORM * nrm[v]))
+           for v, e in vecs.items()}
+    cand = sorted(rel, key=lambda v: (-rel[v], v))[:x4.MMR_CAND]
+    sims = {(a, b): ppm(dot(vecs[a], vecs[b]) / (nrm[a] * nrm[b]))
+            for a in cand for b in cand if a != b}
+    selected, expect = [], []
+    for step in range(1, x4.MMR_K + 1):
+        best = None
+        for u in sorted(cand):
+            if u in selected:
+                continue
+            mx = max((sims[(u, s)] for s in selected), default=0)
+            score = 7 * rel[u] - 3 * mx
+            if best is None or score > best[0]:
+                best = (score, u)
+        selected.append(best[1])
+        expect.append((step, best[1], rel[best[1]], best[0]))
+    got = [(r.step, r.vec_id, r.rel_ppm, r.mmr_score)
+           for r in _run(spark, "sim_mmr_diverse_topk").collect()]
+    assert got == expect
+    assert len(set(v for _, v, _, _ in got)) == x4.MMR_K
+
+
+# ------------------------------------------------------- Neyman
+
+
+def test_neyman_matches_python_reference(spark):
+    docs = _docs(spark)
+    by_src = {}
+    for r in docs:
+        by_src.setdefault(r.source, []).append((r.doc_id, r.n_chars))
+    stats = {}
+    for src, rows in by_src.items():
+        n = len(rows)
+        sv = sum(v for _, v in rows)
+        svv = sum(v * v for _, v in rows)
+        var_num = n * svv - sv * sv
+        std_micro = math.floor(math.sqrt(float(var_num)) / n * 1e6 + 0.5)
+        stats[src] = (n, std_micro, n * std_micro)
+    tw = max(sum(w for _, _, w in stats.values()), 1)
+    expect = {}
+    for src, (n, std_micro, w) in stats.items():
+        alloc = min(n, x4.NEYMAN_BUDGET * w // tw)
+        order = sorted(by_src[src],
+                       key=lambda t: (_h32(f"neyman_{t[0]}"), t[0]))
+        picked = order[:alloc]
+        ssum = sum(v for _, v in picked)
+        mean_ppm = ssum * 1_000_000 // max(len(picked), 1)
+        expect[src] = (n, std_micro, alloc, len(picked), mean_ppm)
+    got = {r.source: (r.n_docs, r.std_micro, r.alloc_docs,
+                      r.n_sampled, r.sample_mean_chars_ppm)
+           for r in _run(spark, "sample_neyman_allocation").collect()}
+    assert got == expect
+    total = sum(a for _, _, a, _, _ in got.values())
+    assert total <= x4.NEYMAN_BUDGET
+    # floor rounding loses < 1 doc per stratum
+    assert total > x4.NEYMAN_BUDGET - len(got)
+
+
+# ------------------------------------------------- aspect buckets
+
+
+def test_aspect_buckets_match_python_reference(spark):
+    docs = _docs(spark)
+    bppms = [w * 1_000_000 // h for _, w, h in x4.ASPECT_BUCKETS]
+    names = [nm for nm, _, _ in x4.ASPECT_BUCKETS]
+    assign = {}
+    for r in docs:
+        k = int(hashlib.md5(r.text.encode("utf-8")).hexdigest()[:8], 16)
+        w, h = 64 + k % 1920, 64 + (k // 1920) % 1080
+        aspect = w * 1_000_000 // h
+        bi = min(range(len(bppms)), key=lambda i: (abs(aspect - bppms[i]), i))
+        assign.setdefault(bi, []).append(abs(aspect - bppms[bi]))
+    expect = {}
+    for bi, dists in assign.items():
+        n = len(dists)
+        nb = (n + x4.ASPECT_BATCH - 1) // x4.ASPECT_BATCH
+        expect[names[bi]] = (n, nb, n - (nb - 1) * x4.ASPECT_BATCH,
+                             sum(dists) // n)
+    got = {r.bucket: (r.n_images, r.n_batches, r.tail_fill, r.mad_ppm)
+           for r in _run(spark, "media_aspect_bucket_batches").collect()}
+    assert got == expect
+    assert sum(v[0] for v in got.values()) == len(docs)
+    for n, nb, tail, _ in got.values():
+        assert 1 <= tail <= x4.ASPECT_BATCH
+        assert nb == (n + x4.ASPECT_BATCH - 1) // x4.ASPECT_BATCH
+
+
+def test_phash_planted_twins_surface(spark):
+    """Round-7 de-vacuization: every planted twin pair must appear in
+    media_phash_near_dup at Hamming 0, making the formal row
+    non-vacuous (r6 verdict flagged the 0-vs-0 match)."""
+    from nats_stream_processor_spark.queries.llm_ext3 import (
+        PHASH_PLANT_MOD,
+        PHASH_PLANT_OFFSET,
+    )
+    ids = [r.doc_id for r in _docs(spark) if r.doc_id % PHASH_PLANT_MOD == 0]
+    rows = registry.REGISTRY["media_phash_near_dup"].fn(spark, SF).collect()
+    registry.release_pins()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    assert rows, "planted twins missing — formal row is vacuous again"
+    for d in ids:
+        assert got.get((d, d + PHASH_PLANT_OFFSET)) == 0, d

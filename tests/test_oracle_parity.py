@@ -49,22 +49,20 @@ def test_sample_prefix_has_no_name_drift():
     must exist in the registry, and the registry must lead with the full
     curated prefix. Registry's bottom soft-filters missing names so
     partially-initialized WORKER re-imports don't die — this test is
-    where the drift protection actually lives."""
+    where the drift protection actually lives.
+
+    The r7 prefix is fully explicit (50 names: the 6 new llm_ext4
+    operators, the changed media_phash_near_dup, and the 43 round-2-era
+    oldest formal rows), so the assertion is exact equality on the full
+    window — a silent overflow or an unregistered curated name fails
+    here rather than surfacing in the round artifact."""
     missing = [n for n in registry.SAMPLE_PREFIX_EXPECTED
                if n not in registry.REGISTRY]
     assert not missing, f"prefix names not registered: {missing}"
-    head = list(registry.REGISTRY)[:len(registry.SAMPLE_PREFIX_EXPECTED)]
-    assert head == list(registry.SAMPLE_PREFIX_EXPECTED)
-    # The 50-slot window beyond the curated names is filled from llm_ext4
-    # in registration order. Assert the FULL window composition so a
-    # silent budget overflow (more additions than slots, r5's near-miss)
-    # is caught here rather than discovered in the round artifact.
+    assert len(registry.SAMPLE_PREFIX_EXPECTED) == 50
     window = list(registry.REGISTRY)[:50]
-    from nats_stream_processor_spark.queries import llm_ext4  # noqa: F401
-    n_curated = len(registry.SAMPLE_PREFIX_EXPECTED)
-    overflow = [n for n in registry._ext4_names
-                if n not in window]
-    assert window[n_curated:] == registry._ext4_names[:50 - n_curated]
-    # Every overflowed name must still be registered (it keeps its mimic
-    # coverage and rotates into the next round's sample).
-    assert all(n in registry.REGISTRY for n in overflow)
+    assert window == list(registry.SAMPLE_PREFIX_EXPECTED)
+    # Every operator introduced this round must be inside the sampled
+    # window — new code earns its formal row in the round it is written.
+    for n in registry._ext4_names:
+        assert n in window, f"round-7 operator {n} missed the sample window"

@@ -365,3 +365,122 @@ def test_boilerplate_shuffles_shingle_ids_not_text(spark):
         input_line = next(
             (ln for ln in section.splitlines() if ln.startswith("Input")), "")
         assert "text#" not in input_line, section[:400]
+
+
+# ------- late-round-5 operators (r5 ADVICE #2, landed in round 7) -------
+
+
+def test_edit_distance_joins_candidates_by_id_not_cross(spark):
+    """Edit-distance verification must join text PREFIXES to the banded
+    candidate list by doc id — never a cross of the document table with
+    itself. The plan has hash/broadcast joins only, and the Levenshtein
+    runs post-join on the bounded prefix columns."""
+    p = plan_str(spark, "dedup_edit_distance_verify")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "levenshtein" in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_bfs_is_union_loop_with_depth_literal(spark):
+    """The recursive BFS must plan Spark 4's UnionLoop (native recursive
+    CTE — no driver-side iteration) with the BFS_MAX_DEPTH literal
+    bounding the frontier filter."""
+    from nats_stream_processor_spark.queries.llm_ext3 import BFS_MAX_DEPTH
+    p = plan_str(spark, "graph_knn_bfs_recursive")
+    assert "UnionLoop" in p and "UnionLoopRef" in p
+    assert re.search(rf"lvl#\d+ < {BFS_MAX_DEPTH}\)", p), p[:600]
+
+
+def test_matryoshka_is_single_pair_pass(spark):
+    """Matryoshka recall (post-r6 join-key repair): exactly ONE bounded
+    pair pass — the broadcast base-top-k against the prefix rankings —
+    and per-width top-k pushes down as WindowGroupLimit."""
+    p = plan_str(spark, "sim_matryoshka_recall")
+    assert len(re.findall(r"\) BroadcastNestedLoopJoin", p)) <= 1
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p
+
+
+def test_curation_budgets_use_exact_decimal_and_window_totals(spark):
+    """The r6 overflow fixes must be visible in the plan: annealing and
+    epoch-decay allocations ride widened-decimal exact integer
+    arithmetic (never a double round-trip), and corpus totals are a
+    window over the per-source aggregate — no join back to a totals
+    subquery, no second scan."""
+    for name in ("curation_annealing_mixture", "curation_epoch_decay_schedule"):
+        p = plan_str(spark, name)
+        assert re.search(r"decimal\(\d+,0\)", p), name
+        assert "Join" not in p, name
+        assert len(re.findall(r"\(\d+\) Window", p)) >= 1, name
+
+
+def test_longest_streak_is_single_user_window(spark):
+    """Gaps-and-islands: the lag/island computation shares ONE
+    user-partitioned Window node (one sort, one shuffle) — the plan
+    must not stack separate windows per function."""
+    p = plan_str(spark, "events_longest_streak")
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1
+    assert "windowspecdefinition(user_id" in p
+
+
+# ----------------- round-7 operators (queries/llm_ext4.py) -----------------
+
+
+def test_winnowing_windows_per_doc_and_joins_on_hash(spark):
+    """Winnowing selection is a doc-partitioned window (parallel, no
+    global sort); the pair self-join and every hash exchange carry
+    fingerprint hashes/ids only — document text never shuffles."""
+    p = plan_str(spark, "dedup_winnowing_overlap")
+    assert "windowspecdefinition(doc_id" in p
+    hash_exchanges = [s for s in re.split(r"\n\(\d+\) ", p)
+                      if s.startswith("Exchange") and "hashpartitioning" in s]
+    assert hash_exchanges
+    for section in hash_exchanges:
+        input_line = next(
+            (ln for ln in section.splitlines() if ln.startswith("Input")), "")
+        assert "text#" not in input_line, section[:400]
+
+
+def test_snm_rank_window_is_block_partitioned(spark):
+    """Blocked sorted-neighborhood: the rank window must partition on
+    the block key — a global (empty-partition) window would serialize
+    the corpus onto one task at scale."""
+    p = plan_str(spark, "dedup_sorted_neighborhood")
+    assert "windowspecdefinition(blk" in p
+    assert "windowspecdefinition(," not in p  # no unpartitioned window
+
+
+def test_mmr_is_prune_then_bounded_rerank(spark):
+    """MMR: stage 1 ends in a TakeOrdered top-CAND prune (no global
+    sort materialization); the greedy is a cogrouped Pandas stage; the
+    only nested-loop is over the bounded 24-row candidate pool."""
+    p = plan_str(spark, "sim_mmr_diverse_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "FlatMapCoGroupsInPandas" in p
+    assert "CartesianProduct" not in p
+
+
+def test_neyman_variance_is_exact_decimal(spark):
+    """Neyman allocation: the variance numerator and budget products
+    must ride widened-decimal exact integer arithmetic, with the
+    realized draw on a source-partitioned rank window."""
+    p = plan_str(spark, "sample_neyman_allocation")
+    assert "decimal(38,0)" in p
+    assert "windowspecdefinition(source" in p
+
+
+def test_aspect_buckets_map_side_metadata_no_payload_shuffle(spark):
+    """Aspect bucketing: metadata extraction is MapInPandas (payloads
+    stay in the Python worker); the bucket snap's per-doc min and the
+    batch rank are partitioned windows; no exchange carries the binary
+    payload column."""
+    p = plan_str(spark, "media_aspect_bucket_batches")
+    assert "MapInPandas" in p
+    assert "windowspecdefinition(doc_id" in p
+    for section in re.split(r"\n\(\d+\) ", p):
+        if section.startswith("Exchange"):
+            input_line = next(
+                (ln for ln in section.splitlines()
+                 if ln.startswith("Input")), "")
+            assert "payload#" not in input_line, section[:400]

@@ -331,7 +331,118 @@ NOTES = {
     "media_phash_near_dup": (
         "Signatures extracted map-side via mapInPandas (payloads never "
         "shuffle); the 15-bit chunk equi-join is the banding that keeps "
-        "candidates linear; verification is XOR popcount on int64s."
+        "candidates linear; verification is XOR popcount on int64s. The "
+        "planted-twin union (r7) is a map-side UNION before extraction — "
+        "no extra shuffle."
+    ),
+    # ---- late-round-5 operators (r5 verdict's 14-query tail) ----
+    "dedup_edit_distance_verify": (
+        "Candidates come from the banded MinHash join (never all-pairs); "
+        "256-char text prefixes join the candidate list BY DOC ID, so "
+        "document text flows only for actual candidates; the Levenshtein "
+        "DP is bounded by the prefix cap."
+    ),
+    "graph_knn_bfs_recursive": (
+        "Spark 4 recursive CTE: UnionLoop with the depth literal bounding "
+        "iterations; each frontier expansion is an equi-join on the edge "
+        "key, partial-aggregated per level — no unbounded driver loop."
+    ),
+    "sim_matryoshka_recall": (
+        "One corpus scan feeds every prefix width; the base top-k is a "
+        "bounded broadcast to the prefix passes (single pair pass, fixed "
+        "after the r6 join-key repair)."
+    ),
+    "curation_annealing_mixture": (
+        "One groupBy(source) with map-side partials; corpus totals are a "
+        "window over the ~|sources|-row aggregate; allocations are "
+        "DECIMAL(38,0) integer div — exact at any corpus size."
+    ),
+    "curation_epoch_decay_schedule": (
+        "Same shape as the annealing mixture: per-source aggregate, "
+        "window totals, DECIMAL(38,0) budget products, plus a pinned "
+        "decay-power literal table evaluated per aggregate row."
+    ),
+    "events_longest_streak": (
+        "Gaps-and-islands on ONE user-partitioned window ordering (lag + "
+        "running island id share the sort); the global answer is a "
+        "bounded aggregate over per-user maxima."
+    ),
+    "events_cohort_ltv": (
+        "Cohort week from a per-user min-ts aggregate joined back on "
+        "user_id; the LTV matrix is one groupBy(cohort, week_offset) with "
+        "map-side partials and a cumulative window per cohort row."
+    ),
+    "join_disjunctive_brackets": (
+        "TPC-H Q19: the OR-of-ANDs predicate stays a single equi-join on "
+        "p_partkey with the disjunction as join residual — one shuffle, "
+        "no union-of-three-joins blowup, part side broadcast."
+    ),
+    "curation_contamination_by_benchmark": (
+        "Eval n-grams broadcast to the corpus gram stream (corpus side "
+        "never shuffles for the probe); per-benchmark rates are bounded "
+        "aggregates."
+    ),
+    "text_keyphrases_rake": (
+        "Phrase extraction is map-side (split on stopwords at the row); "
+        "word scores are one vocabulary-keyed aggregate joined back to "
+        "the phrase stream on its natural key; head is TakeOrdered."
+    ),
+    "media_audio_windows": (
+        "1-to-N window fan-out inside mapInPandas — payload bytes stay in "
+        "the Python worker; only (id, int) window rows shuffle."
+    ),
+    "media_resize_thumbnail": (
+        "Pure map-only plan (mapInPandas); no exchange anywhere — the "
+        "resample is embarrassingly parallel at any scale."
+    ),
+    "events_bot_regularity_flags": (
+        "One lag window and one aggregate sharing the user partitioning; "
+        "the cv-squared product is integer arithmetic widened before "
+        "multiplication (r6 overflow fix visible as casts in the plan)."
+    ),
+    "corpus_novelty_decay": (
+        "First-occurrence via min-per-token aggregate (map-side partials "
+        "over the token stream), decile bucketing by integer div — no "
+        "global sort; per-decile rates are bounded aggregates."
+    ),
+    # ---- round-7 operators (queries/llm_ext4.py) ----
+    "dedup_winnowing_overlap": (
+        "Winnowing shrinks the shingle stream ~2/(W+1) map-side (one "
+        "doc-partitioned window); the pair join runs on fingerprint "
+        "hashes only, doc-frequency-capped (<= WIN_HH_DOCS) before the "
+        "self-join — candidate generation stays linear under boilerplate."
+    ),
+    "dedup_sorted_neighborhood": (
+        "Blocked SNM: one shuffle on the 2-char block key, a PARALLEL "
+        "per-block rank window (never a global single-partition sort), "
+        "rank-distance self-join emitting <= W-1 pairs per row, and a "
+        "per-pair array_intersect verify (no token-frequency blowup)."
+    ),
+    "text_kneser_ney_bigram": (
+        "Three vocabulary-keyed aggregates with map-side partials; the "
+        "doc bigram stream joins them on natural keys (AQE handles "
+        "stopword-head skew); the single-row type count is an explicit "
+        "broadcast; per-doc reduce carries one exact int64."
+    ),
+    "sim_mmr_diverse_topk": (
+        "Stage 1 broadcasts one literal query vector and never shuffles "
+        "the corpus; the prune is TakeOrdered(24); pairwise sims exist "
+        "only among the 24 survivors (a broadcast nested-loop over the "
+        "bounded pool — Catalyst folds the constant join key); the "
+        "greedy is one cogrouped applyInPandas over O(CAND^2) integers "
+        "— driver-free."
+    ),
+    "sample_neyman_allocation": (
+        "One groupBy(source) with map-side partials; variance numerators "
+        "are DECIMAL(38,0) exact; totals are a window over the "
+        "~|sources|-row aggregate; the realized draw is one per-source "
+        "rank window — no global ordering anywhere."
+    ),
+    "media_aspect_bucket_batches": (
+        "Metadata via mapInPandas (payloads never shuffle); bucket snap "
+        "is a 5-way literal explode + per-doc min window; batch ids from "
+        "one bucket-partitioned rank window; the report is a bounded "
+        "per-bucket aggregate."
     ),
 }
 
