@@ -1,10 +1,12 @@
 """Round-7 operator extensions: winnowing fingerprint overlap,
 sorted-neighborhood dedup blocking, Kneser-Ney bigram scoring, MMR
-diverse reranking, Neyman-allocated stratified sampling, and
-aspect-ratio batch bucketing for multimodal training.
+diverse reranking, Neyman-allocated stratified sampling, aspect-ratio
+batch bucketing for multimodal training, closed-form CUSUM drift
+monitoring, MTLD lexical diversity, and IDF-weighted Jaccard
+verification.
 
-Registered into the r7 sampled prefix (registry bottom; these six names
-plus the changed ``media_phash_near_dup`` and the 43 oldest-certified
+Registered into the r7 sampled prefix (registry bottom; these nine
+names plus the changed ``media_phash_near_dup`` and 40 oldest-certified
 r2-era queries fill the driver's 50-query snapshot window). Style
 contract matches llm_ext/llm_ext2/llm_ext3: every computed column
 aliased identically on both engines, rational arithmetic or
@@ -749,3 +751,307 @@ def _aspect_oracle() -> str:
 
 
 REGISTRY["media_aspect_bucket_batches"].oracle = _aspect_oracle()
+
+
+# ------------------------------------------------ CUSUM drift monitor
+
+# One-sided CUSUM (Page 1954) over daily event volumes — the classic
+# sequential change detector. The recurrence s_i = max(0, s_{i-1} + x_i)
+# has the exact closed form s_i = prefix_i - min(0, min_{j<=i} prefix_j),
+# which turns the "sequential" detector into two ordered windows — fully
+# parallel per monitored key, exact integer arithmetic throughout.
+CUSUM_H_NUM = 1   # drift threshold = (NUM/DEN) x mean daily volume,
+CUSUM_H_DEN = 2   # i.e. flag when cumulative excess > half a mean day
+
+
+@register(
+    "events_cusum_drift",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    t AS (SELECT *,
+                 CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS total,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS days
+          FROM daily),
+    p AS (SELECT *,
+                 CAST(sum(n * days - total) OVER (
+                     PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS prefix
+          FROM t),
+    s AS (SELECT *,
+                 prefix - least(CAST(0 AS BIGINT), min(prefix) OVER (
+                     PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                   AS cusum
+          FROM p)
+    SELECT event_type, day, n, cusum,
+           CAST(cusum * {CUSUM_H_DEN} > total * {CUSUM_H_NUM} AS INT)
+             AS is_drift
+    FROM s ORDER BY event_type, day
+    """,
+    tags=("llm", "events", "cusum", "drift"),
+)
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type CUSUM drift detection on daily volumes: excess
+    x_d = n_d*days - total (the integer-exact form of n_d - mean), the
+    clamped cumulative sum via its prefix-minus-running-min closed form,
+    and a drift flag when the statistic exceeds (1/2) x mean daily
+    volume (both sides scaled by `days`, so every comparison is int64).
+
+    Scale shape: one map-side-partial groupBy to (type, day) rows, then
+    two stacked windows on ONE (event_type) partitioning — the per-type
+    totals ride the same partition as unbounded aggregates. The
+    sequential recurrence never executes sequentially: the closed form
+    makes CUSUM embarrassingly parallel per key."""
+    e = spread(table(spark, sf_dir, "events"))
+    daily = (e.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count("*").cast("bigint").alias("n")))
+    wtype = Window.partitionBy("event_type")
+    word = (Window.partitionBy("event_type").orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    t = (daily
+         .withColumn("total", F.sum("n").over(wtype).cast("bigint"))
+         .withColumn("days", F.count("*").over(wtype).cast("bigint")))
+    p = t.withColumn(
+        "prefix",
+        F.sum(F.col("n") * F.col("days") - F.col("total")).over(word)
+        .cast("bigint"))
+    s = p.withColumn(
+        "cusum",
+        F.col("prefix")
+        - F.least(F.lit(0).cast("bigint"), F.min("prefix").over(word)))
+    return (s.select(
+        "event_type", "day", "n", "cusum",
+        (F.col("cusum") * CUSUM_H_DEN > F.col("total") * CUSUM_H_NUM)
+        .cast("int").alias("is_drift"))
+        .orderBy("event_type", "day"))
+
+
+# ------------------------------------------------ MTLD lexical diversity
+
+# MTLD (McCarthy & Jarvis 2010): scan tokens, count "factors" — maximal
+# prefixes whose type-token ratio stays above 0.720 — plus a partial
+# credit for the unfinished tail; MTLD = tokens / factors. The scan is
+# inherently sequential PER DOCUMENT (the reset depends on every prior
+# token in the factor), so it runs as an Arrow-batched per-doc Python
+# loop; the oracle replays the same automaton as a recursive CTE
+# carrying the current factor's type list.
+MTLD_THR_NUM = 720    # factor completes when types/tokens <= 0.720
+MTLD_THR_DEN = 1000
+
+MTLD_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_tokens", LongType()),
+    StructField("n_factors", LongType()),
+    StructField("mtld_ppm", LongType()),
+])
+
+
+def _mtld_of(toks: list[str]) -> tuple[int, int, int]:
+    """(n_tokens, whole_factors, mtld_ppm) — exact integer arithmetic;
+    shared by the Spark UDF and the unit-test reference."""
+    w, cur, cur_n = 0, set(), 0
+    for tok in toks:
+        cur.add(tok)
+        cur_n += 1
+        if len(cur) * MTLD_THR_DEN <= cur_n * MTLD_THR_NUM:
+            w, cur, cur_n = w + 1, set(), 0
+    n = len(toks)
+    rem = MTLD_THR_DEN - MTLD_THR_NUM  # 280: 1 - threshold, scaled
+    denom = w * rem * cur_n + MTLD_THR_DEN * (cur_n - len(cur))
+    if cur_n > 0 and denom > 0:
+        ppm = n * rem * cur_n * 1_000_000 // denom
+    elif cur_n == 0 and w > 0:
+        ppm = n * 1_000_000 // w
+    else:
+        ppm = 0
+    return n, w, ppm
+
+
+@register(
+    "text_mtld_diversity",
+    oracle=None,  # set below
+    tags=("llm", "text-quality", "mtld"),
+)
+def q_mtld_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MTLD lexical diversity per document — the length-robust
+    vocabulary-richness score (plain TTR collapses as docs grow; MTLD's
+    factor count does not), a standard text-quality feature next to the
+    LM scores. Forward pass only; all arithmetic is integer-exact
+    (threshold comparison as types*1000 <= tokens*720, the final
+    division as one int64 ratio in ppm), so both engines agree
+    bit-for-bit.
+
+    Scale shape: embarrassingly parallel map-only plan — one Arrow
+    batch iterator, no shuffle at all; the sequential dependency is
+    confined to a single document. The oracle replays the automaton as
+    a recursive CTE (bounded by max tokens/doc) carrying the factor's
+    type list."""
+    import re as _re
+
+    import pandas as pd
+
+    d = spread(table(spark, sf_dir, "documents"))
+
+    def score(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = _re.findall("[a-z0-9]+", (text or "").lower())
+                n, w, ppm = _mtld_of(toks)
+                rows.append((int(did), n, w, ppm))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MTLD_SCHEMA.fields])
+
+    return (d.select("doc_id", "text")
+            .mapInPandas(score, MTLD_SCHEMA)
+            .orderBy("doc_id"))
+
+
+def _mtld_oracle() -> str:
+    rem = MTLD_THR_DEN - MTLD_THR_NUM
+    return f"""
+    WITH RECURSIVE t AS MATERIALIZED (
+        SELECT doc_id, {_TOKS} AS toks FROM documents),
+    st(doc_id, i, n, cur_list, cur_n, w) AS (
+        SELECT doc_id, 0, len(toks), CAST([] AS VARCHAR[]), 0, 0 FROM t
+        UNION ALL
+        SELECT doc_id, i + 1, n,
+               CASE WHEN done THEN CAST([] AS VARCHAR[]) ELSE nl END,
+               CASE WHEN done THEN 0 ELSE nn END,
+               CASE WHEN done THEN w + 1 ELSE w END
+        FROM (
+            SELECT s.doc_id, s.i, s.n, s.w, nl, nn,
+                   len(nl) * {MTLD_THR_DEN} <= nn * {MTLD_THR_NUM} AS done
+            FROM (
+                SELECT st.*, 
+                       CASE WHEN list_contains(st.cur_list,
+                                               t.toks[st.i + 1])
+                            THEN st.cur_list
+                            ELSE list_append(st.cur_list,
+                                             t.toks[st.i + 1]) END AS nl,
+                       st.cur_n + 1 AS nn
+                FROM st JOIN t USING (doc_id) WHERE st.i < st.n) s)),
+    fin AS (SELECT * FROM st WHERE i = n)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(w AS BIGINT) AS n_factors,
+           CAST(CASE
+             WHEN cur_n > 0 AND (w * {rem} * cur_n
+                  + {MTLD_THR_DEN} * (cur_n - len(cur_list))) > 0
+             THEN CAST(n AS BIGINT) * {rem} * cur_n * 1000000
+                  // (w * {rem} * cur_n
+                      + {MTLD_THR_DEN} * (cur_n - len(cur_list)))
+             WHEN cur_n = 0 AND w > 0
+             THEN CAST(n AS BIGINT) * 1000000 // w
+             ELSE 0 END AS BIGINT) AS mtld_ppm
+    FROM fin ORDER BY doc_id
+    """
+
+
+REGISTRY["text_mtld_diversity"].oracle = _mtld_oracle()
+
+
+# --------------------------------------- IDF-weighted Jaccard verify
+
+# Weighted near-dup verification: rare shingles should count more than
+# stopwords when deciding whether two banded candidates are duplicates.
+# Weighted Jaccard = sum(idf over intersection) / sum(idf over union),
+# with per-token idf = ln(N/df) quantized to an int64 ppm grid before
+# ANY sum (FP-order-free, the house discipline).
+
+
+@register(
+    "dedup_idf_weighted_jaccard",
+    oracle=None,  # set below
+    tags=("llm", "dedup", "weighted-jaccard"),
+)
+def q_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted Jaccard over MinHash-banded candidates: the verify
+    stage that down-weights boilerplate/stopword overlap (which plain
+    set Jaccard counts equally) — two docs sharing only frequent tokens
+    score near 0 here while sharing rare content scores near 1.
+
+    Scale shape: candidates come from the banded LSH join (bounded,
+    never all-pairs); token df is one vocabulary-keyed aggregate with
+    map-side partials; the intersection weights flow as (token, int64)
+    pairs joined to the candidate list BY DOC ID first — text never
+    shuffles, and the token join is bounded by candidate count x doc
+    length."""
+    from .llm import _minhash_pairs
+
+    cand = _minhash_pairs(spark, sf_dir, fast=False, min_jaccard=0.0) \
+        .select("doc_a", "doc_b")
+    d = table(spark, sf_dir, "documents")
+    dt = pin(d.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens_col(F.col("text"))))
+        .alias("tok")))
+    dfc = dt.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    nd = d.agg(F.count("*").cast("bigint").alias("n_docs"))
+    w = (dfc.crossJoin(F.broadcast(nd))
+         .select("tok",
+                 F.floor(F.log(F.col("n_docs").cast("double")
+                               / F.col("df")) * F.lit(1e6) + F.lit(0.5))
+                 .cast("bigint").alias("w")))
+    dtw = pin(dt.join(w, "tok"))
+    tw = dtw.groupBy("doc_id").agg(F.sum("w").cast("bigint").alias("tw"))
+    a = dtw.select(F.col("doc_id").alias("doc_a"), "tok",
+                   F.col("w").alias("wa"))
+    b = dtw.select(F.col("doc_id").alias("doc_b"), "tok")
+    iw = (cand.join(a, "doc_a").join(b, ["doc_b", "tok"])
+          .groupBy("doc_a", "doc_b")
+          .agg(F.sum("wa").cast("bigint").alias("iw")))
+    ta = tw.select(F.col("doc_id").alias("doc_a"), F.col("tw").alias("twa"))
+    tb = tw.select(F.col("doc_id").alias("doc_b"), F.col("tw").alias("twb"))
+    j = (cand.join(iw, ["doc_a", "doc_b"], "left")
+         .join(ta, "doc_a").join(tb, "doc_b")
+         .select("doc_a", "doc_b",
+                 F.coalesce("iw", F.lit(0)).cast("bigint").alias("iw"),
+                 "twa", "twb"))
+    return (j.select(
+        "doc_a", "doc_b", F.col("iw").alias("inter_w"),
+        F.expr("iw * 1000000 div greatest(twa + twb - iw, 1)")
+        .cast("bigint").alias("wjaccard_ppm"))
+        .orderBy("doc_a", "doc_b"))
+
+
+def _idf_jaccard_oracle() -> str:
+    from .llm import _SH_CTE
+    return f"""
+    {_SH_CTE},
+    dl AS (SELECT doc_id, list_distinct(toks) AS dtoks FROM t),
+    dt AS (SELECT doc_id, unnest(dtoks) AS tok FROM dl),
+    dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    w AS (SELECT tok,
+                 CAST(floor(ln(CAST(n_docs AS DOUBLE) / df) * 1e6 + 0.5)
+                      AS BIGINT) AS w
+          FROM dfc CROSS JOIN nd),
+    tw AS (SELECT dt.doc_id, CAST(sum(w.w) AS BIGINT) AS tw
+           FROM dt JOIN w USING (tok) GROUP BY 1),
+    pairtok AS (SELECT c.doc_a, c.doc_b,
+                       unnest(list_intersect(a.dtoks, b.dtoks)) AS tok
+                FROM cand c JOIN dl a ON a.doc_id = c.doc_a
+                            JOIN dl b ON b.doc_id = c.doc_b),
+    iw AS (SELECT doc_a, doc_b, CAST(sum(w.w) AS BIGINT) AS iw
+           FROM pairtok JOIN w USING (tok) GROUP BY 1, 2),
+    j AS (SELECT c.doc_a, c.doc_b,
+                 CAST(coalesce(i.iw, 0) AS BIGINT) AS iw,
+                 ta.tw AS twa, tb.tw AS twb
+          FROM cand c LEFT JOIN iw i
+            ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+          JOIN tw ta ON ta.doc_id = c.doc_a
+          JOIN tw tb ON tb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, iw AS inter_w,
+           CAST(iw * 1000000 // greatest(twa + twb - iw, 1) AS BIGINT)
+             AS wjaccard_ppm
+    FROM j ORDER BY doc_a, doc_b
+    """
+
+
+REGISTRY["dedup_idf_weighted_jaccard"].oracle = _idf_jaccard_oracle()

@@ -311,3 +311,111 @@ def test_phash_planted_twins_surface(spark):
     assert rows, "planted twins missing — formal row is vacuous again"
     for d in ids:
         assert got.get((d, d + PHASH_PLANT_OFFSET)) == 0, d
+
+
+# ------------------------------------------------------- CUSUM drift
+
+
+def test_cusum_closed_form_equals_sequential_recurrence(spark):
+    """The query computes CUSUM via the prefix-minus-running-min closed
+    form; this test replays the LITERAL sequential recurrence
+    s_i = max(0, s_{i-1} + x_i) per event type and demands identical
+    rows — proving the parallel form is the textbook detector."""
+    from collections import defaultdict
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[(r.event_type, r.ts.date())] += 1
+    by_type = defaultdict(dict)
+    for (et, day), n in daily.items():
+        by_type[et][day] = n
+    expect = {}
+    for et, days in by_type.items():
+        total = sum(days.values())
+        nd = len(days)
+        s = 0
+        for day in sorted(days):
+            x = days[day] * nd - total
+            s = max(0, s + x)
+            expect[(et, day)] = (days[day], s,
+                                 int(s * x4.CUSUM_H_DEN
+                                     > total * x4.CUSUM_H_NUM))
+    got = {(r.event_type, r.day): (r.n, r.cusum, r.is_drift)
+           for r in _run(spark, "events_cusum_drift").collect()}
+    assert got == expect
+    assert any(v[2] for v in got.values()) or len(got) < 50  # flags fire
+
+
+# ------------------------------------------------------- MTLD
+
+
+def test_mtld_hand_computed_cases():
+    """Hand-verified MTLD automaton cases (independent of both engines):
+    factor completion at TTR <= 0.72, partial-credit tail, and the
+    degenerate sentinels."""
+    # 'a a a ...': factor completes at tokens=2 (types=1, 1/2 <= .72),
+    # every 2 tokens -> 5 whole factors, no tail: mtld = 10/5 = 2.
+    n, w, ppm = x4._mtld_of(["a"] * 10)
+    assert (n, w, ppm) == (10, 5, 2_000_000)
+    # all-distinct: no factor ever completes, TTR stays 1.0 -> partial
+    # credit is 0/0.28 = 0 factors -> sentinel 0.
+    n, w, ppm = x4._mtld_of(["a", "b", "c", "d"])
+    assert (n, w, ppm) == (4, 0, 0)
+    # empty doc
+    assert x4._mtld_of([]) == (0, 0, 0)
+    # partial tail: 'a a' completes one factor; 'b c' is a 2-token
+    # tail with TTR 1.0 -> partial 0; mtld = 4 / 1 = 4.
+    n, w, ppm = x4._mtld_of(["a", "a", "b", "c"])
+    assert (n, w, ppm) == (4, 1, 4_000_000)
+    # tail TTR 2/3 = 0.667 <= 0.72 completes a SECOND factor: 'a a' |
+    # 'b c b' -> 2 whole factors, empty tail, mtld = 5/2.
+    n, w, ppm = x4._mtld_of(["a", "a", "b", "c", "b"])
+    assert (n, w, ppm) == (5, 2, 2_500_000)
+    # tail with repetition ABOVE threshold: 'b c d b' TTR 3/4 = 0.75
+    # stays open -> partial (1 - 3/4)/0.28 credit.
+    n, w, ppm = x4._mtld_of(["a", "a", "b", "c", "d", "b"])
+    # denom = 1*280*4 + 1000*(4-3) = 2120; ppm = 6*280*4*1e6 // 2120
+    assert (n, w, ppm) == (6, 1, 6 * 280 * 4 * 1_000_000 // 2120)
+
+
+def test_mtld_spark_rows_match_per_doc_automaton(spark):
+    """Plumbing check: the distributed rows equal the per-doc automaton
+    run directly over the parquet text (token extraction included)."""
+    docs = _docs(spark)
+    expect = {}
+    for r in docs:
+        n, w, ppm = x4._mtld_of(_toks(r.text))
+        expect[r.doc_id] = (n, w, ppm)
+    got = {r.doc_id: (r.n_tokens, r.n_factors, r.mtld_ppm)
+           for r in _run(spark, "text_mtld_diversity").collect()}
+    assert got == expect
+    assert sum(1 for v in got.values() if v[2] > 0) > len(got) * 0.9
+
+
+# --------------------------------------------- IDF-weighted Jaccard
+
+
+def test_idf_weighted_jaccard_matches_python_weights(spark):
+    """For every emitted candidate pair, recompute the IDF-weighted
+    Jaccard from raw text in Python (df counts, ln(N/df) ppm
+    quantization, intersection/union weight sums) and compare exactly.
+    Also: pairs are canonical (a < b) and scores bounded in [0, 1e6]."""
+    docs = _docs(spark)
+    tsets = {r.doc_id: set(_toks(r.text)) for r in docs}
+    n_docs = len(docs)
+    df = {}
+    for s in tsets.values():
+        for t in s:
+            df[t] = df.get(t, 0) + 1
+    w = {t: math.floor(math.log(n_docs / d) * 1e6 + 0.5)
+         for t, d in df.items()}
+    rows = _run(spark, "dedup_idf_weighted_jaccard").collect()
+    assert rows
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        A, B = tsets[r.doc_a], tsets[r.doc_b]
+        iw = sum(w[t] for t in A & B)
+        uw = sum(w[t] for t in A | B)
+        assert r.inter_w == iw, (r.doc_a, r.doc_b)
+        assert r.wjaccard_ppm == iw * 1_000_000 // max(uw, 1)
+        assert 0 <= r.wjaccard_ppm <= 1_000_000

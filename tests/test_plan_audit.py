@@ -484,3 +484,36 @@ def test_aspect_buckets_map_side_metadata_no_payload_shuffle(spark):
                 (ln for ln in section.splitlines()
                  if ln.startswith("Input")), "")
             assert "payload#" not in input_line, section[:400]
+
+
+def test_cusum_is_windowed_no_join_no_loop(spark):
+    """CUSUM's sequential recurrence must plan as stacked windows on one
+    event_type partitioning — no join, no iterative construct; the
+    closed form keeps the detector fully parallel per key."""
+    p = plan_str(spark, "events_cusum_drift")
+    assert "Join" not in p and "UnionLoop" not in p
+    assert "windowspecdefinition(event_type" in p
+    assert "partial_count" in p or "partial_sum" in p  # map-side daily agg
+
+
+def test_mtld_is_map_only_before_presentation_sort(spark):
+    """MTLD must be a pure map plan: MapInPandas with NO hash exchange
+    anywhere — the per-document automaton never shuffles; only the
+    final presentation sort repartitions."""
+    p = plan_str(spark, "text_mtld_diversity")
+    assert "MapInPandas" in p
+    assert "hashpartitioning" not in p
+
+
+def test_idf_jaccard_shuffles_tokens_not_text(spark):
+    """IDF-weighted verify: every hash exchange carries token/id/weight
+    columns only — document text never crosses a shuffle; the single-row
+    corpus count broadcasts into the weight projection."""
+    p = plan_str(spark, "dedup_idf_weighted_jaccard")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    for section in re.split(r"\n\(\d+\) ", p):
+        if section.startswith("Exchange") and "hashpartitioning" in section:
+            input_line = next(
+                (ln for ln in section.splitlines()
+                 if ln.startswith("Input")), "")
+            assert "text#" not in input_line, section[:400]

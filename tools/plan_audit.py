@@ -444,6 +444,23 @@ NOTES = {
         "one bucket-partitioned rank window; the report is a bounded "
         "per-bucket aggregate."
     ),
+    "events_cusum_drift": (
+        "The sequential CUSUM recurrence via its exact closed form "
+        "(prefix minus running min) — two stacked ordered windows plus "
+        "unbounded totals, ALL on one (event_type) partitioning after a "
+        "map-side-partial daily pre-aggregate; no join, no driver loop."
+    ),
+    "text_mtld_diversity": (
+        "Pure map-only plan: one MapInPandas over (doc_id, text) Arrow "
+        "batches — the per-doc sequential automaton never crosses a "
+        "shuffle; the only exchange is the final presentation sort."
+    ),
+    "dedup_idf_weighted_jaccard": (
+        "Banded MinHash candidates (bounded) joined to (token, int64 "
+        "idf) streams BY DOC ID; df is one vocabulary-keyed aggregate "
+        "with map-side partials; the single-row doc count broadcasts; "
+        "text never crosses a hash exchange."
+    ),
 }
 
 
