@@ -2,11 +2,11 @@
 sorted-neighborhood dedup blocking, Kneser-Ney bigram scoring, MMR
 diverse reranking, Neyman-allocated stratified sampling, aspect-ratio
 batch bucketing for multimodal training, closed-form CUSUM drift
-monitoring, MTLD lexical diversity, and IDF-weighted Jaccard
-verification.
+monitoring, MTLD lexical diversity, IDF-weighted Jaccard verification,
+and unigram-LM tokenizer Viterbi segmentation.
 
-Registered into the r7 sampled prefix (registry bottom; these nine
-names plus the changed ``media_phash_near_dup`` and 40 oldest-certified
+Registered into the r7 sampled prefix (registry bottom; these ten
+names plus the changed ``media_phash_near_dup`` and 39 oldest-certified
 r2-era queries fill the driver's 50-query snapshot window). Style
 contract matches llm_ext/llm_ext2/llm_ext3: every computed column
 aliased identically on both engines, rational arithmetic or
@@ -29,7 +29,12 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 # Registry import FIRST among intra-package imports (worker re-import
 # ordering; see llm_ext2.py's header note).
@@ -1055,3 +1060,178 @@ def _idf_jaccard_oracle() -> str:
 
 
 REGISTRY["dedup_idf_weighted_jaccard"].oracle = _idf_jaccard_oracle()
+
+
+# --------------------------------- unigram tokenizer Viterbi segmentation
+
+# SentencePiece-style unigram-LM segmentation: a piece vocabulary scored
+# by corpus frequency, and per-word Viterbi decoding that picks the
+# max-likelihood split. This is the E-step / apply-step of unigram
+# tokenizer training — the missing member next to the BPE train/apply
+# operators. All scores are ln(count/total) quantized to an int64 ppm
+# grid, so the DP argmax is exact integer comparison on both engines
+# (ties: longer piece wins, pinned in both DPs).
+UNI_MAX_PIECE = 4     # max piece length (chars)
+UNI_VOCAB_K = 64      # multi-char pieces kept (all single chars always kept)
+UNI_WORDS_K = 50      # words segmented (top by corpus frequency)
+UNI_WORD_MAXLEN = 16  # DP depth cap
+
+UNI_SCHEMA = StructType([
+    StructField("word", StringType()),
+    StructField("n_pieces", LongType()),
+    StructField("seg", StringType()),
+    StructField("score_ppm", LongType()),
+])
+
+
+@register(
+    "tokenizer_unigram_viterbi",
+    oracle=None,  # set below
+    tags=("llm", "tokenizer", "unigram", "viterbi"),
+)
+def q_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer segmentation: build a piece vocabulary
+    (every corpus character plus the UNI_VOCAB_K most frequent 2-4 char
+    substrings, counts weighted by word frequency), score pieces by
+    quantized ln(count/total), then Viterbi-decode the UNI_WORDS_K most
+    frequent words into their max-likelihood piece sequences. Single
+    chars in the vocabulary guarantee every word segments.
+
+    Scale shape: vocabulary training is two corpus-wide vocabulary-keyed
+    aggregates with map-side partials (word counts, then piece counts —
+    the explode is bounded by 4 x word length); the piece total is a
+    broadcast single row; decoding runs on the bounded word panel in one
+    cogrouped applyInPandas against the broadcast vocabulary — exactly
+    how a tokenizer trainer distributes counting and localizes decoding.
+    The oracle replays the identical DP as a recursive CTE carrying the
+    per-prefix best-score and segmentation lists."""
+    import pandas as pd
+
+    d = spread(table(spark, sf_dir, "documents"))
+    wc = pin(d.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+             .groupBy("tok").agg(F.count("*").cast("bigint").alias("c")))
+    pieces = (wc.select(
+        "tok", "c",
+        F.explode(F.sequence(F.lit(1), F.length("tok"))).alias("i"))
+        .select("tok", "c", "i",
+                F.explode(F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(UNI_MAX_PIECE),
+                            F.length("tok") - F.col("i") + 1))).alias("l"))
+        .select(F.expr("substring(tok, i, l)").alias("piece"), "c")
+        .groupBy("piece").agg(F.sum("c").cast("bigint").alias("cnt")))
+    pieces = pin(pieces)
+    chars = pieces.filter(F.length("piece") == 1)
+    multi = (pieces.filter(F.length("piece") >= 2)
+             .orderBy(F.col("cnt").desc(), "piece").limit(UNI_VOCAB_K))
+    vocab = pin(chars.unionByName(multi))
+    tot = vocab.agg(F.sum("cnt").cast("bigint").alias("tot"))
+    scored = (vocab.crossJoin(F.broadcast(tot))
+              .select(F.lit(1).alias("g"), "piece",
+                      F.floor(F.log(F.col("cnt").cast("double")
+                                    / F.col("tot")) * F.lit(1e6)
+                              + F.lit(0.5)).cast("bigint")
+                      .alias("s")))
+    words = (wc.filter(F.length("tok") <= UNI_WORD_MAXLEN)
+             .orderBy(F.col("c").desc(), "tok").limit(UNI_WORDS_K)
+             .select(F.lit(1).alias("g"), F.col("tok").alias("word")))
+
+    def decode(words_pdf: pd.DataFrame, vocab_pdf: pd.DataFrame) -> pd.DataFrame:
+        sc = {p: int(s) for p, s in zip(vocab_pdf["piece"], vocab_pdf["s"])}
+        rows = []
+        for word in words_pdf["word"]:
+            n = len(word)
+            best = [None] * (n + 1)
+            seg = [""] * (n + 1)
+            best[0] = 0
+            for i in range(1, n + 1):
+                # longer piece wins ties: iterate l descending, keep
+                # strictly-greater values (matches the oracle's
+                # ORDER BY val DESC, l DESC LIMIT 1)
+                for l in range(min(UNI_MAX_PIECE, i), 0, -1):
+                    j = i - l
+                    piece = word[j:i]
+                    if best[j] is None or piece not in sc:
+                        continue
+                    val = best[j] + sc[piece]
+                    if best[i] is None or val > best[i]:
+                        best[i] = val
+                        seg[i] = piece if j == 0 else seg[j] + "|" + piece
+            rows.append((word, seg[n].count("|") + 1, seg[n], best[n]))
+        return pd.DataFrame(
+            rows, columns=[f.name for f in UNI_SCHEMA.fields])
+
+    return (words.groupBy("g")
+            .cogroup(scored.groupBy("g"))
+            .applyInPandas(lambda w, v: decode(w, v), UNI_SCHEMA)
+            .orderBy("word"))
+
+
+def _unigram_oracle() -> str:
+    # NO "AS MATERIALIZED" anywhere in this chain: in this DuckDB build,
+    # materializing ANY CTE inside this WITH RECURSIVE silently empties the
+    # recursion's output (0 rows, no error — observed on wc/pieces and on
+    # the full chain). The un-materialized form is <1 s at sf0.1, so the
+    # usual inline-reevaluation concern does not bite here.
+    return f"""
+    WITH RECURSIVE
+    wc AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest({_TOKS}) AS tok FROM documents) GROUP BY 1),
+    pieces AS (
+        SELECT substr(tok, i, l) AS piece, CAST(sum(c) AS BIGINT) AS cnt
+        FROM (SELECT tok, c, i.i, l.l
+              FROM wc,
+                   LATERAL (SELECT unnest(range(1, length(tok) + 1))
+                            AS i) i,
+                   LATERAL (SELECT unnest(range(1, least({UNI_MAX_PIECE},
+                                length(tok) - i.i + 1) + 1)) AS l) l)
+        GROUP BY 1),
+    vocab0 AS (
+        SELECT piece, cnt FROM pieces WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt FROM pieces WHERE length(piece) >= 2
+            ORDER BY cnt DESC, piece LIMIT {UNI_VOCAB_K})),
+    vocab AS (
+        -- score column deliberately NOT named "s": the recursive alias
+        -- below is `st s`, and DuckDB's binder resolves `s.bests` against
+        -- a same-named COLUMN in scope first (observed Binder Error).
+        SELECT piece,
+               CAST(floor(ln(CAST(cnt AS DOUBLE)
+                             / (SELECT sum(cnt) FROM vocab0)) * 1e6
+                          + 0.5) AS BIGINT) AS sc
+        FROM vocab0),
+    words AS (
+        SELECT tok AS word FROM wc WHERE length(tok) <= {UNI_WORD_MAXLEN}
+        ORDER BY c DESC, tok LIMIT {UNI_WORDS_K}),
+    lens(x) AS (SELECT unnest(range(1, {UNI_MAX_PIECE} + 1))),
+    st(word, i, n, bests, segs) AS (
+        SELECT word, 0, length(word), [CAST(0 AS BIGINT)],
+               [CAST('' AS VARCHAR)]
+        FROM words
+        UNION ALL
+        SELECT s.word, s.i + 1, s.n,
+               list_append(s.bests, nxt.val),
+               list_append(s.segs, nxt.seg)
+        FROM st s, LATERAL (
+            SELECT s.bests[s.i + 2 - t.x] + v.sc AS val,
+                   CASE WHEN s.i + 1 - t.x = 0 THEN v.piece
+                        ELSE s.segs[s.i + 2 - t.x] || '|' || v.piece
+                   END AS seg
+            FROM lens t, vocab v
+            WHERE s.i + 1 - t.x >= 0
+              AND v.piece = substr(s.word, s.i + 2 - t.x, t.x)
+            ORDER BY val DESC, t.x DESC LIMIT 1) nxt
+        WHERE s.i < s.n)
+    SELECT word,
+           CAST(length(segs[n + 1])
+                - length(replace(segs[n + 1], '|', '')) + 1 AS BIGINT)
+             AS n_pieces,
+           segs[n + 1] AS seg,
+           bests[n + 1] AS score_ppm
+    FROM st WHERE i = n ORDER BY word
+    """
+
+
+REGISTRY["tokenizer_unigram_viterbi"].oracle = _unigram_oracle()

@@ -277,17 +277,17 @@ _ext4_names = [n for n in REGISTRY if n not in _pre_ext4]
 # entries, so the prefix is curated each round to cover what most needs a
 # formal correctness row. With cumulative formal coverage at 205/205 after
 # r6, rotation pressure is gone; the r7 window holds exactly:
-#  - the 9 new round-7 operators (queries/llm_ext4.py, registration
+#  - the 10 new round-7 operators (queries/llm_ext4.py, registration
 #    order) — formal rows in the round they are written;
 #  - media_phash_near_dup, whose CODE changed this round (planted replay
 #    twins replace the vacuous 0-vs-0 formal row);
-#  - 40 of the 43 queries whose latest formal certification is oldest
+#  - 39 of the 43 queries whose latest formal certification is oldest
 #    (round 2, per CORRECTNESS_r02.json — nothing else is older) —
-#    re-certified against five rounds of engine evolution. The three r2
+#    re-certified against five rounds of engine evolution. The four r2
 #    queries left out (events_funnel, events_tumbling_hourly,
-#    join_revenue_by_region) are bench-headline queries exercised every
-#    round at sf0.1 and locally mimic-green at sf0.01 this round — the
-#    least-risk omissions.
+#    join_revenue_by_region, window_topk_orders_per_segment) are
+#    bench-headline queries exercised every round at sf0.1 and locally
+#    mimic-green at sf0.01 this round — the least-risk omissions.
 # Everything else — formally green in r3-r6 and unchanged in r7 — rotates
 # behind.
 SAMPLE_PREFIX_EXPECTED = [
@@ -296,7 +296,7 @@ SAMPLE_PREFIX_EXPECTED = [
     "text_kneser_ney_bigram", "sim_mmr_diverse_topk",
     "sample_neyman_allocation", "media_aspect_bucket_batches",
     "events_cusum_drift", "text_mtld_diversity",
-    "dedup_idf_weighted_jaccard",
+    "dedup_idf_weighted_jaccard", "tokenizer_unigram_viterbi",
     # changed in round 7
     "media_phash_near_dup",
     # oldest formal rows (all round 2), alphabetical
@@ -317,7 +317,6 @@ SAMPLE_PREFIX_EXPECTED = [
     "sort_global_topk_orders", "string_funcs_parts", "text_extract_coalesce",
     "unpivot_pricing_metrics", "window_lag_daily_orders",
     "window_rank_dense_ntile", "window_running_revenue",
-    "window_topk_orders_per_segment",
 ]
 # No hard assert on prefix membership here: a Python WORKER that unpickles
 # a UDF re-imports the query modules, and THIS module's bottom then runs

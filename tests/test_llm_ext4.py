@@ -419,3 +419,59 @@ def test_idf_weighted_jaccard_matches_python_weights(spark):
         assert r.inter_w == iw, (r.doc_a, r.doc_b)
         assert r.wjaccard_ppm == iw * 1_000_000 // max(uw, 1)
         assert 0 <= r.wjaccard_ppm <= 1_000_000
+
+
+# ------------------------------------------- unigram Viterbi tokenizer
+
+
+def test_unigram_viterbi_full_python_replication(spark):
+    """Independent replay: rebuild the piece vocabulary (char + top-64
+    substring counts weighted by word frequency), ppm-quantized scores,
+    and the Viterbi DP in plain Python from the parquet text; compare
+    every output row. Plus structural invariants: pieces reconstruct
+    the word, every piece is in the vocabulary, and the DP score beats
+    (or ties) the naive all-single-chars split."""
+    from collections import Counter
+    wc = Counter()
+    for r in _docs(spark):
+        wc.update(_toks(r.text))
+    pieces = Counter()
+    for tok, c in wc.items():
+        for i in range(len(tok)):
+            for l in range(1, min(x4.UNI_MAX_PIECE, len(tok) - i) + 1):
+                pieces[tok[i:i + l]] += c
+    chars = {p: c for p, c in pieces.items() if len(p) == 1}
+    multi = dict(sorted(((p, c) for p, c in pieces.items() if len(p) >= 2),
+                        key=lambda kv: (-kv[1], kv[0]))[:x4.UNI_VOCAB_K])
+    vocab_cnt = {**chars, **multi}
+    total = sum(vocab_cnt.values())
+    sc = {p: math.floor(math.log(c / total) * 1e6 + 0.5)
+          for p, c in vocab_cnt.items()}
+    words = sorted((t for t in wc if len(t) <= x4.UNI_WORD_MAXLEN),
+                   key=lambda t: (-wc[t], t))[:x4.UNI_WORDS_K]
+    expect = {}
+    for word in words:
+        n = len(word)
+        best, seg = [None] * (n + 1), [""] * (n + 1)
+        best[0] = 0
+        for i in range(1, n + 1):
+            for l in range(min(x4.UNI_MAX_PIECE, i), 0, -1):
+                j = i - l
+                piece = word[j:i]
+                if best[j] is None or piece not in sc:
+                    continue
+                val = best[j] + sc[piece]
+                if best[i] is None or val > best[i]:
+                    best[i] = val
+                    seg[i] = piece if j == 0 else seg[j] + "|" + piece
+        expect[word] = (seg[n].count("|") + 1, seg[n], best[n])
+    got = {r.word: (r.n_pieces, r.seg, r.score_ppm)
+           for r in _run(spark, "tokenizer_unigram_viterbi").collect()}
+    assert got == expect
+    for word, (np_, seg_, score) in got.items():
+        ps = seg_.split("|")
+        assert "".join(ps) == word
+        assert all(p in sc for p in ps)
+        assert len(ps) == np_
+        naive = sum(sc[ch] for ch in word)
+        assert score >= naive

@@ -517,3 +517,15 @@ def test_idf_jaccard_shuffles_tokens_not_text(spark):
                 (ln for ln in section.splitlines()
                  if ln.startswith("Input")), "")
             assert "text#" not in input_line, section[:400]
+
+
+def test_unigram_viterbi_counts_distributed_decode_local(spark):
+    """Tokenizer segmentation: vocabulary counting must be partial+final
+    aggregates with TakeOrdered prunes; the DP decode is a single
+    cogrouped Pandas stage over the bounded panel — no per-word join
+    explosion, no cartesian."""
+    p = plan_str(spark, "tokenizer_unigram_viterbi")
+    assert "FlatMapCoGroupsInPandas" in p
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p or "partial_sum" in p
+    assert "CartesianProduct" not in p

@@ -461,6 +461,15 @@ NOTES = {
         "with map-side partials; the single-row doc count broadcasts; "
         "text never crosses a hash exchange."
     ),
+    "tokenizer_unigram_viterbi": (
+        "Vocabulary training = two vocabulary-keyed aggregates with "
+        "map-side partials (word counts, then bounded 4xL substring "
+        "counts); piece total broadcasts as one row; both top-K prunes "
+        "are TakeOrdered; the Viterbi decode runs on the bounded word "
+        "panel in ONE cogrouped applyInPandas against the broadcast "
+        "vocabulary — counting distributed, decoding local, the "
+        "tokenizer-trainer shape."
+    ),
 }
 
 
