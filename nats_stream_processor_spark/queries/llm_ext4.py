@@ -3,10 +3,11 @@ sorted-neighborhood dedup blocking, Kneser-Ney bigram scoring, MMR
 diverse reranking, Neyman-allocated stratified sampling, aspect-ratio
 batch bucketing for multimodal training, closed-form CUSUM drift
 monitoring, MTLD lexical diversity, IDF-weighted Jaccard verification,
-and unigram-LM tokenizer Viterbi segmentation.
+unigram-LM tokenizer Viterbi segmentation, and Kleinberg-style
+two-state burst detection.
 
-Registered into the r7 sampled prefix (registry bottom; these ten
-names plus the changed ``media_phash_near_dup`` and 39 oldest-certified
+Registered into the r7 sampled prefix (registry bottom; these eleven
+names plus the changed ``media_phash_near_dup`` and 38 oldest-certified
 r2-era queries fill the driver's 50-query snapshot window). Style
 contract matches llm_ext/llm_ext2/llm_ext3: every computed column
 aliased identically on both engines, rational arithmetic or
@@ -1235,3 +1236,157 @@ def _unigram_oracle() -> str:
 
 
 REGISTRY["tokenizer_unigram_viterbi"].oracle = _unigram_oracle()
+
+
+# --------------------------------------- two-state burst detection
+
+# Kleinberg's burst automaton (2-state variant): a base-rate state and
+# an elevated-rate state (BURST_S x the user's base rate); each
+# inter-event gap pays the negative log-likelihood of its state's
+# exponential density, entering the burst state pays a ln(n) transition
+# toll. Viterbi decodes the min-cost state path per user. Costs are
+# quantized to an int64 1e-6 grid BEFORE the DP, so every comparison —
+# and therefore the decoded path — is exact integer arithmetic on both
+# engines (ties prefer the base state / base predecessor, pinned).
+BURST_S = 2          # burst-state rate multiplier
+BURST_INF = 10 ** 15  # "unreachable" start cost for the burst state
+
+BURST_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_gaps", LongType()),
+    StructField("n_bursts", LongType()),
+    StructField("burst_gaps", LongType()),
+    StructField("path_cost_q", LongType()),
+])
+
+
+def _burst_decode(gaps_us: list[int]) -> tuple[int, int, int, int]:
+    """(n_gaps, n_bursts, burst_gaps, path_cost_q) — exact integer DP;
+    shared by the Spark UDF and the unit-test reference."""
+    n = len(gaps_us)
+    if n == 0:
+        return 0, 0, 0, 0
+    T = max(sum(gaps_us), 1)
+    lam0 = n / T
+    lam1 = BURST_S * lam0
+    lnl0, lnl1 = math.log(lam0), math.log(lam1)
+    trans = math.floor(math.log(n) * 1e6 + 0.5)
+    c0, c1 = 0, BURST_INF
+    b0 = b1 = r0 = r1 = 0
+    for g in gaps_us:
+        g = float(g)
+        k0 = math.floor((lam0 * g - lnl0) * 1e6 + 0.5)
+        k1 = math.floor((lam1 * g - lnl1) * 1e6 + 0.5)
+        nc0 = min(c0, c1) + k0
+        nb0, nr0 = (b0, r0) if c0 <= c1 else (b1, r1)
+        enter = c0 + trans
+        nc1 = min(enter, c1) + k1
+        nb1, nr1 = (b0 + 1, r0 + 1) if enter <= c1 else (b1, r1 + 1)
+        c0, c1, b0, b1, r0, r1 = nc0, nc1, nb0, nb1, nr0, nr1
+    if c0 <= c1:
+        return n, b0, r0, c0
+    return n, b1, r1, c1
+
+
+@register(
+    "events_kleinberg_burst",
+    oracle=None,  # set below
+    tags=("llm", "events", "burst-detection", "viterbi"),
+)
+def q_kleinberg_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burst detection over inter-event gaps: Kleinberg's
+    two-state automaton Viterbi-decoded with integer-quantized costs.
+    Reports each user's burst-episode count, gaps spent in the burst
+    state, and the decoded path cost — the activity-burst face of the
+    bot/anomaly family (CUSUM watches volume drift; this finds rate
+    EPISODES inside one user's own timeline).
+
+    Scale shape: ONE shuffle on user_id into applyInPandas groups —
+    thousands of users decode in parallel, each DP bounded by that
+    user's event count; per-user constants (base rate, tolls) derive
+    from exact int64 gap sums. The oracle replays the DP as a
+    pure-scalar recursive CTE over per-user gap arrays (no LATERAL),
+    with the burst state seeded at an integer infinity."""
+    import pandas as pd
+
+    e = spread(table(spark, sf_dir, "events"))
+
+    def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        # exact integer microseconds regardless of pandas' ns/us unit
+        us = pdf["ts"].astype("datetime64[us]").astype("int64").tolist()
+        gaps = [us[i + 1] - us[i] for i in range(len(us) - 1)]
+        n, b, r, c = _burst_decode(gaps)
+        return pd.DataFrame(
+            [(int(pdf["user_id"].iloc[0]), n, b, r, c)],
+            columns=[f.name for f in BURST_SCHEMA.fields])
+
+    return (e.select("user_id", "ts", "event_id")
+            .groupBy("user_id")
+            .applyInPandas(decode, BURST_SCHEMA)
+            .orderBy("user_id"))
+
+
+def _burst_oracle() -> str:
+    return f"""
+    WITH RECURSIVE
+    ts AS (SELECT user_id, epoch_us(ts) AS us
+           FROM events),
+    ug AS (
+        SELECT user_id,
+               list_transform(range(1, len(l)), i -> l[i + 1] - l[i])
+                 AS gaps,
+               CAST(len(l) - 1 AS BIGINT) AS n
+        FROM (SELECT user_id, list(us ORDER BY us) AS l
+              FROM ts GROUP BY 1)),
+    uc AS (
+        SELECT user_id, gaps, n,
+               CAST(n AS DOUBLE)
+                 / greatest(CAST(list_sum(gaps) AS BIGINT), 1) AS lam0,
+               {BURST_S} * (CAST(n AS DOUBLE)
+                 / greatest(CAST(list_sum(gaps) AS BIGINT), 1)) AS lam1,
+               CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+                 AS trans
+        FROM ug WHERE n > 0),
+    st(user_id, i, n, c0, c1, b0, b1, r0, r1) AS (
+        SELECT user_id, 0, n, CAST(0 AS BIGINT),
+               CAST({BURST_INF} AS BIGINT), CAST(0 AS BIGINT),
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM uc
+        UNION ALL
+        SELECT q.user_id, q.i + 1, q.n,
+               least(q.c0, q.c1) + q.k0,
+               least(q.c0 + q.trans, q.c1) + q.k1,
+               CASE WHEN q.c0 <= q.c1 THEN q.b0 ELSE q.b1 END,
+               CASE WHEN q.c0 + q.trans <= q.c1
+                    THEN q.b0 + 1 ELSE q.b1 END,
+               CASE WHEN q.c0 <= q.c1 THEN q.r0 ELSE q.r1 END,
+               CASE WHEN q.c0 + q.trans <= q.c1
+                    THEN q.r0 + 1 ELSE q.r1 + 1 END
+        FROM (
+            SELECT s.*, u.trans,
+                   CAST(floor((u.lam0 * CAST(u.gaps[s.i + 1] AS DOUBLE)
+                               - ln(u.lam0)) * 1e6 + 0.5) AS BIGINT)
+                     AS k0,
+                   CAST(floor((u.lam1 * CAST(u.gaps[s.i + 1] AS DOUBLE)
+                               - ln(u.lam1)) * 1e6 + 0.5) AS BIGINT)
+                     AS k1
+            FROM st s JOIN uc u USING (user_id)
+            WHERE s.i < s.n) q),
+    fin AS (SELECT user_id, n,
+                   CASE WHEN c0 <= c1 THEN b0 ELSE b1 END AS n_bursts,
+                   CASE WHEN c0 <= c1 THEN r0 ELSE r1 END AS burst_gaps,
+                   CASE WHEN c0 <= c1 THEN c0 ELSE c1 END AS path_cost_q
+            FROM st WHERE i = n),
+    everyone AS (SELECT DISTINCT user_id FROM events)
+    SELECT e.user_id,
+           CAST(coalesce(f.n, 0) AS BIGINT) AS n_gaps,
+           CAST(coalesce(f.n_bursts, 0) AS BIGINT) AS n_bursts,
+           CAST(coalesce(f.burst_gaps, 0) AS BIGINT) AS burst_gaps,
+           CAST(coalesce(f.path_cost_q, 0) AS BIGINT) AS path_cost_q
+    FROM everyone e LEFT JOIN fin f ON f.user_id = e.user_id
+    ORDER BY e.user_id
+    """
+
+
+REGISTRY["events_kleinberg_burst"].oracle = _burst_oracle()

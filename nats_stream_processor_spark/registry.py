@@ -277,17 +277,18 @@ _ext4_names = [n for n in REGISTRY if n not in _pre_ext4]
 # entries, so the prefix is curated each round to cover what most needs a
 # formal correctness row. With cumulative formal coverage at 205/205 after
 # r6, rotation pressure is gone; the r7 window holds exactly:
-#  - the 10 new round-7 operators (queries/llm_ext4.py, registration
+#  - the 11 new round-7 operators (queries/llm_ext4.py, registration
 #    order) — formal rows in the round they are written;
 #  - media_phash_near_dup, whose CODE changed this round (planted replay
 #    twins replace the vacuous 0-vs-0 formal row);
-#  - 39 of the 43 queries whose latest formal certification is oldest
+#  - 38 of the 43 queries whose latest formal certification is oldest
 #    (round 2, per CORRECTNESS_r02.json — nothing else is older) —
-#    re-certified against five rounds of engine evolution. The four r2
-#    queries left out (events_funnel, events_tumbling_hourly,
-#    join_revenue_by_region, window_topk_orders_per_segment) are
-#    bench-headline queries exercised every round at sf0.1 and locally
-#    mimic-green at sf0.01 this round — the least-risk omissions.
+#    re-certified against five rounds of engine evolution. The five r2
+#    queries left out (agg_pricing_summary, events_funnel,
+#    events_tumbling_hourly, join_revenue_by_region,
+#    window_topk_orders_per_segment) are bench-headline queries
+#    exercised every round at sf0.1 and locally mimic-green at sf0.01
+#    this round — the least-risk omissions.
 # Everything else — formally green in r3-r6 and unchanged in r7 — rotates
 # behind.
 SAMPLE_PREFIX_EXPECTED = [
@@ -297,11 +298,12 @@ SAMPLE_PREFIX_EXPECTED = [
     "sample_neyman_allocation", "media_aspect_bucket_batches",
     "events_cusum_drift", "text_mtld_diversity",
     "dedup_idf_weighted_jaccard", "tokenizer_unigram_viterbi",
+    "events_kleinberg_burst",
     # changed in round 7
     "media_phash_near_dup",
     # oldest formal rows (all round 2), alphabetical
     "agg_distinct_per_segment", "agg_having", "agg_percentiles",
-    "agg_pricing_summary", "array_map_functions", "asof_join_latest_order",
+    "array_map_functions", "asof_join_latest_order",
     "confidence_gate", "cube_returnflag_linestatus", "date_funcs_orders",
     "events_gap_fill", "events_retention_cohorts",
     "events_session_windows", "events_sliding_windows",

@@ -475,3 +475,73 @@ def test_unigram_viterbi_full_python_replication(spark):
         assert len(ps) == np_
         naive = sum(sc[ch] for ch in word)
         assert score >= naive
+
+
+# ------------------------------------------------ Kleinberg burst
+
+
+def test_burst_dp_is_optimal_vs_brute_force():
+    """Independent optimality check: enumerate every 2^n state path for
+    small synthetic gap sequences and verify the DP returns the true
+    minimum cost, and that its (n_bursts, burst_gaps) stats belong to
+    an optimal path (the DP's pinned tie rule picks one of them)."""
+    from itertools import product as iproduct
+    cases = [
+        [1_000_000] * 4 + [1_000] * 5 + [1_000_000] * 4,  # one clear burst
+        [1_000] * 3 + [900_000] * 3 + [1_200] * 3,        # burst-calm-burst
+        [500_000] * 6,                                     # uniform: no burst
+        [10, 10, 10],                                      # all fast
+    ]
+    for gaps in cases:
+        n = len(gaps)
+        T = max(sum(gaps), 1)
+        lam0, lam1 = n / T, x4.BURST_S * n / T
+        lnl0, lnl1 = math.log(lam0), math.log(lam1)
+        trans = math.floor(math.log(n) * 1e6 + 0.5)
+        k = [(math.floor((lam0 * float(g) - lnl0) * 1e6 + 0.5),
+              math.floor((lam1 * float(g) - lnl1) * 1e6 + 0.5))
+             for g in gaps]
+        best_cost = None
+        opt_stats = set()
+        for path in iproduct((0, 1), repeat=n):
+            cost, prev = 0, 0
+            bursts = 0
+            for qi, (k0, k1) in zip(path, k):
+                if qi == 1 and prev == 0:
+                    cost += trans
+                    bursts += 1
+                cost += k1 if qi else k0
+                prev = qi
+            stats = (bursts, sum(path))
+            if best_cost is None or cost < best_cost:
+                best_cost, opt_stats = cost, {stats}
+            elif cost == best_cost:
+                opt_stats.add(stats)
+        got_n, got_b, got_r, got_c = x4._burst_decode(gaps)
+        assert got_n == n
+        assert got_c == best_cost, gaps
+        assert (got_b, got_r) in opt_stats, gaps
+    # the clear-burst case must actually detect one
+    assert x4._burst_decode(cases[0])[1] == 1
+
+
+def test_burst_spark_rows_match_per_user_decode(spark):
+    """Plumbing: distributed rows equal the per-user decode run directly
+    over the parquet events (sorting and µs conversion included)."""
+    import datetime
+    from collections import defaultdict
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append((r.ts, r.event_id))
+    epoch = datetime.datetime(1970, 1, 1)
+    expect = {}
+    for uid, rows in by_user.items():
+        rows.sort()
+        us = [(t - epoch) // datetime.timedelta(microseconds=1)
+              for t, _ in rows]
+        gaps = [us[i + 1] - us[i] for i in range(len(us) - 1)]
+        expect[uid] = x4._burst_decode(gaps)
+    got = {r.user_id: (r.n_gaps, r.n_bursts, r.burst_gaps, r.path_cost_q)
+           for r in _run(spark, "events_kleinberg_burst").collect()}
+    assert got == expect

@@ -51,8 +51,8 @@ def test_sample_prefix_has_no_name_drift():
     partially-initialized WORKER re-imports don't die — this test is
     where the drift protection actually lives.
 
-    The r7 prefix is fully explicit (50 names: the 10 new llm_ext4
-    operators, the changed media_phash_near_dup, and 39 round-2-era
+    The r7 prefix is fully explicit (50 names: the 11 new llm_ext4
+    operators, the changed media_phash_near_dup, and 38 round-2-era
     oldest formal rows), so the assertion is exact equality on the full
     window — a silent overflow or an unregistered curated name fails
     here rather than surfacing in the round artifact."""

@@ -529,3 +529,13 @@ def test_unigram_viterbi_counts_distributed_decode_local(spark):
     assert "TakeOrderedAndProject" in p
     assert "partial_count" in p or "partial_sum" in p
     assert "CartesianProduct" not in p
+
+
+def test_burst_is_one_user_shuffle_pandas_decode(spark):
+    """Burst detection: exactly one hash shuffle (user_id) into the
+    Pandas decode groups; the DP never appears as a join or iterative
+    construct — per-user sequential work stays inside the group."""
+    p = plan_str(spark, "events_kleinberg_burst")
+    assert "FlatMapGroupsInPandas" in p
+    assert "Join" not in p and "UnionLoop" not in p
+    assert len(re.findall(r"hashpartitioning\(user_id", p)) >= 1

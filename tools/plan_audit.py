@@ -461,6 +461,13 @@ NOTES = {
         "with map-side partials; the single-row doc count broadcasts; "
         "text never crosses a hash exchange."
     ),
+    "events_kleinberg_burst": (
+        "One hash shuffle on user_id into applyInPandas decode groups — "
+        "thousands of users decode in parallel, each Viterbi bounded by "
+        "its own event count; no join, no iterative construct in the "
+        "plan; costs are int64-quantized so the decoded path is "
+        "engine-exact."
+    ),
     "tokenizer_unigram_viterbi": (
         "Vocabulary training = two vocabulary-keyed aggregates with "
         "map-side partials (word counts, then bounded 4xL substring "
