@@ -51,11 +51,23 @@ _TOKS = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
 # --------------------------------------------- winnowing fingerprints
 
 # Schleimer et al.'s winnowing (the MOSS fingerprint scheme): hash every
-# k-gram, then keep only the window-minimum hashes. Guarantees any shared
-# substring of >= w + k - 1 tokens shares a fingerprint, at ~2/(w+1) the
-# fingerprint density of full k-gram shingling.
+# k-gram, slide a window of WIN_W k-gram positions, keep each window's
+# minimum hash (rightmost position on ties — the paper's rule), dedup.
+# Guarantees any shared run of >= w + k - 1 tokens shares a fingerprint
+# (a complete window fits inside the shared region in both streams, its
+# content is identical, and the rightmost-min rule is position-relative),
+# at ~2/(w+1) the fingerprint density of full k-gram shingling.
+#
+# One-window-pass formulation: pack (hash, position) into a single
+# sortable int u = h * 2^21 + (2^20 - i); the leading-window MIN of u is
+# then the chosen (hash, rightmost-tie) of that window directly, and the
+# fingerprint is u div 2^21 — no per-window argmax needed. (A previous
+# trailing-running-min variant LOST the guarantee: context before a
+# shared run could shadow the in-run minimum in one stream only —
+# caught by test_winnowing_shared_run_guarantee, hypothesis.)
 WIN_K = 3          # tokens per k-gram
 WIN_W = 4          # winnowing window (k-gram positions)
+WIN_POS_BITS = 21  # tie-field width; docs are bounded << 2^20 k-grams
 WIN_HH_DOCS = 8    # fingerprint doc-frequency cap (boilerplate guard)
 WIN_MIN_SHARED = 2  # pairs must share >= 2 fingerprints
 
@@ -67,11 +79,11 @@ WIN_MIN_SHARED = 2  # pairs must share >= 2 fingerprints
 )
 def q_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-fingerprint overlap detection: hash token 3-grams,
-    winnow to window-minimum fingerprints (select position p iff its
-    hash equals the min over the trailing WIN_W-position window — a
-    deterministic variant whose selected SET both engines compute with
-    one windowed min), then count shared fingerprints per doc pair.
-    Output pairs sharing >= WIN_MIN_SHARED prints with their
+    winnow via the classic rule — each complete WIN_W-position window
+    contributes its minimum hash, rightmost on ties (computed in ONE
+    leading-window min over the packed (hash, position) int; see the
+    constant block above) — then count shared fingerprints per doc
+    pair. Output pairs sharing >= WIN_MIN_SHARED prints with their
     containment (shared / smaller fingerprint set) in ppm.
 
     Scale shape: winnowing shrinks the shingle stream ~2/(W+1) before
@@ -91,11 +103,18 @@ def q_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                  hash32_col(F.concat_ws(" ", *[
                      F.element_at("toks", F.col("i") + j)
                      for j in range(WIN_K)])).alias("h")))
-    w = (Window.partitionBy("doc_id").orderBy("i")
-         .rowsBetween(-(WIN_W - 1), 0))
-    fp = (g.select("doc_id", "h", F.min("h").over(w).alias("mn"))
-          .filter(F.col("h") == F.col("mn"))
-          .select("doc_id", "h").distinct())
+    tie_mod = 1 << WIN_POS_BITS
+    u = (F.col("h") * tie_mod + (F.lit(tie_mod // 2) - F.col("i")))
+    wdoc = Window.partitionBy("doc_id")
+    wlead = (Window.partitionBy("doc_id").orderBy("i")
+             .rowsBetween(0, WIN_W - 1))
+    fp = (g.select("doc_id", "i", u.alias("u"),
+                   F.count("*").over(wdoc).alias("np"))
+          .select("doc_id", "i", "np",
+                  F.min("u").over(wlead).alias("wm"))
+          .filter(F.col("i") <= F.col("np") - (WIN_W - 1))
+          .select("doc_id",
+                  F.expr(f"wm div {tie_mod}").alias("h")).distinct())
     fp = pin(fp)
     dc = fp.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("nfp"))
     keep = (fp.groupBy("h").agg(F.count("*").alias("df"))
@@ -126,12 +145,19 @@ def _winnowing_oracle() -> str:
           FROM (SELECT doc_id, toks,
                        unnest(range(1, len(toks) - {WIN_K - 2})) AS i
                 FROM t WHERE len(toks) >= {WIN_K})),
-    fp AS (SELECT DISTINCT doc_id, h FROM (
-               SELECT doc_id, h,
-                      min(h) OVER (PARTITION BY doc_id ORDER BY i
-                                   ROWS BETWEEN {WIN_W - 1} PRECEDING
-                                   AND CURRENT ROW) AS mn
-               FROM g) WHERE h = mn),
+    fp AS (SELECT DISTINCT doc_id,
+                  wm // {1 << WIN_POS_BITS} AS h
+           FROM (
+               SELECT doc_id, i, np,
+                      min(u) OVER (PARTITION BY doc_id ORDER BY i
+                                   ROWS BETWEEN CURRENT ROW
+                                   AND {WIN_W - 1} FOLLOWING) AS wm
+               FROM (SELECT doc_id, i,
+                            h * {1 << WIN_POS_BITS}
+                              + ({1 << (WIN_POS_BITS - 1)} - i) AS u,
+                            count(*) OVER (PARTITION BY doc_id) AS np
+                     FROM g))
+           WHERE i <= np - {WIN_W - 1}),
     dc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp
            FROM fp GROUP BY 1),
     keep AS (SELECT h FROM fp GROUP BY h

@@ -46,10 +46,14 @@ def _h32(s: str) -> int:
 
 
 def _winnow_fps(toks):
+    """Classic winnowing reference: each complete w-window contributes
+    its min hash, rightmost position on ties (via the same packed-int
+    trick the engines use)."""
     k, w = x4.WIN_K, x4.WIN_W
+    mod = 1 << x4.WIN_POS_BITS
     hs = [_h32(" ".join(toks[i:i + k])) for i in range(len(toks) - k + 1)]
-    return {h for i, h in enumerate(hs)
-            if h == min(hs[max(0, i - w + 1):i + 1])}
+    u = [h * mod + (mod // 2 - (i + 1)) for i, h in enumerate(hs)]
+    return {min(u[q:q + w]) // mod for q in range(len(u) - w + 1)}
 
 
 def test_winnowing_matches_python_reference(spark):

