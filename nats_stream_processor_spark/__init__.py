@@ -19,3 +19,13 @@ enrichment service) as an idiomatic Spark engine:
 """
 
 __version__ = "0.1.0"
+
+# Populate the query registry HERE, at package level: Python executes this
+# __init__ before any submodule, so whether an import chain starts at the
+# driver ("from nats_stream_processor_spark import registry") or at a
+# worker unpickling one query module's UDF helper, the full registration
+# chain runs top-down first and no query module can ever observe a
+# partially-initialized sibling (see registry._populate's note).
+from . import registry as _registry  # noqa: E402
+
+_registry._populate()

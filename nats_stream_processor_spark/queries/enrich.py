@@ -15,9 +15,13 @@ from ..functions.sentiment import sentiment_count_sql_defs, sentiment_sql_column
 from ..functions.text import tokens_sql
 from ..functions.topics import topic_count_sql_defs, topics_sql_columns
 from ..operators.enrich import enrich_posts, enriched_route_counts
-from ..registry import register, spread, table
-
 # A CTE prelude shared by every classifier oracle: tokenize once, count once.
+# Defined BEFORE the registry import: a worker entering the package at THIS
+# module triggers the registry's full query-module chain from the import
+# below, and queries/metrics.py pulls these names from the then-partially-
+# initialized module — they must already exist at that point (same
+# circular-import class as the r7 llm_ext5 incident; guarded by
+# tests/test_oracle_parity.py::test_every_query_module_survives_worker_entry_import).
 CLASSIFIER_CTE = (
     "WITH d AS (SELECT *, {toks} AS toks FROM documents), "
     "c AS (SELECT *, {scnt}, {tcnt} FROM d)"
@@ -28,6 +32,8 @@ CLASSIFIER_CTE = (
 )
 _S = sentiment_sql_columns()
 _T = topics_sql_columns()
+
+from ..registry import register, spread, table  # noqa: E402
 
 
 @register(

@@ -411,16 +411,12 @@ REGISTRY["text_kneser_ney_bigram"].oracle = _kn_oracle()
 # lambda = 0.7 is applied as integer weights 7/3 on ppm-quantized
 # cosines, so the greedy argmax is exact integer comparison on both
 # engines (ties break on vec_id).
-MMR_QUERY = [((sim._h32(f"mmr_q_{d}") % 2001) - 1000) / 1000.0
-             for d in range(sim.EMBED_DIM)]
-# Query norm via the same left-fold add sequence the engines use; each
-# step is an IEEE double op, and sqrt is correctly rounded by IEEE
-# mandate, so the literal both plans embed is bit-identical to an
-# in-engine evaluation.
-_QN_ACC = 0.0
-for _w in MMR_QUERY:
-    _QN_ACC = _QN_ACC + _w * _w
-MMR_QNORM = math.sqrt(_QN_ACC)
+# Constants live in operators/similarity (a leaf module) so sibling
+# query modules can embed the same literals without importing THIS
+# module at import time (worker re-import safety; see the note above
+# PINNED_QUERY_VEC). Aliased here for this module's queries and tests.
+MMR_QUERY = sim.PINNED_QUERY_VEC
+MMR_QNORM = sim.PINNED_QUERY_NORM
 MMR_CAND = 24   # relevance-pruned rerank pool
 MMR_K = 8       # selections
 

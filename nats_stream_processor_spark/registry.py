@@ -251,27 +251,6 @@ def oracle_sql() -> dict[str, str]:
     return {name: e.oracle for name, e in REGISTRY.items() if e.oracle is not None}
 
 
-# Populate the registry (import side effects; keep at module bottom).
-#
-# ORDER MATTERS for external snapshots: harnesses that sample a prefix of the
-# registry see entries in registration order.
-from .queries import llm as _q_llm  # noqa: E402,F401
-from .queries import advanced as _q_advanced  # noqa: E402,F401
-from .queries import enrich as _q_enrich  # noqa: E402,F401
-from .queries import events as _q_events  # noqa: E402,F401
-from .queries import metrics as _q_metrics  # noqa: E402,F401
-from .queries import relational as _q_relational  # noqa: E402,F401
-
-from .queries import llm_ext as _q_llm_ext  # noqa: E402,F401
-from .queries import llm_ext2 as _q_llm_ext2  # noqa: E402,F401
-
-_pre_ext3 = set(REGISTRY)
-from .queries import llm_ext3 as _q_llm_ext3  # noqa: E402,F401
-_ext3_names = [n for n in REGISTRY if n not in _pre_ext3]
-
-_pre_ext4 = set(REGISTRY)
-from .queries import llm_ext4 as _q_llm_ext4  # noqa: E402,F401
-_ext4_names = [n for n in REGISTRY if n not in _pre_ext4]
 
 # Round-7 sampled-prefix rotation. The round driver snapshots the FIRST 50
 # entries, so the prefix is curated each round to cover what most needs a
@@ -320,17 +299,73 @@ SAMPLE_PREFIX_EXPECTED = [
     "unpivot_pricing_metrics", "window_lag_daily_orders",
     "window_rank_dense_ntile", "window_running_revenue",
 ]
-# No hard assert on prefix membership here: a Python WORKER that unpickles
-# a UDF re-imports the query modules, and THIS module's bottom then runs
-# while the registry is only partially populated — an assert would kill the
-# task (caught by the r5 full-sweep on embed_gram_matrix's mapInPandas
-# workers, the same re-entry class as queries/knn_shared.py). Missing names
-# are filtered (harmless in workers, which never read registry order);
-# tests/test_oracle_parity.py asserts the full prefix on a clean import.
-_SAMPLE_PREFIX = [n for n in SAMPLE_PREFIX_EXPECTED if n in REGISTRY]
-_SAMPLE_PREFIX += [n for n in _ext4_names
-                   if n not in _SAMPLE_PREFIX][:50 - len(_SAMPLE_PREFIX)]
-_order = _SAMPLE_PREFIX + [n for n in REGISTRY if n not in set(_SAMPLE_PREFIX)]
-_reordered = {n: REGISTRY[n] for n in _order}
-REGISTRY.clear()
-REGISTRY.update(_reordered)
+
+
+# Registry population. The query-module import chain lives in _populate()
+# and is invoked from the PACKAGE __init__ — never from this module's
+# bottom. That guarantee matters on Python WORKERS: a worker unpickling a
+# module-level UDF helper imports that query module FIRST, and Python runs
+# the package __init__ (hence this chain, in full, in order) BEFORE the
+# requested module — so no module in the chain can ever observe a
+# partially-initialized sibling. (The previous bottom-of-this-module chain
+# could: entering at llm_ext4 replayed the chain while llm_ext4 sat at its
+# registry-import line, and llm_ext5's oracle builder then imported names
+# that did not exist yet — broke text_mtld_diversity and
+# events_kleinberg_burst workers in r7. Guarded by tests/test_oracle_parity
+# ::test_every_query_module_survives_worker_entry_import.)
+_POPULATED = False
+
+# Names per late-round module, for the sample-prefix tests (set by
+# _populate).
+_ext3_names: list[str] = []
+_ext4_names: list[str] = []
+_ext5_names: list[str] = []
+
+
+def _populate() -> None:
+    """Import every query module (registration side effects) and curate
+    the sampled prefix. Idempotent; called from the package __init__.
+
+    ORDER MATTERS for external snapshots: harnesses that sample a prefix
+    of the registry see entries in registration order.
+    """
+    global _POPULATED, _ext3_names, _ext4_names, _ext5_names
+    if _POPULATED:
+        return
+    _POPULATED = True
+
+    from .queries import llm  # noqa: F401
+    from .queries import advanced  # noqa: F401
+    from .queries import enrich  # noqa: F401
+    from .queries import events  # noqa: F401
+    from .queries import metrics  # noqa: F401
+    from .queries import relational  # noqa: F401
+    from .queries import llm_ext  # noqa: F401
+    from .queries import llm_ext2  # noqa: F401
+
+    pre = set(REGISTRY)
+    from .queries import llm_ext3  # noqa: F401
+    _ext3_names = [n for n in REGISTRY if n not in pre]
+
+    pre = set(REGISTRY)
+    from .queries import llm_ext4  # noqa: F401
+    _ext4_names = [n for n in REGISTRY if n not in pre]
+
+    # Late round-7 additions: registered (mimic-verified at three SFs +
+    # plain session) but BEHIND the 50-slot sample window, which was
+    # already fully allocated — first in line for the r8 prefix rotation.
+    pre = set(REGISTRY)
+    from .queries import llm_ext5  # noqa: F401
+    _ext5_names = [n for n in REGISTRY if n not in pre]
+
+    # Reorder so the curated prefix leads. Every curated name must exist
+    # on a clean import (asserted by test_sample_prefix_has_no_name_drift);
+    # the soft filter below is only a guard against future partial-import
+    # schemes, and the _ext4 overflow fill keeps new operators sampled if
+    # the explicit list ever under-allocates.
+    prefix = [n for n in SAMPLE_PREFIX_EXPECTED if n in REGISTRY]
+    prefix += [n for n in _ext4_names if n not in prefix][:50 - len(prefix)]
+    order = prefix + [n for n in REGISTRY if n not in set(prefix)]
+    reordered = {n: REGISTRY[n] for n in order}
+    REGISTRY.clear()
+    REGISTRY.update(reordered)

@@ -66,3 +66,29 @@ def test_sample_prefix_has_no_name_drift():
     # window — new code earns its formal row in the round it is written.
     for n in registry._ext4_names:
         assert n in window, f"round-7 operator {n} missed the sample window"
+
+
+def test_every_query_module_survives_worker_entry_import():
+    """A Python WORKER unpickling a module-level UDF helper imports that
+    query module FIRST, before the package — any module whose import
+    chain reaches back into a partially-initialized sibling kills every
+    task that ships its UDFs (r7 incident: llm_ext5's oracle builder
+    imported llm_ext4 constants while llm_ext4 was at line 34 of a
+    worker re-import; broke text_mtld_diversity and
+    events_kleinberg_burst at runtime while the driver-side import
+    order hid it). Import each module as the entrypoint of a fresh
+    interpreter."""
+    import pathlib
+    import subprocess
+    import sys
+    qdir = (pathlib.Path(__file__).resolve().parent.parent
+            / "nats_stream_processor_spark" / "queries")
+    mods = sorted(p.stem for p in qdir.glob("*.py") if p.stem != "__init__")
+    assert len(mods) >= 10
+    for m in mods:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             f"import nats_stream_processor_spark.queries.{m}"],
+            capture_output=True, text=True,
+            cwd=str(qdir.parent.parent), timeout=120)
+        assert r.returncode == 0, f"{m}: {r.stderr[-800:]}"

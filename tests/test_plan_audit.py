@@ -539,3 +539,18 @@ def test_burst_is_one_user_shuffle_pandas_decode(spark):
     assert "FlatMapGroupsInPandas" in p
     assert "Join" not in p and "UnionLoop" not in p
     assert len(re.findall(r"hashpartitioning\(user_id", p)) >= 1
+
+
+def test_rrf_fusion_adds_no_corpus_scale_work(spark):
+    """RRF: both ranker pools end in TakeOrdered prunes; the fusion join
+    operates on the bounded pools only (no corpus-side shuffle added —
+    every hash exchange carries ranker-internal keys, never text)."""
+    p = plan_str(spark, "sim_rrf_fusion")
+    assert p.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in p
+    for section in re.split(r"\n\(\d+\) ", p):
+        if section.startswith("Exchange") and "hashpartitioning" in section:
+            input_line = next(
+                (ln for ln in section.splitlines()
+                 if ln.startswith("Input")), "")
+            assert "text#" not in input_line, section[:400]

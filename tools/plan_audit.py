@@ -468,6 +468,12 @@ NOTES = {
         "plan; costs are int64-quantized so the decoded path is "
         "engine-exact."
     ),
+    "sim_rrf_fusion": (
+        "Each ranker keeps its audited shape (term-pruned BM25 postings "
+        "+ TakeOrdered; broadcast query vector + TakeOrdered); the RRF "
+        "combiner is a full outer join of two 20-row pools — zero "
+        "corpus-scale work added by fusion."
+    ),
     "tokenizer_unigram_viterbi": (
         "Vocabulary training = two vocabulary-keyed aggregates with "
         "map-side partials (word counts, then bounded 4xL substring "
