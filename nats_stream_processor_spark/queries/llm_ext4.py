@@ -792,6 +792,33 @@ CUSUM_H_NUM = 1   # drift threshold = (NUM/DEN) x mean daily volume,
 CUSUM_H_DEN = 2   # i.e. flag when cumulative excess > half a mean day
 
 
+def cusum_over_daily(daily: DataFrame) -> DataFrame:
+    """The CUSUM closed form over a (event_type, day, n) aggregate —
+    shared by the batch query below and the streaming monitor
+    (foreachBatch over a complete-mode aggregate snapshot; see
+    tests/test_streaming.py::test_streaming_cusum_drift_matches_batch),
+    so both faces compute the identical statistic."""
+    wtype = Window.partitionBy("event_type")
+    word = (Window.partitionBy("event_type").orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    t = (daily
+         .withColumn("total", F.sum("n").over(wtype).cast("bigint"))
+         .withColumn("days", F.count("*").over(wtype).cast("bigint")))
+    p = t.withColumn(
+        "prefix",
+        F.sum(F.col("n") * F.col("days") - F.col("total")).over(word)
+        .cast("bigint"))
+    s = p.withColumn(
+        "cusum",
+        F.col("prefix")
+        - F.least(F.lit(0).cast("bigint"), F.min("prefix").over(word)))
+    return s.select(
+        "event_type", "day", "n", "cusum",
+        (F.col("cusum") * CUSUM_H_DEN > F.col("total") * CUSUM_H_NUM)
+        .cast("int").alias("is_drift"))
+
+
+
 @register(
     "events_cusum_drift",
     oracle=f"""
@@ -835,29 +862,12 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     two stacked windows on ONE (event_type) partitioning — the per-type
     totals ride the same partition as unbounded aggregates. The
     sequential recurrence never executes sequentially: the closed form
-    makes CUSUM embarrassingly parallel per key."""
+    makes CUSUM embarrassingly parallel per key (and re-runnable on
+    every streaming micro-batch snapshot — cusum_over_daily)."""
     e = spread(table(spark, sf_dir, "events"))
     daily = (e.groupBy("event_type", F.to_date("ts").alias("day"))
              .agg(F.count("*").cast("bigint").alias("n")))
-    wtype = Window.partitionBy("event_type")
-    word = (Window.partitionBy("event_type").orderBy("day")
-            .rowsBetween(Window.unboundedPreceding, 0))
-    t = (daily
-         .withColumn("total", F.sum("n").over(wtype).cast("bigint"))
-         .withColumn("days", F.count("*").over(wtype).cast("bigint")))
-    p = t.withColumn(
-        "prefix",
-        F.sum(F.col("n") * F.col("days") - F.col("total")).over(word)
-        .cast("bigint"))
-    s = p.withColumn(
-        "cusum",
-        F.col("prefix")
-        - F.least(F.lit(0).cast("bigint"), F.min("prefix").over(word)))
-    return (s.select(
-        "event_type", "day", "n", "cusum",
-        (F.col("cusum") * CUSUM_H_DEN > F.col("total") * CUSUM_H_NUM)
-        .cast("int").alias("is_drift"))
-        .orderBy("event_type", "day"))
+    return cusum_over_daily(daily).orderBy("event_type", "day")
 
 
 # ------------------------------------------------ MTLD lexical diversity

@@ -416,3 +416,43 @@ def test_file_sink_exactly_once_across_restart(spark, tmp_path):
     run_once()  # new file lands exactly once
     final = sorted(r.text for r in spark.read.parquet(out_dir).collect())
     assert final == ["alpha", "beta", "gamma"]
+
+
+def test_streaming_cusum_drift_matches_batch(spark, tmp_path):
+    """The CUSUM drift monitor on the STREAMING path: daily counts as a
+    complete-mode streaming aggregation, the closed-form CUSUM applied
+    to each micro-batch snapshot in foreachBatch (window functions are
+    not allowed on an unbounded stream, and re-deriving the statistic
+    from the complete aggregate each trigger is exactly how a
+    production monitor runs it). The final snapshot must equal the
+    batch operator row-for-row — same helper, same statistic."""
+    from nats_stream_processor_spark import registry
+    from nats_stream_processor_spark.queries.llm_ext4 import (
+        cusum_over_daily,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src = registry.table(spark, sf, "events").select("event_type", "ts")
+    pdir = tmp_path / "cusum_events"
+    src.write.parquet(str(pdir))  # normalized us timestamps for streaming
+    expect = {(r.event_type, r.day): (r.n, r.cusum, r.is_drift)
+              for r in registry.REGISTRY["events_cusum_drift"]
+              .fn(spark, sf).collect()}
+    registry.release_pins()
+
+    stream = spark.readStream.schema(src.schema).parquet(str(pdir))
+    daily = (stream.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count("*").cast("bigint").alias("n")))
+    snapshots = {}
+
+    def monitor(bdf, epoch_id):
+        snapshots[epoch_id] = {
+            (r.event_type, r.day): (r.n, r.cusum, r.is_drift)
+            for r in cusum_over_daily(bdf).collect()}
+
+    q = (daily.writeStream.outputMode("complete").foreachBatch(monitor)
+         .option("checkpointLocation", str(tmp_path / "ckpt_cusum"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert snapshots, "no micro-batch arrived"
+    assert snapshots[max(snapshots)] == expect
