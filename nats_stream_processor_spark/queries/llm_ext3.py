@@ -1510,8 +1510,14 @@ REGISTRY["graph_knn_components"].oracle = _knn_components_oracle()
 # = doc_id + PLANT_OFFSET), so the banding join, XOR popcount, and
 # threshold all certify on real matching rows. Threshold semantics are
 # unchanged — organic pairs (if the data ever has them) still surface.
+# The offset is a single high bit, not a decimal constant: twin ids can
+# never alias organic doc_ids below 2^40 (~1.1e12 docs), versus the old
+# 10_000_000 which would collide past a 10M-doc corpus. Non-certification
+# consumers disable planting entirely with the session conf
+# ``spark.nats_spark.phash.plant.enabled = false`` (organic pairs only).
 PHASH_PLANT_MOD = 97
-PHASH_PLANT_OFFSET = 10_000_000
+PHASH_PLANT_OFFSET = 1 << 40
+PHASH_PLANT_CONF = "spark.nats_spark.phash.plant.enabled"
 
 
 @register(
@@ -1520,15 +1526,18 @@ PHASH_PLANT_OFFSET = 10_000_000
     tags=("llm", "multimodal", "phash", "near-dup"),
 )
 def q_media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash near-duplicate detection over binary media — the
+    """OUTPUT CONTAINS PLANTED ROWS BY DEFAULT: every PLANT_MOD-th doc
+    gets a byte-identical synthetic twin (id = doc_id + 2^40) unioned
+    into the input so certification is non-vacuous on fixtures without
+    organic binary near-dups — set ``spark.nats_spark.phash.plant
+    .enabled = false`` for organic-only pairs.
+
+    Perceptual-hash near-duplicate detection over binary media — the
     image/video analog of SimHash text dedup: mapInPandas extracts a
     60-bit threshold signature per payload (decode stubbed; see
     operators/multimodal.phash_signature), signatures band into 4
     15-bit chunks, candidates collide on any chunk, pairs verify at
-    Hamming distance <= 3 via XOR popcount. Every PLANT_MOD-th doc
-    gets a byte-identical planted twin (see PHASH_PLANT_MOD above) so
-    the certification is non-vacuous on fixtures without organic
-    binary near-dups.
+    Hamming distance <= 3 via XOR popcount.
 
     Scale shape: payloads never shuffle — only (id, int64) signature
     rows do; the chunk equi-join is the banding that keeps candidate
@@ -1543,10 +1552,13 @@ def q_media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_payload,
     )
     base = spread(table(spark, sf_dir, "documents"))
-    planted = (base.filter(F.col("doc_id") % PHASH_PLANT_MOD == 0)
-               .withColumn("doc_id",
-                           F.col("doc_id") + F.lit(PHASH_PLANT_OFFSET)))
-    d = with_payload(base.unionByName(planted))
+    plant = str(spark.conf.get(PHASH_PLANT_CONF, "true")).lower() != "false"
+    if plant:
+        planted = (base.filter(F.col("doc_id") % PHASH_PLANT_MOD == 0)
+                   .withColumn("doc_id",
+                               F.col("doc_id") + F.lit(PHASH_PLANT_OFFSET)))
+        base = base.unionByName(planted)
+    d = with_payload(base)
     sig = pin(media_phash(d))
     chunks = sig.select(
         "doc_id", "phash",

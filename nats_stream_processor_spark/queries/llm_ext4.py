@@ -67,7 +67,8 @@ _TOKS = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
 # caught by test_winnowing_shared_run_guarantee, hypothesis.)
 WIN_K = 3          # tokens per k-gram
 WIN_W = 4          # winnowing window (k-gram positions)
-WIN_POS_BITS = 21  # tie-field width; docs are bounded << 2^20 k-grams
+WIN_POS_BITS = 21  # tie-field width; docs with >= 2^20 k-grams are
+                   # filtered out (enforced in-query on both engines)
 WIN_HH_DOCS = 8    # fingerprint doc-frequency cap (boilerplate guard)
 WIN_MIN_SHARED = 2  # pairs must share >= 2 fingerprints
 
@@ -108,11 +109,18 @@ def q_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     wdoc = Window.partitionBy("doc_id")
     wlead = (Window.partitionBy("doc_id").orderBy("i")
              .rowsBetween(0, WIN_W - 1))
+    # np < 2^(POS_BITS-1) guard: the packed tie field is (2^20 - i), so a
+    # doc with >= 2^20 k-grams would drive it negative and corrupt both
+    # the recovered hash (wm div 2^21) and the rightmost-tie rule — on
+    # BOTH engines identically, which parity would mask. Such docs are
+    # excluded outright (none exist in any fixture; at real scale a >1M-
+    # token doc belongs in a length-capped preprocessing tier anyway).
     fp = (g.select("doc_id", "i", u.alias("u"),
                    F.count("*").over(wdoc).alias("np"))
           .select("doc_id", "i", "np",
                   F.min("u").over(wlead).alias("wm"))
-          .filter(F.col("i") <= F.col("np") - (WIN_W - 1))
+          .filter((F.col("i") <= F.col("np") - (WIN_W - 1))
+                  & (F.col("np") < F.lit(tie_mod // 2)))
           .select("doc_id",
                   F.expr(f"wm div {tie_mod}").alias("h")).distinct())
     fp = pin(fp)
@@ -157,7 +165,8 @@ def _winnowing_oracle() -> str:
                               + ({1 << (WIN_POS_BITS - 1)} - i) AS u,
                             count(*) OVER (PARTITION BY doc_id) AS np
                      FROM g))
-           WHERE i <= np - {WIN_W - 1}),
+           WHERE i <= np - {WIN_W - 1}
+             AND np < {1 << (WIN_POS_BITS - 1)}),
     dc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp
            FROM fp GROUP BY 1),
     keep AS (SELECT h FROM fp GROUP BY h
@@ -1103,7 +1112,14 @@ REGISTRY["dedup_idf_weighted_jaccard"].oracle = _idf_jaccard_oracle()
 # tokenizer training — the missing member next to the BPE train/apply
 # operators. All scores are ln(count/total) quantized to an int64 ppm
 # grid, so the DP argmax is exact integer comparison on both engines
-# (ties: longer piece wins, pinned in both DPs).
+# (ties: longer piece wins, pinned in both DPs). Residual cross-engine
+# risk, documented rather than claimed away: the ln() itself comes from
+# each engine's libm (JVM Math.log / DuckDB / CPython math.log), none
+# guaranteed identically rounded; a 1-ulp difference landing exactly on
+# a floor(x*1e6+0.5) grid boundary would flip one quantized score by 1
+# and could change a decoded path discretely. Never observed at any
+# tested SF; the quantization makes it a measure-zero boundary event,
+# not an impossibility.
 UNI_MAX_PIECE = 4     # max piece length (chars)
 UNI_VOCAB_K = 64      # multi-char pieces kept (all single chars always kept)
 UNI_WORDS_K = 50      # words segmented (top by corpus frequency)
@@ -1280,6 +1296,12 @@ REGISTRY["tokenizer_unigram_viterbi"].oracle = _unigram_oracle()
 # quantized to an int64 1e-6 grid BEFORE the DP, so every comparison —
 # and therefore the decoded path — is exact integer arithmetic on both
 # engines (ties prefer the base state / base predecessor, pinned).
+# Residual cross-engine risk (same caveat as the unigram tokenizer
+# above): the ln() terms come from CPython math.log here and DuckDB's
+# libm in the oracle; a 1-ulp rounding difference landing exactly on a
+# floor(x*1e6+0.5) grid boundary would shift one quantized cost by 1
+# and could flip a decoded path. Never observed at any tested SF —
+# documented as a boundary event, not claimed impossible.
 BURST_S = 2          # burst-state rate multiplier
 BURST_INF = 10 ** 15  # "unreachable" start cost for the burst state
 

@@ -57,7 +57,8 @@ def _winnow_fps(toks):
 
 
 def test_winnowing_matches_python_reference(spark):
-    """Full re-derivation: fingerprints via trailing-window min, doc-
+    """Full re-derivation: fingerprints via the classic per-window rule
+    (each complete leading window's min hash, rightmost on ties), doc-
     frequency band [2, WIN_HH_DOCS], pair counts, containment ppm."""
     fps = {r.doc_id: _winnow_fps(_toks(r.text)) for r in _docs(spark)}
     df = {}
@@ -315,6 +316,32 @@ def test_phash_planted_twins_surface(spark):
     assert rows, "planted twins missing — formal row is vacuous again"
     for d in ids:
         assert got.get((d, d + PHASH_PLANT_OFFSET)) == 0, d
+
+
+def test_phash_organic_mode_returns_pre_plant_result(spark):
+    """With the plant switch off, the query must return exactly the
+    organic pairs — the plant-mode result minus every row touching a
+    planted id — so non-certification consumers never see synthetic
+    rows."""
+    from nats_stream_processor_spark.queries.llm_ext3 import (
+        PHASH_PLANT_CONF,
+        PHASH_PLANT_OFFSET,
+    )
+    planted = registry.REGISTRY["media_phash_near_dup"].fn(spark, SF).collect()
+    spark.conf.set(PHASH_PLANT_CONF, "false")
+    try:
+        organic = registry.REGISTRY["media_phash_near_dup"].fn(
+            spark, SF).collect()
+    finally:
+        spark.conf.unset(PHASH_PLANT_CONF)
+        registry.release_pins()
+    org = {(r.doc_a, r.doc_b, r.hamming) for r in organic}
+    assert all(a < PHASH_PLANT_OFFSET and b < PHASH_PLANT_OFFSET
+               for a, b, _ in org)
+    expect = {(r.doc_a, r.doc_b, r.hamming) for r in planted
+              if r.doc_a < PHASH_PLANT_OFFSET
+              and r.doc_b < PHASH_PLANT_OFFSET}
+    assert org == expect
 
 
 # ------------------------------------------------------- CUSUM drift
