@@ -252,52 +252,60 @@ def oracle_sql() -> dict[str, str]:
 
 
 
-# Round-7 sampled-prefix rotation. The round driver snapshots the FIRST 50
+# Round-8 sampled-prefix rotation. The round driver snapshots the FIRST 50
 # entries, so the prefix is curated each round to cover what most needs a
-# formal correctness row. With cumulative formal coverage at 205/205 after
-# r6, rotation pressure is gone; the r7 window holds exactly:
-#  - the 11 new round-7 operators (queries/llm_ext4.py, registration
+# formal correctness row. The r8 window holds exactly:
+#  - sim_rrf_fusion: the single registry entry without a formal row
+#    anywhere in r1-r7 (landed after the r7 window was allocated; the r7
+#    verdict's #1 ask is that it leads this window);
+#  - the 3 new round-8 operators (queries/llm_ext6.py, registration
 #    order) — formal rows in the round they are written;
-#  - media_phash_near_dup, whose CODE changed this round (planted replay
-#    twins replace the vacuous 0-vs-0 formal row);
-#  - 38 of the 43 queries whose latest formal certification is oldest
-#    (round 2, per CORRECTNESS_r02.json — nothing else is older) —
-#    re-certified against five rounds of engine evolution. The five r2
-#    queries left out (agg_pricing_summary, events_funnel,
-#    events_tumbling_hourly, join_revenue_by_region,
-#    window_topk_orders_per_segment) are bench-headline queries
-#    exercised every round at sf0.1 and locally mimic-green at sf0.01
-#    this round — the least-risk omissions.
-# Everything else — formally green in r3-r6 and unchanged in r7 — rotates
+#  - the 2 queries whose CODE changed this round: media_phash_near_dup
+#    (plant offset moved to 1<<40 + organic-only conf switch — planted
+#    twin ids in the OUTPUT change, so the r7 row no longer certifies
+#    this code) and dedup_winnowing_overlap (np < 2^20 overflow guard —
+#    output-identical at every fixture SF, re-certified anyway);
+#  - the 5 r2-era queries deliberately withheld from the r7 window
+#    (bench-headline, mimic-green; the verdict asks for their formal
+#    rows now);
+#  - all 16 queries whose latest formal row is r3-era — the oldest
+#    remaining certifications;
+#  - the alphabetically-first 23 of the 46 r4-era queries. The other 23
+#    r4-era rotate into the r9 window (recorded here so the allocation
+#    is auditable: graph_pagerank_knn onward alphabetically).
+# Everything else — formally green in r5-r7 and unchanged in r8 — rotates
 # behind.
 SAMPLE_PREFIX_EXPECTED = [
-    # new in round 7 (llm_ext4 registration order)
-    "dedup_winnowing_overlap", "dedup_sorted_neighborhood",
-    "text_kneser_ney_bigram", "sim_mmr_diverse_topk",
-    "sample_neyman_allocation", "media_aspect_bucket_batches",
-    "events_cusum_drift", "text_mtld_diversity",
-    "dedup_idf_weighted_jaccard", "tokenizer_unigram_viterbi",
-    "events_kleinberg_burst",
-    # changed in round 7
-    "media_phash_near_dup",
-    # oldest formal rows (all round 2), alphabetical
-    "agg_distinct_per_segment", "agg_having", "agg_percentiles",
-    "array_map_functions", "asof_join_latest_order",
-    "confidence_gate", "cube_returnflag_linestatus", "date_funcs_orders",
-    "events_gap_fill", "events_retention_cohorts",
-    "events_session_windows", "events_sliding_windows",
-    "grouping_sets_priority_status",
-    "join_anti_customers_no_orders", "join_full_outer_nation_counts",
-    "join_left_customer_orders", "join_range_price_bands",
-    "join_right_orders_customer",
-    "join_semi_urgent_customers", "json_extract_events", "math_null_funcs",
-    "metrics_confidence_histogram", "metrics_pipeline_counters",
-    "metrics_sentiment_distribution", "metrics_top5_topics",
-    "pivot_event_type_counts", "rate_ticks_20s", "rollup_region_nation",
-    "route_subject", "scan_filter_pushdown", "set_ops_customer_years",
-    "sort_global_topk_orders", "string_funcs_parts", "text_extract_coalesce",
-    "unpivot_pricing_metrics", "window_lag_daily_orders",
-    "window_rank_dense_ntile", "window_running_revenue",
+    # the one uncertified registry entry (r7 verdict ask #1)
+    "sim_rrf_fusion",
+    # new in round 8 (llm_ext6 registration order)
+    "text_flesch_readability", "dedup_substring_apply",
+    "sim_crossmodal_recall",
+    # changed in round 8
+    "media_phash_near_dup", "dedup_winnowing_overlap",
+    # the 5 r2-era queries withheld from the r7 window
+    "agg_pricing_summary", "events_funnel", "events_tumbling_hourly",
+    "join_revenue_by_region", "window_topk_orders_per_segment",
+    # oldest remaining formal rows (r3-era), alphabetical
+    "correlated_subquery_max_order", "curation_quality_by_cluster",
+    "dedup_soft_weights", "enrich_flagship", "grouped_agg_weighted_avg",
+    "grouped_map_zscore", "sample_importance_by_quality",
+    "scalar_subquery_above_avg", "sentiment_classify",
+    "sim_ann_range_search", "text_length_histogram",
+    "text_unigram_lm_score", "tokenizer_bpe_top_merges", "topic_classify",
+    "udtf_tokenize", "window_range_frame",
+    # next-oldest (r4-era), alphabetical first 23
+    "chunk_sliding_tokens", "corpus_source_similarity",
+    "curation_dsir_weights", "curation_end_to_end",
+    "curation_lang_rebalance", "curation_perplexity_buckets",
+    "curation_quality_quartiles", "curation_shard_balance",
+    "decontaminate_fuzzy_minhash", "dedup_chunk_level",
+    "dedup_cluster_size_histogram", "dedup_containment",
+    "dedup_incremental_batch", "dedup_normalized_exact",
+    "dedup_rate_by_source", "embed_gram_matrix", "embed_quantize_int8",
+    "events_dau_wau", "events_hourly_zscore", "events_markov_transitions",
+    "events_outliers_mad", "events_pareto_concentration",
+    "events_rate_ewma",
 ]
 
 
@@ -320,6 +328,7 @@ _POPULATED = False
 _ext3_names: list[str] = []
 _ext4_names: list[str] = []
 _ext5_names: list[str] = []
+_ext6_names: list[str] = []
 
 
 def _populate() -> None:
@@ -332,7 +341,20 @@ def _populate() -> None:
     global _POPULATED, _ext3_names, _ext4_names, _ext5_names
     if _POPULATED:
         return
+    # Set the guard up front (re-entrant imports of the chain must
+    # no-op), but RESET it if any module import raises — otherwise a
+    # failed population would leave every later call silently no-oping
+    # on a partial registry instead of retrying or failing loudly.
     _POPULATED = True
+    try:
+        _populate_chain()
+    except BaseException:
+        _POPULATED = False
+        raise
+
+
+def _populate_chain() -> None:
+    global _ext3_names, _ext4_names, _ext5_names, _ext6_names
 
     from .queries import llm  # noqa: F401
     from .queries import advanced  # noqa: F401
@@ -351,20 +373,24 @@ def _populate() -> None:
     from .queries import llm_ext4  # noqa: F401
     _ext4_names = [n for n in REGISTRY if n not in pre]
 
-    # Late round-7 additions: registered (mimic-verified at three SFs +
-    # plain session) but BEHIND the 50-slot sample window, which was
-    # already fully allocated — first in line for the r8 prefix rotation.
+    # Late round-7 additions: leading the r8 sample window (the r7
+    # window was already fully allocated when these landed).
     pre = set(REGISTRY)
     from .queries import llm_ext5  # noqa: F401
     _ext5_names = [n for n in REGISTRY if n not in pre]
 
+    # Round-8 additions: inside the r8 sample window.
+    pre = set(REGISTRY)
+    from .queries import llm_ext6  # noqa: F401
+    _ext6_names = [n for n in REGISTRY if n not in pre]
+
     # Reorder so the curated prefix leads. Every curated name must exist
     # on a clean import (asserted by test_sample_prefix_has_no_name_drift);
     # the soft filter below is only a guard against future partial-import
-    # schemes, and the _ext4 overflow fill keeps new operators sampled if
+    # schemes, and the _ext6 overflow fill keeps new operators sampled if
     # the explicit list ever under-allocates.
     prefix = [n for n in SAMPLE_PREFIX_EXPECTED if n in REGISTRY]
-    prefix += [n for n in _ext4_names if n not in prefix][:50 - len(prefix)]
+    prefix += [n for n in _ext6_names if n not in prefix][:50 - len(prefix)]
     order = prefix + [n for n in REGISTRY if n not in set(prefix)]
     reordered = {n: REGISTRY[n] for n in order}
     REGISTRY.clear()

@@ -1,0 +1,197 @@
+"""Invariants and Python-reference replications for the round-8
+extension queries (queries/llm_ext6.py): Flesch readability arithmetic,
+exact-substring removal materialization, and cross-modal recall@K.
+Each operator is recomputed end-to-end in plain Python over the
+sf0.001 corpus and compared row-for-row — independent of the DuckDB
+oracle, which shares no code with these references."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pytest
+
+from nats_stream_processor_spark import registry
+from nats_stream_processor_spark.queries import llm_ext6 as x6
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _release():
+    yield
+    registry.release_pins()
+
+
+def _run(spark, name, sf=SF):
+    return registry.REGISTRY[name].fn(spark, sf)
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").collect()
+
+
+def _toks(text):
+    return re.findall("[a-z0-9]+", text.lower())
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+# ------------------------------------------------- Flesch readability
+
+
+def _flesch_row(text):
+    toks = _toks(text)
+    n_words = len(toks)
+    n_sent = len(re.findall(r"[.!?]+", text))
+    n_syl = 0
+    for w in toks:
+        runs = len(re.findall("[aeiouy]+", w))
+        silent = 1 if (w.endswith("e") and runs >= 2) else 0
+        n_syl += max(1, runs - silent)
+    ww, ss = max(n_words, 1), max(n_sent, 1)
+    micro = 206835000 - (1015000 * ww) // ss - (84600000 * n_syl) // ww
+    band = "very_difficult"
+    for lo, label in x6.FLESCH_BANDS:
+        if micro >= lo:
+            band = label
+            break
+    return (n_words, n_sent, n_syl, micro, band)
+
+
+def test_flesch_matches_python_reference(spark):
+    expect = {r.doc_id: _flesch_row(r.text) for r in _docs(spark)}
+    got = {r.doc_id: (r.n_words, r.n_sentences, r.n_syllables,
+                      r.flesch_micro, r.band)
+           for r in _run(spark, "text_flesch_readability").collect()}
+    assert got == expect
+    bands = {v[4] for v in got.values()}
+    assert len(bands) >= 2, f"fixture hit only {bands} — banding vacuous"
+
+
+def test_flesch_known_values():
+    """Hand-checked sentences pin the arithmetic (not just fixture
+    agreement): a short simple sentence scores easier than a long
+    polysyllabic one."""
+    simple = _flesch_row("the cat sat. the dog ran.")
+    hard = _flesch_row(
+        "notwithstanding considerable organizational heterogeneity "
+        "interdepartmental communication necessitates comprehensive "
+        "documentation")
+    assert simple[3] > hard[3]
+    # "the cat sat" tokens: 6 words, 2 sentences, 6 syllables
+    assert simple[0] == 6 and simple[1] == 2 and simple[2] == 6
+
+
+# --------------------------------------- exact-substring removal apply
+
+
+def test_substring_apply_matches_python_reference(spark):
+    from nats_stream_processor_spark.operators.dedup import (
+        MERSENNE_P,
+        SHINGLE_COMB,
+    )
+    from nats_stream_processor_spark.queries.llm_ext2 import _SPAN_K as K
+    docs = _docs(spark)
+    toks = {r.doc_id: _toks(r.text) for r in docs}
+    hs = {d: [_h32(t) for t in ts] for d, ts in toks.items()}
+    gram_docs = {}
+    positions = {}
+    for d, h in hs.items():
+        positions[d] = []
+        for p in range(1, len(h) - K + 2):
+            acc = 0
+            for x in h[p - 1:p - 1 + K]:
+                acc = (acc * SHINGLE_COMB + x) % MERSENNE_P
+            positions[d].append((p, acc))
+            gram_docs.setdefault(acc, set()).add(d)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    expect = {}
+    for d, ts in toks.items():
+        covered = set()
+        for p, g in positions[d]:
+            if g in dup:
+                covered.update(range(p, p + K))
+        kept = [t for i, t in enumerate(ts, start=1) if i not in covered]
+        expect[d] = (len(ts), len(ts) - len(kept), " ".join(kept))
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+           for r in _run(spark, "dedup_substring_apply").collect()}
+    assert got == expect
+    assert any(v[1] > 0 for v in got.values()), \
+        "no doc had tokens removed — apply path is vacuous"
+    assert any(v[1] == 0 for v in got.values()), \
+        "every doc was trimmed — suspicious for the fixture corpus"
+
+
+def test_substring_apply_consistent_with_removal_plan(spark):
+    """The apply query's n_removed must equal the r4 plan query's
+    tokens_covered for every doc — same spans, same union, one
+    reported and one materialized."""
+    plan = {r.doc_id: r.tokens_covered
+            for r in _run(spark, "dedup_span_removal_plan").collect()}
+    registry.release_pins()
+    got = {r.doc_id: r.n_removed
+           for r in _run(spark, "dedup_substring_apply").collect()}
+    assert got == plan
+
+
+# --------------------------------------------- cross-modal recall@K
+
+
+def test_crossmodal_recall_matches_python_reference(spark):
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in embs}
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def fold_norm(v):
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    from nats_stream_processor_spark.operators import similarity as sim
+    planes = sim.hyperplanes(sim.LSH_TABLES * sim.LSH_PLANES)
+
+    def buckets(v):
+        out = []
+        for t in range(sim.LSH_TABLES):
+            b = 0
+            for p in range(sim.LSH_PLANES):
+                if fold_dot(planes[t * sim.LSH_PLANES + p], v) >= 0.0:
+                    b += 1 << p
+            out.append(b)
+        return out
+
+    doc_b = {vid: buckets(v) for vid, v in vecs.items()}
+    expect = {}
+    for q in range(x6.XM_NQ):
+        qv, qn, qb = x6.XM_QVECS[q], x6.XM_QNORMS[q], x6.XM_QBUCKETS[q]
+        scored = []
+        for vid, v in vecs.items():
+            ppm = math.floor(fold_dot(qv, v) / (qn * fold_norm(v))
+                             * 1e6 + 0.5)
+            cand = any(doc_b[vid][t] == qb[t]
+                       for t in range(sim.LSH_TABLES))
+            scored.append((vid, ppm, cand))
+        order = sorted(scored, key=lambda r: (-r[1], r[0]))
+        exact = {vid for vid, _, _ in order[:x6.XM_TOPK]}
+        cands = [r for r in order if r[2]]
+        ann = {vid for vid, _, _ in cands[:x6.XM_TOPK]}
+        hits = len(exact & ann)
+        expect[q] = (len(cands), hits, hits * 1000000 // x6.XM_TOPK)
+    got = {r.query_id: (r.n_candidates, r.n_hits, r.recall_ppm)
+           for r in _run(spark, "sim_crossmodal_recall").collect()}
+    assert got == expect
+    assert any(v[1] > 0 for v in got.values()), \
+        "zero hits on every query — recall eval is vacuous"
+    assert any(v[0] < len(vecs) for v in got.values()), \
+        "every vector is a candidate for some query — LSH never prunes"

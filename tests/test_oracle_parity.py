@@ -51,9 +51,11 @@ def test_sample_prefix_has_no_name_drift():
     partially-initialized WORKER re-imports don't die — this test is
     where the drift protection actually lives.
 
-    The r7 prefix is fully explicit (50 names: the 11 new llm_ext4
-    operators, the changed media_phash_near_dup, and 38 round-2-era
-    oldest formal rows), so the assertion is exact equality on the full
+    The r8 prefix is fully explicit (50 names: sim_rrf_fusion — the one
+    entry without a formal row in r1-r7 — the 3 new llm_ext6 operators,
+    the 2 round-8 code-changed queries, the 5 withheld r2-era bench
+    queries, all 16 r3-era rows, and the alphabetically-first 23
+    r4-era rows), so the assertion is exact equality on the full
     window — a silent overflow or an unregistered curated name fails
     here rather than surfacing in the round artifact."""
     missing = [n for n in registry.SAMPLE_PREFIX_EXPECTED
@@ -64,8 +66,10 @@ def test_sample_prefix_has_no_name_drift():
     assert window == list(registry.SAMPLE_PREFIX_EXPECTED)
     # Every operator introduced this round must be inside the sampled
     # window — new code earns its formal row in the round it is written.
-    for n in registry._ext4_names:
-        assert n in window, f"round-7 operator {n} missed the sample window"
+    # sim_rrf_fusion (late r7, never sampled) must finally lead it.
+    assert window[0] == "sim_rrf_fusion"
+    for n in registry._ext6_names:
+        assert n in window, f"round-8 operator {n} missed the sample window"
 
 
 def test_every_query_module_survives_worker_entry_import():

@@ -554,3 +554,48 @@ def test_rrf_fusion_adds_no_corpus_scale_work(spark):
                 (ln for ln in section.splitlines()
                  if ln.startswith("Input")), "")
             assert "text#" not in input_line, section[:400]
+
+
+def test_flesch_is_map_only_before_sort(spark):
+    """Flesch readability derives every score from its own row: the
+    plan must contain NO hash-partitioned exchange — only the gated
+    spread and the presentation sort's range exchange. Any hash shuffle
+    would mean per-doc arithmetic is being co-located for no reason."""
+    p = plan_str(spark, "text_flesch_readability")
+    assert "hashpartitioning" not in p, p[:600]
+    assert "Join" not in p
+
+
+def test_substring_apply_shuffles_tokens_once_never_text(spark):
+    """The substring-removal APPLY query may shuffle token strings
+    exactly once — the per-doc reassembly groupBy — and must never put
+    the raw document text column into any hash exchange; gram/dup
+    candidate generation rides integer keys."""
+    p = plan_str(spark, "dedup_substring_apply")
+    tok_exchanges = 0
+    for section in re.split(r"\n\(\d+\) ", p):
+        if section.startswith("Exchange") and "hashpartitioning" in section:
+            input_line = next(
+                (ln for ln in section.splitlines()
+                 if ln.startswith("Input")), "")
+            assert "text#" not in input_line, section[:400]
+            if "tok#" in input_line:
+                tok_exchanges += 1
+    assert tok_exchanges <= 1, p[:800]
+
+
+def test_crossmodal_topk_is_two_phase_and_sheds_vectors(spark):
+    """Cross-modal recall must rank via the two-phase top-K — a
+    (query_id, pid) partial rank before the global (query_id) rank, so
+    ranking never collapses to |Q| partitions — and no hash exchange
+    may carry the widened embedding vectors (scores travel as ints)."""
+    p = plan_str(spark, "sim_crossmodal_recall")
+    hashex = re.findall(r"hashpartitioning\(([^)]*)\)", p)
+    assert any("pid" in h and "query_id" in h for h in hashex), hashex
+    assert any("pid" not in h and "query_id" in h for h in hashex), hashex
+    for section in re.split(r"\n\(\d+\) ", p):
+        if section.startswith("Exchange") and "hashpartitioning" in section:
+            input_line = next(
+                (ln for ln in section.splitlines()
+                 if ln.startswith("Input")), "")
+            assert "demb#" not in input_line, section[:400]
