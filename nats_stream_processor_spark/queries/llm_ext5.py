@@ -1,14 +1,16 @@
-"""Round-7 late additions (behind the sampled window).
+"""Round-7 late additions.
 
 The r7 50-slot driver sample was already fully allocated (11 new
 llm_ext4 operators + the changed media_phash_near_dup + 38 oldest
 round-2 re-certifications) when this module landed, so its operators
-sit BEHIND the window this round: locally oracle-verified at
+sat BEHIND the window in round 7 — locally oracle-verified at
 sf0.001/0.01/0.1 and in a plain driver-style session, pytest-covered,
-and first in line for formal rows in the round-8 prefix rotation.
-(Stating this explicitly — the window composition is asserted by
-tests/test_oracle_parity.py, and describing unsampled code as formally
-certified is exactly the drift round 6 was flagged for.)
+but without a formal driver row. As of round 8, sim_rrf_fusion LEADS
+the sampled window (registry.SAMPLE_PREFIX_EXPECTED[0]; asserted by
+tests/test_oracle_parity.py and tests/test_llm_ext5.py), so its formal
+row lands in CORRECTNESS_r08. (Stating certification status explicitly
+is the house rule — describing unsampled code as formally certified is
+exactly the drift round 6 was flagged for.)
 
 Style contract matches llm_ext/llm_ext2/llm_ext3/llm_ext4: identical
 aliases on both engines, int-quantized scores before any aggregation,

@@ -66,13 +66,15 @@ def test_rrf_matches_python_fusion_of_ranker_outputs(spark):
         assert got[0][3] >= max(g[3] for g in got)
 
 
-def test_ext5_is_registered_behind_the_sample_window():
-    """llm_ext5 operators are deliberately OUTSIDE the r7 50-slot sample
-    (the window was fully allocated); they must be registered, carry
-    oracles, and sit behind the prefix so the r8 rotation picks them up."""
-    window = set(list(registry.REGISTRY)[:50])
+def test_ext5_leads_the_r8_sample_window():
+    """llm_ext5 operators were deliberately OUTSIDE the r7 50-slot
+    sample (the window was fully allocated when they landed); the r8
+    rotation must pick them up FIRST — sim_rrf_fusion is the one
+    registry entry without a formal driver row in r1-r7, so it leads
+    the window this round (r7 verdict ask #1)."""
+    window = list(registry.REGISTRY)[:50]
     assert registry._ext5_names == ["sim_rrf_fusion"]
     for n in registry._ext5_names:
         assert n in registry.REGISTRY
         assert registry.REGISTRY[n].oracle is not None
-        assert n not in window
+    assert window[0] == "sim_rrf_fusion"
