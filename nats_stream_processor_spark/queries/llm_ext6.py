@@ -31,6 +31,12 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 # Registry import FIRST among intra-package imports (worker re-import
 # ordering; see llm_ext2.py's header note).
@@ -432,6 +438,142 @@ def _crossmodal_oracle() -> str:
     """
 
 
+# --------------------------------------------- video scene-cut detection
+
+# Shot segmentation over binary video payloads — the temporal analog of
+# media_dedup_near_frames' spatial near-dup: sample SCENE_FRAMES evenly
+# spaced frame windows per payload, reduce each to an integer feature
+# (sum of SCENE_SAMPLES bytes spaced across the window — decode stubbed,
+# same contract as every multimodal op here), then declare a CUT where
+# consecutive frame features differ by >= SCENE_THRESH. Shots = cuts+1;
+# a shot's length in frames drives shot-based sampling for video
+# training pipelines. All features and distances are exact int64 from
+# payload bytes, so both engines agree at every threshold boundary.
+SCENE_FRAMES = 16    # frames sampled per video
+SCENE_WINDOW = 64    # bytes per frame window
+SCENE_SAMPLES = 8    # bytes summed per window (every WINDOW/SAMPLES-th)
+SCENE_THRESH = 64    # |feature delta| that counts as a scene cut
+
+SCENE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("feat", LongType()),
+])
+
+
+@register(
+    "media_scene_cuts",
+    oracle=None,  # set below
+    tags=("llm", "multimodal", "video", "scene-cuts"),
+)
+def q_media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video shot segmentation: per-payload frame features (mapInPandas,
+    decode stubbed to an exact byte-sample sum — see the constant block),
+    consecutive-frame deltas via one lag window per doc, cuts at
+    |delta| >= SCENE_THRESH, shots via running-sum sessionization over
+    the cut flags. Emits per-video shot statistics (n_cuts, n_shots,
+    longest shot in frames, total absolute delta).
+
+    Scale shape: payloads never shuffle — the mapInPandas sampler emits
+    (id, frame_idx, int) rows and drops the binary before anything
+    wide; ONE hash exchange on doc_id serves the lag window, the shot
+    sessionization, and both aggregates (same-key windows share the
+    partitioning). Frame count is a constant, so per-doc state is
+    bounded everywhere. Oracle replays the byte sampling from hex."""
+    import pandas as pd
+
+    from ..operators.multimodal import with_payload
+
+    d = with_payload(spread(table(spark, sf_dir, "documents")))
+
+    def feats(batches):
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                n = len(p)
+                for j in range(SCENE_FRAMES):
+                    off = (j * n) // SCENE_FRAMES
+                    step = SCENE_WINDOW // SCENE_SAMPLES
+                    f = 0
+                    for s in range(SCENE_SAMPLES):
+                        pos = off + s * step
+                        if pos < n:
+                            f += p[pos]
+                    rows.append((did, j, f))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SCENE_SCHEMA.fields])
+
+    fr = d.select("doc_id", "payload").mapInPandas(feats, SCENE_SCHEMA)
+    wlag = Window.partitionBy("doc_id").orderBy("frame_idx")
+    delta = (fr.select(
+        "doc_id", "frame_idx",
+        F.abs(F.col("feat") - F.lag("feat").over(wlag)).alias("ad"))
+        .select("doc_id", "frame_idx",
+                F.coalesce("ad", F.lit(0)).cast("long").alias("ad"))
+        .withColumn("cut",
+                    (F.col("ad") >= SCENE_THRESH).cast("int")))
+    shots = delta.withColumn(
+        "shot", F.sum("cut").over(
+            wlag.rowsBetween(Window.unboundedPreceding, 0)))
+    slen = (shots.groupBy("doc_id", "shot")
+            .agg(F.count("*").cast("bigint").alias("sl")))
+    agg1 = (shots.groupBy("doc_id")
+            .agg(F.sum("cut").cast("bigint").alias("n_cuts"),
+                 F.sum("ad").cast("bigint").alias("total_delta")))
+    agg2 = (slen.groupBy("doc_id")
+            .agg(F.max("sl").cast("bigint").alias("max_shot_frames")))
+    return (agg1.join(agg2, "doc_id")
+            .select("doc_id", "n_cuts",
+                    (F.col("n_cuts") + 1).cast("bigint").alias("n_shots"),
+                    "max_shot_frames", "total_delta")
+            .orderBy("doc_id"))
+
+
+def _scene_cuts_oracle() -> str:
+    step = SCENE_WINDOW // SCENE_SAMPLES
+    byte_terms = " + ".join(
+        f"(CASE WHEN off + {s * step} < n THEN CAST('0x' ||"
+        f" substr(hx, 2 * (off + {s * step}) + 1, 2) AS BIGINT)"
+        f" ELSE 0 END)"
+        for s in range(SCENE_SAMPLES))
+    return f"""
+    WITH p AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+                      octet_length(encode(text)) AS n
+               FROM documents),
+    fr AS (SELECT doc_id, j AS frame_idx, ({byte_terms}) AS feat
+           FROM (SELECT doc_id, hx, n, unnest(range(0, {SCENE_FRAMES})) AS j,
+                        (unnest(range(0, {SCENE_FRAMES})) * n)
+                          // {SCENE_FRAMES} AS off
+                 FROM p)),
+    delta AS (SELECT doc_id, frame_idx,
+                     CAST(coalesce(abs(feat - lag(feat) OVER
+                          (PARTITION BY doc_id ORDER BY frame_idx)), 0)
+                          AS BIGINT) AS ad
+              FROM fr),
+    cuts AS (SELECT doc_id, frame_idx, ad,
+                    CASE WHEN ad >= {SCENE_THRESH} THEN 1 ELSE 0 END AS cut
+             FROM delta),
+    shots AS (SELECT doc_id, ad, cut,
+                     sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                                    ROWS UNBOUNDED PRECEDING) AS shot
+              FROM cuts),
+    slen AS (SELECT doc_id, shot, CAST(count(*) AS BIGINT) AS sl
+             FROM shots GROUP BY 1, 2),
+    agg1 AS (SELECT doc_id, CAST(sum(cut) AS BIGINT) AS n_cuts,
+                    CAST(sum(ad) AS BIGINT) AS total_delta
+             FROM shots GROUP BY 1),
+    agg2 AS (SELECT doc_id, CAST(max(sl) AS BIGINT) AS max_shot_frames
+             FROM slen GROUP BY 1)
+    SELECT agg1.doc_id, n_cuts,
+           CAST(n_cuts + 1 AS BIGINT) AS n_shots,
+           max_shot_frames, total_delta
+    FROM agg1 JOIN agg2 USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
 REGISTRY["text_flesch_readability"].oracle = _flesch_oracle()
 REGISTRY["dedup_substring_apply"].oracle = _substring_apply_oracle()
 REGISTRY["sim_crossmodal_recall"].oracle = _crossmodal_oracle()
+REGISTRY["media_scene_cuts"].oracle = _scene_cuts_oracle()

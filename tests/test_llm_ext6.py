@@ -195,3 +195,37 @@ def test_crossmodal_recall_matches_python_reference(spark):
         "zero hits on every query — recall eval is vacuous"
     assert any(v[0] < len(vecs) for v in got.values()), \
         "every vector is a candidate for some query — LSH never prunes"
+
+
+# --------------------------------------------------- video scene cuts
+
+
+def test_scene_cuts_matches_python_reference(spark):
+    docs = _docs(spark)
+    expect = {}
+    for r in docs:
+        p = r.text.encode("utf-8")
+        n = len(p)
+        step = x6.SCENE_WINDOW // x6.SCENE_SAMPLES
+        feats = []
+        for j in range(x6.SCENE_FRAMES):
+            off = (j * n) // x6.SCENE_FRAMES
+            feats.append(sum(p[off + s * step]
+                             for s in range(x6.SCENE_SAMPLES)
+                             if off + s * step < n))
+        ads = [0] + [abs(b - a) for a, b in zip(feats, feats[1:])]
+        cuts = [1 if a >= x6.SCENE_THRESH else 0 for a in ads]
+        shot_len = {}
+        sid = 0
+        for i, c in enumerate(cuts):
+            sid += c
+            shot_len[sid] = shot_len.get(sid, 0) + 1
+        expect[r.doc_id] = (sum(cuts), sum(cuts) + 1,
+                            max(shot_len.values()), sum(ads))
+    got = {r.doc_id: (r.n_cuts, r.n_shots, r.max_shot_frames,
+                      r.total_delta)
+           for r in _run(spark, "media_scene_cuts").collect()}
+    assert got == expect
+    # the detector must discriminate WITHIN videos: at least one doc
+    # where some transitions cut and some do not
+    assert any(0 < v[0] < x6.SCENE_FRAMES - 1 for v in got.values())

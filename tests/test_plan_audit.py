@@ -599,3 +599,22 @@ def test_crossmodal_topk_is_two_phase_and_sheds_vectors(spark):
                 (ln for ln in section.splitlines()
                  if ln.startswith("Input")), "")
             assert "demb#" not in input_line, section[:400]
+
+
+def test_scene_cuts_single_doc_exchange_no_payload_shuffle(spark):
+    """Scene-cut detection: the binary payload must die inside the
+    mapInPandas sampler — no hash exchange may carry payload bytes —
+    and the lag window, shot sessionization, and aggregates must all
+    ride hash(doc_id) partitioning (no other hash keys appear)."""
+    p = plan_str(spark, "media_scene_cuts")
+    assert "MapInPandas" in p
+    hashex = re.findall(r"hashpartitioning\(([^)]*)\)", p)
+    assert hashex, p[:400]
+    for h in hashex:
+        assert "doc_id" in h and "payload" not in h, hashex
+    for section in re.split(r"\n\(\d+\) ", p):
+        if section.startswith("Exchange") and "hashpartitioning" in section:
+            input_line = next(
+                (ln for ln in section.splitlines()
+                 if ln.startswith("Input")), "")
+            assert "payload#" not in input_line, section[:400]

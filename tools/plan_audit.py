@@ -507,6 +507,13 @@ NOTES = {
         "Hash exchanges carry (int, int) score rows only; the widened "
         "embedding vectors are shed before any shuffle (asserted)."
     ),
+    "media_scene_cuts": (
+        "Binary payloads die inside the mapInPandas frame sampler "
+        "(asserted: no hash exchange carries payload bytes); the lag "
+        "window, cut sessionization, and both shot aggregates all ride "
+        "ONE hash(doc_id) partitioning. Frame count is a constant, so "
+        "per-doc state is bounded at any corpus size."
+    ),
 }
 
 
