@@ -212,7 +212,13 @@ def main() -> int:
         run(name)
 
     # min-of-3 measured passes: host-load spikes (r2 measured a 15x
-    # inflation on a single query inside one pass) outlast a 2-pass window.
+    # inflation on a single query inside one pass) outlast a 2-pass
+    # window. NOT more than 3: r8 A/B'd a 5-pass variant and it read
+    # HIGHER (17.5 s vs 13.6-15.5 s same-code 3-pass runs) — per-RUN
+    # host state dominates the per-pass noise, so extra passes only age
+    # the JVM (code-cache pressure, see the skill notes) without
+    # tightening the min. Cross-round comparisons need the drift
+    # attribution in the module docstring, not more passes.
     queries: dict[str, float] = {}
     for _ in range(3):
         for name in HEADLINE:
