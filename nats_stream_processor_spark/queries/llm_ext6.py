@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -573,7 +574,167 @@ def _scene_cuts_oracle() -> str:
     """
 
 
+# ------------------------------------ WordPiece greedy segmentation
+
+# The BERT-family tokenizer, completing the family next to BPE
+# (train/apply/top-merges) and the unigram-LM Viterbi: TWO vocabularies
+# — word-initial pieces and '##'-marked continuation pieces, each all
+# single chars plus the WP_VOCAB_K most frequent 2-4 char substrings of
+# its position class (counts weighted by word frequency) — and GREEDY
+# longest-match-first decoding (no scores, no DP: at each position take
+# the longest vocabulary piece, the classic WordPiece rule). Single
+# chars per class guarantee every word segments without UNK: any char
+# at a continuation position of a top word occurs at i>1 in that very
+# word, so it is in the continuation vocabulary by construction.
+WP_MAX_PIECE = 4     # max piece length (chars)
+WP_VOCAB_K = 64      # multi-char pieces kept PER CLASS (initial/cont)
+WP_WORDS_K = 50      # words segmented (top by corpus frequency)
+WP_WORD_MAXLEN = 16  # greedy depth cap
+
+WP_SCHEMA = StructType([
+    StructField("word", StringType()),
+    StructField("n_pieces", LongType()),
+    StructField("seg", StringType()),
+    StructField("n_cont", LongType()),
+])
+
+
+@register(
+    "tokenizer_wordpiece_apply",
+    oracle=None,  # set below
+    tags=("llm", "tokenizer", "wordpiece", "greedy"),
+)
+def q_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy segmentation: train position-class vocabularies
+    (word-initial vs '##'-continuation substrings, weighted by corpus
+    word frequency, top-WP_VOCAB_K multi-char per class plus all single
+    chars), then decode the WP_WORDS_K most frequent words by the
+    classic longest-match-first rule. Deliberately DIFFERENT semantics
+    from tokenizer_unigram_viterbi: greedy local choice vs global
+    max-likelihood, and a split initial/continuation vocabulary.
+
+    Scale shape: vocabulary training is two corpus-wide aggregates with
+    map-side partials (word counts, then class-keyed piece counts — the
+    explode is bounded by 4 x word length); per-class top-K is one rank
+    window over the bounded multi-char piece table; decoding runs on
+    the bounded word panel in one cogrouped applyInPandas against the
+    broadcast vocabulary. The oracle replays the greedy loop as a
+    recursive CTE with a LATERAL longest-match pick."""
+    import pandas as pd
+
+    d = spread(table(spark, sf_dir, "documents"))
+    wc = pin(d.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+             .groupBy("tok").agg(F.count("*").cast("bigint").alias("c")))
+    sub = (wc.select(
+        "tok", "c",
+        F.explode(F.sequence(F.lit(1), F.length("tok"))).alias("i"))
+        .select("tok", "c", "i",
+                F.explode(F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(WP_MAX_PIECE),
+                            F.length("tok") - F.col("i") + 1))).alias("l"))
+        .select(F.expr("substring(tok, i, l)").alias("piece"),
+                F.when(F.col("i") == 1, F.lit(0)).otherwise(F.lit(1))
+                .cast("int").alias("is_cont"),
+                "c"))
+    pieces = pin(sub.groupBy("piece", "is_cont")
+                 .agg(F.sum("c").cast("bigint").alias("cnt")))
+    chars = pieces.filter(F.length("piece") == 1).select("piece", "is_cont")
+    wrank = (Window.partitionBy("is_cont")
+             .orderBy(F.col("cnt").desc(), "piece"))
+    multi = (pieces.filter(F.length("piece") >= 2)
+             .withColumn("r", F.row_number().over(wrank))
+             .filter(F.col("r") <= WP_VOCAB_K).select("piece", "is_cont"))
+    vocab = (chars.unionByName(multi)
+             .select(F.lit(1).alias("g"), "piece", "is_cont"))
+    words = (wc.filter(F.length("tok") <= WP_WORD_MAXLEN)
+             .orderBy(F.col("c").desc(), "tok").limit(WP_WORDS_K)
+             .select(F.lit(1).alias("g"), F.col("tok").alias("word")))
+
+    def decode(words_pdf: pd.DataFrame, vocab_pdf: pd.DataFrame) -> pd.DataFrame:
+        init, cont = set(), set()
+        for p, ic in zip(vocab_pdf["piece"], vocab_pdf["is_cont"]):
+            (cont if ic else init).add(p)
+        rows = []
+        for word in words_pdf["word"]:
+            pos, segs, ncont = 0, [], 0
+            while pos < len(word):
+                v = init if pos == 0 else cont
+                l = min(WP_MAX_PIECE, len(word) - pos)
+                while l > 1 and word[pos:pos + l] not in v:
+                    l -= 1
+                piece = word[pos:pos + l]
+                segs.append(piece if pos == 0 else "##" + piece)
+                ncont += 0 if pos == 0 else 1
+                pos += l
+            rows.append((word, len(segs), "|".join(segs), ncont))
+        return pd.DataFrame(
+            rows, columns=[f.name for f in WP_SCHEMA.fields])
+
+    return (words.groupBy("g")
+            .cogroup(vocab.groupBy("g"))
+            .applyInPandas(lambda w, v: decode(w, v), WP_SCHEMA)
+            .orderBy("word"))
+
+
+def _wordpiece_oracle() -> str:
+    # Same recursive-CTE discipline as _unigram_oracle: no MATERIALIZED
+    # anywhere (silently empties the recursion in this DuckDB build),
+    # uncorrelated lens table + WHERE guard instead of a correlated
+    # range, and no column named like a recursive alias.
+    return f"""
+    WITH RECURSIVE
+    wc AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest({tokens_sql('text')}) AS tok FROM documents)
+        GROUP BY 1),
+    sub AS (
+        SELECT substr(tok, i.i, l.l) AS piece,
+               CASE WHEN i.i = 1 THEN 0 ELSE 1 END AS is_cont, c
+        FROM wc,
+             LATERAL (SELECT unnest(range(1, length(tok) + 1)) AS i) i,
+             LATERAL (SELECT unnest(range(1, least({WP_MAX_PIECE},
+                          length(tok) - i.i + 1) + 1)) AS l) l),
+    pieces AS (SELECT piece, is_cont, CAST(sum(c) AS BIGINT) AS cnt
+               FROM sub GROUP BY 1, 2),
+    vocab AS (
+        SELECT piece, is_cont FROM pieces WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, is_cont FROM (
+            SELECT piece, is_cont,
+                   row_number() OVER (PARTITION BY is_cont
+                                      ORDER BY cnt DESC, piece) AS r
+            FROM pieces WHERE length(piece) >= 2) WHERE r <= {WP_VOCAB_K}),
+    words AS (
+        SELECT tok AS word FROM wc WHERE length(tok) <= {WP_WORD_MAXLEN}
+        ORDER BY c DESC, tok LIMIT {WP_WORDS_K}),
+    lens(x) AS (SELECT unnest(range(1, {WP_MAX_PIECE} + 1))),
+    st(word, i, n, seg, np, nc) AS (
+        SELECT word, 0, length(word), CAST('' AS VARCHAR),
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM words
+        UNION ALL
+        SELECT s.word, s.i + nxt.len, s.n,
+               CASE WHEN s.i = 0 THEN nxt.pc ELSE s.seg || '|##' || nxt.pc
+               END,
+               s.np + 1,
+               s.nc + CASE WHEN s.i = 0 THEN 0 ELSE 1 END
+        FROM st s, LATERAL (
+            SELECT t.x AS len, v.piece AS pc
+            FROM lens t, vocab v
+            WHERE t.x <= s.n - s.i
+              AND v.is_cont = CASE WHEN s.i = 0 THEN 0 ELSE 1 END
+              AND v.piece = substr(s.word, s.i + 1, t.x)
+            ORDER BY t.x DESC LIMIT 1) nxt
+        WHERE s.i < s.n)
+    SELECT word, CAST(np AS BIGINT) AS n_pieces, seg,
+           CAST(nc AS BIGINT) AS n_cont
+    FROM st WHERE i = n ORDER BY word
+    """
+
+
 REGISTRY["text_flesch_readability"].oracle = _flesch_oracle()
 REGISTRY["dedup_substring_apply"].oracle = _substring_apply_oracle()
 REGISTRY["sim_crossmodal_recall"].oracle = _crossmodal_oracle()
 REGISTRY["media_scene_cuts"].oracle = _scene_cuts_oracle()
+REGISTRY["tokenizer_wordpiece_apply"].oracle = _wordpiece_oracle()

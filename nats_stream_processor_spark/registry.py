@@ -258,7 +258,7 @@ def oracle_sql() -> dict[str, str]:
 #  - sim_rrf_fusion: the single registry entry without a formal row
 #    anywhere in r1-r7 (landed after the r7 window was allocated; the r7
 #    verdict's #1 ask is that it leads this window);
-#  - the 4 new round-8 operators (queries/llm_ext6.py, registration
+#  - the 5 new round-8 operators (queries/llm_ext6.py, registration
 #    order) — formal rows in the round they are written;
 #  - the 2 queries whose CODE changed this round: media_phash_near_dup
 #    (plant offset moved to 1<<40 + organic-only conf switch — planted
@@ -270,9 +270,9 @@ def oracle_sql() -> dict[str, str]:
 #    rows now);
 #  - all 16 queries whose latest formal row is r3-era — the oldest
 #    remaining certifications;
-#  - the alphabetically-first 22 of the 46 r4-era queries. The other 24
+#  - the alphabetically-first 21 of the 46 r4-era queries. The other 25
 #    r4-era rotate into the r9 window (recorded here so the allocation
-#    is auditable: events_rate_ewma onward alphabetically).
+#    is auditable: events_pareto_concentration onward alphabetically).
 # Everything else — formally green in r5-r7 and unchanged in r8 — rotates
 # behind.
 SAMPLE_PREFIX_EXPECTED = [
@@ -281,6 +281,7 @@ SAMPLE_PREFIX_EXPECTED = [
     # new in round 8 (llm_ext6 registration order)
     "text_flesch_readability", "dedup_substring_apply",
     "sim_crossmodal_recall", "media_scene_cuts",
+    "tokenizer_wordpiece_apply",
     # changed in round 8
     "media_phash_near_dup", "dedup_winnowing_overlap",
     # the 5 r2-era queries withheld from the r7 window
@@ -304,7 +305,7 @@ SAMPLE_PREFIX_EXPECTED = [
     "dedup_incremental_batch", "dedup_normalized_exact",
     "dedup_rate_by_source", "embed_gram_matrix", "embed_quantize_int8",
     "events_dau_wau", "events_hourly_zscore", "events_markov_transitions",
-    "events_outliers_mad", "events_pareto_concentration",
+    "events_outliers_mad",
 ]
 
 

@@ -229,3 +229,70 @@ def test_scene_cuts_matches_python_reference(spark):
     # the detector must discriminate WITHIN videos: at least one doc
     # where some transitions cut and some do not
     assert any(0 < v[0] < x6.SCENE_FRAMES - 1 for v in got.values())
+
+
+# --------------------------------------------- WordPiece greedy apply
+
+
+def test_wordpiece_matches_python_reference(spark):
+    from collections import Counter
+    docs = _docs(spark)
+    wc = Counter()
+    for r in docs:
+        wc.update(_toks(r.text))
+    counts = {}
+    for w, c in wc.items():
+        for i in range(len(w)):
+            for l in range(1, min(x6.WP_MAX_PIECE, len(w) - i) + 1):
+                key = (w[i:i + l], 0 if i == 0 else 1)
+                counts[key] = counts.get(key, 0) + c
+    vocab = {0: set(), 1: set()}
+    multi = {0: [], 1: []}
+    for (p, ic), c in counts.items():
+        if len(p) == 1:
+            vocab[ic].add(p)
+        else:
+            multi[ic].append((-c, p))
+    for ic in (0, 1):
+        for _, p in sorted(multi[ic])[:x6.WP_VOCAB_K]:
+            vocab[ic].add(p)
+    words = sorted((w for w in wc if len(w) <= x6.WP_WORD_MAXLEN),
+                   key=lambda w: (-wc[w], w))[:x6.WP_WORDS_K]
+    expect = {}
+    for word in words:
+        pos, segs, ncont = 0, [], 0
+        while pos < len(word):
+            v = vocab[0] if pos == 0 else vocab[1]
+            l = min(x6.WP_MAX_PIECE, len(word) - pos)
+            while l > 1 and word[pos:pos + l] not in v:
+                l -= 1
+            piece = word[pos:pos + l]
+            segs.append(piece if pos == 0 else "##" + piece)
+            ncont += 0 if pos == 0 else 1
+            pos += l
+        expect[word] = (len(segs), "|".join(segs), ncont)
+    got = {r.word: (r.n_pieces, r.seg, r.n_cont)
+           for r in _run(spark, "tokenizer_wordpiece_apply").collect()}
+    assert got == expect
+    assert any(v[0] >= 2 for v in got.values()), \
+        "no word split into pieces — greedy path is vacuous"
+    assert any("##" in v[1] for v in got.values()), \
+        "no continuation piece ever used"
+    assert any(v[0] == 1 for v in got.values()), \
+        "every word split — top words should often be whole pieces"
+
+
+def test_wordpiece_greedy_differs_from_unigram_viterbi(spark):
+    """The two tokenizers must be genuinely different algorithms, not
+    the same query twice: on the same corpus the greedy longest-match
+    segmentation disagrees with the max-likelihood Viterbi segmentation
+    on at least one shared word (stripping the '##' markers)."""
+    wp = {r.word: r.seg.replace("##", "")
+          for r in _run(spark, "tokenizer_wordpiece_apply").collect()}
+    registry.release_pins()
+    uni = {r.word: r.seg
+           for r in _run(spark, "tokenizer_unigram_viterbi").collect()}
+    shared = set(wp) & set(uni)
+    assert shared, "tokenizers scored disjoint word panels"
+    assert any(wp[w] != uni[w] for w in shared), \
+        "greedy and Viterbi agreed everywhere — suspicious"

@@ -52,9 +52,9 @@ def test_sample_prefix_has_no_name_drift():
     where the drift protection actually lives.
 
     The r8 prefix is fully explicit (50 names: sim_rrf_fusion — the one
-    entry without a formal row in r1-r7 — the 4 new llm_ext6 operators,
+    entry without a formal row in r1-r7 — the 5 new llm_ext6 operators,
     the 2 round-8 code-changed queries, the 5 withheld r2-era bench
-    queries, all 16 r3-era rows, and the alphabetically-first 22
+    queries, all 16 r3-era rows, and the alphabetically-first 21
     r4-era rows), so the assertion is exact equality on the full
     window — a silent overflow or an unregistered curated name fails
     here rather than surfacing in the round artifact."""

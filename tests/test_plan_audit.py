@@ -618,3 +618,17 @@ def test_scene_cuts_single_doc_exchange_no_payload_shuffle(spark):
                 (ln for ln in section.splitlines()
                  if ln.startswith("Input")), "")
             assert "payload#" not in input_line, section[:400]
+
+
+def test_wordpiece_vocab_is_rank_window_decode_is_cogrouped(spark):
+    """WordPiece: vocabulary training aggregates with map-side partials,
+    per-class top-K is a rank window over the bounded piece table (never
+    a global sort of the corpus), the word panel is TakeOrdered, and the
+    greedy decode is ONE cogrouped applyInPandas — no join, no iterative
+    construct."""
+    p = plan_str(spark, "tokenizer_wordpiece_apply")
+    assert "FlatMapCoGroupsInPandas" in p
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p or "partial_sum" in p
+    assert "CartesianProduct" not in p
+    assert "UnionLoop" not in p

@@ -514,6 +514,15 @@ NOTES = {
         "ONE hash(doc_id) partitioning. Frame count is a constant, so "
         "per-doc state is bounded at any corpus size."
     ),
+    "tokenizer_wordpiece_apply": (
+        "Vocabulary training = two corpus-wide aggregates with map-side "
+        "partials; per-class top-K is a rank window over the bounded "
+        "(piece, class) table, never a corpus sort; word panel is "
+        "TakeOrdered; the greedy longest-match decode is ONE cogrouped "
+        "applyInPandas against the broadcast vocabulary — counting "
+        "distributed, decoding local, same trainer shape as the unigram "
+        "tokenizer but with the split initial/continuation vocabulary."
+    ),
 }
 
 
