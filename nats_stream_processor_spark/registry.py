@@ -384,6 +384,11 @@ def _populate_chain() -> None:
     from .queries import llm_ext6  # noqa: F401
     _ext6_names = [n for n in REGISTRY if n not in pre]
 
+    # Late round-8 additions: registered (mimic-verified at three SFs +
+    # plain session) but BEHIND the 50-slot sample window, which was
+    # already fully allocated — first in line for the r9 prefix rotation.
+    from .queries import llm_ext7  # noqa: F401
+
     # Reorder so the curated prefix leads. Every curated name must exist
     # on a clean import (asserted by test_sample_prefix_has_no_name_drift);
     # the soft filter below is only a guard against future partial-import

@@ -632,3 +632,20 @@ def test_wordpiece_vocab_is_rank_window_decode_is_cogrouped(spark):
     assert "partial_count" in p or "partial_sum" in p
     assert "CartesianProduct" not in p
     assert "UnionLoop" not in p
+
+
+def test_nn_descent_rounds_are_checkpoint_truncated(spark):
+    """NN-Descent's visible plan proves the iterative-lineage
+    discipline (the PageRank / connected-components pattern): every
+    round's edge list is an eager localCheckpoint, so the final plan is
+    just per-round aggregates over checkpointed RDDs (Scan ExistingRDD)
+    unioned together — no join/window lineage accumulates across
+    rounds, no cartesian anywhere, and the driver holds only the loop
+    index. (The per-round join+window shape itself executes inside each
+    checkpointed round; its candidate generation is equi-joins on edge
+    ids by construction — see q_nn_descent.)"""
+    p = plan_str(spark, "graph_nn_descent")
+    assert "CartesianProduct" not in p
+    assert "Scan ExistingRDD" in p, p[:400]
+    assert "Union" in p and "HashAggregate" in p
+    assert "Join" not in p, "round lineage leaked past a checkpoint"

@@ -523,6 +523,15 @@ NOTES = {
         "distributed, decoding local, same trainer shape as the unigram "
         "tokenizer but with the split initial/continuation vocabulary."
     ),
+    "graph_nn_descent": (
+        "Iterative-lineage discipline made visible: every NN-Descent "
+        "round ends in an eager localCheckpoint, so the final plan is "
+        "per-round aggregates over checkpointed RDDs unioned together — "
+        "no join/window lineage accumulates across rounds and the "
+        "driver holds only the loop index. Inside each round: one "
+        "equi-self-join on edge ids (corpus x K rows, never corpus x "
+        "corpus), two id-keyed scoring joins, one per-node rank window."
+    ),
 }
 
 
