@@ -39,9 +39,16 @@ from ..operators import similarity as sim
 # id; rounds are unrolled identically in both engines (the same
 # fixed-round discipline as the PageRank replay). The output is the
 # per-round convergence report (edge count, mean neighbor similarity)
-# a graph-index build reads — mean similarity is nondecreasing by
-# construction (each round's top-K candidate set contains the previous
-# round's edges), which the tests assert.
+# a graph-index build reads. The true per-round invariant is PER-NODE
+# top-m dominance: each round's candidate set contains the previous
+# round's edges, so for every node the j-th best kept similarity can
+# never fall (j <= previous list length). The GLOBAL mean is only
+# nondecreasing when every node's list stays full — a node holding
+# fewer than ND_K edges (stride self-collisions on adversarial corpus
+# sizes, e.g. n % ND_STRIDE == 0) tops up with lower-similarity edges
+# that can pull the mean down. The tests assert per-node dominance as
+# the invariant and the rising mean only as a property of the shipped
+# fixtures.
 ND_K = 5        # neighbors kept per node
 ND_ROUNDS = 2   # refinement rounds (unrolled in both engines)
 ND_STRIDE = 97  # init-graph stride over the contiguous vec_id space

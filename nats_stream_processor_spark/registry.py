@@ -295,7 +295,7 @@ SAMPLE_PREFIX_EXPECTED = [
     "sim_ann_range_search", "text_length_histogram",
     "text_unigram_lm_score", "tokenizer_bpe_top_merges", "topic_classify",
     "udtf_tokenize", "window_range_frame",
-    # next-oldest (r4-era), alphabetical first 23
+    # next-oldest (r4-era), alphabetical first 21
     "chunk_sliding_tokens", "corpus_source_similarity",
     "curation_dsir_weights", "curation_end_to_end",
     "curation_lang_rebalance", "curation_perplexity_buckets",
