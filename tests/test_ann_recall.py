@@ -229,3 +229,50 @@ def test_ivf_int8_recall_vs_exact_dot(spark):
         exact.update((q, vid) for _, vid in dots[:5])
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.5, f"ivf-int8 recall {recall:.2f}"
+
+
+# ----------------------------------------------- graph-search recall
+
+
+def test_graph_search_recall_on_clustered_corpus(spark, tmp_path):
+    """Greedy beam search over the NN-Descent graph must NAVIGATE when
+    the corpus has neighborhood structure: on the planted-cluster
+    corpus (written as an embeddings table and run through the real
+    registry query AND its DuckDB oracle), recall@10 must clear 0.5
+    while visiting well under the full corpus, and must beat the
+    visited-fraction baseline (what blind random visiting would
+    score). On the i.i.d. driver embeddings the same operator honestly
+    reports near-baseline recall — distance concentration again, see
+    the module docstring — so the navigation claim is asserted HERE,
+    where the data can support it. Measured: recall 0.75, visited
+    ~52%, baseline 0.52."""
+    import duckdb
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(N_CLUSTERS, DIM)
+    cl = rng.randint(0, N_CLUSTERS, size=N_VECS)
+    V = centers[cl] + NOISE * rng.randn(N_VECS, DIM)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in V[i]], int(cl[i]))
+         for i in range(N_VECS)],
+        "vec_id long, embedding array<float>, label int")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet"))
+
+    entry = registry.REGISTRY["graph_greedy_search"]
+    rows = sorted(
+        (tuple(r) for r in entry.fn(spark, str(tmp_path)).collect()))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{tmp_path}/embeddings.parquet/*.parquet'")
+    oracle_rows = sorted(tuple(r) for r in con.sql(entry.oracle).fetchall())
+    assert rows == oracle_rows
+
+    n_q = len(rows)
+    recall = sum(r[2] for r in rows) / (10 * n_q)
+    visited_frac = sum(r[1] for r in rows) / (n_q * N_VECS)
+    assert recall >= 0.5, f"clustered-corpus recall {recall:.2f}"
+    assert visited_frac < 0.7, f"visited {visited_frac:.2f} of corpus"
+    assert recall > visited_frac, (
+        f"no navigation lift: recall {recall:.2f} <= "
+        f"visited baseline {visited_frac:.2f}")

@@ -1,7 +1,9 @@
-"""Python-reference replication and invariants for graph_nn_descent
-(queries/llm_ext7.py): the full stride-init + 2-round NN-Descent loop
-recomputed in plain Python over the sf0.001 embeddings, plus the
-monotone-convergence property the algorithm guarantees."""
+"""Python-reference replication and invariants for the graph-ANN pair
+in queries/llm_ext7.py: graph_nn_descent (the full stride-init +
+2-round NN-Descent loop recomputed in plain Python over the sf0.001
+embeddings, plus the per-node dominance invariant) and
+graph_greedy_search (the full build + multi-entry beam-search loop
+recomputed in plain Python, plus output-shape invariants)."""
 
 from __future__ import annotations
 
@@ -164,3 +166,112 @@ def test_nn_descent_per_node_dominance_invariant(spark):
             for j, old_sim in enumerate(old[:len(new)]):
                 assert new[j] >= old_sim, (u, j, old, new)
         prev = cur
+
+
+# ------------------------------------------------- greedy beam search
+
+
+def _python_greedy_search(vecs):
+    """Plain-Python replica of q_graph_greedy_search: NN-Descent build
+    (via the same loop as _python_nn_descent), symmetrized
+    refined+init edge union, stride-pinned corpus queries and entry
+    points, GS_HOPS beam rounds with a visited set, and the recall@K
+    report against the exact ranking (self excluded)."""
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    norms = {u: math.sqrt(fold_dot(v, v)) for u, v in vecs.items()}
+
+    def ppm(u, w):
+        return math.floor(fold_dot(vecs[u], vecs[w])
+                          / (norms[u] * norms[w]) * 1e6 + 0.5)
+
+    n = len(vecs)
+    init = set()
+    for u in vecs:
+        for j in range(1, x7.ND_K + 1):
+            w = (u + j * x7.ND_STRIDE) % n
+            w = (w + (1 if w == u else 0)) % n
+            if w != u:
+                init.add((u, w))
+    edges = set(init)
+    for _t in range(1, x7.ND_ROUNDS + 1):
+        by_u = {}
+        for (u, w) in edges:
+            by_u.setdefault(u, set()).add(w)
+        cand = set(edges)
+        for u, ws in by_u.items():
+            for w in ws:
+                for w2 in by_u.get(w, ()):
+                    if u != w2:
+                        cand.add((u, w2))
+        for (u, w) in list(edges):
+            cand.add((w, u))
+        scored = {}
+        for (u, w) in cand:
+            scored.setdefault(u, []).append((-ppm(u, w), w))
+        edges = set()
+        for u, lst in scored.items():
+            for _s, w in sorted(lst)[:x7.ND_K]:
+                edges.add((u, w))
+
+    und = {}
+    for (u, w) in edges | init:
+        und.setdefault(u, set()).add(w)
+        und.setdefault(w, set()).add(u)
+
+    qids = [(x7.GS_QOFF + x7.GS_QSTRIDE * i) % n for i in range(x7.GS_NQ)]
+    entries = [j * (n // x7.GS_ENTRIES) for j in range(x7.GS_ENTRIES)]
+    out = []
+    for q, qid in enumerate(qids):
+        def qs(node):
+            return math.floor(fold_dot(vecs[qid], vecs[node])
+                              / (norms[qid] * norms[node]) * 1e6 + 0.5)
+
+        seen = {e: qs(e) for e in set(entries) if e != qid}
+        frontier = sorted(seen, key=lambda k: (-seen[k], k))[:x7.GS_BEAM]
+        for _h in range(x7.GS_HOPS):
+            new = set()
+            for f in frontier:
+                for w in und.get(f, ()):
+                    if w not in seen and w != qid:
+                        new.add(w)
+            for w in new:
+                seen[w] = qs(w)
+            frontier = sorted(seen, key=lambda k: (-seen[k], k))[:x7.GS_BEAM]
+        found = set(sorted(seen, key=lambda k: (-seen[k], k))[:x7.GS_TOPK])
+        exact = set(sorted((u for u in vecs if u != qid),
+                           key=lambda u: (-qs(u), u))[:x7.GS_TOPK])
+        hits = len(found & exact)
+        out.append((q, len(seen), hits,
+                    hits * 1000000 // x7.GS_TOPK, max(seen.values())))
+    return out
+
+
+def test_greedy_search_matches_python_reference(spark):
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in embs}
+    expect = _python_greedy_search(vecs)
+    got = [(r.query_id, r.n_visited, r.n_hits, r.recall_ppm, r.best_sim_ppm)
+           for r in registry.REGISTRY["graph_greedy_search"].fn(
+               spark, SF).collect()]
+    assert got == expect
+
+
+def test_greedy_search_output_invariants(spark):
+    """Shape invariants that hold on ANY corpus: one row per query,
+    visiting strictly sub-corpus (the whole point of a graph index is
+    not scoring everything), recall bounded by [0, 1e6] and consistent
+    with n_hits, and the best similarity reached at most the exact
+    global best."""
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    n = len(embs)
+    rows = registry.REGISTRY["graph_greedy_search"].fn(spark, SF).collect()
+    assert [r.query_id for r in rows] == list(range(x7.GS_NQ))
+    for r in rows:
+        assert 0 < r.n_visited < n
+        assert 0 <= r.n_hits <= x7.GS_TOPK
+        assert r.recall_ppm == r.n_hits * 1000000 // x7.GS_TOPK

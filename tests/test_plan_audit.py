@@ -649,3 +649,26 @@ def test_nn_descent_rounds_are_checkpoint_truncated(spark):
     assert "Scan ExistingRDD" in p, p[:400]
     assert "Union" in p and "HashAggregate" in p
     assert "Join" not in p, "round lineage leaked past a checkpoint"
+
+
+def test_greedy_search_state_checkpointed_and_sheds_vectors(spark):
+    """Greedy graph search: the per-hop visited/frontier state must be
+    checkpoint-truncated (Scan ExistingRDD in the final plan — no hop
+    lineage accumulates), the query panel must attach via broadcast
+    (never a shuffle keyed on |Q| queries alone for scoring), the exact
+    baseline must rank via the two-phase top-K ((query_id, pid) partial
+    rank then global), and no hash exchange may carry the widened
+    embedding vectors — ids and int scores only."""
+    p = plan_str(spark, "graph_greedy_search")
+    assert "CartesianProduct" not in p
+    assert "Scan ExistingRDD" in p, p[:400]
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    hashex = re.findall(r"hashpartitioning\(([^)]*)\)", p)
+    assert any("pid" in h and "query_id" in h for h in hashex), hashex
+    assert any("pid" not in h and "query_id" in h for h in hashex), hashex
+    for section in re.split(r"\n\(\d+\) ", p):
+        if section.startswith("Exchange") and "hashpartitioning" in section:
+            input_line = next(
+                (ln for ln in section.splitlines()
+                 if ln.startswith("Input")), "")
+            assert "demb#" not in input_line, section[:400]
