@@ -462,6 +462,35 @@ SCENE_SCHEMA = StructType([
 ])
 
 
+def scene_frame_features(p: bytes) -> list[tuple[int, int]]:
+    """(frame_idx, int64 feature) per sampled frame window of one
+    payload — the deterministic stub decode shared by media_scene_cuts
+    and the shot-level curation in llm_ext8."""
+    n = len(p)
+    step = SCENE_WINDOW // SCENE_SAMPLES
+    out = []
+    for j in range(SCENE_FRAMES):
+        off = (j * n) // SCENE_FRAMES
+        f = 0
+        for s in range(SCENE_SAMPLES):
+            pos = off + s * step
+            if pos < n:
+                f += p[pos]
+        out.append((j, f))
+    return out
+
+
+def scene_byte_terms_sql() -> str:
+    """DuckDB twin of one frame window's byte-sample sum, over hex
+    columns hx/n and frame offset column ``off``."""
+    step = SCENE_WINDOW // SCENE_SAMPLES
+    return " + ".join(
+        f"(CASE WHEN off + {s * step} < n THEN CAST('0x' ||"
+        f" substr(hx, 2 * (off + {s * step}) + 1, 2) AS BIGINT)"
+        f" ELSE 0 END)"
+        for s in range(SCENE_SAMPLES))
+
+
 @register(
     "media_scene_cuts",
     oracle=None,  # set below
@@ -491,16 +520,7 @@ def q_media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for did, p in zip(pdf["doc_id"], pdf["payload"]):
-                p = bytes(p)
-                n = len(p)
-                for j in range(SCENE_FRAMES):
-                    off = (j * n) // SCENE_FRAMES
-                    step = SCENE_WINDOW // SCENE_SAMPLES
-                    f = 0
-                    for s in range(SCENE_SAMPLES):
-                        pos = off + s * step
-                        if pos < n:
-                            f += p[pos]
+                for j, f in scene_frame_features(bytes(p)):
                     rows.append((did, j, f))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in SCENE_SCHEMA.fields])
@@ -532,12 +552,7 @@ def q_media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _scene_cuts_oracle() -> str:
-    step = SCENE_WINDOW // SCENE_SAMPLES
-    byte_terms = " + ".join(
-        f"(CASE WHEN off + {s * step} < n THEN CAST('0x' ||"
-        f" substr(hx, 2 * (off + {s * step}) + 1, 2) AS BIGINT)"
-        f" ELSE 0 END)"
-        for s in range(SCENE_SAMPLES))
+    byte_terms = scene_byte_terms_sql()
     return f"""
     WITH p AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
                       octet_length(encode(text)) AS n

@@ -384,10 +384,13 @@ def _populate_chain() -> None:
     from .queries import llm_ext6  # noqa: F401
     _ext6_names = [n for n in REGISTRY if n not in pre]
 
-    # Late round-8 additions: registered (mimic-verified at three SFs +
-    # plain session) but BEHIND the 50-slot sample window, which was
-    # already fully allocated — first in line for the r9 prefix rotation.
+    # llm_ext7: graph_nn_descent landed late in round 8 (behind that
+    # round's fully-allocated window; leads the r9 window for its first
+    # formal row) plus graph_greedy_search, new in round 9.
     from .queries import llm_ext7  # noqa: F401
+
+    # Round-9 additions: inside the r9 sample window.
+    from .queries import llm_ext8  # noqa: F401
 
     # Reorder so the curated prefix leads. Every curated name must exist
     # on a clean import (asserted by test_sample_prefix_has_no_name_drift);

@@ -672,3 +672,26 @@ def test_greedy_search_state_checkpointed_and_sheds_vectors(spark):
                 (ln for ln in section.splitlines()
                  if ln.startswith("Input")), "")
             assert "demb#" not in input_line, section[:400]
+
+
+def test_shot_curation_one_scan_one_doc_exchange_no_payload(spark):
+    """Shot-level curation: the text-quality token count must be
+    computed in the SAME pass that derives the payload (no second
+    documents scan, no join back to text — FileScan appears once), the
+    binary payload must die inside the mapInPandas sampler, and every
+    hash exchange must be keyed on doc_id carrying ints only."""
+    p = plan_str(spark, "media_shot_curation")
+    assert "MapInPandas" in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p[:600]
+    assert "Join" not in p, "quality join crept back in"
+    hashex = re.findall(r"hashpartitioning\(([^)]*)\)", p)
+    assert hashex, p[:400]
+    for h in hashex:
+        assert "doc_id" in h and "payload" not in h, hashex
+    for section in re.split(r"\n\(\d+\) ", p):
+        if section.startswith("Exchange") and "hashpartitioning" in section:
+            input_line = next(
+                (ln for ln in section.splitlines()
+                 if ln.startswith("Input")), "")
+            assert "payload#" not in input_line, section[:400]
+            assert "text#" not in input_line, section[:400]
