@@ -429,19 +429,25 @@ def q_minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_K = 16  # llm.SUBSTR_SPAN_K — K-token spans, kept in sync
 
 
-def _span_cov_ctes() -> str:
+def _span_cov_ctes(max_doc_tokens: int | None = None) -> str:
     """The span-coverage CTE chain (t..a), shared by the removal-plan and
     quality-vs-dup oracles: per-doc duplicated K-token span positions and
-    the exact union coverage of those overlapping spans."""
+    the exact union coverage of those overlapping spans.
+    ``max_doc_tokens`` excludes over-length docs from ``t`` outright —
+    the substring-APPLY oracle's single-row-size guard (its Spark twin
+    filters identically); the plan/quality oracles pass None."""
     from ..operators.dedup import MERSENNE_P, SHINGLE_COMB, token_hashes_32_duck_sql
     k = _SPAN_K
+    guard = ("" if max_doc_tokens is None else
+             f"\n               WHERE len(regexp_extract_all(lower(text),"
+             f" '[a-z0-9]+')) < {max_doc_tokens}")
     roll = (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
             f"list_slice(hs, u.p, u.p + {k} - 1)), "
             f"(acc, x) -> (acc * {SHINGLE_COMB} + x) % {MERSENNE_P})")
     return f"""
     WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')
                         AS toks
-               FROM documents),
+               FROM documents{guard}),
     h AS (SELECT doc_id, {token_hashes_32_duck_sql('toks')} AS hs FROM t),
     g AS (SELECT doc_id, hs,
                  unnest(list_transform(range(1, len(hs) - {k} + 2),

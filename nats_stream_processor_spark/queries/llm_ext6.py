@@ -160,6 +160,16 @@ def _flesch_oracle() -> str:
 
 # --------------------------------- exact-substring removal, applied
 
+# Per-doc length guard (the winnowing np < 2^20 discipline): the
+# reassembly below rebuilds one document's cleaned text in ONE row via
+# collect_list — bounded by doc length, so a pathological multi-million-
+# token doc would concentrate its whole token array in a single
+# executor row. Docs at or above the cap are excluded outright on BOTH
+# engines (none exist in any fixture; at real scale a >1M-token doc
+# belongs in a length-capped preprocessing tier anyway).
+SUBSTR_MAX_DOC_TOKENS = 1 << 20
+
+
 @register(
     "dedup_substring_apply",
     oracle=None,  # set below
@@ -181,7 +191,9 @@ def q_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     STRINGS ride exactly one shuffle — the per-doc reassembly groupBy,
     inherent to materializing cleaned text and the same volume as the
     documents themselves. The ordered rebuild is array_sort over
-    (pos, token) structs, never a window over text."""
+    (pos, token) structs, never a window over text; single-row size is
+    bounded by the SUBSTR_MAX_DOC_TOKENS exclusion (see the constant
+    block)."""
     from ..operators.dedup import (
         MERSENNE_P,
         SHINGLE_COMB,
@@ -192,7 +204,8 @@ def q_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(table(spark, sf_dir, "documents"))
     h = pin(d.select("doc_id",
                      tokens_col(F.col("text")).alias("toks"),
-                     token_hashes_32_col(F.col("text")).alias("hs")))
+                     token_hashes_32_col(F.col("text")).alias("hs"))
+            .filter(F.size("toks") < SUBSTR_MAX_DOC_TOKENS))
     grams = F.transform(
         F.sequence(F.lit(1), F.size("hs") - k + 1),
         lambda i: F.aggregate(
@@ -234,7 +247,7 @@ def _substring_apply_oracle() -> str:
     from .llm_ext2 import _SPAN_K, _span_cov_ctes
     k = _SPAN_K
     return f"""
-    {_span_cov_ctes()},
+    {_span_cov_ctes(max_doc_tokens=SUBSTR_MAX_DOC_TOKENS)},
     cov AS (SELECT DISTINCT doc_id, pos + o AS cpos
             FROM (SELECT doc_id, pos, unnest(range(0, {k})) AS o FROM sd)),
     tokpos AS (SELECT doc_id, i AS tpos, toks[i] AS tok

@@ -296,3 +296,48 @@ def test_wordpiece_greedy_differs_from_unigram_viterbi(spark):
     assert shared, "tokenizers scored disjoint word panels"
     assert any(wp[w] != uni[w] for w in shared), \
         "greedy and Viterbi agreed everywhere — suspicious"
+
+
+def test_substring_apply_excludes_over_cap_docs(spark, tmp_path):
+    """The SUBSTR_MAX_DOC_TOKENS guard: a doc at/over the cap is
+    excluded outright on BOTH engines — it emits no output row AND
+    contributes no duplication evidence (a span it shares with exactly
+    one normal doc stays un-removed). Docs 0/1 share span A (removed);
+    the over-cap doc 2 shares span B with doc 0 only (kept). Output at
+    the shipped fixtures is unchanged by the guard — no fixture doc
+    comes near 2^20 tokens."""
+    import duckdb
+
+    span_a = " ".join(f"aa{i}" for i in range(16))
+    span_b = " ".join(f"bb{i}" for i in range(16))
+    big = span_b + " " + " ".join(
+        "zz" for _ in range(x6.SUBSTR_MAX_DOC_TOKENS))
+    docs = [
+        (0, f"{span_a} left {span_b} tail0"),
+        (1, f"{span_a} tail1"),
+        (2, big),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+
+    entry = registry.REGISTRY["dedup_substring_apply"]
+    rows = {r.doc_id: r for r in entry.fn(spark, str(tmp_path)).collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet/*.parquet'")
+    oracle = {r[0]: r for r in con.sql(entry.oracle).fetchall()}
+
+    assert set(rows) == {0, 1}, "over-cap doc must emit no row"
+    assert set(oracle) == {0, 1}
+    for did in (0, 1):
+        r = rows[did]
+        assert (r.doc_id, r.n_tokens, r.n_removed, r.cleaned_text) \
+            == tuple(oracle[did])
+    # span A (cross-doc duplicated among in-cap docs) removed everywhere;
+    # span B survived in doc 0 because its only other holder is excluded.
+    assert "aa0" not in rows[0].cleaned_text
+    assert "aa0" not in rows[1].cleaned_text
+    assert "bb0" in rows[0].cleaned_text
+    assert rows[0].n_removed == 16
+    assert rows[1].n_removed == 16
