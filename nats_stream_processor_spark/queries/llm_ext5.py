@@ -5,12 +5,12 @@ llm_ext4 operators + the changed media_phash_near_dup + 38 oldest
 round-2 re-certifications) when this module landed, so its operators
 sat BEHIND the window in round 7 — locally oracle-verified at
 sf0.001/0.01/0.1 and in a plain driver-style session, pytest-covered,
-but without a formal driver row. As of round 8, sim_rrf_fusion LEADS
-the sampled window (registry.SAMPLE_PREFIX_EXPECTED[0]; asserted by
-tests/test_oracle_parity.py and tests/test_llm_ext5.py), so its formal
-row lands in CORRECTNESS_r08. (Stating certification status explicitly
-is the house rule — describing unsampled code as formally certified is
-exactly the drift round 6 was flagged for.)
+but without a formal driver row. sim_rrf_fusion led the r8 sampled
+window and its formal row is hash-green in CORRECTNESS_r08, so from
+round 9 it rotates behind the window like any other
+certified-and-unchanged query. (Stating certification status
+explicitly is the house rule — describing unsampled code as formally
+certified is exactly the drift round 6 was flagged for.)
 
 Style contract matches llm_ext/llm_ext2/llm_ext3/llm_ext4: identical
 aliases on both engines, int-quantized scores before any aggregation,

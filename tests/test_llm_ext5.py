@@ -66,15 +66,13 @@ def test_rrf_matches_python_fusion_of_ranker_outputs(spark):
         assert got[0][3] >= max(g[3] for g in got)
 
 
-def test_ext5_leads_the_r8_sample_window():
+def test_ext5_certified_r8_and_rotated_behind():
     """llm_ext5 operators were deliberately OUTSIDE the r7 50-slot
-    sample (the window was fully allocated when they landed); the r8
-    rotation must pick them up FIRST — sim_rrf_fusion is the one
-    registry entry without a formal driver row in r1-r7, so it leads
-    the window this round (r7 verdict ask #1)."""
-    window = list(registry.REGISTRY)[:50]
+    sample; the r8 rotation led with sim_rrf_fusion and its formal row
+    landed in CORRECTNESS_r08 (hash green), so from r9 on it rotates
+    BEHIND the window like any other certified-and-unchanged query —
+    what stays pinned is that it remains registered with an oracle."""
     assert registry._ext5_names == ["sim_rrf_fusion"]
     for n in registry._ext5_names:
         assert n in registry.REGISTRY
         assert registry.REGISTRY[n].oracle is not None
-    assert window[0] == "sim_rrf_fusion"

@@ -51,13 +51,13 @@ def test_sample_prefix_has_no_name_drift():
     partially-initialized WORKER re-imports don't die — this test is
     where the drift protection actually lives.
 
-    The r8 prefix is fully explicit (50 names: sim_rrf_fusion — the one
-    entry without a formal row in r1-r7 — the 5 new llm_ext6 operators,
-    the 2 round-8 code-changed queries, the 5 withheld r2-era bench
-    queries, all 16 r3-era rows, and the alphabetically-first 21
-    r4-era rows), so the assertion is exact equality on the full
-    window — a silent overflow or an unregistered curated name fails
-    here rather than surfacing in the round artifact."""
+    The r9 prefix is fully explicit (50 names: graph_nn_descent — the
+    one entry without a formal row in r1-r8 — the 2 new round-9
+    operators, the 2 round-9 code-changed queries, all 25 remaining
+    r4-era rows, and the alphabetically-first 20 r5-era rows), so the
+    assertion is exact equality on the full window — a silent overflow
+    or an unregistered curated name fails here rather than surfacing
+    in the round artifact."""
     missing = [n for n in registry.SAMPLE_PREFIX_EXPECTED
                if n not in registry.REGISTRY]
     assert not missing, f"prefix names not registered: {missing}"
@@ -66,10 +66,10 @@ def test_sample_prefix_has_no_name_drift():
     assert window == list(registry.SAMPLE_PREFIX_EXPECTED)
     # Every operator introduced this round must be inside the sampled
     # window — new code earns its formal row in the round it is written.
-    # sim_rrf_fusion (late r7, never sampled) must finally lead it.
-    assert window[0] == "sim_rrf_fusion"
-    for n in registry._ext6_names:
-        assert n in window, f"round-8 operator {n} missed the sample window"
+    # graph_nn_descent (late r8, never sampled) must finally lead it.
+    assert window[0] == "graph_nn_descent"
+    for n in registry._ext9_names:
+        assert n in window, f"round-9 operator {n} missed the sample window"
 
 
 def test_every_query_module_survives_worker_entry_import():
