@@ -29,6 +29,14 @@ in the adjacent window — the current code is marginally FASTER than r7
 under identical conditions. Cross-round deltas of this size are
 environment, not code; only per-query deltas that survive a same-window
 A/B (like the worktree control above) warrant attribution.
+
+Round-9 control (the standing protocol, re-run): r9 HEAD measured
+12.867 s and the r8 tip (abeaab4, fresh worktree) measured 12.331 s in
+the adjacent window — a 4.3% gap, uniform across queries, inside the
+same-code spread above; no headline query's code changed in round 9.
+The quieter host also explains both numbers beating every recorded
+round: recorded cross-round values remain non-comparable without this
+control.
 """
 
 from __future__ import annotations
