@@ -1,13 +1,17 @@
-"""Graph-based ANN: NN-Descent kNN-graph construction (round 8) and
-greedy beam search over that graph (round 9) — the build half and the
-query half of an HNSW-class index, both expressed as pure relational
-plans.
+"""Graph-based ANN: the full HNSW-class index lifecycle as pure
+relational plans — NN-Descent construction, greedy beam search,
+beam-width calibration, and incremental insertion.
 
-``graph_nn_descent`` landed behind the fully-allocated r8 sampled
-window (locally oracle-verified, pytest-covered, honestly labeled) and
-leads the round-9 prefix; ``graph_greedy_search`` is new in round 9 and
-registers inside the r9 window, so both expect formal driver rows this
-round.
+Certification status (the honest-labeling house rule):
+
+- ``graph_nn_descent`` (round 8) — landed behind the fully-allocated
+  r8 sampled window; LEADS the round-9 window for its formal row.
+- ``graph_greedy_search`` (round 9) — inside the r9 window; expects
+  its formal row this round.
+- ``graph_beam_sweep`` / ``graph_knn_insert`` (late round 9) — landed
+  AFTER the r9 window was allocated, so they sit BEHIND it this
+  round: locally oracle-verified at three SFs + a plain driver-style
+  session, pytest-covered, first in line for the round-10 rotation.
 """
 
 from __future__ import annotations
@@ -150,20 +154,22 @@ def q_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("round")
 
 
-def _graph_ctes() -> str:
-    """The construction CTE chain shared by both oracles: embeddings ->
-    en (vectors + norms) -> stride init -> e0 .. e{ND_ROUNDS} (scored,
-    per-node top-K kept edges). Unrolled fixed rounds (recursive CTEs
-    cannot aggregate in the recursive term; same discipline as the
-    PageRank replay). The pair-scoring dot uses the UNROLLED fold —
-    flat CTEs, plain column references — because the interpreted lambda
-    form costs ~12 us per element and the candidate table is
-    corpus x ~K^2 pairs."""
+def _graph_ctes(where: str = "") -> str:
+    """The construction CTE chain shared by the graph oracles:
+    embeddings -> en (vectors + norms) -> stride init -> e0 ..
+    e{ND_ROUNDS} (scored, per-node top-K kept edges). Unrolled fixed
+    rounds (recursive CTEs cannot aggregate in the recursive term; same
+    discipline as the PageRank replay). The pair-scoring dot uses the
+    UNROLLED fold — flat CTEs, plain column references — because the
+    interpreted lambda form costs ~12 us per element and the candidate
+    table is corpus x ~K^2 pairs. ``where`` restricts the graph's node
+    table (the insert oracle builds on the base slice only; the others
+    pass nothing, their text unchanged)."""
     ppm = (f"CAST(floor(({sim.dot_unrolled_sql('a.demb', 'b.demb')}"
            f" / (a.nrm * b.nrm)) * 1e6 + 0.5) AS BIGINT)")
     parts = [f"""
     WITH e AS (SELECT vec_id, {sim.as_double_sql('embedding')} AS demb
-               FROM embeddings),
+               FROM embeddings{where}),
     en AS MATERIALIZED (
         SELECT vec_id, demb, sqrt({sim.dot_sql('demb', 'demb')}) AS nrm
         FROM e),
@@ -221,28 +227,33 @@ REGISTRY["graph_nn_descent"].oracle = _nn_descent_oracle()
 # query by GREEDY NAVIGATION — start at an entry node, repeatedly hop
 # to the neighbor closest to the query, stop when no neighbor improves.
 # The batch-distributed form is beam search with fixed hop rounds
-# unrolled: a per-query frontier of the GS_BEAM best visited nodes,
-# expanded each hop through the SYMMETRIZED union of the refined kNN
-# edges and the stride-init edges (HNSW links are bidirectional, and
-# NSW-style navigability needs the long-range links the init graph
-# provides — a pure kNN graph fragments into clusters greedy search
-# cannot leave), scored against the query vector, with a visited set so
-# no node is scored twice. Everything is relational: per hop, one
-# frontier-edges join, one anti-join against the visited set, one
-# id-keyed scoring join, one rank window. Queries are GS_NQ pinned
-# corpus nodes (stride-sampled over the id space, self excluded) — the
-# corpus-distributed workload an ANN index actually serves — searched
-# from GS_ENTRIES stride-pinned entry points. The output is the
-# per-query search-quality report — nodes visited (= scoring cost) and
-# recall@K against the exact cosine ranking — i.e. the navigability
-# measurement an index-parameter decision (K, rounds, beam, hops)
-# reads. NOTE the fixture corpus is deliberately adversarial for graph
-# ANN: its embeddings are near-uniform random (within-label cosine ==
+# unrolled: a per-query frontier of the B best visited nodes, expanded
+# each hop through the SYMMETRIZED union of the refined kNN edges and
+# the stride-init edges (HNSW links are bidirectional, and NSW-style
+# navigability needs the long-range links the init graph provides — a
+# pure kNN graph fragments into clusters greedy search cannot leave),
+# scored against the query vector, with a visited set so no node is
+# scored twice. Everything is relational: per hop, one frontier-edges
+# join, one anti-join against the visited set, one id-keyed scoring
+# join, one rank window. Three operators share this machinery:
+#
+# - graph_greedy_search  — the navigability report (per-query visited
+#   count + recall@K vs exact), IN the r9 sample window;
+# - graph_beam_sweep     — the cost/recall curve over frontier widths
+#   (the graph-search analog of sim_ann_nprobe_sweep);
+# - graph_knn_insert     — HNSW-style INCREMENTAL insertion: held-out
+#   vectors search the base graph and connect to the best nodes found,
+#   with the connection quality measured against their true base top-K
+#   (the maintenance path that avoids full index rebuilds at scale).
+#
+# NOTE the fixture corpus is deliberately adversarial for graph ANN:
+# its embeddings are near-uniform random (within-label cosine ==
 # cross-label cosine == ~0), so the similarity surface is flat and NO
 # graph navigates it much better than random visiting — the honest
-# report here shows recall modestly above the visited-fraction
+# reports here show recall modestly above the visited-fraction
 # baseline, and the tests assert exactly that (plus sub-linear
-# visiting), not a fantasy recall the data cannot support.
+# visiting) on these fixtures, with the real navigation floors
+# asserted on a planted-cluster corpus in test_ann_recall.
 #
 # Determinism: query ids and entry ids are modular-arithmetic functions
 # of the corpus size computed identically in both engines;
@@ -255,6 +266,111 @@ GS_TOPK = 10     # answer size / recall@K
 GS_ENTRIES = 8   # stride-pinned entry points per query
 GS_QOFF = 17     # query id stride sample: (GS_QOFF + GS_QSTRIDE*i) % n
 GS_QSTRIDE = 131
+
+_WQ = None  # built lazily (Window objects are cheap; kept for clarity)
+
+
+def _wq():
+    return Window.partitionBy("query_id").orderBy(
+        F.col("sim_ppm").desc(), "node")
+
+
+def _sym_edges(rounds: list[DataFrame]) -> DataFrame:
+    """Symmetrized union of the final refined edges and the stride-init
+    long links (the searched graph), checkpoint-truncated."""
+    return (rounds[-1].select("u", "w")
+            .unionByName(rounds[0].select("u", "w"))
+            .unionByName(rounds[-1].select(F.col("w").alias("u"),
+                                           F.col("u").alias("w")))
+            .unionByName(rounds[0].select(F.col("w").alias("u"),
+                                          F.col("u").alias("w")))
+            .distinct().localCheckpoint(eager=True))
+
+
+def _make_score(en: DataFrame, qpanel: DataFrame):
+    """score((query_id, node)) -> + ppm cosine vs that query's vector;
+    the panel is broadcast, vectors ride only the id-keyed join."""
+    def score(nodes: DataFrame) -> DataFrame:
+        return (nodes
+                .join(en.select(F.col("vec_id").alias("node"),
+                                "demb", "nrm"), "node")
+                .join(F.broadcast(qpanel.select("query_id", "qvec",
+                                                "qnorm")), "query_id")
+                .select("query_id", "node",
+                        F.floor((sim.dot(F.col("qvec"), F.col("demb"))
+                                 / (F.col("qnorm") * F.col("nrm")))
+                                * F.lit(1e6) + F.lit(0.5)).cast("long")
+                        .alias("sim_ppm")))
+    return score
+
+
+def _entry_nodes(spark: SparkSession, nn: DataFrame) -> DataFrame:
+    """GS_ENTRIES stride-pinned entry nodes over the graph's contiguous
+    id space (nn = 1-row count of the GRAPH's node table)."""
+    return (spark.range(GS_ENTRIES)
+            .select(F.col("id").cast("bigint").alias("j"))
+            .crossJoin(F.broadcast(nn))
+            .select(F.expr(f"j * (n div {GS_ENTRIES})")
+                    .cast("bigint").alias("node"))
+            .distinct())
+
+
+def _search_seen(seen0: DataFrame, und: DataFrame, qpanel: DataFrame,
+                 score, beam: int, hops: int) -> DataFrame:
+    """The beam-search hop loop: visited set after `hops` rounds from
+    the scored entry set, per-hop checkpoint-truncated. Self-exclusion
+    rides the broadcast (query_id, qid) panel columns."""
+    seen = seen0
+    frontier = (seen.withColumn("rk", F.row_number().over(_wq()))
+                .filter(F.col("rk") <= beam)
+                .select("query_id", "node"))
+    for _h in range(hops):
+        nbrs = (frontier.join(und, frontier["node"] == und["u"])
+                .select("query_id", F.col("w").alias("node"))
+                .distinct()
+                .join(F.broadcast(qpanel.select("query_id", "qid")),
+                      "query_id")
+                .filter(F.col("node") != F.col("qid"))
+                .select("query_id", "node"))
+        new = nbrs.join(seen.select("query_id", "node"),
+                        ["query_id", "node"], "left_anti")
+        seen = (seen.unionByName(score(new))
+                .localCheckpoint(eager=True))
+        frontier = (seen.withColumn("rk", F.row_number().over(_wq()))
+                    .filter(F.col("rk") <= beam)
+                    .select("query_id", "node"))
+    return seen
+
+
+def _topk_nodes(df: DataFrame, k: int) -> DataFrame:
+    return (df.withColumn("rk", F.row_number().over(_wq()))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "node"))
+
+
+def _exact_topk(base: DataFrame, qpanel: DataFrame, k: int) -> DataFrame:
+    """Exact per-query cosine top-k over `base`: the corpus scans ONCE
+    against the broadcast panel and ranks via the two-phase top-K
+    ((query, input-partition) rank, then global), so ranking never
+    collapses to |Q| partitions (the sim_crossmodal_recall
+    discipline)."""
+    scored_all = (base.crossJoin(F.broadcast(qpanel))
+                  .filter(F.col("vec_id") != F.col("qid"))
+                  .select("query_id", "vec_id",
+                          F.floor((sim.dot(F.col("qvec"), F.col("demb"))
+                                   / (F.col("qnorm") * F.col("nrm")))
+                                  * F.lit(1e6) + F.lit(0.5)).cast("long")
+                          .alias("sim_ppm")))
+    w1 = (Window.partitionBy("query_id", "pid")
+          .orderBy(F.col("sim_ppm").desc(), "vec_id"))
+    return (scored_all.withColumn("pid", F.spark_partition_id())
+            .withColumn("r1", F.row_number().over(w1))
+            .filter(F.col("r1") <= k)
+            .withColumn("rk", F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("sim_ppm").desc(), "vec_id")))
+            .filter(F.col("rk") <= k)
+            .select("query_id", F.col("vec_id").alias("node")))
 
 
 @register(
@@ -279,21 +395,13 @@ def q_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     only), anti-joined against the visited set, and only NEW nodes ride
     the one id-keyed scoring join against the vector table (the query
     panel itself is Q rows, broadcast). The exact baseline scans the
-    corpus ONCE against the broadcast panel and ranks via the two-phase
-    top-K ((query, input-partition) rank, then global), so ranking
-    never collapses to |Q| partitions. Visited state is
-    checkpoint-truncated per hop and bounded by
-    Q x (GS_ENTRIES + GS_BEAM x degree x GS_HOPS) rows."""
+    corpus ONCE against the broadcast panel with two-phase top-K
+    ranking. Visited state is checkpoint-truncated per hop and bounded
+    by Q x (GS_ENTRIES + GS_BEAM x degree x GS_HOPS) rows."""
     en = _embeddings_en(spark, sf_dir)
     rounds = _nn_descent_rounds(en)
     nn = en.agg(F.count("*").cast("bigint").alias("n"))
-    und = (rounds[-1].select("u", "w")
-           .unionByName(rounds[0].select("u", "w"))
-           .unionByName(rounds[-1].select(F.col("w").alias("u"),
-                                          F.col("u").alias("w")))
-           .unionByName(rounds[0].select(F.col("w").alias("u"),
-                                         F.col("u").alias("w")))
-           .distinct().localCheckpoint(eager=True))
+    und = _sym_edges(rounds)
     qpanel = (spark.range(GS_NQ)
               .select(F.col("id").cast("bigint").alias("query_id"))
               .crossJoin(F.broadcast(nn))
@@ -304,76 +412,15 @@ def q_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("query_id", "qid",
                       F.col("demb").alias("qvec"),
                       F.col("nrm").alias("qnorm")))
-
-    def score(nodes: DataFrame) -> DataFrame:
-        """(query_id, node) -> + ppm cosine vs that query's vector;
-        the panel is broadcast, vectors ride only the id-keyed join."""
-        return (nodes
-                .join(en.select(F.col("vec_id").alias("node"),
-                                "demb", "nrm"), "node")
-                .join(F.broadcast(qpanel.select("query_id", "qvec",
-                                                "qnorm")), "query_id")
-                .select("query_id", "node",
-                        F.floor((sim.dot(F.col("qvec"), F.col("demb"))
-                                 / (F.col("qnorm") * F.col("nrm")))
-                                * F.lit(1e6) + F.lit(0.5)).cast("long")
-                        .alias("sim_ppm")))
-
-    entries = (spark.range(GS_ENTRIES)
-               .select(F.col("id").cast("bigint").alias("j"))
-               .crossJoin(F.broadcast(nn))
-               .select(F.expr(f"j * (n div {GS_ENTRIES})")
-                       .cast("bigint").alias("node"))
-               .distinct())
-    seen = score(qpanel.select("query_id", "qid")
-                 .crossJoin(F.broadcast(entries))
-                 .filter(F.col("node") != F.col("qid"))
-                 .select("query_id", "node")
-                 ).localCheckpoint(eager=True)
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("sim_ppm").desc(), "node")
-    frontier = (seen.withColumn("rk", F.row_number().over(wq))
-                .filter(F.col("rk") <= GS_BEAM)
-                .select("query_id", "node"))
-    for _h in range(1, GS_HOPS + 1):
-        nbrs = (frontier.join(und, frontier["node"] == und["u"])
-                .select("query_id", F.col("w").alias("node"))
-                .distinct()
-                .join(F.broadcast(qpanel.select("query_id", "qid")),
-                      "query_id")
-                .filter(F.col("node") != F.col("qid"))
-                .select("query_id", "node"))
-        new = nbrs.join(seen.select("query_id", "node"),
-                        ["query_id", "node"], "left_anti")
-        seen = (seen.unionByName(score(new))
-                .localCheckpoint(eager=True))
-        frontier = (seen.withColumn("rk", F.row_number().over(wq))
-                    .filter(F.col("rk") <= GS_BEAM)
-                    .select("query_id", "node"))
-    found = (seen.withColumn("rk", F.row_number().over(wq))
-             .filter(F.col("rk") <= GS_TOPK)
-             .select("query_id", "node"))
-
-    # Exact baseline: corpus scanned once against the broadcast panel,
-    # two-phase top-K (the sim_crossmodal_recall discipline).
-    scored_all = (en.crossJoin(F.broadcast(qpanel))
-                  .filter(F.col("vec_id") != F.col("qid"))
-                  .select("query_id", "vec_id",
-                          F.floor((sim.dot(F.col("qvec"), F.col("demb"))
-                                   / (F.col("qnorm") * F.col("nrm")))
-                                  * F.lit(1e6) + F.lit(0.5)).cast("long")
-                          .alias("sim_ppm")))
-    w1 = (Window.partitionBy("query_id", "pid")
-          .orderBy(F.col("sim_ppm").desc(), "vec_id"))
-    exact = (scored_all.withColumn("pid", F.spark_partition_id())
-             .withColumn("r1", F.row_number().over(w1))
-             .filter(F.col("r1") <= GS_TOPK)
-             .withColumn("rk", F.row_number().over(
-                 Window.partitionBy("query_id").orderBy(
-                     F.col("sim_ppm").desc(), "vec_id")))
-             .filter(F.col("rk") <= GS_TOPK)
-             .select("query_id", F.col("vec_id").alias("node")))
-
+    score = _make_score(en, qpanel)
+    seen0 = score(qpanel.select("query_id", "qid")
+                  .crossJoin(F.broadcast(_entry_nodes(spark, nn)))
+                  .filter(F.col("node") != F.col("qid"))
+                  .select("query_id", "node")
+                  ).localCheckpoint(eager=True)
+    seen = _search_seen(seen0, und, qpanel, score, GS_BEAM, GS_HOPS)
+    found = _topk_nodes(seen, GS_TOPK)
+    exact = _exact_topk(en, qpanel, GS_TOPK)
     nv = (seen.groupBy("query_id")
           .agg(F.count("*").cast("bigint").alias("n_visited"),
                F.max("sim_ppm").cast("bigint").alias("best_sim_ppm")))
@@ -391,14 +438,18 @@ def q_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id"))
 
 
-def _greedy_search_oracle() -> str:
-    # Scoring reuses the lambda-fold dot_sql so the add sequence
-    # matches Spark's F.aggregate fold bit-for-bit; query/entry ids are
-    # the same modular expressions over the corpus count. Hops
-    # unrolled; NOT EXISTS is the anti-join twin.
-    score = (f"CAST(floor(({sim.dot_sql('p.qvec', 'b.demb')}"
-             f" / (p.qnorm * b.nrm)) * 1e6 + 0.5) AS BIGINT)")
-    parts = [f"""
+# Shared oracle fragments. Scoring reuses the lambda-fold dot_sql so
+# the add sequence matches Spark's F.aggregate fold bit-for-bit;
+# query/entry ids are the same modular expressions over the graph's
+# node count. Hops unrolled; NOT EXISTS is the anti-join twin. Heavy /
+# multiply-referenced CTEs are MATERIALIZED (DuckDB otherwise
+# re-inlines the hop chain exponentially — observed minutes -> 0.3 s).
+_SCORE_SQL = (f"CAST(floor(({sim.dot_sql('p.qvec', 'b.demb')}"
+              f" / (p.qnorm * b.nrm)) * 1e6 + 0.5) AS BIGINT)")
+
+
+def _und_cte() -> str:
+    return f"""
     und AS MATERIALIZED (SELECT DISTINCT u, w FROM (
                 SELECT u, w FROM e{ND_ROUNDS}
                 UNION ALL
@@ -406,7 +457,90 @@ def _greedy_search_oracle() -> str:
                 UNION ALL
                 SELECT w AS u, u AS w FROM e{ND_ROUNDS}
                 UNION ALL
-                SELECT w AS u, u AS w FROM e0)),
+                SELECT w AS u, u AS w FROM e0))"""
+
+
+def _entries_seen0_ctes(qp: str = "qp") -> str:
+    """ent (stride entry nodes over the graph's node count) and gs0
+    (entries scored per query, self excluded)."""
+    return f"""
+    ent AS MATERIALIZED (SELECT DISTINCT
+                CAST(j.j * (nn.n // {GS_ENTRIES}) AS BIGINT) AS node
+            FROM (SELECT unnest(range(0, {GS_ENTRIES})) AS j) j
+                 CROSS JOIN nn),
+    gs0 AS MATERIALIZED (SELECT p.query_id, t.node, {_SCORE_SQL} AS sim_ppm
+            FROM {qp} p CROSS JOIN ent t
+                 JOIN en b ON b.vec_id = t.node
+            WHERE t.node != p.qid)"""
+
+
+def _beam_hops_ctes(tag: str, beam: int, hops: int,
+                    qp: str = "qp", seen0: str = "gs0") -> str:
+    """The unrolled hop chain gn/gc/gs/gf with names suffixed by `tag`
+    (so several sweeps can share one construction + gs0); the final
+    visited state is gs{hops}{tag}."""
+    parts = [f"""
+    gf0{tag} AS MATERIALIZED (SELECT query_id, node FROM (
+                SELECT query_id, node,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim_ppm DESC, node)
+                           AS rk
+                FROM {seen0})
+            WHERE rk <= {beam})"""]
+    for h in range(1, hops + 1):
+        prev = seen0 if h == 1 else f"gs{h - 1}{tag}"
+        parts.append(f"""
+    gn{h}{tag} AS MATERIALIZED (SELECT DISTINCT f.query_id, u2.w AS node
+              FROM gf{h - 1}{tag} f JOIN und u2 ON u2.u = f.node
+                   JOIN {qp} q2 ON q2.query_id = f.query_id
+              WHERE u2.w != q2.qid
+                AND NOT EXISTS (SELECT 1 FROM {prev} s
+                                WHERE s.query_id = f.query_id
+                                  AND s.node = u2.w)),
+    gc{h}{tag} AS (SELECT g.query_id, g.node, {_SCORE_SQL} AS sim_ppm
+              FROM gn{h}{tag} g JOIN en b ON b.vec_id = g.node
+                           JOIN {qp} p ON p.query_id = g.query_id),
+    gs{h}{tag} AS MATERIALIZED (
+        SELECT * FROM {prev} UNION ALL SELECT * FROM gc{h}{tag}),
+    gf{h}{tag} AS MATERIALIZED (SELECT query_id, node FROM (
+                  SELECT query_id, node,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY sim_ppm DESC, node)
+                             AS rk
+                  FROM gs{h}{tag})
+              WHERE rk <= {beam})""")
+    return ",".join(parts)
+
+
+def _found_exact_ctes(final_state: str, k: int, tag: str = "",
+                      qp: str = "qp", en_cte: str = "en") -> str:
+    """found{tag} (search top-k) and — when tag is '' — the shared
+    exact top-k baseline over `en_cte`."""
+    found = f"""
+    found{tag} AS (SELECT query_id, node FROM (
+                  SELECT query_id, node,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY sim_ppm DESC, node)
+                             AS rk
+                  FROM {final_state})
+              WHERE rk <= {k})"""
+    exact = f"""
+    allsc AS MATERIALIZED (SELECT p.query_id, b.vec_id, {_SCORE_SQL}
+                  AS sim_ppm
+              FROM {qp} p CROSS JOIN {en_cte} b
+              WHERE b.vec_id != p.qid),
+    exact AS MATERIALIZED (SELECT query_id, vec_id AS node FROM (
+                  SELECT query_id, vec_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY sim_ppm DESC, vec_id)
+                             AS rk
+                  FROM allsc)
+              WHERE rk <= {k})"""
+    return found + "," + exact
+
+
+def _greedy_search_oracle() -> str:
+    qp = f"""
     qp AS MATERIALIZED (SELECT CAST(i.i AS BIGINT) AS query_id,
                   CAST(({GS_QOFF} + {GS_QSTRIDE} * i.i) % nn.n AS BIGINT)
                       AS qid,
@@ -414,77 +548,288 @@ def _greedy_search_oracle() -> str:
            FROM (SELECT unnest(range(0, {GS_NQ})) AS i) i
                 CROSS JOIN nn
                 JOIN en b
-                  ON b.vec_id = ({GS_QOFF} + {GS_QSTRIDE} * i.i) % nn.n),
-    ent AS MATERIALIZED (SELECT DISTINCT CAST(j.j * (nn.n // {GS_ENTRIES}) AS BIGINT)
-                       AS node
-            FROM (SELECT unnest(range(0, {GS_ENTRIES})) AS j) j
-                 CROSS JOIN nn),
-    gs0 AS MATERIALIZED (SELECT p.query_id, t.node, {score} AS sim_ppm
-            FROM qp p CROSS JOIN ent t
-                 JOIN en b ON b.vec_id = t.node
-            WHERE t.node != p.qid),
-    gf0 AS MATERIALIZED (SELECT query_id, node FROM (
-                SELECT query_id, node,
-                       row_number() OVER (PARTITION BY query_id
-                                          ORDER BY sim_ppm DESC, node)
-                           AS rk
-                FROM gs0)
-            WHERE rk <= {GS_BEAM})"""]
-    for h in range(1, GS_HOPS + 1):
-        p = h - 1
-        parts.append(f"""
-    gn{h} AS MATERIALIZED (SELECT DISTINCT f.query_id, u2.w AS node
-              FROM gf{p} f JOIN und u2 ON u2.u = f.node
-                   JOIN qp q2 ON q2.query_id = f.query_id
-              WHERE u2.w != q2.qid
-                AND NOT EXISTS (SELECT 1 FROM gs{p} s
-                                WHERE s.query_id = f.query_id
-                                  AND s.node = u2.w)),
-    gc{h} AS (SELECT g.query_id, g.node, {score} AS sim_ppm
-              FROM gn{h} g JOIN en b ON b.vec_id = g.node
-                           JOIN qp p ON p.query_id = g.query_id),
-    gs{h} AS MATERIALIZED (
-        SELECT * FROM gs{p} UNION ALL SELECT * FROM gc{h}),
-    gf{h} AS MATERIALIZED (SELECT query_id, node FROM (
-                  SELECT query_id, node,
-                         row_number() OVER (PARTITION BY query_id
-                                            ORDER BY sim_ppm DESC, node)
-                             AS rk
-                  FROM gs{h})
-              WHERE rk <= {GS_BEAM})""")
-    parts.append(f"""
-    found AS (SELECT query_id, node FROM (
-                  SELECT query_id, node,
-                         row_number() OVER (PARTITION BY query_id
-                                            ORDER BY sim_ppm DESC, node)
-                             AS rk
-                  FROM gs{GS_HOPS})
-              WHERE rk <= {GS_TOPK}),
-    allsc AS MATERIALIZED (SELECT p.query_id, b.vec_id, {score} AS sim_ppm
-              FROM qp p CROSS JOIN en b
-              WHERE b.vec_id != p.qid),
-    exact AS (SELECT query_id, vec_id AS node FROM (
-                  SELECT query_id, vec_id,
-                         row_number() OVER (PARTITION BY query_id
-                                            ORDER BY sim_ppm DESC, vec_id)
-                             AS rk
-                  FROM allsc)
-              WHERE rk <= {GS_TOPK}),
+                  ON b.vec_id = ({GS_QOFF} + {GS_QSTRIDE} * i.i) % nn.n)"""
+    tail = f"""
     nv AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_visited,
                   CAST(max(sim_ppm) AS BIGINT) AS best_sim_ppm
            FROM gs{GS_HOPS} GROUP BY query_id),
     hits AS (SELECT f.query_id, CAST(count(*) AS BIGINT) AS n_hits
              FROM found f JOIN exact e ON e.query_id = f.query_id
                                       AND e.node = f.node
-             GROUP BY f.query_id)""")
-    return (_graph_ctes() + "," + ",".join(parts) + f"""
+             GROUP BY f.query_id)
     SELECT nv.query_id, nv.n_visited,
            CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
            CAST(coalesce(h.n_hits, 0) * 1000000 // {GS_TOPK} AS BIGINT)
                AS recall_ppm,
            nv.best_sim_ppm
     FROM nv LEFT JOIN hits h ON h.query_id = nv.query_id
-    ORDER BY nv.query_id""")
+    ORDER BY nv.query_id"""
+    return (_graph_ctes() + "," + _und_cte() + "," + qp + ","
+            + _entries_seen0_ctes()
+            + "," + _beam_hops_ctes("", GS_BEAM, GS_HOPS)
+            + "," + _found_exact_ctes(f"gs{GS_HOPS}", GS_TOPK)
+            + "," + tail)
 
 
 REGISTRY["graph_greedy_search"].oracle = _greedy_search_oracle()
+
+
+# ------------------------------------------ beam-width cost/recall sweep
+
+# CERTIFICATION STATUS: registered in round 9 AFTER the 50-slot r9
+# sample window was allocated (the window was already full), so this
+# operator sits BEHIND the window this round: locally oracle-verified
+# at three SFs + a plain driver-style session, pytest-covered, and
+# first in line for the round-10 prefix rotation (the llm_ext5 /
+# llm_ext7 honest-labeling pattern).
+GS_SWEEP_BEAMS = (2, 4, 8, 16)
+
+
+@register(
+    "graph_beam_sweep",
+    oracle=None,  # set below
+    tags=("llm", "graph", "ann", "calibration"),
+)
+def q_graph_beam_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-search cost/recall calibration: recall@GS_TOPK and total
+    nodes visited at frontier widths {2, 4, 8, 16} — the curve that
+    fixes the production beam width, the graph-ANN counterpart of
+    sim_ann_nprobe_sweep (each doubling of the beam roughly doubles
+    scoring cost for diminishing recall).
+
+    One graph build, one entry scoring, and ONE exact brute-force
+    reference serve every sweep point; only the hop loops re-run per
+    beam (each is query-panel-bounded and checkpoint-truncated, so the
+    sweep adds |beams| x GS_HOPS bounded stages, never another corpus
+    scan)."""
+    en = _embeddings_en(spark, sf_dir)
+    rounds = _nn_descent_rounds(en)
+    nn = en.agg(F.count("*").cast("bigint").alias("n"))
+    und = _sym_edges(rounds)
+    qpanel = (spark.range(GS_NQ)
+              .select(F.col("id").cast("bigint").alias("query_id"))
+              .crossJoin(F.broadcast(nn))
+              .select("query_id",
+                      F.expr(f"({GS_QOFF} + {GS_QSTRIDE} * query_id) % n")
+                      .cast("bigint").alias("qid"))
+              .join(en, F.col("qid") == F.col("vec_id"))
+              .select("query_id", "qid",
+                      F.col("demb").alias("qvec"),
+                      F.col("nrm").alias("qnorm")))
+    score = _make_score(en, qpanel)
+    seen0 = score(qpanel.select("query_id", "qid")
+                  .crossJoin(F.broadcast(_entry_nodes(spark, nn)))
+                  .filter(F.col("node") != F.col("qid"))
+                  .select("query_id", "node")
+                  ).localCheckpoint(eager=True)
+    exact = _exact_topk(en, qpanel, GS_TOPK).localCheckpoint(eager=True)
+    out = None
+    for beam in GS_SWEEP_BEAMS:
+        seen = _search_seen(seen0, und, qpanel, score, beam, GS_HOPS)
+        found = _topk_nodes(seen, GS_TOPK)
+        row = (seen.agg(F.count("*").cast("bigint").alias("n_visited"))
+               .crossJoin(found.join(exact, ["query_id", "node"])
+                          .agg(F.count("*").cast("bigint")
+                               .alias("n_hits")))
+               .select(F.lit(beam).cast("bigint").alias("beam"),
+                       "n_visited", "n_hits",
+                       F.expr(f"cast(n_hits * 1000000"
+                              f" div {GS_NQ * GS_TOPK} as bigint)")
+                       .alias("recall_ppm")))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("beam")
+
+
+def _beam_sweep_oracle() -> str:
+    qp = f"""
+    qp AS MATERIALIZED (SELECT CAST(i.i AS BIGINT) AS query_id,
+                  CAST(({GS_QOFF} + {GS_QSTRIDE} * i.i) % nn.n AS BIGINT)
+                      AS qid,
+                  b.demb AS qvec, b.nrm AS qnorm
+           FROM (SELECT unnest(range(0, {GS_NQ})) AS i) i
+                CROSS JOIN nn
+                JOIN en b
+                  ON b.vec_id = ({GS_QOFF} + {GS_QSTRIDE} * i.i) % nn.n)"""
+    chains, selects = [], []
+    for beam in GS_SWEEP_BEAMS:
+        tag = f"b{beam}"
+        chains.append(_beam_hops_ctes(tag, beam, GS_HOPS))
+        chains.append(f"""
+    found{tag} AS (SELECT query_id, node FROM (
+                  SELECT query_id, node,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY sim_ppm DESC, node)
+                             AS rk
+                  FROM gs{GS_HOPS}{tag})
+              WHERE rk <= {GS_TOPK})""")
+        selects.append(f"""
+    SELECT CAST({beam} AS BIGINT) AS beam,
+           (SELECT CAST(count(*) AS BIGINT) FROM gs{GS_HOPS}{tag})
+               AS n_visited,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM found{tag} f JOIN exact e
+              ON e.query_id = f.query_id AND e.node = f.node) AS n_hits,
+           (SELECT CAST(count(*) * 1000000 // {GS_NQ * GS_TOPK} AS BIGINT)
+            FROM found{tag} f JOIN exact e
+              ON e.query_id = f.query_id AND e.node = f.node)
+               AS recall_ppm""")
+    # exact baseline shared across sweep points (one corpus scan)
+    exact = f"""
+    allsc AS MATERIALIZED (SELECT p.query_id, b.vec_id, {_SCORE_SQL}
+                  AS sim_ppm
+              FROM qp p CROSS JOIN en b
+              WHERE b.vec_id != p.qid),
+    exact AS MATERIALIZED (SELECT query_id, vec_id AS node FROM (
+                  SELECT query_id, vec_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY sim_ppm DESC, vec_id)
+                             AS rk
+                  FROM allsc)
+              WHERE rk <= {GS_TOPK})"""
+    return (_graph_ctes() + "," + _und_cte() + "," + qp + ","
+            + _entries_seen0_ctes() + "," + exact + ","
+            + ",".join(chains)
+            + "\n    UNION ALL\n".join(selects)
+            + "\n    ORDER BY beam")
+
+
+REGISTRY["graph_beam_sweep"].oracle = _beam_sweep_oracle()
+
+
+# --------------------------------------- incremental insertion (HNSW)
+
+# CERTIFICATION STATUS: registered in round 9 AFTER the 50-slot r9
+# sample window was allocated — BEHIND the window this round, locally
+# oracle-verified at three SFs + a plain session, pytest-covered,
+# first in line for the round-10 rotation (with graph_beam_sweep).
+#
+# At 100 TB an embedding index is never rebuilt from scratch for each
+# ingest batch: new vectors are INSERTED — each one beam-searches the
+# existing graph for its neighborhood and connects to the best nodes
+# found (exactly HNSW's insertion algorithm, batch-expressed: the
+# whole new batch searches in parallel as one query panel). This
+# operator holds out the last GI_M vectors as the insert batch, builds
+# the NN-Descent graph on the base slice only, runs the insertion
+# search, and reports per inserted vector: scoring cost (nodes
+# visited), the quality of its new edges — overlap of the ND_K
+# connected nodes with its TRUE base top-ND_K — and the mean edge
+# similarity. The maintenance-quality report that decides when
+# incremental insertion has degraded enough to warrant a rebuild.
+GI_M = 24  # held-out insert batch (an eval panel, pinned)
+
+
+@register(
+    "graph_knn_insert",
+    oracle=None,  # set below
+    tags=("llm", "graph", "ann", "incremental"),
+)
+def q_graph_knn_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW-style incremental insertion eval: the last GI_M vectors
+    (by vec_id) are held out, the NN-Descent graph is built on the
+    remaining base slice (same audited plan — the base id space stays
+    contiguous, so the stride init is unchanged), and each held-out
+    vector beam-searches the base graph (GS_BEAM/GS_HOPS, stride entry
+    points) and connects to the top-ND_K nodes found. Emits one row
+    per inserted vector: nodes visited, hits = |found edges ∩ true
+    base top-ND_K|, recall_ppm over ND_K, and the mean similarity of
+    the connected edges (truncating int division).
+
+    Scale shape: identical to graph_greedy_search — the insert batch
+    is the broadcast query panel (at real scale the batch shards into
+    panels; each is independent), the base graph builds once, per-hop
+    state is checkpoint-truncated, and the exact reference (only
+    needed because this is an EVAL — production inserts skip it) scans
+    the base once with two-phase top-K ranking."""
+    en = _embeddings_en(spark, sf_dir)
+    nfull = en.agg(F.count("*").cast("bigint").alias("nf"))
+    base = pin(en.crossJoin(F.broadcast(nfull))
+               .filter(F.col("vec_id") < F.col("nf") - GI_M)
+               .select("vec_id", "demb", "nrm"))
+    rounds = _nn_descent_rounds(base)
+    nb = base.agg(F.count("*").cast("bigint").alias("n"))
+    und = _sym_edges(rounds)
+    qpanel = (en.crossJoin(F.broadcast(nfull))
+              .filter(F.col("vec_id") >= F.col("nf") - GI_M)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("vec_id").alias("qid"),
+                      F.col("demb").alias("qvec"),
+                      F.col("nrm").alias("qnorm")))
+    score = _make_score(base, qpanel)
+    seen0 = score(qpanel.select("query_id", "qid")
+                  .crossJoin(F.broadcast(_entry_nodes(spark, nb)))
+                  .filter(F.col("node") != F.col("qid"))
+                  .select("query_id", "node")
+                  ).localCheckpoint(eager=True)
+    seen = _search_seen(seen0, und, qpanel, score, GS_BEAM, GS_HOPS)
+    edges = (seen.withColumn("rk", F.row_number().over(_wq()))
+             .filter(F.col("rk") <= ND_K)
+             .select("query_id", "node", "sim_ppm"))
+    exact = _exact_topk(base, qpanel, ND_K)
+    nv = (seen.groupBy("query_id")
+          .agg(F.count("*").cast("bigint").alias("n_visited")))
+    eq = (edges.groupBy("query_id")
+          .agg(F.expr("cast(sum(sim_ppm) div count(*) as bigint)")
+               .alias("mean_edge_sim_ppm")))
+    hits = (edges.select("query_id", "node")
+            .join(exact, ["query_id", "node"])
+            .groupBy("query_id")
+            .agg(F.count("*").cast("bigint").alias("n_hits")))
+    return (nv.join(eq, "query_id")
+            .join(hits, "query_id", "left")
+            .select(F.col("query_id").alias("vec_id"), "n_visited",
+                    F.coalesce("n_hits", F.lit(0)).cast("bigint")
+                    .alias("n_hits"),
+                    F.expr(f"cast(coalesce(n_hits, 0) * 1000000"
+                           f" div {ND_K} as bigint)").alias("recall_ppm"),
+                    "mean_edge_sim_ppm")
+            .orderBy("vec_id"))
+
+
+def _knn_insert_oracle() -> str:
+    where = (f" CROSS JOIN (SELECT count(*) AS nf FROM embeddings) nf"
+             f" WHERE vec_id < nf.nf - {GI_M}")
+    qp = f"""
+    enq AS MATERIALIZED (
+        SELECT e2.vec_id, {sim.as_double_sql('e2.embedding')} AS demb
+        FROM embeddings e2
+             CROSS JOIN (SELECT count(*) AS nf FROM embeddings) nf2
+        WHERE e2.vec_id >= nf2.nf - {GI_M}),
+    qp AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS query_id,
+                  CAST(vec_id AS BIGINT) AS qid,
+                  demb AS qvec,
+                  sqrt({sim.dot_sql('demb', 'demb')}) AS qnorm
+           FROM enq)"""
+    tail = f"""
+    edges AS MATERIALIZED (SELECT query_id, node, sim_ppm FROM (
+                  SELECT query_id, node, sim_ppm,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY sim_ppm DESC, node)
+                             AS rk
+                  FROM gs{GS_HOPS})
+              WHERE rk <= {ND_K}),
+    nv AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_visited
+           FROM gs{GS_HOPS} GROUP BY query_id),
+    eq AS (SELECT query_id,
+                  CAST(sum(sim_ppm) // count(*) AS BIGINT)
+                      AS mean_edge_sim_ppm
+           FROM edges GROUP BY query_id),
+    hits AS (SELECT f.query_id, CAST(count(*) AS BIGINT) AS n_hits
+             FROM edges f JOIN exact e ON e.query_id = f.query_id
+                                      AND e.node = f.node
+             GROUP BY f.query_id)
+    SELECT nv.query_id AS vec_id, nv.n_visited,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n_hits, 0) * 1000000 // {ND_K} AS BIGINT)
+               AS recall_ppm,
+           eq.mean_edge_sim_ppm
+    FROM nv JOIN eq ON eq.query_id = nv.query_id
+            LEFT JOIN hits h ON h.query_id = nv.query_id
+    ORDER BY vec_id"""
+    return (_graph_ctes(where) + "," + _und_cte() + "," + qp + ","
+            + _entries_seen0_ctes()
+            + "," + _beam_hops_ctes("", GS_BEAM, GS_HOPS)
+            + "," + _found_exact_ctes(f"gs{GS_HOPS}", ND_K)
+            + "," + tail)
+
+
+REGISTRY["graph_knn_insert"].oracle = _knn_insert_oracle()

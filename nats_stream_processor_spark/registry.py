@@ -280,9 +280,12 @@ def oracle_sql() -> dict[str, str]:
 #    guarded dedup_substring_apply re-certifies all three consumers
 #    in the same round.
 # Everything else — formally green in r6-r8 and unchanged in r9 —
-# rotates behind. After this round every registry entry except the
-# oracle-less dedup_minhash_lsh_fast (value-checked via its parity
-# twin) has a formal row no older than r5.
+# rotates behind. After this round every entry that existed when the
+# window was allocated has a formal row no older than r5 (the only
+# oracle-less one, dedup_minhash_lsh_fast, is value-checked via its
+# parity twin); the late round-9 pair graph_beam_sweep /
+# graph_knn_insert landed after allocation, sits behind the window
+# with honest module headers, and leads the r10 rotation.
 SAMPLE_PREFIX_EXPECTED = [
     # the one uncertified registry entry (r8 verdict ask #1)
     "graph_nn_descent",
@@ -393,7 +396,9 @@ def _populate_chain() -> None:
 
     # llm_ext7: graph_nn_descent landed late in round 8 (behind that
     # round's fully-allocated window; leads the r9 window for its first
-    # formal row) plus graph_greedy_search, new in round 9.
+    # formal row), graph_greedy_search (round 9, in-window), and the
+    # late round-9 pair graph_beam_sweep / graph_knn_insert (behind the
+    # r9 window — honest headers in the module — leading r10).
     pre = set(REGISTRY)
     from .queries import llm_ext7  # noqa: F401
 

@@ -1,9 +1,12 @@
-"""Python-reference replication and invariants for the graph-ANN pair
-in queries/llm_ext7.py: graph_nn_descent (the full stride-init +
-2-round NN-Descent loop recomputed in plain Python over the sf0.001
-embeddings, plus the per-node dominance invariant) and
-graph_greedy_search (the full build + multi-entry beam-search loop
-recomputed in plain Python, plus output-shape invariants)."""
+"""Python-reference replication and invariants for the graph-ANN
+family in queries/llm_ext7.py: graph_nn_descent (the full stride-init
++ 2-round NN-Descent loop recomputed in plain Python over the sf0.001
+embeddings, plus the per-node dominance invariant),
+graph_greedy_search / graph_beam_sweep / graph_knn_insert (the full
+build + multi-entry beam-search loops recomputed in plain Python via
+shared helpers, plus output-shape invariants and fixture-labeled curve
+properties). Navigation-quality floors live in test_ann_recall's
+planted-cluster tests."""
 
 from __future__ import annotations
 
@@ -171,24 +174,26 @@ def test_nn_descent_per_node_dominance_invariant(spark):
 # ------------------------------------------------- greedy beam search
 
 
-def _python_greedy_search(vecs):
-    """Plain-Python replica of q_graph_greedy_search: NN-Descent build
-    (via the same loop as _python_nn_descent), symmetrized
-    refined+init edge union, stride-pinned corpus queries and entry
-    points, GS_HOPS beam rounds with a visited set, and the recall@K
-    report against the exact ranking (self excluded)."""
-    def fold_dot(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + x * y
-        return acc
+def _fold_dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
 
-    norms = {u: math.sqrt(fold_dot(v, v)) for u, v in vecs.items()}
+
+def _ppm_fn(vecs):
+    norms = {u: math.sqrt(_fold_dot(v, v)) for u, v in vecs.items()}
 
     def ppm(u, w):
-        return math.floor(fold_dot(vecs[u], vecs[w])
+        return math.floor(_fold_dot(vecs[u], vecs[w])
                           / (norms[u] * norms[w]) * 1e6 + 0.5)
+    return ppm
 
+
+def _python_graph_und(vecs, ppm):
+    """NN-Descent build (same loop as _python_nn_descent) over a vec
+    dict with contiguous ids 0..n-1, returning the SEARCHED graph:
+    symmetrized refined+init union as an adjacency dict."""
     n = len(vecs)
     init = set()
     for u in vecs:
@@ -217,34 +222,49 @@ def _python_greedy_search(vecs):
         for u, lst in scored.items():
             for _s, w in sorted(lst)[:x7.ND_K]:
                 edges.add((u, w))
-
     und = {}
     for (u, w) in edges | init:
         und.setdefault(u, set()).add(w)
         und.setdefault(w, set()).add(u)
+    return und
 
+
+def _python_beam(und, qs, entries, qid, beam, hops):
+    """The hop loop: visited dict {node: sim} after `hops` beam rounds
+    from the scored entry set, `qid` excluded everywhere."""
+    seen = {e: qs(e) for e in set(entries) if e != qid}
+    frontier = sorted(seen, key=lambda k: (-seen[k], k))[:beam]
+    for _h in range(hops):
+        new = set()
+        for f in frontier:
+            for w in und.get(f, ()):
+                if w not in seen and w != qid:
+                    new.add(w)
+        for w in new:
+            seen[w] = qs(w)
+        frontier = sorted(seen, key=lambda k: (-seen[k], k))[:beam]
+    return seen
+
+
+def _trunc_div(tot, n):
+    q = abs(tot) // n
+    return q if tot >= 0 else -q
+
+
+def _python_greedy_search(vecs):
+    """Plain-Python replica of q_graph_greedy_search."""
+    ppm = _ppm_fn(vecs)
+    und = _python_graph_und(vecs, ppm)
+    n = len(vecs)
     qids = [(x7.GS_QOFF + x7.GS_QSTRIDE * i) % n for i in range(x7.GS_NQ)]
     entries = [j * (n // x7.GS_ENTRIES) for j in range(x7.GS_ENTRIES)]
     out = []
     for q, qid in enumerate(qids):
-        def qs(node):
-            return math.floor(fold_dot(vecs[qid], vecs[node])
-                              / (norms[qid] * norms[node]) * 1e6 + 0.5)
-
-        seen = {e: qs(e) for e in set(entries) if e != qid}
-        frontier = sorted(seen, key=lambda k: (-seen[k], k))[:x7.GS_BEAM]
-        for _h in range(x7.GS_HOPS):
-            new = set()
-            for f in frontier:
-                for w in und.get(f, ()):
-                    if w not in seen and w != qid:
-                        new.add(w)
-            for w in new:
-                seen[w] = qs(w)
-            frontier = sorted(seen, key=lambda k: (-seen[k], k))[:x7.GS_BEAM]
+        seen = _python_beam(und, lambda w: ppm(qid, w), entries, qid,
+                            x7.GS_BEAM, x7.GS_HOPS)
         found = set(sorted(seen, key=lambda k: (-seen[k], k))[:x7.GS_TOPK])
         exact = set(sorted((u for u in vecs if u != qid),
-                           key=lambda u: (-qs(u), u))[:x7.GS_TOPK])
+                           key=lambda u: (-ppm(qid, u), u))[:x7.GS_TOPK])
         hits = len(found & exact)
         out.append((q, len(seen), hits,
                     hits * 1000000 // x7.GS_TOPK, max(seen.values())))
@@ -275,3 +295,98 @@ def test_greedy_search_output_invariants(spark):
         assert 0 < r.n_visited < n
         assert 0 <= r.n_hits <= x7.GS_TOPK
         assert r.recall_ppm == r.n_hits * 1000000 // x7.GS_TOPK
+
+
+# --------------------------------------------------- beam-width sweep
+
+
+def test_beam_sweep_matches_python_reference(spark):
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in embs}
+    ppm = _ppm_fn(vecs)
+    und = _python_graph_und(vecs, ppm)
+    n = len(vecs)
+    qids = [(x7.GS_QOFF + x7.GS_QSTRIDE * i) % n for i in range(x7.GS_NQ)]
+    entries = [j * (n // x7.GS_ENTRIES) for j in range(x7.GS_ENTRIES)]
+    expect = []
+    for beam in x7.GS_SWEEP_BEAMS:
+        visited = hits = 0
+        for qid in qids:
+            seen = _python_beam(und, lambda w: ppm(qid, w), entries, qid,
+                                beam, x7.GS_HOPS)
+            found = set(sorted(seen,
+                               key=lambda k: (-seen[k], k))[:x7.GS_TOPK])
+            exact = set(sorted((u for u in vecs if u != qid),
+                               key=lambda u: (-ppm(qid, u), u))
+                        [:x7.GS_TOPK])
+            visited += len(seen)
+            hits += len(found & exact)
+        expect.append((beam, visited, hits,
+                       hits * 1000000 // (x7.GS_NQ * x7.GS_TOPK)))
+    got = [(r.beam, r.n_visited, r.n_hits, r.recall_ppm)
+           for r in registry.REGISTRY["graph_beam_sweep"].fn(
+               spark, SF).collect()]
+    assert got == expect
+
+
+def test_beam_sweep_curve_shape_on_fixture(spark):
+    """FIXTURE PROPERTY: widening the beam visits (strictly) more nodes
+    and never loses recall on the shipped embeddings — the cost/recall
+    trade the sweep exists to expose. (Beam-search recall is not
+    monotone in general; the invariant asserted everywhere is only
+    visited > 0 and recall consistency.)"""
+    rows = sorted(registry.REGISTRY["graph_beam_sweep"].fn(
+        spark, SF).collect(), key=lambda r: r.beam)
+    assert [r.beam for r in rows] == list(x7.GS_SWEEP_BEAMS)
+    vis = [r.n_visited for r in rows]
+    rec = [r.recall_ppm for r in rows]
+    assert all(b > a for a, b in zip(vis, vis[1:])), vis
+    assert all(b >= a for a, b in zip(rec, rec[1:])), rec
+    for r in rows:
+        assert r.recall_ppm == r.n_hits * 1000000 // (
+            x7.GS_NQ * x7.GS_TOPK)
+
+
+# ---------------------------------------------- incremental insertion
+
+
+def test_knn_insert_matches_python_reference(spark):
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in embs}
+    nf = len(vecs)
+    base = {u: v for u, v in vecs.items() if u < nf - x7.GI_M}
+    ppm = _ppm_fn(vecs)  # norms over the FULL table (queries included)
+    und = _python_graph_und(base, ppm)
+    nb = len(base)
+    entries = [j * (nb // x7.GS_ENTRIES) for j in range(x7.GS_ENTRIES)]
+    expect = []
+    for qid in sorted(u for u in vecs if u >= nf - x7.GI_M):
+        seen = _python_beam(und, lambda w: ppm(qid, w), entries, qid,
+                            x7.GS_BEAM, x7.GS_HOPS)
+        edges = sorted(seen, key=lambda k: (-seen[k], k))[:x7.ND_K]
+        exact = set(sorted(base, key=lambda u: (-ppm(qid, u), u))
+                    [:x7.ND_K])
+        hits = len(set(edges) & exact)
+        expect.append((qid, len(seen), hits,
+                       hits * 1000000 // x7.ND_K,
+                       _trunc_div(sum(seen[e] for e in edges),
+                                  len(edges))))
+    got = [(r.vec_id, r.n_visited, r.n_hits, r.recall_ppm,
+            r.mean_edge_sim_ppm)
+           for r in registry.REGISTRY["graph_knn_insert"].fn(
+               spark, SF).collect()]
+    assert got == expect
+
+
+def test_knn_insert_invariants(spark):
+    """One row per held-out vector, visiting strictly under the base
+    corpus, edge quality bounded by the exact best."""
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    nf = len(embs)
+    rows = registry.REGISTRY["graph_knn_insert"].fn(spark, SF).collect()
+    assert len(rows) == x7.GI_M
+    assert [r.vec_id for r in rows] == list(range(nf - x7.GI_M, nf))
+    for r in rows:
+        assert 0 < r.n_visited < nf - x7.GI_M
+        assert 0 <= r.n_hits <= x7.ND_K
+        assert r.recall_ppm == r.n_hits * 1000000 // x7.ND_K

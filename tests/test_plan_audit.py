@@ -695,3 +695,22 @@ def test_shot_curation_one_scan_one_doc_exchange_no_payload(spark):
                  if ln.startswith("Input")), "")
             assert "payload#" not in input_line, section[:400]
             assert "text#" not in input_line, section[:400]
+
+
+@pytest.mark.parametrize("name", ["graph_beam_sweep", "graph_knn_insert"])
+def test_graph_ann_extensions_checkpointed_and_shed_vectors(spark, name):
+    """The beam sweep and the incremental-insert eval inherit greedy
+    search's scale contract: per-hop state checkpoint-truncated (Scan
+    ExistingRDD; no hop lineage in the final plan), panels attached via
+    broadcast, no cartesian anywhere, and no hash exchange carrying the
+    widened embedding vectors."""
+    p = plan_str(spark, name)
+    assert "CartesianProduct" not in p
+    assert "Scan ExistingRDD" in p, p[:400]
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    for section in re.split(r"\n\(\d+\) ", p):
+        if section.startswith("Exchange") and "hashpartitioning" in section:
+            input_line = next(
+                (ln for ln in section.splitlines()
+                 if ln.startswith("Input")), "")
+            assert "demb#" not in input_line, section[:400]
