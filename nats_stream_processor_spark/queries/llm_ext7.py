@@ -267,9 +267,6 @@ GS_ENTRIES = 8   # stride-pinned entry points per query
 GS_QOFF = 17     # query id stride sample: (GS_QOFF + GS_QSTRIDE*i) % n
 GS_QSTRIDE = 131
 
-_WQ = None  # built lazily (Window objects are cheap; kept for clarity)
-
-
 def _wq():
     return Window.partitionBy("query_id").orderBy(
         F.col("sim_ppm").desc(), "node")
