@@ -532,6 +532,38 @@ NOTES = {
         "equi-self-join on edge ids (corpus x K rows, never corpus x "
         "corpus), two id-keyed scoring joins, one per-node rank window."
     ),
+    "graph_greedy_search": (
+        "The ANN query half over the NN-Descent graph: per-hop "
+        "visited/frontier state is checkpoint-truncated (Scan "
+        "ExistingRDD — no hop lineage in the final plan), the Q-row "
+        "query panel attaches via broadcast, vectors ride only the "
+        "id-keyed scoring join, and the exact baseline scans the "
+        "corpus once with the two-phase ((query_id, pid) then global) "
+        "top-K rank. Hash exchanges carry id/int rows only (asserted)."
+    ),
+    "graph_beam_sweep": (
+        "One graph build, one entry scoring, and ONE exact brute-force "
+        "reference (all checkpointed, reused as ExistingRDDs) serve "
+        "every sweep point; only the query-panel-bounded hop loops "
+        "re-run per beam width. Same vector-shedding contract as "
+        "graph_greedy_search (asserted)."
+    ),
+    "graph_knn_insert": (
+        "HNSW-style insertion: the base graph builds once on the base "
+        "slice (checkpointed rounds), the held-out insert batch is the "
+        "broadcast query panel, per-hop state is checkpoint-truncated, "
+        "and the exact reference scans the base once with two-phase "
+        "ranking — at real scale the insert batch shards into panels "
+        "and the eval-only exact reference is skipped."
+    ),
+    "media_shot_curation": (
+        "ONE documents scan: the text-quality token count is computed "
+        "in the same projection that derives the payload and rides the "
+        "frame sampler as an int64 (no join back to text — asserted "
+        "single FileScan, no Join in the plan); payloads die inside "
+        "the mapInPandas sampler; one hash(doc_id) exchange serves the "
+        "lag window, shot sessionization, and the per-shot aggregate."
+    ),
 }
 
 
