@@ -1,6 +1,15 @@
-"""Round-9 operators beyond the graph-ANN pair (llm_ext7): shot-level
-multimodal curation. Registers inside the r9 sampled window, so each
-operator expects its formal driver row in the round it was written.
+"""Round-9 operators beyond the graph-ANN family (llm_ext7).
+
+Certification status (the honest-labeling house rule):
+
+- ``media_shot_curation`` — inside the r9 sampled window; expects its
+  formal driver row this round.
+- ``events_cohort_retention`` / ``events_props_variant`` /
+  ``layout_zorder_report`` (late round 9) — landed AFTER the r9 window
+  was allocated, so they sit BEHIND it this round: locally
+  oracle-verified at three SFs + a plain driver-style session,
+  pytest-covered, in line for the round-10 rotation (with llm_ext7's
+  graph_beam_sweep / graph_knn_insert).
 """
 
 from __future__ import annotations
@@ -171,3 +180,292 @@ def _shot_curation_oracle() -> str:
 
 
 REGISTRY["media_shot_curation"].oracle = _shot_curation_oracle()
+
+
+# ----------------------------------------------- cohort retention
+
+# The classic product-analytics table the events family was missing:
+# users cohorted by first-activity week, and for each (cohort week,
+# week offset) the fraction of the cohort still active. Weeks are
+# exact integer arithmetic — days since the corpus epoch, truncating
+# div 7 — so both engines band identically; retention is integer ppm.
+COHORT_EPOCH = "2024-01-01"  # driver events start here (TESTDATA.md)
+
+
+@register(
+    "events_cohort_retention",
+    oracle=f"""
+    WITH w AS (SELECT user_id,
+                      CAST(date_diff('day', DATE '{COHORT_EPOCH}',
+                                     CAST(ts AS DATE)) // 7 AS BIGINT)
+                          AS week
+               FROM events),
+    uw AS (SELECT DISTINCT user_id, week FROM w),
+    cohort AS (SELECT user_id, min(week) AS cohort_week
+               FROM uw GROUP BY 1),
+    sizes AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
+              FROM cohort GROUP BY 1),
+    act AS (SELECT c.cohort_week,
+                   CAST(u.week - c.cohort_week AS BIGINT) AS week_offset,
+                   CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_active
+            FROM uw u JOIN cohort c ON c.user_id = u.user_id
+            GROUP BY 1, 2)
+    SELECT a.cohort_week, a.week_offset, s.n_cohort, a.n_active,
+           CAST(a.n_active * 1000000 // s.n_cohort AS BIGINT)
+               AS retention_ppm
+    FROM act a JOIN sizes s ON s.cohort_week = a.cohort_week
+    ORDER BY a.cohort_week, a.week_offset
+    """,
+    tags=("events", "cohort", "retention"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: cohort = a user's first active
+    week; one row per (cohort_week, week_offset) with the cohort size,
+    active-user count, and retention in integer ppm — the
+    product-analytics rollup next to DAU/WAU, RFM, and
+    time-to-convert.
+
+    Scale shape: one events scan -> distinct (user, week) (the only
+    event-volume shuffle, keyed on user_id x week); the cohort
+    assignment is a user-keyed aggregate joined back user-keyed; the
+    final matrix and the cohort sizes are both tiny (weeks x weeks
+    rows), with the sizes side broadcastable."""
+    ev = table(spark, sf_dir, "events")
+    uw = (ev.select("user_id",
+                    F.expr(f"datediff(to_date(ts), '{COHORT_EPOCH}')"
+                           f" div 7").cast("bigint").alias("week"))
+          .distinct())
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = (cohort.groupBy("cohort_week")
+             .agg(F.count("*").cast("bigint").alias("n_cohort")))
+    act = (uw.join(cohort, "user_id")
+           .groupBy("cohort_week",
+                    (F.col("week") - F.col("cohort_week"))
+                    .cast("bigint").alias("week_offset"))
+           .agg(F.count_distinct("user_id").cast("bigint")
+                .alias("n_active")))
+    return (act.join(F.broadcast(sizes), "cohort_week")
+            .select("cohort_week", "week_offset", "n_cohort", "n_active",
+                    F.expr("cast(n_active * 1000000 div n_cohort"
+                           " as bigint)").alias("retention_ppm"))
+            .orderBy("cohort_week", "week_offset"))
+
+
+# ------------------------------------- VARIANT semi-structured path
+
+# Spark 4's VARIANT type is the modern schema-on-read path for the
+# events.props JSON payload: parse once into the binary variant
+# encoding, then typed path extraction (variant_get) — at scale this
+# replaces per-expression JSON string re-parsing (get_json_object
+# re-tokenizes the string for EVERY path it appears in) with one parse
+# feeding any number of typed reads. json_extract_events covers the
+# string path; this covers the variant path with a distinct rollup.
+@register(
+    "events_props_variant",
+    oracle="""
+    WITH k AS (SELECT event_type,
+                      CAST(json_extract_string(props, '$.k') AS BIGINT)
+                          AS k
+               FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_even_k
+    FROM k GROUP BY 1 ORDER BY 1
+    """,
+    tags=("scalar", "json", "variant"),
+)
+def q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed path extraction through Spark 4's VARIANT type:
+    parse_json(props) once per row, variant_get('$.k', 'bigint') for
+    the typed read, then a per-event-type rollup (count, distinct,
+    min/max, even-value tally). The oracle reads the same paths with
+    DuckDB's JSON extraction — identical int64 values, so the variant
+    encoding round-trip is value-checked end to end.
+
+    Scale shape: parse + extraction are map-side expressions feeding
+    one partial+final hash aggregate on event_type; the JSON string is
+    parsed ONCE regardless of how many paths are read (the reason
+    variant exists)."""
+    ev = table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 F.count_distinct("k").cast("bigint")
+                 .alias("n_distinct_k"),
+                 F.min("k").cast("bigint").alias("min_k"),
+                 F.max("k").cast("bigint").alias("max_k"),
+                 F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0))
+                 .cast("bigint").alias("n_even_k"))
+            .orderBy("event_type"))
+
+
+# --------------------------------------- Z-order data-layout report
+
+# Data-layout optimization is a first-class 100 TB concern: min/max
+# file statistics only prune scans when the write LAYOUT clusters the
+# filter columns. Linear (single-column) clustering gives perfect
+# pruning on that column and none on any other; Z-ORDER interleaves
+# the bits of two columns so each file covers a bounded rectangle in
+# both — the layout Delta/Iceberg OPTIMIZE ZORDER implements. This
+# report quantifies that trade on the lineitem (l_partkey, l_suppkey)
+# pair: quantize both columns to 16-bit grids, assign rows to ZL_FILES
+# value-range "files" under each layout, then probe ZL_PROBES pinned
+# point lookups per dimension against the per-file min/max stats and
+# count how many files each probe fails to skip. Everything is exact
+# integer arithmetic shared by both engines.
+ZL_FILES = 64    # value-range buckets standing in for written files
+ZL_BITS = 16     # per-dimension quantization width
+ZL_PROBES = 8    # pinned range probes per dimension
+ZL_PROBE_W = (1 << ZL_BITS) // ZL_FILES  # probe width = one file span
+
+
+def _interleave_expr(x: str, y: str, shift_fn) -> str:
+    """z = bit-interleave of two ZL_BITS-wide ints (x even bits, y odd
+    bits), as left-associated adds of single-bit shifts. shift_fn
+    renders one engine's shift: shift_fn(expr, i, left?)."""
+    terms = []
+    for i in range(ZL_BITS):
+        terms.append(shift_fn(f"({shift_fn(x, i, False)} & 1)",
+                              2 * i, True))
+        terms.append(shift_fn(f"({shift_fn(y, i, False)} & 1)",
+                              2 * i + 1, True))
+    return "(" + " + ".join(terms) + ")"
+
+
+def _spark_shift(e: str, i: int, left: bool) -> str:
+    if i == 0:
+        return e
+    return f"shift{'left' if left else 'right'}({e}, {i})"
+
+
+def _duck_shift(e: str, i: int, left: bool) -> str:
+    if i == 0:
+        return e
+    op = "<<" if left else ">>"
+    return f"({e} {op} {i})"
+
+
+@register(
+    "layout_zorder_report",
+    oracle=None,  # set below
+    tags=("layout", "zorder", "pruning"),
+)
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs linear layout, measured by file-skipping power: rows
+    quantized to a 16-bit grid on (l_partkey, l_suppkey), bucketed
+    into ZL_FILES value-range files under (a) linear l_partkey order
+    and (b) Morton/Z-order interleaving, per-file min/max collected,
+    and ZL_PROBES pinned point probes per dimension counted against
+    the stats (a file is READ when probe is inside its [min, max]).
+    Linear wins on its own column and reads everything for the other;
+    Z-order pays a modest factor on the first column to make the
+    second prunable — the curve a lakehouse OPTIMIZE decision reads.
+
+    Scale shape: quantization bounds are one 4-value aggregate
+    (broadcast); quantize + interleave + file assignment are map-side
+    integer expressions; per-file stats are one partial+final hash
+    aggregate per layout over int rows; the probe join is (files x
+    probes) on two tiny broadcast sides."""
+    li = spread(table(spark, sf_dir, "lineitem"))
+    b = F.broadcast(li.agg(
+        F.min("l_partkey").alias("minp"), F.max("l_partkey").alias("maxp"),
+        F.min("l_suppkey").alias("mins"), F.max("l_suppkey").alias("maxs")))
+    g = (1 << ZL_BITS) - 1
+    q = (li.select("l_partkey", "l_suppkey").crossJoin(b)
+         .select(
+             F.expr(f"cast((l_partkey - minp) * {g}"
+                    f" div greatest(maxp - minp, 1) as bigint)").alias("x"),
+             F.expr(f"cast((l_suppkey - mins) * {g}"
+                    f" div greatest(maxs - mins, 1) as bigint)").alias("y")))
+    z = _interleave_expr("x", "y", _spark_shift)
+    files_per_dim = ZL_FILES  # value-range buckets
+    zq = q.select(
+        F.expr(f"x div {(1 << ZL_BITS) // files_per_dim}")
+        .cast("bigint").alias("f_linear"),
+        F.expr(f"{z} div {(1 << (2 * ZL_BITS)) // files_per_dim}")
+        .cast("bigint").alias("f_zorder"),
+        "x", "y")
+
+    def stats(fcol: str, label: str) -> DataFrame:
+        return (zq.groupBy(F.col(fcol).alias("file"))
+                .agg(F.min("x").alias("minx"), F.max("x").alias("maxx"),
+                     F.min("y").alias("miny"), F.max("y").alias("maxy"))
+                .select(F.lit(label).alias("strategy"), "file",
+                        "minx", "maxx", "miny", "maxy"))
+    st = stats("f_linear", "linear").unionByName(stats("f_zorder", "zorder"))
+    probes = [(1 << ZL_BITS) // ZL_PROBES * i
+              + (1 << ZL_BITS) // (2 * ZL_PROBES)
+              for i in range(ZL_PROBES)]
+    pr = spark.createDataFrame(
+        [(int(v), int(v + ZL_PROBE_W - 1)) for v in probes], "lo long, hi long")
+    xhits = (st.crossJoin(F.broadcast(pr))
+             .filter((F.col("hi") >= F.col("minx"))
+                     & (F.col("lo") <= F.col("maxx")))
+             .groupBy("strategy")
+             .agg(F.count("*").cast("bigint").alias("x_probe_file_hits")))
+    yhits = (st.crossJoin(F.broadcast(pr))
+             .filter((F.col("hi") >= F.col("miny"))
+                     & (F.col("lo") <= F.col("maxy")))
+             .groupBy("strategy")
+             .agg(F.count("*").cast("bigint").alias("y_probe_file_hits")))
+    nf = (st.groupBy("strategy")
+          .agg(F.count("*").cast("bigint").alias("n_files")))
+    return (nf.join(xhits, "strategy").join(yhits, "strategy")
+            .select("strategy", "n_files",
+                    "x_probe_file_hits", "y_probe_file_hits")
+            .orderBy("strategy"))
+
+
+def _zorder_oracle() -> str:
+    g = (1 << ZL_BITS) - 1
+    z = _interleave_expr("x", "y", _duck_shift)
+    probes = ", ".join(
+        "{'lo': %d, 'hi': %d}" % (v, v + ZL_PROBE_W - 1)
+        for v in ((1 << ZL_BITS) // ZL_PROBES * i
+                  + (1 << ZL_BITS) // (2 * ZL_PROBES)
+                  for i in range(ZL_PROBES)))
+    return f"""
+    WITH b AS (SELECT min(l_partkey) AS minp, max(l_partkey) AS maxp,
+                      min(l_suppkey) AS mins, max(l_suppkey) AS maxs
+               FROM lineitem),
+    q AS (SELECT CAST((l_partkey - minp) * {g}
+                      // greatest(maxp - minp, 1) AS BIGINT) AS x,
+                 CAST((l_suppkey - mins) * {g}
+                      // greatest(maxs - mins, 1) AS BIGINT) AS y
+          FROM lineitem CROSS JOIN b),
+    zq AS (SELECT x // {(1 << ZL_BITS) // ZL_FILES} AS f_linear,
+                  {z} // {(1 << (2 * ZL_BITS)) // ZL_FILES} AS f_zorder,
+                  x, y
+           FROM q),
+    st AS (SELECT 'linear' AS strategy, f_linear AS file,
+                  min(x) AS minx, max(x) AS maxx,
+                  min(y) AS miny, max(y) AS maxy
+           FROM zq GROUP BY 2
+           UNION ALL
+           SELECT 'zorder' AS strategy, f_zorder AS file,
+                  min(x) AS minx, max(x) AS maxx,
+                  min(y) AS miny, max(y) AS maxy
+           FROM zq GROUP BY 2),
+    pr AS (SELECT unnest([{probes}], recursive := true)),
+    xh AS (SELECT strategy, CAST(count(*) AS BIGINT) AS x_probe_file_hits
+           FROM st JOIN pr ON pr.hi >= st.minx AND pr.lo <= st.maxx
+           GROUP BY 1),
+    yh AS (SELECT strategy, CAST(count(*) AS BIGINT) AS y_probe_file_hits
+           FROM st JOIN pr ON pr.hi >= st.miny AND pr.lo <= st.maxy
+           GROUP BY 1),
+    nf AS (SELECT strategy, CAST(count(*) AS BIGINT) AS n_files
+           FROM st GROUP BY 1)
+    SELECT nf.strategy, nf.n_files, xh.x_probe_file_hits,
+           yh.y_probe_file_hits
+    FROM nf JOIN xh ON xh.strategy = nf.strategy
+            JOIN yh ON yh.strategy = nf.strategy
+    ORDER BY nf.strategy
+    """
+
+
+REGISTRY["layout_zorder_report"].oracle = _zorder_oracle()

@@ -107,3 +107,22 @@ def test_binary_file_source_feeds_media_pipeline(spark, tmp_path):
     offs = sorted(r.byte_offset for r in frames if r.doc_id == 3)
     n = len(payloads[3])
     assert offs == [(j * n) // FRAME_COUNT for j in range(FRAME_COUNT)]
+
+
+def test_xml_roundtrip_with_row_tag(spark, tmp_path):
+    """Spark 4's built-in XML source: write rows as XML (rowTag), read
+    them back with schema inference, and verify values and a pushed
+    filter survive the round trip — the feed-shaped ingest format next
+    to csv/json/orc."""
+    src = spark.createDataFrame(
+        [(i, f"name_{i}", float(i) * 1.5) for i in range(20)],
+        "id long, name string, score double")
+    path = str(tmp_path / "xmlout")
+    (src.coalesce(1).write.format("xml")
+     .option("rowTag", "item").mode("overwrite").save(path))
+    back = (spark.read.format("xml").option("rowTag", "item").load(path)
+            .select("id", "name", "score"))
+    rows = {r.id: (r.name, r.score) for r in back.collect()}
+    assert rows == {i: (f"name_{i}", i * 1.5) for i in range(20)}
+    filtered = back.filter(F.col("id") >= 15).collect()
+    assert sorted(r.id for r in filtered) == list(range(15, 20))

@@ -101,3 +101,130 @@ def test_shot_curation_decision_genuinely_splits(spark):
         assert r.n_frames >= x8.SHOT_MIN_FRAMES
         assert r.feat_mean >= x8.SHOT_MIN_FEAT
         assert r.doc_tokens >= x8.SHOT_MIN_DOC_TOKENS
+
+
+# ---------------------------------------------------- cohort retention
+
+
+def test_cohort_retention_matches_python_reference(spark):
+    import datetime
+
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .select("user_id", "ts").collect())
+    epoch = datetime.date.fromisoformat(x8.COHORT_EPOCH)
+    uw = {(r.user_id, (r.ts.date() - epoch).days // 7) for r in ev}
+    cohort = {}
+    for u, w in uw:
+        cohort[u] = min(cohort.get(u, w), w)
+    sizes = {}
+    for u, cw in cohort.items():
+        sizes[cw] = sizes.get(cw, 0) + 1
+    act = {}
+    for u, w in uw:
+        key = (cohort[u], w - cohort[u])
+        act[key] = act.get(key, 0) + 1
+    expect = sorted(
+        (cw, off, sizes[cw], n, n * 1000000 // sizes[cw])
+        for (cw, off), n in act.items())
+    got = [(r.cohort_week, r.week_offset, r.n_cohort, r.n_active,
+            r.retention_ppm)
+           for r in registry.REGISTRY["events_cohort_retention"].fn(
+               spark, SF).collect()]
+    assert got == expect
+    # offset-0 retention is 1.0 by construction (everyone is active in
+    # their own first week)
+    assert all(r[4] == 1000000 for r in got if r[1] == 0)
+
+
+# ------------------------------------------------------- VARIANT path
+
+
+def test_props_variant_matches_python_reference(spark):
+    import json
+
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .select("event_type", "props").collect())
+    agg = {}
+    for r in ev:
+        k = json.loads(r.props)["k"]
+        st = agg.setdefault(r.event_type, [0, set(), None, None, 0])
+        st[0] += 1
+        st[1].add(k)
+        st[2] = k if st[2] is None else min(st[2], k)
+        st[3] = k if st[3] is None else max(st[3], k)
+        st[4] += 1 if k % 2 == 0 else 0
+    expect = sorted((t, s[0], len(s[1]), s[2], s[3], s[4])
+                    for t, s in agg.items())
+    got = [(r.event_type, r.n_events, r.n_distinct_k, r.min_k, r.max_k,
+            r.n_even_k)
+           for r in registry.REGISTRY["events_props_variant"].fn(
+               spark, SF).collect()]
+    assert got == expect
+
+
+# ------------------------------------------------- Z-order layout
+
+
+def test_zorder_report_matches_python_reference(spark):
+    li = (spark.read.parquet(f"{SF}/lineitem.parquet")
+          .select("l_partkey", "l_suppkey").collect())
+    ps = [(r.l_partkey, r.l_suppkey) for r in li]
+    minp, maxp = min(p for p, _ in ps), max(p for p, _ in ps)
+    mins, maxs = min(s for _, s in ps), max(s for _, s in ps)
+    g = (1 << x8.ZL_BITS) - 1
+    fdiv = (1 << x8.ZL_BITS) // x8.ZL_FILES
+    zdiv = (1 << (2 * x8.ZL_BITS)) // x8.ZL_FILES
+
+    def interleave(x, y):
+        z = 0
+        for i in range(x8.ZL_BITS):
+            z += ((x >> i) & 1) << (2 * i)
+            z += ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    st = {}
+    for p, s in ps:
+        x = (p - minp) * g // max(maxp - minp, 1)
+        y = (s - mins) * g // max(maxs - mins, 1)
+        for strat, f in (("linear", x // fdiv),
+                         ("zorder", interleave(x, y) // zdiv)):
+            k = (strat, f)
+            if k not in st:
+                st[k] = [x, x, y, y]
+            else:
+                b = st[k]
+                b[0] = min(b[0], x)
+                b[1] = max(b[1], x)
+                b[2] = min(b[2], y)
+                b[3] = max(b[3], y)
+    probes = [((1 << x8.ZL_BITS) // x8.ZL_PROBES * i
+               + (1 << x8.ZL_BITS) // (2 * x8.ZL_PROBES))
+              for i in range(x8.ZL_PROBES)]
+    expect = {}
+    for strat in ("linear", "zorder"):
+        boxes = [b for (s2, _), b in st.items() if s2 == strat]
+        xh = sum(1 for b in boxes for lo in probes
+                 if lo + x8.ZL_PROBE_W - 1 >= b[0] and lo <= b[1])
+        yh = sum(1 for b in boxes for lo in probes
+                 if lo + x8.ZL_PROBE_W - 1 >= b[2] and lo <= b[3])
+        expect[strat] = (len(boxes), xh, yh)
+    got = {r.strategy: (r.n_files, r.x_probe_file_hits,
+                        r.y_probe_file_hits)
+           for r in registry.REGISTRY["layout_zorder_report"].fn(
+               spark, SF).collect()}
+    assert got == expect
+
+
+def test_zorder_actually_beats_linear_on_the_other_column(spark):
+    """The whole point of the layout report: the linear layout reads
+    (nearly) every file for probes on the non-clustered column, while
+    Z-order prunes BOTH columns to a fraction — and pays only a
+    bounded factor on the clustered one."""
+    rows = {r.strategy: r for r in
+            registry.REGISTRY["layout_zorder_report"].fn(
+                spark, SF).collect()}
+    lin, zo = rows["linear"], rows["zorder"]
+    assert zo.y_probe_file_hits < lin.y_probe_file_hits // 2
+    assert lin.x_probe_file_hits <= zo.x_probe_file_hits
+    assert zo.x_probe_file_hits + zo.y_probe_file_hits < \
+        lin.x_probe_file_hits + lin.y_probe_file_hits

@@ -67,12 +67,14 @@ def test_sample_prefix_has_no_name_drift():
     # Every operator introduced this round must be inside the sampled
     # window — new code earns its formal row in the round it is written.
     # graph_nn_descent (late r8, never sampled) must finally lead it.
-    # Exception, pinned here: graph_beam_sweep / graph_knn_insert landed
-    # AFTER the r9 window was allocated (it was already full) and sit
-    # BEHIND it with honest behind-window headers, leading the r10
-    # rotation — they must NOT silently displace a curated slot.
+    # Exception, pinned here: these landed AFTER the r9 window was
+    # allocated (it was already full) and sit BEHIND it with honest
+    # behind-window headers, leading the r10 rotation — they must NOT
+    # silently displace a curated slot.
     assert window[0] == "graph_nn_descent"
-    r9_late = {"graph_beam_sweep", "graph_knn_insert"}
+    r9_late = {"graph_beam_sweep", "graph_knn_insert",
+               "events_cohort_retention", "events_props_variant",
+               "layout_zorder_report"}
     for n in registry._ext9_names:
         if n in r9_late:
             assert n not in window, f"late operator {n} displaced a slot"

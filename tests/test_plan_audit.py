@@ -714,3 +714,38 @@ def test_graph_ann_extensions_checkpointed_and_shed_vectors(spark, name):
                 (ln for ln in section.splitlines()
                  if ln.startswith("Input")), "")
             assert "demb#" not in input_line, section[:400]
+
+
+def test_cohort_retention_broadcasts_sizes_single_event_shuffle(spark):
+    """Cohort retention: the events volume rides the distinct
+    (user, week) path and the user-keyed cohort join; the tiny
+    per-cohort sizes side must BROADCAST into the final matrix join,
+    never shuffle the matrix for it."""
+    p = plan_str(spark, "events_cohort_retention")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    hashex = re.findall(r"hashpartitioning\(([^)]*)\)", p)
+    assert any("user_id" in h for h in hashex), hashex
+
+
+def test_props_variant_parses_once_partial_final_agg(spark):
+    """The VARIANT path: parse_json/variant_get are map-side
+    expressions feeding ONE partial+final hash aggregate on
+    event_type — no join, no extra exchange beyond the group-by."""
+    p = plan_str(spark, "events_props_variant")
+    assert "variant_get" in p and "parseJson" in p, p[:600]
+    assert "Join" not in p
+    assert "partial_count" in p or "partial_sum" in p or \
+        len(re.findall(r"HashAggregate", p)) >= 2
+
+
+def test_zorder_report_broadcasts_bounds_and_probes(spark):
+    """The layout report: quantization bounds (a 1-row aggregate) and
+    the probe table attach via broadcast; file stats are partial+final
+    hash aggregates over int rows; no cartesian anywhere; the fact
+    columns shuffle only as quantized ints (no raw keys needed past
+    the map side)."""
+    p = plan_str(spark, "layout_zorder_report")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"HashAggregate", p)) >= 4
