@@ -360,8 +360,10 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized to a 16-bit grid on (l_partkey, l_suppkey), bucketed
     into ZL_FILES value-range files under (a) linear l_partkey order
     and (b) Morton/Z-order interleaving, per-file min/max collected,
-    and ZL_PROBES pinned point probes per dimension counted against
-    the stats (a file is READ when probe is inside its [min, max]).
+    and ZL_PROBES pinned RANGE probes per dimension (width = one
+    linear file's span, the BETWEEN-filter shape) counted against the
+    stats (a file is READ when its [min, max] overlaps the probe;
+    point probes would fall into quantization gaps and match nothing).
     Linear wins on its own column and reads everything for the other;
     Z-order pays a modest factor on the first column to make the
     second prunable — the curve a lakehouse OPTIMIZE decision reads.
@@ -383,11 +385,10 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.expr(f"cast((l_suppkey - mins) * {g}"
                     f" div greatest(maxs - mins, 1) as bigint)").alias("y")))
     z = _interleave_expr("x", "y", _spark_shift)
-    files_per_dim = ZL_FILES  # value-range buckets
     zq = q.select(
-        F.expr(f"x div {(1 << ZL_BITS) // files_per_dim}")
+        F.expr(f"x div {(1 << ZL_BITS) // ZL_FILES}")
         .cast("bigint").alias("f_linear"),
-        F.expr(f"{z} div {(1 << (2 * ZL_BITS)) // files_per_dim}")
+        F.expr(f"{z} div {(1 << (2 * ZL_BITS)) // ZL_FILES}")
         .cast("bigint").alias("f_zorder"),
         "x", "y")
 
