@@ -5,11 +5,11 @@ Certification status (the honest-labeling house rule):
 - ``media_shot_curation`` — inside the r9 sampled window; expects its
   formal driver row this round.
 - ``events_cohort_retention`` / ``events_props_variant`` /
-  ``layout_zorder_report`` (late round 9) — landed AFTER the r9 window
-  was allocated, so they sit BEHIND it this round: locally
-  oracle-verified at three SFs + a plain driver-style session,
-  pytest-covered, in line for the round-10 rotation (with llm_ext7's
-  graph_beam_sweep / graph_knn_insert).
+  ``layout_zorder_report`` / ``agg_hll_sketch_union`` (late round 9) —
+  landed AFTER the r9 window was allocated, so they sit BEHIND it this
+  round: locally oracle-verified at three SFs + a plain driver-style
+  session, pytest-covered, in line for the round-10 rotation (with
+  llm_ext7's graph_beam_sweep / graph_knn_insert).
 """
 
 from __future__ import annotations
@@ -470,3 +470,70 @@ def _zorder_oracle() -> str:
 
 
 REGISTRY["layout_zorder_report"].oracle = _zorder_oracle()
+
+
+# ------------------------------------- mergeable HLL sketch pipeline
+
+# agg_approx_distinct covers the one-shot approx_count_distinct path;
+# this covers the MERGEABLE-sketch workflow that matters at 100 TB:
+# build a Datasketches HLL sketch per group once (hll_sketch_agg),
+# keep the binary sketches, and answer the global question later by
+# UNIONING sketches (hll_union_agg) — never re-scanning raw data. The
+# merged row below is computed exclusively from the per-type sketches.
+# Sketch binaries and estimates are engine-specific, so (the
+# agg_approx_distinct pattern) the output carries exact counts plus
+# Spark-side tolerance booleans the oracle pins to literal TRUE.
+HLL_LG_K = 14  # datasketches lgConfigK (~0.8% rel. std. error)
+
+
+@register(
+    "agg_hll_sketch_union",
+    oracle="""
+    WITH per AS (SELECT event_type,
+                        CAST(count(DISTINCT user_id) AS BIGINT)
+                            AS exact_users
+                 FROM events GROUP BY 1)
+    SELECT event_type, exact_users, TRUE AS estimate_within_5pct
+    FROM per
+    UNION ALL
+    SELECT '__merged__' AS event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS estimate_within_5pct
+    FROM events
+    ORDER BY event_type
+    """,
+    tags=("agg", "approx", "sketch", "mergeable"),
+)
+def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: one Datasketches HLL sketch
+    per event_type (hll_sketch_agg), per-type estimates checked
+    against exact distincts, and a '__merged__' row whose estimate
+    comes ONLY from hll_union_agg over the per-type sketches — the
+    re-aggregation that answers "distinct users overall" from stored
+    per-partition sketches without touching raw events again.
+
+    Scale shape: the sketch build is one partial+final aggregate
+    (constant memory per group); the union row re-aggregates |groups|
+    sketch binaries, not events; the exact distincts exist only
+    because this is an EVAL — production keeps the sketches and drops
+    the raw scan."""
+    ev = table(spark, sf_dir, "events")
+    per = (ev.groupBy("event_type")
+           .agg(F.expr(f"hll_sketch_agg(user_id, {HLL_LG_K})").alias("sk"),
+                F.count_distinct("user_id").cast("bigint")
+                .alias("exact_users")))
+    ok = (F.abs(F.expr("hll_sketch_estimate(sk)") - F.col("exact_users"))
+          / F.col("exact_users") <= F.lit(0.05))
+    rows = per.select("event_type", "exact_users",
+                      ok.alias("estimate_within_5pct"))
+    gexact = ev.agg(F.count_distinct("user_id").cast("bigint")
+                    .alias("exact_users"))
+    merged = (per.agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+                      .alias("est"))
+              .crossJoin(F.broadcast(gexact))
+              .select(F.lit("__merged__").alias("event_type"),
+                      "exact_users",
+                      (F.abs(F.col("est") - F.col("exact_users"))
+                       / F.col("exact_users") <= F.lit(0.05))
+                      .alias("estimate_within_5pct")))
+    return rows.unionByName(merged).orderBy("event_type")

@@ -283,9 +283,11 @@ def oracle_sql() -> dict[str, str]:
 # rotates behind. After this round every entry that existed when the
 # window was allocated has a formal row no older than r5 (the only
 # oracle-less one, dedup_minhash_lsh_fast, is value-checked via its
-# parity twin); the late round-9 pair graph_beam_sweep /
-# graph_knn_insert landed after allocation, sits behind the window
-# with honest module headers, and leads the r10 rotation.
+# parity twin); the late round-9 operators (graph_beam_sweep,
+# graph_knn_insert, events_cohort_retention, events_props_variant,
+# layout_zorder_report, agg_hll_sketch_union) landed after allocation,
+# sit behind the window with honest module headers, and lead the r10
+# rotation.
 SAMPLE_PREFIX_EXPECTED = [
     # the one uncertified registry entry (r8 verdict ask #1)
     "graph_nn_descent",
@@ -397,8 +399,9 @@ def _populate_chain() -> None:
     # llm_ext7: graph_nn_descent landed late in round 8 (behind that
     # round's fully-allocated window; leads the r9 window for its first
     # formal row), graph_greedy_search (round 9, in-window), and the
-    # late round-9 pair graph_beam_sweep / graph_knn_insert (behind the
-    # r9 window — honest headers in the module — leading r10).
+    # late round-9 graph_beam_sweep / graph_knn_insert (behind the r9
+    # window — honest headers in the module — leading r10 with
+    # llm_ext8's late operators).
     pre = set(REGISTRY)
     from .queries import llm_ext7  # noqa: F401
 

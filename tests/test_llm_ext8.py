@@ -228,3 +228,26 @@ def test_zorder_actually_beats_linear_on_the_other_column(spark):
     assert lin.x_probe_file_hits <= zo.x_probe_file_hits
     assert zo.x_probe_file_hits + zo.y_probe_file_hits < \
         lin.x_probe_file_hits + lin.y_probe_file_hits
+
+
+# ----------------------------------------------- mergeable HLL sketch
+
+
+def test_hll_sketch_union_exact_and_tolerances(spark):
+    """Exact distincts replicated in plain Python; every tolerance
+    boolean must be TRUE (lgK=14 keeps HLL within a fraction of a
+    percent at fixture cardinalities), and the merged row must carry
+    the global exact distinct — proving the union path aggregated all
+    per-type sketches."""
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .select("event_type", "user_id").collect())
+    per = {}
+    for r in ev:
+        per.setdefault(r.event_type, set()).add(r.user_id)
+    expect = sorted([(t, len(u), True) for t, u in per.items()]
+                    + [("__merged__",
+                        len(set().union(*per.values())), True)])
+    got = [(r.event_type, r.exact_users, r.estimate_within_5pct)
+           for r in registry.REGISTRY["agg_hll_sketch_union"].fn(
+               spark, SF).collect()]
+    assert got == expect

@@ -749,3 +749,15 @@ def test_zorder_report_broadcasts_bounds_and_probes(spark):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     assert "CartesianProduct" not in p
     assert len(re.findall(r"HashAggregate", p)) >= 4
+
+
+def test_hll_sketch_union_is_object_agg_no_raw_rescan(spark):
+    """The mergeable-sketch pipeline: sketch building is an
+    ObjectHashAggregate with partial buffers (constant memory per
+    group), the merged row re-aggregates the |groups| sketch binaries
+    (not events), and the global exact distinct attaches via
+    broadcast — no cartesian anywhere."""
+    p = plan_str(spark, "agg_hll_sketch_union")
+    assert "ObjectHashAggregate" in p, p[:600]
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
