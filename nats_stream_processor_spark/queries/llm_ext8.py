@@ -5,11 +5,12 @@ Certification status (the honest-labeling house rule):
 - ``media_shot_curation`` — inside the r9 sampled window; expects its
   formal driver row this round.
 - ``events_cohort_retention`` / ``events_props_variant`` /
-  ``layout_zorder_report`` / ``agg_hll_sketch_union`` (late round 9) —
-  landed AFTER the r9 window was allocated, so they sit BEHIND it this
-  round: locally oracle-verified at three SFs + a plain driver-style
-  session, pytest-covered, in line for the round-10 rotation (with
-  llm_ext7's graph_beam_sweep / graph_knn_insert).
+  ``layout_zorder_report`` / ``agg_hll_sketch_union`` /
+  ``quality_expectations_report`` (late round 9) — landed AFTER the r9
+  window was allocated, so they sit BEHIND it this round: locally
+  oracle-verified at three SFs + a plain driver-style session,
+  pytest-covered, in line for the round-10 rotation (with llm_ext7's
+  graph_beam_sweep / graph_knn_insert).
 """
 
 from __future__ import annotations
@@ -537,3 +538,157 @@ def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
                        / F.col("exact_users") <= F.lit(0.05))
                       .alias("estimate_within_5pct")))
     return rows.unionByName(merged).orderBy("event_type")
+
+
+# ------------------------------------ data-quality expectations suite
+
+# The Deequ / Great-Expectations-shaped contract validator an ingest
+# pipeline gates on: a declarative suite of constraints (uniqueness,
+# completeness, value ranges, referential integrity, freshness window)
+# evaluated as VIOLATION COUNTS — one row per check, passed = zero
+# violations. Every check on a table folds into ONE multi-column
+# aggregate over a single scan (then unpivots to rows), so the suite
+# costs one pass per table at any scale; the referential check is one
+# anti-join keyed on the foreign key.
+EXPECT_TS_LO = "2024-01-01"  # events freshness window (TESTDATA.md)
+EXPECT_TS_HI = "2025-01-01"
+
+
+@register(
+    "quality_expectations_report",
+    oracle=f"""
+    SELECT table_name, check_name, violations,
+           CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS INT)
+               AS passed
+    FROM (
+    SELECT 'orders' AS table_name, 'duplicate_orderkey' AS check_name,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+               AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'null_custkey',
+           CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'nonpositive_totalprice',
+           CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'orphan_custkey',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+            ANTI JOIN customer c ON o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'lineitem', 'quantity_out_of_range',
+           CAST(count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'discount_out_of_range',
+           CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1)
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'null_extendedprice',
+           CAST(count(*) FILTER (WHERE l_extendedprice IS NULL) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'customer', 'duplicate_custkey',
+           CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'customer', 'null_name',
+           CAST(count(*) FILTER (WHERE c_name IS NULL) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'events', 'ts_out_of_window',
+           CAST(count(*) FILTER (WHERE ts < TIMESTAMP '{EXPECT_TS_LO}'
+                                    OR ts >= TIMESTAMP '{EXPECT_TS_HI}')
+                AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'events', 'null_user_id',
+           CAST(count(*) FILTER (WHERE user_id IS NULL) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'documents', 'empty_text',
+           CAST(count(*) FILTER (WHERE text IS NULL
+                                    OR length(trim(text)) = 0) AS BIGINT)
+    FROM documents) t
+    ORDER BY table_name, check_name
+    """,
+    tags=("quality", "expectations", "contract"),
+)
+def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract expectations over the warehouse tables: key
+    uniqueness, null completeness, value ranges, an events freshness
+    window, and orders->customer referential integrity — one row per
+    check with its violation count and pass flag, the gate an ingest
+    job reads before publishing a batch.
+
+    Scale shape: ALL checks on a table fold into one multi-column
+    conditional aggregate over a single scan (count_if map-side
+    partials), unpivoted to rows via Expand on the tiny 1-row result;
+    the referential check is one LeftAnti join keyed on the foreign
+    key. Adding a check adds a column to an existing pass, never
+    another scan."""
+    def checks(tname: str, df: DataFrame, cols: dict) -> DataFrame:
+        agg = df.agg(*[expr.cast("bigint").alias(name)
+                       for name, expr in cols.items()])
+        return (agg.withColumn("table_name", F.lit(tname))
+                .unpivot(["table_name"], list(cols),
+                         "check_name", "violations"))
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    c = table(spark, sf_dir, "customer")
+    ev = table(spark, sf_dir, "events")
+    d = table(spark, sf_dir, "documents")
+    parts = [
+        checks("orders", o, {
+            "duplicate_orderkey":
+                F.count("*") - F.count_distinct("o_orderkey"),
+            "null_custkey": F.count_if(F.col("o_custkey").isNull()),
+            "nonpositive_totalprice":
+                F.count_if(F.col("o_totalprice") <= 0),
+        }),
+        checks("lineitem", li, {
+            "quantity_out_of_range":
+                F.count_if((F.col("l_quantity") < 1)
+                           | (F.col("l_quantity") > 50)),
+            "discount_out_of_range":
+                F.count_if((F.col("l_discount") < 0)
+                           | (F.col("l_discount") > 0.1)),
+            "null_extendedprice":
+                F.count_if(F.col("l_extendedprice").isNull()),
+        }),
+        checks("customer", c, {
+            "duplicate_custkey":
+                F.count("*") - F.count_distinct("c_custkey"),
+            "null_name": F.count_if(F.col("c_name").isNull()),
+        }),
+        checks("events", ev, {
+            "ts_out_of_window":
+                F.count_if((F.col("ts") < F.lit(EXPECT_TS_LO)
+                            .cast("timestamp"))
+                           | (F.col("ts") >= F.lit(EXPECT_TS_HI)
+                              .cast("timestamp"))),
+            "null_user_id": F.count_if(F.col("user_id").isNull()),
+        }),
+        checks("documents", d, {
+            "empty_text":
+                F.count_if(F.col("text").isNull()
+                           | (F.length(F.trim(F.col("text"))) == 0)),
+        }),
+        (o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+         .agg(F.count("*").cast("bigint").alias("violations"))
+         .select(F.lit("orders").alias("table_name"),
+                 F.lit("orphan_custkey").alias("check_name"),
+                 "violations")),
+    ]
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    return (out.select("table_name", "check_name", "violations",
+                       F.when(F.col("violations") == 0, 1).otherwise(0)
+                       .cast("int").alias("passed"))
+            .orderBy("table_name", "check_name"))

@@ -285,7 +285,8 @@ def oracle_sql() -> dict[str, str]:
 # oracle-less one, dedup_minhash_lsh_fast, is value-checked via its
 # parity twin); the late round-9 operators (graph_beam_sweep,
 # graph_knn_insert, events_cohort_retention, events_props_variant,
-# layout_zorder_report, agg_hll_sketch_union) landed after allocation,
+# layout_zorder_report, agg_hll_sketch_union,
+# quality_expectations_report) landed after allocation,
 # sit behind the window with honest module headers, and lead the r10
 # rotation.
 SAMPLE_PREFIX_EXPECTED = [

@@ -251,3 +251,76 @@ def test_hll_sketch_union_exact_and_tolerances(spark):
            for r in registry.REGISTRY["agg_hll_sketch_union"].fn(
                spark, SF).collect()]
     assert got == expect
+
+
+# --------------------------------------------- expectations suite
+
+
+def test_expectations_all_pass_on_fixtures(spark):
+    rows = registry.REGISTRY["quality_expectations_report"].fn(
+        spark, SF).collect()
+    assert len(rows) == 12
+    assert all(r.passed == 1 and r.violations == 0 for r in rows), rows
+
+
+def test_expectations_fire_on_corrupted_tables(spark, tmp_path):
+    """The checks must actually DETECT violations, not just pass on
+    clean data: a corrupted warehouse (duplicate order key, orphan
+    custkey, out-of-range quantity, null name, stale event, empty
+    text) flips exactly the right checks to failed with the right
+    counts, Spark and oracle agreeing."""
+    import duckdb
+
+    spark.createDataFrame(
+        [(1, 10, "O", 5.0, "1996-01-02", "1-URGENT"),
+         (1, 10, "O", 6.0, "1996-01-03", "1-URGENT"),   # dup orderkey
+         (3, 999, "F", 7.0, "1996-01-04", "2-HIGH")],   # orphan custkey
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(10, None, "BUILDING")],                        # null name
+        "c_custkey long, c_name string, c_mktsegment string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(1, 1, 1, 1, 99.0, 100.0, 0.05, 0.01, "N", "O", "1996-01-02"),
+         (1, 2, 2, 2, 10.0, 100.0, 0.05, 0.01, "N", "O", "1996-01-02")],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber long, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet"))       # one qty out of range
+    spark.sql(
+        "SELECT 1L AS event_id, TIMESTAMP '2023-06-01 00:00:00' AS ts, "
+        "7L AS user_id, 'click' AS event_type, 1.0D AS value, "
+        "'{}' AS props"                            # stale event
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet"))
+    spark.createDataFrame(
+        [(0, "  ", "web"), (1, "real text here", "web")],  # empty text
+        "doc_id long, text string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+
+    entry = registry.REGISTRY["quality_expectations_report"]
+    rows = {(r.table_name, r.check_name): (r.violations, r.passed)
+            for r in entry.fn(spark, str(tmp_path)).collect()}
+    con = duckdb.connect()
+    for t in ("orders", "customer", "lineitem", "events", "documents"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{tmp_path}/{t}.parquet/*.parquet'")
+    oracle = {(r[0], r[1]): (r[2], r[3])
+              for r in con.sql(entry.oracle).fetchall()}
+    assert rows == oracle
+    assert rows[("orders", "duplicate_orderkey")] == (1, 0)
+    assert rows[("orders", "orphan_custkey")] == (1, 0)
+    assert rows[("lineitem", "quantity_out_of_range")] == (1, 0)
+    assert rows[("customer", "null_name")] == (1, 0)
+    assert rows[("events", "ts_out_of_window")] == (1, 0)
+    assert rows[("documents", "empty_text")] == (1, 0)
+    # untouched constraints stay green even on the corrupted warehouse
+    assert rows[("lineitem", "null_extendedprice")] == (0, 1)
+    assert rows[("events", "null_user_id")] == (0, 1)

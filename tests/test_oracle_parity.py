@@ -74,7 +74,8 @@ def test_sample_prefix_has_no_name_drift():
     assert window[0] == "graph_nn_descent"
     r9_late = {"graph_beam_sweep", "graph_knn_insert",
                "events_cohort_retention", "events_props_variant",
-               "layout_zorder_report", "agg_hll_sketch_union"}
+               "layout_zorder_report", "agg_hll_sketch_union",
+               "quality_expectations_report"}
     for n in registry._ext9_names:
         if n in r9_late:
             assert n not in window, f"late operator {n} displaced a slot"

@@ -761,3 +761,17 @@ def test_hll_sketch_union_is_object_agg_no_raw_rescan(spark):
     assert "ObjectHashAggregate" in p, p[:600]
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_expectations_fold_checks_into_one_agg_per_table(spark):
+    """The expectations suite must evaluate ALL of a table's checks in
+    ONE conditional aggregate over a single scan (unpivoted via
+    Expand) — five warehouse tables plus the referential LeftAnti
+    join's two sides (orders probe + customer build re-scanned) = at
+    most 7 parquet scans total for 12 checks, with no cartesian
+    anywhere. Adding a check must not add a scan."""
+    p = plan_str(spark, "quality_expectations_report")
+    assert "CartesianProduct" not in p
+    assert "Expand" in p, p[:600]
+    assert "LeftAnti" in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 7, p[:600]
