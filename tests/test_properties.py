@@ -483,3 +483,47 @@ def test_winnowing_shared_run_guarantee(shared, offset):
     a = prefix_a + shared + ["zz1"]
     b = prefix_b + shared + ["qq2", "qq3"]
     assert _winnow_fps(a) & _winnow_fps(b)
+
+
+# ---------------------------------------------- round-9 pure helpers
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(0, (1 << 16) - 1), st.integers(0, (1 << 16) - 1))
+def test_zorder_interleave_is_bijective(x, y):
+    """The Morton interleave used by layout_zorder_report must be a
+    bijection from (16-bit, 16-bit) onto 32 bits: both inputs recover
+    exactly from their even/odd bit positions, and the z-value stays
+    inside the 2^32 file-bucketing domain the operator divides by."""
+    from nats_stream_processor_spark.queries.llm_ext8 import ZL_BITS
+
+    z = 0
+    for i in range(ZL_BITS):
+        z += ((x >> i) & 1) << (2 * i)
+        z += ((y >> i) & 1) << (2 * i + 1)
+    assert 0 <= z < (1 << (2 * ZL_BITS))
+    rx = sum(((z >> (2 * i)) & 1) << i for i in range(ZL_BITS))
+    ry = sum(((z >> (2 * i + 1)) & 1) << i for i in range(ZL_BITS))
+    assert (rx, ry) == (x, y)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_scene_frame_features_bounds(payload):
+    """The stub frame sampler shared by media_scene_cuts and
+    media_shot_curation: always exactly SCENE_FRAMES frames in index
+    order, every feature an int in [0, 255 * SCENE_SAMPLES], and
+    deterministic — for ANY payload, including empty and
+    shorter-than-window ones."""
+    from nats_stream_processor_spark.queries.llm_ext6 import (
+        SCENE_FRAMES,
+        SCENE_SAMPLES,
+        scene_frame_features,
+    )
+
+    out = scene_frame_features(payload)
+    assert [j for j, _ in out] == list(range(SCENE_FRAMES))
+    for _, f in out:
+        assert isinstance(f, int)
+        assert 0 <= f <= 255 * SCENE_SAMPLES
+    assert out == scene_frame_features(payload)
