@@ -6,11 +6,12 @@ Certification status (the honest-labeling house rule):
   formal driver row this round.
 - ``events_cohort_retention`` / ``events_props_variant`` /
   ``layout_zorder_report`` / ``agg_hll_sketch_union`` /
-  ``quality_expectations_report`` (late round 9) — landed AFTER the r9
-  window was allocated, so they sit BEHIND it this round: locally
-  oracle-verified at three SFs + a plain driver-style session,
-  pytest-covered, in line for the round-10 rotation (with llm_ext7's
-  graph_beam_sweep / graph_knn_insert).
+  ``quality_expectations_report`` / ``join_interval_overlap_binned``
+  (late round 9) — landed AFTER the r9 window was allocated, so they
+  sit BEHIND it this round: locally oracle-verified at three SFs + a
+  plain driver-style session, pytest-covered, in line for the
+  round-10 rotation (with llm_ext7's graph_beam_sweep /
+  graph_knn_insert).
 """
 
 from __future__ import annotations
@@ -692,3 +693,140 @@ def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.when(F.col("violations") == 0, 1).otherwise(0)
                        .cast("int").alias("passed"))
             .orderBy("table_name", "check_name"))
+
+
+# --------------------------------------- binned interval-overlap join
+
+# The interval-overlap join where NEITHER side fits a broadcast: the
+# range-join family here so far rides BroadcastNestedLoopJoin
+# (join_range_price_bands) — correct only while one side stays tiny.
+# The technique that scales two LARGE interval tables is BINNING:
+# explode each interval to the fixed-width time buckets it covers,
+# equi-join on the bucket (a plain shuffled hash/sort-merge join),
+# de-duplicate pairs that met in several buckets, and keep the exact
+# overlap predicate as a residual filter. Join cost becomes
+# O(intervals x buckets-per-interval) equi-join rows instead of
+# |A| x |B| comparisons. Both interval sets derive from events:
+# per-user activity sessions vs per-event-type bursts (gaps-and-
+# islands sessionization on both sides, exact microsecond integer
+# arithmetic, the events.py session discipline).
+IOV_USER_GAP_US = 30 * 60 * 1_000_000   # user-session gap: 30 min
+IOV_TYPE_GAP_US = 5 * 60 * 1_000_000    # type-burst gap: 5 min
+IOV_BUCKET_US = 3_600 * 1_000_000       # 1 h overlap-join buckets
+
+
+def _sessions_sql(key: str, gap_us: int, out_key: str) -> str:
+    """DuckDB gaps-and-islands sessionization of events keyed on
+    ``key``: one row per session with [start_us, end_us]."""
+    return f"""
+        SELECT {key} AS {out_key},
+               min(us) AS start_us, max(us) AS end_us
+        FROM (SELECT {key}, us,
+                     sum(CASE WHEN prev IS NULL
+                               OR us - prev >= {gap_us}
+                              THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY {key} ORDER BY us
+                               ROWS UNBOUNDED PRECEDING) AS sess
+              FROM (SELECT {key}, epoch_us(ts) AS us,
+                           lag(epoch_us(ts))
+                               OVER (PARTITION BY {key} ORDER BY ts)
+                               AS prev
+                    FROM events))
+        GROUP BY {out_key}, sess"""
+
+
+@register(
+    "join_interval_overlap_binned",
+    oracle=f"""
+    WITH us AS ({_sessions_sql('user_id', IOV_USER_GAP_US, 'user_id')}),
+    tb AS ({_sessions_sql('event_type', IOV_TYPE_GAP_US, 'event_type')}),
+    ua AS (SELECT user_id, start_us, end_us,
+                  unnest(range(start_us // {IOV_BUCKET_US},
+                               end_us // {IOV_BUCKET_US} + 1)) AS bucket
+           FROM us),
+    tba AS (SELECT event_type, start_us, end_us,
+                   unnest(range(start_us // {IOV_BUCKET_US},
+                                end_us // {IOV_BUCKET_US} + 1)) AS bucket
+            FROM tb),
+    pairs AS (SELECT DISTINCT a.user_id, a.start_us AS us_start,
+                     b.event_type, b.start_us AS tb_start
+              FROM ua a JOIN tba b ON a.bucket = b.bucket
+              WHERE a.start_us <= b.end_us AND b.start_us <= a.end_us),
+    nb AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_bursts
+           FROM tb GROUP BY 1)
+    SELECT nb.event_type, nb.n_bursts,
+           CAST(count(DISTINCT (p.user_id, p.us_start)) AS BIGINT)
+               AS n_overlapping_user_sessions,
+           CAST(count(p.us_start) AS BIGINT) AS n_overlap_pairs
+    FROM nb LEFT JOIN pairs p ON p.event_type = nb.event_type
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+    tags=("join", "interval", "binned", "events"),
+)
+def q_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via bucket binning: per-user activity
+    sessions (30 min gap) against per-event-type bursts (5 min gap),
+    overlap pairs found by exploding both interval sets onto 1-hour
+    buckets and EQUI-joining on the bucket — the shape that scales
+    when neither interval table can broadcast — with the exact overlap
+    predicate as a residual filter and a distinct() collapsing pairs
+    that met in several buckets. Reports, per event type: burst count,
+    distinct user sessions overlapping any burst, and total overlap
+    pairs.
+
+    Scale shape: sessionization is one lag + running-sum window per
+    side (hash-partitioned on its key); the join is a plain shuffled
+    equi-join on int buckets (NO nested loop, NO broadcast of a big
+    side — plan-asserted); bucket explosion is bounded by interval
+    length / bucket width. All times are exact integer microseconds
+    (unix_micros / epoch_us — the events.py discipline)."""
+    ev = table(spark, sf_dir, "events")
+
+    def sessions(key: str, gap_us: int, out_key: str) -> DataFrame:
+        w = Window.partitionBy(key).orderBy("us")
+        return (ev.select(F.col(key).alias(out_key),
+                          F.expr("unix_micros(ts)").alias("us"))
+                .withColumn("prev", F.lag("us").over(
+                    Window.partitionBy(out_key).orderBy("us")))
+                .withColumn("new_sess",
+                            F.when(F.col("prev").isNull()
+                                   | (F.col("us") - F.col("prev")
+                                      >= gap_us), 1).otherwise(0))
+                .withColumn("sess", F.sum("new_sess").over(
+                    Window.partitionBy(out_key).orderBy("us")
+                    .rowsBetween(Window.unboundedPreceding, 0)))
+                .groupBy(out_key, "sess")
+                .agg(F.min("us").alias("start_us"),
+                     F.max("us").alias("end_us"))
+                .drop("sess"))
+
+    us = sessions("user_id", IOV_USER_GAP_US, "user_id")
+    tb = sessions("event_type", IOV_TYPE_GAP_US, "event_type")
+
+    def binned(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bucket",
+            F.explode(F.sequence(
+                F.expr(f"start_us div {IOV_BUCKET_US}"),
+                F.expr(f"end_us div {IOV_BUCKET_US}"))))
+
+    a = binned(us).select("user_id",
+                          F.col("start_us").alias("us_start"),
+                          F.col("end_us").alias("us_end"), "bucket")
+    b = binned(tb).select("event_type",
+                          F.col("start_us").alias("tb_start"),
+                          F.col("end_us").alias("tb_end"), "bucket")
+    pairs = (a.join(b, "bucket")
+             .filter((F.col("us_start") <= F.col("tb_end"))
+                     & (F.col("tb_start") <= F.col("us_end")))
+             .select("user_id", "us_start", "event_type", "tb_start")
+             .distinct())
+    nb = tb.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_bursts"))
+    return (nb.join(pairs, "event_type", "left")
+            .groupBy("event_type", "n_bursts")
+            .agg(F.count_distinct("user_id", "us_start").cast("bigint")
+                 .alias("n_overlapping_user_sessions"),
+                 F.count("us_start").cast("bigint")
+                 .alias("n_overlap_pairs"))
+            .orderBy("event_type"))

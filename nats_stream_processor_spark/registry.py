@@ -286,7 +286,8 @@ def oracle_sql() -> dict[str, str]:
 # parity twin); the late round-9 operators (graph_beam_sweep,
 # graph_knn_insert, events_cohort_retention, events_props_variant,
 # layout_zorder_report, agg_hll_sketch_union,
-# quality_expectations_report) landed after allocation,
+# quality_expectations_report, join_interval_overlap_binned) landed
+# after allocation,
 # sit behind the window with honest module headers, and lead the r10
 # rotation.
 SAMPLE_PREFIX_EXPECTED = [

@@ -324,3 +324,56 @@ def test_expectations_fire_on_corrupted_tables(spark, tmp_path):
     # untouched constraints stay green even on the corrupted warehouse
     assert rows[("lineitem", "null_extendedprice")] == (0, 1)
     assert rows[("events", "null_user_id")] == (0, 1)
+
+
+# ------------------------------------------- interval-overlap join
+
+
+def test_interval_overlap_matches_python_reference(spark):
+    """Full replication: both sessionizations (gaps-and-islands over
+    exact microseconds), the bucket-binned overlap join, pair dedup,
+    and the per-type rollup."""
+    ev = (registry.table(spark, SF, "events")
+          .selectExpr("user_id", "event_type", "unix_micros(ts) as us")
+          .collect())
+
+    def sessions(key_fn, gap):
+        by = {}
+        for r in ev:
+            by.setdefault(key_fn(r), []).append(r.us)
+        out = []
+        for k, ts in by.items():
+            ts.sort()
+            start = prev = ts[0]
+            for u in ts[1:]:
+                if u - prev >= gap:
+                    out.append((k, start, prev))
+                    start = u
+                prev = u
+            out.append((k, start, prev))
+        return out
+
+    us = sessions(lambda r: r.user_id, x8.IOV_USER_GAP_US)
+    tb = sessions(lambda r: r.event_type, x8.IOV_TYPE_GAP_US)
+    pairs = set()
+    for (u, s1, e1) in us:
+        for (t, s2, e2) in tb:
+            if s1 <= e2 and s2 <= e1:
+                # binning can only FIND overlapping pairs (any true
+                # overlap shares at least one bucket), so plain overlap
+                # is the reference
+                pairs.add((u, s1, t, s2))
+    expect = {}
+    for (t, _s, _e) in tb:
+        expect[t] = [expect.get(t, [0, set(), 0])[0] + 1,
+                     expect.get(t, [0, set(), 0])[1],
+                     expect.get(t, [0, set(), 0])[2]]
+    for (u, s1, t, s2) in pairs:
+        expect[t][1].add((u, s1))
+        expect[t][2] += 1
+    want = sorted((t, v[0], len(v[1]), v[2]) for t, v in expect.items())
+    got = [(r.event_type, r.n_bursts, r.n_overlapping_user_sessions,
+            r.n_overlap_pairs)
+           for r in registry.REGISTRY["join_interval_overlap_binned"].fn(
+               spark, SF).collect()]
+    assert got == want

@@ -75,7 +75,8 @@ def test_sample_prefix_has_no_name_drift():
     r9_late = {"graph_beam_sweep", "graph_knn_insert",
                "events_cohort_retention", "events_props_variant",
                "layout_zorder_report", "agg_hll_sketch_union",
-               "quality_expectations_report"}
+               "quality_expectations_report",
+               "join_interval_overlap_binned"}
     for n in registry._ext9_names:
         if n in r9_late:
             assert n not in window, f"late operator {n} displaced a slot"

@@ -775,3 +775,25 @@ def test_expectations_fold_checks_into_one_agg_per_table(spark):
     assert "Expand" in p, p[:600]
     assert "LeftAnti" in p
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 7, p[:600]
+
+
+def test_interval_overlap_join_is_equi_never_nested_loop(spark):
+    """The binned interval-overlap join's whole point: the overlap
+    condition rides an EQUI-join on the bucket key — never a
+    BroadcastNestedLoopJoin or cartesian (the shapes the range-join
+    family needs a tiny side for). At fixture scale Catalyst may
+    broadcast the small burst side (fine — still an equi-join); with
+    broadcast disabled the join must shuffle BOTH sides on the bucket
+    key, proving the large-x-large path exists."""
+    p = plan_str(spark, "join_interval_overlap_binned")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", p)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p2 = plan_str(spark, "join_interval_overlap_binned")
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "BroadcastNestedLoopJoin" not in p2
+    hashex = re.findall(r"hashpartitioning\(([^)]*)\)", p2)
+    assert any("bucket" in h for h in hashex), hashex
