@@ -710,9 +710,105 @@ def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-user activity sessions vs per-event-type bursts (gaps-and-
 # islands sessionization on both sides, exact microsecond integer
 # arithmetic, the events.py session discipline).
+#
+# SESSIONIZATION SKEW (the r9 verdict's one plan defect, fixed r10):
+# the burst side keys on event_type — cardinality 5 in the fixtures
+# and low BY CONSTRUCTION at any scale — so a single gaps-and-islands
+# window over raw events would sort ~20% of all event volume in ONE
+# task. The scale-safe form is the standard CHUNKED decomposition:
+# (1) sessionize within (key, coarse-time-chunk) partitions, so raw
+# event volume shuffles and sorts on a composite key with
+# |keys| x |chunks| cells; (2) islands that touch a chunk boundary
+# (the per-chunk FIRST and LAST islands — interior islands already
+# have >= gap on both sides inside their chunk, and anything in
+# another chunk is farther away than those in-chunk neighbors, so
+# interior islands are final) run a second gaps-and-islands merge
+# pass keyed on the bare key — but over AT MOST 2 islands per
+# (key, chunk), never raw events. Output is bit-identical to the
+# single-pass form (the oracle below stays the single-pass SQL, and
+# the plain-Python replication test uses single-pass sessionization).
 IOV_USER_GAP_US = 30 * 60 * 1_000_000   # user-session gap: 30 min
 IOV_TYPE_GAP_US = 5 * 60 * 1_000_000    # type-burst gap: 5 min
 IOV_BUCKET_US = 3_600 * 1_000_000       # 1 h overlap-join buckets
+IOV_CHUNK_US = 6 * 3_600 * 1_000_000    # 6 h sessionization chunks (72x gap)
+
+
+def _sessionize(ev: DataFrame, key: str, gap_us: int,
+                out_key: str) -> DataFrame:
+    """Single-pass gaps-and-islands sessionization of events keyed on
+    ``key``: one row per session with exact-microsecond [start_us,
+    end_us]. Windows partition on the bare key — right for
+    HIGH-cardinality keys (user_id: volume spreads over all users);
+    use :func:`_sessionize_chunked` for low-cardinality keys."""
+    w = Window.partitionBy(out_key).orderBy("us")
+    return (ev.select(F.col(key).alias(out_key),
+                      F.expr("unix_micros(ts)").alias("us"))
+            .withColumn("prev", F.lag("us").over(w))
+            .withColumn("new_sess",
+                        F.when(F.col("prev").isNull()
+                               | (F.col("us") - F.col("prev")
+                                  >= gap_us), 1).otherwise(0))
+            .withColumn("sess", F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy(out_key, "sess")
+            .agg(F.min("us").alias("start_us"),
+                 F.max("us").alias("end_us"))
+            .drop("sess"))
+
+
+def _sessionize_chunked(ev: DataFrame, key: str, gap_us: int,
+                        out_key: str, chunk_us: int) -> DataFrame:
+    """Two-level gaps-and-islands sessionization for LOW-cardinality
+    keys: per-(key, chunk) islands first (raw events never shuffle or
+    sort on the bare key), then a boundary-island merge pass whose
+    input is bounded by 2 rows per (key, chunk). ``chunk_us`` must be
+    >= ``gap_us`` only for efficiency, not correctness — the merge
+    pass re-checks every cross-boundary gap with the exact single-pass
+    predicate (start - prev_end >= gap_us over time-ordered disjoint
+    islands), so the output equals :func:`_sessionize` for ANY chunk
+    width. Interior islands are final because their nearest neighbors
+    in time are their in-chunk predecessors/successors, already >= gap
+    away; consecutive boundary islands of the SAME chunk never merge
+    for the same reason, so the merge chain only ever crosses chunk
+    boundaries."""
+    wc = Window.partitionBy(out_key, "chunk").orderBy("us")
+    islands = (ev.select(F.col(key).alias(out_key),
+                         F.expr("unix_micros(ts)").alias("us"))
+               .withColumn("chunk", F.expr(f"us div {chunk_us}"))
+               .withColumn("prev", F.lag("us").over(wc))
+               .withColumn("new_sess",
+                           F.when(F.col("prev").isNull()
+                                  | (F.col("us") - F.col("prev")
+                                     >= gap_us), 1).otherwise(0))
+               .withColumn("sess", F.sum("new_sess").over(
+                   wc.rowsBetween(Window.unboundedPreceding, 0)))
+               .groupBy(out_key, "chunk", "sess")
+               .agg(F.min("us").alias("start_us"),
+                    F.max("us").alias("end_us")))
+    wi = Window.partitionBy(out_key, "chunk")
+    marked = (islands
+              .withColumn("lo", F.min("start_us").over(wi))
+              .withColumn("hi", F.max("start_us").over(wi)))
+    interior = (marked.filter((F.col("start_us") != F.col("lo"))
+                              & (F.col("start_us") != F.col("hi")))
+                .select(out_key, "start_us", "end_us"))
+    boundary = (marked.filter((F.col("start_us") == F.col("lo"))
+                              | (F.col("start_us") == F.col("hi")))
+                .select(out_key, "start_us", "end_us"))
+    wb = Window.partitionBy(out_key).orderBy("start_us")
+    merged = (boundary
+              .withColumn("prev_end", F.lag("end_us").over(wb))
+              .withColumn("new_grp",
+                          F.when(F.col("prev_end").isNull()
+                                 | (F.col("start_us") - F.col("prev_end")
+                                    >= gap_us), 1).otherwise(0))
+              .withColumn("grp", F.sum("new_grp").over(
+                  wb.rowsBetween(Window.unboundedPreceding, 0)))
+              .groupBy(out_key, "grp")
+              .agg(F.min("start_us").alias("start_us"),
+                   F.max("end_us").alias("end_us"))
+              .drop("grp"))
+    return interior.unionByName(merged)
 
 
 def _sessions_sql(key: str, gap_us: int, out_key: str) -> str:
@@ -755,7 +851,13 @@ def _sessions_sql(key: str, gap_us: int, out_key: str) -> str:
     nb AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_bursts
            FROM tb GROUP BY 1)
     SELECT nb.event_type, nb.n_bursts,
-           CAST(count(DISTINCT (p.user_id, p.us_start)) AS BIGINT)
+           -- FILTER guards the LEFT-JOIN-miss branch: DuckDB counts the
+           -- all-NULL struct as one distinct value where Spark's
+           -- count_distinct(user_id, us_start) yields 0 (a burst type
+           -- with zero overlapping sessions must report 0 on BOTH
+           -- engines, though no fixture reaches the branch today).
+           CAST(count(DISTINCT (p.user_id, p.us_start))
+                    FILTER (WHERE p.us_start IS NOT NULL) AS BIGINT)
                AS n_overlapping_user_sessions,
            CAST(count(p.us_start) AS BIGINT) AS n_overlap_pairs
     FROM nb LEFT JOIN pairs p ON p.event_type = nb.event_type
@@ -774,34 +876,21 @@ def q_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct user sessions overlapping any burst, and total overlap
     pairs.
 
-    Scale shape: sessionization is one lag + running-sum window per
-    side (hash-partitioned on its key); the join is a plain shuffled
+    Scale shape: the user side sessionizes with one lag + running-sum
+    window hash-partitioned on user_id (high cardinality — volume
+    spreads); the burst side keys on LOW-cardinality event_type, so it
+    uses the two-level chunked decomposition (_sessionize_chunked):
+    raw events window on (event_type, 6 h chunk) — plan-asserted —
+    and only per-chunk boundary islands (<= 2 per chunk per type)
+    ride the bare-key merge pass. The join is a plain shuffled
     equi-join on int buckets (NO nested loop, NO broadcast of a big
     side — plan-asserted); bucket explosion is bounded by interval
     length / bucket width. All times are exact integer microseconds
     (unix_micros / epoch_us — the events.py discipline)."""
     ev = table(spark, sf_dir, "events")
-
-    def sessions(key: str, gap_us: int, out_key: str) -> DataFrame:
-        w = Window.partitionBy(key).orderBy("us")
-        return (ev.select(F.col(key).alias(out_key),
-                          F.expr("unix_micros(ts)").alias("us"))
-                .withColumn("prev", F.lag("us").over(
-                    Window.partitionBy(out_key).orderBy("us")))
-                .withColumn("new_sess",
-                            F.when(F.col("prev").isNull()
-                                   | (F.col("us") - F.col("prev")
-                                      >= gap_us), 1).otherwise(0))
-                .withColumn("sess", F.sum("new_sess").over(
-                    Window.partitionBy(out_key).orderBy("us")
-                    .rowsBetween(Window.unboundedPreceding, 0)))
-                .groupBy(out_key, "sess")
-                .agg(F.min("us").alias("start_us"),
-                     F.max("us").alias("end_us"))
-                .drop("sess"))
-
-    us = sessions("user_id", IOV_USER_GAP_US, "user_id")
-    tb = sessions("event_type", IOV_TYPE_GAP_US, "event_type")
+    us = _sessionize(ev, "user_id", IOV_USER_GAP_US, "user_id")
+    tb = _sessionize_chunked(ev, "event_type", IOV_TYPE_GAP_US,
+                             "event_type", IOV_CHUNK_US)
 
     def binned(df: DataFrame) -> DataFrame:
         return df.withColumn(

@@ -377,3 +377,23 @@ def test_interval_overlap_matches_python_reference(spark):
            for r in registry.REGISTRY["join_interval_overlap_binned"].fn(
                spark, SF).collect()]
     assert got == want
+
+
+def test_chunked_sessionize_equals_single_pass(spark):
+    """The chunked (de-skewed) sessionizer must be bit-identical to the
+    single-pass form for ANY chunk width — including a pathological
+    chunk SMALLER than the gap, where nearly every island touches a
+    boundary and the merge pass does almost all the work. Checked on
+    the real events table for both sides' keys."""
+    ev = registry.table(spark, SF, "events")
+    for key, gap in (("event_type", x8.IOV_TYPE_GAP_US),
+                     ("user_id", x8.IOV_USER_GAP_US)):
+        single = sorted(
+            (r[0], r.start_us, r.end_us)
+            for r in x8._sessionize(ev, key, gap, key).collect())
+        for chunk_us in (x8.IOV_CHUNK_US, gap // 3 + 1):
+            chunked = sorted(
+                (r[0], r.start_us, r.end_us)
+                for r in x8._sessionize_chunked(
+                    ev, key, gap, key, chunk_us).collect())
+            assert chunked == single, (key, chunk_us)
