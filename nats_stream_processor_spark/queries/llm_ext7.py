@@ -312,6 +312,25 @@ def _entry_nodes(spark: SparkSession, nn: DataFrame) -> DataFrame:
             .distinct())
 
 
+def _query_panel(spark: SparkSession, en: DataFrame,
+                 nn: DataFrame) -> DataFrame:
+    """The GS_NQ stride-pinned query panel (query_id, qid, qvec,
+    qnorm) over the corpus's contiguous id space — shared by
+    graph_greedy_search and graph_beam_sweep (one construction site;
+    the insert operators build theirs from the held-out slice
+    instead)."""
+    return (spark.range(GS_NQ)
+            .select(F.col("id").cast("bigint").alias("query_id"))
+            .crossJoin(F.broadcast(nn))
+            .select("query_id",
+                    F.expr(f"({GS_QOFF} + {GS_QSTRIDE} * query_id) % n")
+                    .cast("bigint").alias("qid"))
+            .join(en, F.col("qid") == F.col("vec_id"))
+            .select("query_id", "qid",
+                    F.col("demb").alias("qvec"),
+                    F.col("nrm").alias("qnorm")))
+
+
 def _search_seen(seen0: DataFrame, und: DataFrame, qpanel: DataFrame,
                  score, beam: int, hops: int) -> DataFrame:
     """The beam-search hop loop: visited set after `hops` rounds from
@@ -399,16 +418,7 @@ def q_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds = _nn_descent_rounds(en)
     nn = en.agg(F.count("*").cast("bigint").alias("n"))
     und = _sym_edges(rounds)
-    qpanel = (spark.range(GS_NQ)
-              .select(F.col("id").cast("bigint").alias("query_id"))
-              .crossJoin(F.broadcast(nn))
-              .select("query_id",
-                      F.expr(f"({GS_QOFF} + {GS_QSTRIDE} * query_id) % n")
-                      .cast("bigint").alias("qid"))
-              .join(en, F.col("qid") == F.col("vec_id"))
-              .select("query_id", "qid",
-                      F.col("demb").alias("qvec"),
-                      F.col("nrm").alias("qnorm")))
+    qpanel = _query_panel(spark, en, nn)
     score = _make_score(en, qpanel)
     seen0 = score(qpanel.select("query_id", "qid")
                   .crossJoin(F.broadcast(_entry_nodes(spark, nn)))
@@ -509,11 +519,12 @@ def _beam_hops_ctes(tag: str, beam: int, hops: int,
     return ",".join(parts)
 
 
-def _found_exact_ctes(final_state: str, k: int, tag: str = "",
-                      qp: str = "qp", en_cte: str = "en") -> str:
-    """found{tag} (search top-k) and — when tag is '' — the shared
-    exact top-k baseline over `en_cte`."""
-    found = f"""
+def _found_cte(final_state: str, k: int, tag: str = "") -> str:
+    """found{tag}: the search's per-query top-k over a visited-state
+    CTE. Split from the exact baseline (below) so each oracle emits
+    only the CTEs its tail actually reads — the insert oracle ranks
+    its own `edges` CTE and needs no `found` at all."""
+    return f"""
     found{tag} AS (SELECT query_id, node FROM (
                   SELECT query_id, node,
                          row_number() OVER (PARTITION BY query_id
@@ -521,7 +532,13 @@ def _found_exact_ctes(final_state: str, k: int, tag: str = "",
                              AS rk
                   FROM {final_state})
               WHERE rk <= {k})"""
-    exact = f"""
+
+
+def _exact_ctes(k: int, qp: str = "qp", en_cte: str = "en") -> str:
+    """allsc + exact: the shared brute-force per-query top-k baseline
+    over `en_cte` (one corpus scan, MATERIALIZED so every sweep point
+    reuses it)."""
+    return f"""
     allsc AS MATERIALIZED (SELECT p.query_id, b.vec_id, {_SCORE_SQL}
                   AS sim_ppm
               FROM {qp} p CROSS JOIN {en_cte} b
@@ -533,11 +550,13 @@ def _found_exact_ctes(final_state: str, k: int, tag: str = "",
                              AS rk
                   FROM allsc)
               WHERE rk <= {k})"""
-    return found + "," + exact
 
 
-def _greedy_search_oracle() -> str:
-    qp = f"""
+def _qp_cte() -> str:
+    """The stride-pinned query-panel CTE — the SQL twin of
+    _query_panel, shared by the greedy-search and beam-sweep
+    oracles."""
+    return f"""
     qp AS MATERIALIZED (SELECT CAST(i.i AS BIGINT) AS query_id,
                   CAST(({GS_QOFF} + {GS_QSTRIDE} * i.i) % nn.n AS BIGINT)
                       AS qid,
@@ -546,6 +565,9 @@ def _greedy_search_oracle() -> str:
                 CROSS JOIN nn
                 JOIN en b
                   ON b.vec_id = ({GS_QOFF} + {GS_QSTRIDE} * i.i) % nn.n)"""
+
+
+def _greedy_search_oracle() -> str:
     tail = f"""
     nv AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_visited,
                   CAST(max(sim_ppm) AS BIGINT) AS best_sim_ppm
@@ -561,10 +583,11 @@ def _greedy_search_oracle() -> str:
            nv.best_sim_ppm
     FROM nv LEFT JOIN hits h ON h.query_id = nv.query_id
     ORDER BY nv.query_id"""
-    return (_graph_ctes() + "," + _und_cte() + "," + qp + ","
+    return (_graph_ctes() + "," + _und_cte() + "," + _qp_cte() + ","
             + _entries_seen0_ctes()
             + "," + _beam_hops_ctes("", GS_BEAM, GS_HOPS)
-            + "," + _found_exact_ctes(f"gs{GS_HOPS}", GS_TOPK)
+            + "," + _found_cte(f"gs{GS_HOPS}", GS_TOPK)
+            + "," + _exact_ctes(GS_TOPK)
             + "," + tail)
 
 
@@ -603,16 +626,7 @@ def q_graph_beam_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds = _nn_descent_rounds(en)
     nn = en.agg(F.count("*").cast("bigint").alias("n"))
     und = _sym_edges(rounds)
-    qpanel = (spark.range(GS_NQ)
-              .select(F.col("id").cast("bigint").alias("query_id"))
-              .crossJoin(F.broadcast(nn))
-              .select("query_id",
-                      F.expr(f"({GS_QOFF} + {GS_QSTRIDE} * query_id) % n")
-                      .cast("bigint").alias("qid"))
-              .join(en, F.col("qid") == F.col("vec_id"))
-              .select("query_id", "qid",
-                      F.col("demb").alias("qvec"),
-                      F.col("nrm").alias("qnorm")))
+    qpanel = _query_panel(spark, en, nn)
     score = _make_score(en, qpanel)
     seen0 = score(qpanel.select("query_id", "qid")
                   .crossJoin(F.broadcast(_entry_nodes(spark, nn)))
@@ -638,27 +652,11 @@ def q_graph_beam_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _beam_sweep_oracle() -> str:
-    qp = f"""
-    qp AS MATERIALIZED (SELECT CAST(i.i AS BIGINT) AS query_id,
-                  CAST(({GS_QOFF} + {GS_QSTRIDE} * i.i) % nn.n AS BIGINT)
-                      AS qid,
-                  b.demb AS qvec, b.nrm AS qnorm
-           FROM (SELECT unnest(range(0, {GS_NQ})) AS i) i
-                CROSS JOIN nn
-                JOIN en b
-                  ON b.vec_id = ({GS_QOFF} + {GS_QSTRIDE} * i.i) % nn.n)"""
     chains, selects = [], []
     for beam in GS_SWEEP_BEAMS:
         tag = f"b{beam}"
         chains.append(_beam_hops_ctes(tag, beam, GS_HOPS))
-        chains.append(f"""
-    found{tag} AS (SELECT query_id, node FROM (
-                  SELECT query_id, node,
-                         row_number() OVER (PARTITION BY query_id
-                                            ORDER BY sim_ppm DESC, node)
-                             AS rk
-                  FROM gs{GS_HOPS}{tag})
-              WHERE rk <= {GS_TOPK})""")
+        chains.append(_found_cte(f"gs{GS_HOPS}{tag}", GS_TOPK, tag))
         selects.append(f"""
     SELECT CAST({beam} AS BIGINT) AS beam,
            (SELECT CAST(count(*) AS BIGINT) FROM gs{GS_HOPS}{tag})
@@ -671,20 +669,8 @@ def _beam_sweep_oracle() -> str:
               ON e.query_id = f.query_id AND e.node = f.node)
                AS recall_ppm""")
     # exact baseline shared across sweep points (one corpus scan)
-    exact = f"""
-    allsc AS MATERIALIZED (SELECT p.query_id, b.vec_id, {_SCORE_SQL}
-                  AS sim_ppm
-              FROM qp p CROSS JOIN en b
-              WHERE b.vec_id != p.qid),
-    exact AS MATERIALIZED (SELECT query_id, vec_id AS node FROM (
-                  SELECT query_id, vec_id,
-                         row_number() OVER (PARTITION BY query_id
-                                            ORDER BY sim_ppm DESC, vec_id)
-                             AS rk
-                  FROM allsc)
-              WHERE rk <= {GS_TOPK})"""
-    return (_graph_ctes() + "," + _und_cte() + "," + qp + ","
-            + _entries_seen0_ctes() + "," + exact + ","
+    return (_graph_ctes() + "," + _und_cte() + "," + _qp_cte() + ","
+            + _entries_seen0_ctes() + "," + _exact_ctes(GS_TOPK) + ","
             + ",".join(chains)
             + "\n    UNION ALL\n".join(selects)
             + "\n    ORDER BY beam")
@@ -825,7 +811,7 @@ def _knn_insert_oracle() -> str:
     return (_graph_ctes(where) + "," + _und_cte() + "," + qp + ","
             + _entries_seen0_ctes()
             + "," + _beam_hops_ctes("", GS_BEAM, GS_HOPS)
-            + "," + _found_exact_ctes(f"gs{GS_HOPS}", ND_K)
+            + "," + _exact_ctes(ND_K)
             + "," + tail)
 
 
