@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import math
 
+import duckdb
 import pandas as pd
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -494,17 +495,34 @@ def test_zorder_interleave_is_bijective(x, y):
     """The Morton interleave used by layout_zorder_report must be a
     bijection from (16-bit, 16-bit) onto 32 bits: both inputs recover
     exactly from their even/odd bit positions, and the z-value stays
-    inside the 2^32 file-bucketing domain the operator divides by."""
-    from nats_stream_processor_spark.queries.llm_ext8 import ZL_BITS
+    inside the 2^32 file-bucketing domain the operator divides by.
 
-    z = 0
-    for i in range(ZL_BITS):
-        z += ((x >> i) & 1) << (2 * i)
-        z += ((y >> i) & 1) << (2 * i + 1)
+    The z-value under test is the DEPLOYED generator, rendered through
+    _duck_shift and evaluated by DuckDB — not a Python re-derivation.
+    Both engines render from the same generator, so a generator bug
+    would be identical cross-engine (parity stays green); only an
+    independent reimplementation (the pure-Python recovery below)
+    can catch it."""
+    from nats_stream_processor_spark.queries.llm_ext8 import (
+        ZL_BITS,
+        _duck_shift,
+        _interleave_expr,
+    )
+
+    z = _ZORDER_DUCK.execute(
+        f"SELECT {_interleave_expr('x', 'y', _duck_shift)} "
+        f"FROM (SELECT CAST(? AS BIGINT) AS x, CAST(? AS BIGINT) AS y)",
+        [x, y]).fetchone()[0]
     assert 0 <= z < (1 << (2 * ZL_BITS))
     rx = sum(((z >> (2 * i)) & 1) << i for i in range(ZL_BITS))
     ry = sum(((z >> (2 * i + 1)) & 1) << i for i in range(ZL_BITS))
     assert (rx, ry) == (x, y)
+
+
+# One shared in-memory connection: the bijectivity property evaluates the
+# deployed SQL per hypothesis example, and a per-example connect() would
+# dominate the test's runtime.
+_ZORDER_DUCK = duckdb.connect()
 
 
 @settings(max_examples=200, deadline=None)
