@@ -1,17 +1,19 @@
 """Graph-based ANN: the full HNSW-class index lifecycle as pure
 relational plans — NN-Descent construction, greedy beam search,
-beam-width calibration, and incremental insertion.
+beam-width calibration, incremental insertion, and the rebuild
+decision.
 
 Certification status (the honest-labeling house rule):
 
-- ``graph_nn_descent`` (round 8) — landed behind the fully-allocated
-  r8 sampled window; LEADS the round-9 window for its formal row.
-- ``graph_greedy_search`` (round 9) — inside the r9 window; expects
-  its formal row this round.
+- ``graph_nn_descent`` — formal driver row round 9; unchanged since.
+- ``graph_greedy_search`` — formal row round 9; its ORACLE text was
+  refactored in round 10 (query-panel CTE shared with the sweep), so
+  it re-certifies inside the r10 window per the house rule.
 - ``graph_beam_sweep`` / ``graph_knn_insert`` (late round 9) — landed
-  AFTER the r9 window was allocated, so they sit BEHIND it this
-  round: locally oracle-verified at three SFs + a plain driver-style
-  session, pytest-covered, first in line for the round-10 rotation.
+  AFTER the r9 window was allocated and sat honestly BEHIND it; they
+  LEAD the r10 window (the rotation the r9 verdict pre-allocated).
+- ``graph_rebuild_decision`` (round 10) — INSIDE the r10 window
+  (formal row expected in the round it was written).
 """
 
 from __future__ import annotations
@@ -467,25 +469,31 @@ def _und_cte() -> str:
                 SELECT w AS u, u AS w FROM e0))"""
 
 
-def _entries_seen0_ctes(qp: str = "qp") -> str:
-    """ent (stride entry nodes over the graph's node count) and gs0
-    (entries scored per query, self excluded)."""
+def _entries_seen0_ctes(qp: str = "qp", tag: str = "",
+                        en_cte: str = "en", nn_cte: str = "nn") -> str:
+    """ent{tag} (stride entry nodes over the graph's node count) and
+    gs0{tag} (entries scored per query, self excluded). The node table
+    and its count are parameterized so the rebuild-decision oracle can
+    run successive insert batches against the GROWN graph."""
     return f"""
-    ent AS MATERIALIZED (SELECT DISTINCT
+    ent{tag} AS MATERIALIZED (SELECT DISTINCT
                 CAST(j.j * (nn.n // {GS_ENTRIES}) AS BIGINT) AS node
             FROM (SELECT unnest(range(0, {GS_ENTRIES})) AS j) j
-                 CROSS JOIN nn),
-    gs0 AS MATERIALIZED (SELECT p.query_id, t.node, {_SCORE_SQL} AS sim_ppm
-            FROM {qp} p CROSS JOIN ent t
-                 JOIN en b ON b.vec_id = t.node
+                 CROSS JOIN {nn_cte} nn),
+    gs0{tag} AS MATERIALIZED (SELECT p.query_id, t.node, {_SCORE_SQL}
+                AS sim_ppm
+            FROM {qp} p CROSS JOIN ent{tag} t
+                 JOIN {en_cte} b ON b.vec_id = t.node
             WHERE t.node != p.qid)"""
 
 
 def _beam_hops_ctes(tag: str, beam: int, hops: int,
-                    qp: str = "qp", seen0: str = "gs0") -> str:
+                    qp: str = "qp", seen0: str = "gs0",
+                    und_cte: str = "und", en_cte: str = "en") -> str:
     """The unrolled hop chain gn/gc/gs/gf with names suffixed by `tag`
     (so several sweeps can share one construction + gs0); the final
-    visited state is gs{hops}{tag}."""
+    visited state is gs{hops}{tag}. Edge list and scoring table are
+    parameterized for the rebuild-decision oracle's grown graph."""
     parts = [f"""
     gf0{tag} AS MATERIALIZED (SELECT query_id, node FROM (
                 SELECT query_id, node,
@@ -498,14 +506,14 @@ def _beam_hops_ctes(tag: str, beam: int, hops: int,
         prev = seen0 if h == 1 else f"gs{h - 1}{tag}"
         parts.append(f"""
     gn{h}{tag} AS MATERIALIZED (SELECT DISTINCT f.query_id, u2.w AS node
-              FROM gf{h - 1}{tag} f JOIN und u2 ON u2.u = f.node
+              FROM gf{h - 1}{tag} f JOIN {und_cte} u2 ON u2.u = f.node
                    JOIN {qp} q2 ON q2.query_id = f.query_id
               WHERE u2.w != q2.qid
                 AND NOT EXISTS (SELECT 1 FROM {prev} s
                                 WHERE s.query_id = f.query_id
                                   AND s.node = u2.w)),
     gc{h}{tag} AS (SELECT g.query_id, g.node, {_SCORE_SQL} AS sim_ppm
-              FROM gn{h}{tag} g JOIN en b ON b.vec_id = g.node
+              FROM gn{h}{tag} g JOIN {en_cte} b ON b.vec_id = g.node
                            JOIN {qp} p ON p.query_id = g.query_id),
     gs{h}{tag} AS MATERIALIZED (
         SELECT * FROM {prev} UNION ALL SELECT * FROM gc{h}{tag}),
@@ -534,21 +542,22 @@ def _found_cte(final_state: str, k: int, tag: str = "") -> str:
               WHERE rk <= {k})"""
 
 
-def _exact_ctes(k: int, qp: str = "qp", en_cte: str = "en") -> str:
-    """allsc + exact: the shared brute-force per-query top-k baseline
-    over `en_cte` (one corpus scan, MATERIALIZED so every sweep point
-    reuses it)."""
+def _exact_ctes(k: int, qp: str = "qp", en_cte: str = "en",
+                tag: str = "") -> str:
+    """allsc{tag} + exact{tag}: the shared brute-force per-query top-k
+    baseline over `en_cte` (one corpus scan, MATERIALIZED so every
+    sweep point reuses it)."""
     return f"""
-    allsc AS MATERIALIZED (SELECT p.query_id, b.vec_id, {_SCORE_SQL}
+    allsc{tag} AS MATERIALIZED (SELECT p.query_id, b.vec_id, {_SCORE_SQL}
                   AS sim_ppm
               FROM {qp} p CROSS JOIN {en_cte} b
               WHERE b.vec_id != p.qid),
-    exact AS MATERIALIZED (SELECT query_id, vec_id AS node FROM (
+    exact{tag} AS MATERIALIZED (SELECT query_id, vec_id AS node FROM (
                   SELECT query_id, vec_id,
                          row_number() OVER (PARTITION BY query_id
                                             ORDER BY sim_ppm DESC, vec_id)
                              AS rk
-                  FROM allsc)
+                  FROM allsc{tag})
               WHERE rk <= {k})"""
 
 
@@ -597,11 +606,9 @@ REGISTRY["graph_greedy_search"].oracle = _greedy_search_oracle()
 # ------------------------------------------ beam-width cost/recall sweep
 
 # CERTIFICATION STATUS: registered in round 9 AFTER the 50-slot r9
-# sample window was allocated (the window was already full), so this
-# operator sits BEHIND the window this round: locally oracle-verified
-# at three SFs + a plain driver-style session, pytest-covered, and
-# first in line for the round-10 prefix rotation (the llm_ext5 /
-# llm_ext7 honest-labeling pattern).
+# sample window was allocated, so it sat honestly BEHIND that window;
+# it LEADS the r10 window (locally oracle-verified at three SFs + a
+# plain driver-style session throughout, pytest-covered).
 GS_SWEEP_BEAMS = (2, 4, 8, 16)
 
 
@@ -682,9 +689,9 @@ REGISTRY["graph_beam_sweep"].oracle = _beam_sweep_oracle()
 # --------------------------------------- incremental insertion (HNSW)
 
 # CERTIFICATION STATUS: registered in round 9 AFTER the 50-slot r9
-# sample window was allocated — BEHIND the window this round, locally
-# oracle-verified at three SFs + a plain session, pytest-covered,
-# first in line for the round-10 rotation (with graph_beam_sweep).
+# sample window was allocated — sat honestly BEHIND that window; LEADS
+# the r10 window with graph_beam_sweep (locally oracle-verified at
+# three SFs + a plain session throughout, pytest-covered).
 #
 # At 100 TB an embedding index is never rebuilt from scratch for each
 # ingest batch: new vectors are INSERTED — each one beam-searches the
@@ -816,3 +823,192 @@ def _knn_insert_oracle() -> str:
 
 
 REGISTRY["graph_knn_insert"].oracle = _knn_insert_oracle()
+
+
+# ------------------------------- rebuild decision (insertion drift)
+
+# CERTIFICATION STATUS: written in round 10, INSIDE the r10 sampled
+# window (formal row expected in the round it was written).
+#
+# graph_knn_insert shows ONE batch's insertion quality; the operational
+# question an index maintainer actually asks is the TREND: as batch
+# after batch is inserted without a rebuild, how fast does insertion
+# recall degrade (inserted nodes search a graph whose edges were never
+# re-refined around them)? This operator unrolls GR_B successive insert
+# batches — each one beam-searches the graph AS GROWN by its
+# predecessors (base edges + every previously inserted node's connected
+# edges, symmetrized) and connects to the top-ND_K nodes found — and
+# reports the per-batch recall-vs-exact curve plus each batch's drop
+# from the first batch: the degradation curve a rebuild trigger reads.
+GR_M = 12  # vectors per insert batch
+GR_B = 2   # successive batches (unrolled in both engines)
+
+
+@register(
+    "graph_rebuild_decision",
+    oracle=None,  # set below
+    tags=("llm", "graph", "ann", "incremental", "maintenance"),
+)
+def q_graph_rebuild_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Successive-insertion drift report: hold out the last GR_B x GR_M
+    vectors, build the NN-Descent graph on the base slice, then insert
+    GR_B batches in id order — each batch beam-searches the CURRENT
+    graph (base + all edges added by earlier batches, symmetrized; the
+    scoring table grows with the inserted vectors) and connects to its
+    top-ND_K found nodes. One row per batch: nodes visited, hits and
+    recall of the connected edges against the exact top-ND_K over the
+    batch's CURRENT corpus, mean edge similarity, and the recall drop
+    vs batch 1 — the curve that decides when accumulated insertions
+    warrant a full rebuild.
+
+    Scale shape: identical per batch to graph_knn_insert (broadcast
+    query panel, id-keyed scoring joins, per-hop checkpoint-truncated
+    state); between batches the graph grows by a batch x ND_K edge
+    list (union + distinct + localCheckpoint, the same lineage
+    discipline as the build rounds) and the scoring table by GR_M
+    rows. The exact reference re-scans the current corpus once per
+    batch — an EVAL cost only, as in graph_knn_insert."""
+    en = _embeddings_en(spark, sf_dir)
+    nfull = en.agg(F.count("*").cast("bigint").alias("nf"))
+    base = pin(en.crossJoin(F.broadcast(nfull))
+               .filter(F.col("vec_id") < F.col("nf") - GR_B * GR_M)
+               .select("vec_id", "demb", "nrm"))
+    und = _sym_edges(_nn_descent_rounds(base))
+    cur_en = base
+    rows = []
+    for b in range(1, GR_B + 1):
+        lo, hi = GR_B - b + 1, GR_B - b
+        qpanel = (en.crossJoin(F.broadcast(nfull))
+                  .filter((F.col("vec_id") >= F.col("nf") - lo * GR_M)
+                          & (F.col("vec_id") < F.col("nf") - hi * GR_M))
+                  .select(F.col("vec_id").alias("query_id"),
+                          F.col("vec_id").alias("qid"),
+                          F.col("demb").alias("qvec"),
+                          F.col("nrm").alias("qnorm")))
+        nb = cur_en.agg(F.count("*").cast("bigint").alias("n"))
+        score = _make_score(cur_en, qpanel)
+        seen0 = score(qpanel.select("query_id", "qid")
+                      .crossJoin(F.broadcast(_entry_nodes(spark, nb)))
+                      .filter(F.col("node") != F.col("qid"))
+                      .select("query_id", "node")
+                      ).localCheckpoint(eager=True)
+        seen = _search_seen(seen0, und, qpanel, score, GS_BEAM, GS_HOPS)
+        edges = (seen.withColumn("rk", F.row_number().over(_wq()))
+                 .filter(F.col("rk") <= ND_K)
+                 .select("query_id", "node", "sim_ppm"))
+        exact = _exact_topk(cur_en, qpanel, ND_K)
+        rows.append(
+            seen.agg(F.count("*").cast("bigint").alias("n_visited"))
+            .crossJoin(edges.select("query_id", "node")
+                       .join(exact, ["query_id", "node"])
+                       .agg(F.count("*").cast("bigint").alias("n_hits")))
+            .crossJoin(edges.agg(
+                F.expr("cast(sum(sim_ppm) div count(*) as bigint)")
+                .alias("mean_edge_sim_ppm")))
+            .select(F.lit(b).cast("bigint").alias("batch"),
+                    "n_visited", "n_hits",
+                    F.expr(f"cast(n_hits * 1000000"
+                           f" div {GR_M * ND_K} as bigint)")
+                    .alias("recall_ppm"),
+                    "mean_edge_sim_ppm"))
+        if b < GR_B:
+            newe = edges.select(F.col("query_id").alias("u"),
+                                F.col("node").alias("w"))
+            und = (und.unionByName(newe)
+                   .unionByName(newe.select(F.col("w").alias("u"),
+                                            F.col("u").alias("w")))
+                   .distinct().localCheckpoint(eager=True))
+            cur_en = pin(cur_en.unionByName(
+                qpanel.select(F.col("qid").alias("vec_id"),
+                              F.col("qvec").alias("demb"),
+                              F.col("qnorm").alias("nrm"))))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    wfirst = (Window.partitionBy(F.lit(0)).orderBy("batch")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (out.withColumn(
+        "recall_drop_ppm",
+        (F.first("recall_ppm").over(wfirst) - F.col("recall_ppm"))
+        .cast("bigint"))
+        .orderBy("batch"))
+
+
+def _rebuild_decision_oracle() -> str:
+    where = (f" CROSS JOIN (SELECT count(*) AS nf FROM embeddings) nf"
+             f" WHERE vec_id < nf.nf - {GR_B * GR_M}")
+    parts = [_graph_ctes(where), _und_cte()]
+    # Per-batch CTE families: qp{b} (the insert panel), entries + hop
+    # chain over the batch's current graph/scoring table, edges{b}
+    # (connected top-ND_K), exact baseline, and — between batches —
+    # the grown en/nn/und for the next one.
+    und_cte, en_cte, nn_cte = "und", "en", "nn"
+    for b in range(1, GR_B + 1):
+        lo, hi = GR_B - b + 1, GR_B - b
+        parts.append(f"""
+    enq{b} AS MATERIALIZED (
+        SELECT e2.vec_id, {sim.as_double_sql('e2.embedding')} AS demb
+        FROM embeddings e2
+             CROSS JOIN (SELECT count(*) AS nf FROM embeddings) nf2
+        WHERE e2.vec_id >= nf2.nf - {lo * GR_M}
+          AND e2.vec_id < nf2.nf - {hi * GR_M}),
+    qp{b} AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS query_id,
+                  CAST(vec_id AS BIGINT) AS qid,
+                  demb AS qvec,
+                  sqrt({sim.dot_sql('demb', 'demb')}) AS qnorm
+           FROM enq{b})""")
+        tag = f"i{b}"
+        parts.append(_entries_seen0_ctes(
+            qp=f"qp{b}", tag=tag, en_cte=en_cte, nn_cte=nn_cte))
+        parts.append(_beam_hops_ctes(
+            tag, GS_BEAM, GS_HOPS, qp=f"qp{b}", seen0=f"gs0{tag}",
+            und_cte=und_cte, en_cte=en_cte))
+        parts.append(f"""
+    edges{b} AS MATERIALIZED (SELECT query_id, node, sim_ppm FROM (
+                  SELECT query_id, node, sim_ppm,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY sim_ppm DESC, node)
+                             AS rk
+                  FROM gs{GS_HOPS}{tag})
+              WHERE rk <= {ND_K})""")
+        parts.append(_exact_ctes(ND_K, qp=f"qp{b}", en_cte=en_cte,
+                                 tag=tag))
+        if b < GR_B:
+            parts.append(f"""
+    en{b + 1} AS MATERIALIZED (
+        SELECT vec_id, demb, nrm FROM {en_cte}
+        UNION ALL
+        SELECT vec_id, demb, sqrt({sim.dot_sql('demb', 'demb')}) AS nrm
+        FROM enq{b}),
+    nn{b + 1} AS (SELECT CAST(count(*) AS BIGINT) AS n FROM en{b + 1}),
+    und{b + 1} AS MATERIALIZED (SELECT DISTINCT u, w FROM (
+        SELECT u, w FROM {und_cte}
+        UNION ALL
+        SELECT query_id AS u, node AS w FROM edges{b}
+        UNION ALL
+        SELECT node AS u, query_id AS w FROM edges{b}))""")
+            und_cte, en_cte = f"und{b + 1}", f"en{b + 1}"
+            nn_cte = f"nn{b + 1}"
+    batch_rows = "\n    UNION ALL\n".join(f"""
+    SELECT CAST({b} AS BIGINT) AS batch,
+           (SELECT CAST(count(*) AS BIGINT) FROM gs{GS_HOPS}i{b})
+               AS n_visited,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM edges{b} f JOIN exacti{b} e
+              ON e.query_id = f.query_id AND e.node = f.node) AS n_hits,
+           (SELECT CAST(count(*) * 1000000 // {GR_M * ND_K} AS BIGINT)
+            FROM edges{b} f JOIN exacti{b} e
+              ON e.query_id = f.query_id AND e.node = f.node)
+               AS recall_ppm,
+           (SELECT CAST(sum(sim_ppm) // count(*) AS BIGINT)
+            FROM edges{b}) AS mean_edge_sim_ppm""" for b in range(1, GR_B + 1))
+    parts.append(f"""
+    batch_rows AS ({batch_rows})
+    SELECT batch, n_visited, n_hits, recall_ppm, mean_edge_sim_ppm,
+           CAST((SELECT recall_ppm FROM batch_rows WHERE batch = 1)
+                - recall_ppm AS BIGINT) AS recall_drop_ppm
+    FROM batch_rows ORDER BY batch""")
+    return ",".join(parts)
+
+
+REGISTRY["graph_rebuild_decision"].oracle = _rebuild_decision_oracle()

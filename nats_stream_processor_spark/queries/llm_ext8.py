@@ -2,16 +2,17 @@
 
 Certification status (the honest-labeling house rule):
 
-- ``media_shot_curation`` — inside the r9 sampled window; expects its
-  formal driver row this round.
+- ``media_shot_curation`` — formal driver row round 9.
 - ``events_cohort_retention`` / ``events_props_variant`` /
   ``layout_zorder_report`` / ``agg_hll_sketch_union`` /
   ``quality_expectations_report`` / ``join_interval_overlap_binned``
-  (late round 9) — landed AFTER the r9 window was allocated, so they
-  sit BEHIND it this round: locally oracle-verified at three SFs + a
-  plain driver-style session, pytest-covered, in line for the
-  round-10 rotation (with llm_ext7's graph_beam_sweep /
-  graph_knn_insert).
+  (late round 9) — landed AFTER the r9 window was allocated and sat
+  honestly BEHIND it; all six are INSIDE the r10 window (the rotation
+  the r9 verdict pre-allocated, led by llm_ext7's graph_beam_sweep /
+  graph_knn_insert). join_interval_overlap_binned additionally had its
+  burst-side sessionization de-skewed in round 10 (chunked
+  gaps-and-islands, output-identical), so its formal row certifies the
+  new code.
 """
 
 from __future__ import annotations

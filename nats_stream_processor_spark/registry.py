@@ -252,73 +252,73 @@ def oracle_sql() -> dict[str, str]:
 
 
 
-# Round-9 sampled-prefix rotation. The round driver snapshots the FIRST 50
-# entries, so the prefix is curated each round to cover what most needs a
-# formal correctness row. The r9 window holds exactly:
-#  - graph_nn_descent LEADS (the r8 verdict's #1 ask): the single
-#    registry entry without a formal row anywhere in r1-r8 (landed
-#    after the r8 window was allocated); its construction was also
-#    factored this round to be shared with graph_greedy_search
-#    (output identical, re-certified regardless);
-#  - the 2 new round-9 operators — formal rows in the round they are
-#    written: graph_greedy_search (llm_ext7) and media_shot_curation
-#    (llm_ext8);
-#  - the 2 further queries whose CODE changed this round (both
-#    output-identical at every fixture SF, re-certified anyway):
-#    dedup_substring_apply (SUBSTR_MAX_DOC_TOKENS single-row-size
-#    guard) and media_scene_cuts (frame sampler + hex SQL factored to
-#    module scope, shared with media_shot_curation);
-#  - ALL 25 remaining r4-era queries (events_pareto_concentration
-#    alphabetically onward, incl. events_rate_ewma — exactly the
-#    rotation the r8 window comment promised), clearing the r4 era
-#    entirely;
-#  - the alphabetically-first 20 of the 50 r5-era queries. The other
-#    30 r5-era (embed_centroid_drift onward alphabetically) rotate
-#    into the r10 window. Note curation_quality_vs_dup and
-#    dedup_span_removal_plan land in THIS window's r5-era slice, so
-#    the parameterized span-coverage CTE chain they share with the
-#    guarded dedup_substring_apply re-certifies all three consumers
-#    in the same round.
-# Everything else — formally green in r6-r8 and unchanged in r9 —
-# rotates behind. After this round every entry that existed when the
-# window was allocated has a formal row no older than r5 (the only
-# oracle-less one, dedup_minhash_lsh_fast, is value-checked via its
-# parity twin); the late round-9 operators (graph_beam_sweep,
-# graph_knn_insert, events_cohort_retention, events_props_variant,
-# layout_zorder_report, agg_hll_sketch_union,
-# quality_expectations_report, join_interval_overlap_binned) landed
-# after allocation,
-# sit behind the window with honest module headers, and lead the r10
-# rotation.
+# Round-10 sampled-prefix rotation. The round driver snapshots the FIRST
+# 50 entries, so the prefix is curated each round to cover what most needs
+# a formal correctness row. The r10 window holds exactly (the composition
+# the r9 window comment and the r9 verdict pre-allocated):
+#  - the 8 late-round-9 operators LEAD — they landed AFTER the r9
+#    window was allocated and sat behind it with honest headers:
+#    graph_beam_sweep, graph_knn_insert (llm_ext7), then
+#    events_cohort_retention, events_props_variant,
+#    layout_zorder_report, agg_hll_sketch_union,
+#    quality_expectations_report, join_interval_overlap_binned
+#    (llm_ext8, registration order). join_interval_overlap_binned's
+#    burst-side sessionization was ALSO de-skewed this round (chunked
+#    gaps-and-islands; output-identical), so it certifies its new code;
+#  - graph_greedy_search, whose ORACLE text changed this round (the
+#    query-panel CTE factored to one construction site shared with
+#    graph_beam_sweep — output-identical at every fixture SF,
+#    re-certified anyway, the house rule for changed code);
+#  - the 2 new round-10 operators — formal rows in the round they are
+#    written: graph_rebuild_decision (llm_ext7) and
+#    sketch_freq_items_topk (llm_ext9);
+#  - ALL 30 remaining r5-era queries (embed_centroid_drift
+#    alphabetically onward — exactly the rotation the r9 window
+#    comment promised), clearing the r5 era entirely;
+#  - the alphabetically-first 9 of the 47 r6-era queries. If further
+#    round-10 operators land while the window is still open, they
+#    replace the TAIL of this r6-era slice (new code certifies in its
+#    round; an r6-era row is merely old, not missing) — any landing
+#    after that carries the honest behind-window header and leads r11.
+# Everything else — formally green in r6-r9 and unchanged — rotates
+# behind. After this round every entry has a formal row no older than
+# r6 (the only oracle-less one, dedup_minhash_lsh_fast, is
+# value-checked via its parity twin, green r5... re-certifying in a
+# later window as the r6 era drains).
 SAMPLE_PREFIX_EXPECTED = [
-    # the one uncertified registry entry (r8 verdict ask #1)
-    "graph_nn_descent",
-    # new in round 9 (registration order: llm_ext7 then llm_ext8)
-    "graph_greedy_search", "media_shot_curation",
-    # changed in round 9 (guard / factoring — output-identical)
-    "dedup_substring_apply", "media_scene_cuts",
-    # the 25 remaining r4-era rows (alphabetical; clears the era)
-    "events_pareto_concentration", "events_rate_ewma",
-    "events_sessions_lag_gap", "graph_pagerank_knn",
-    "join_salted_event_family", "media_dedup_exact_bytes",
-    "media_dedup_near_frames", "sample_cluster_medoids",
-    "sample_temperature_by_source", "score_quality_logreg",
-    "sim_ann_int8_topk", "sim_ann_ivf_int8", "sim_ann_ivf_pq_refine",
-    "sim_index_recall_report", "sim_knn_graph", "text_bigram_lm_score",
-    "text_collocations_pmi", "text_conditional_entropy_by_source",
-    "text_js_divergence_by_source", "text_novelty_score",
-    "text_tfidf_topk", "text_zipf_fit", "tokenizer_bpe_apply",
-    "tokenizer_bpe_train", "train_quality_logreg",
-    # oldest remaining rows (r5-era), alphabetical first 20
-    "agg_approx_distinct", "agg_collect_sorted", "agg_filtered_counts",
-    "agg_percentile_approx_check", "agg_revenue_q6",
-    "asof_join_next_order", "compact_latest_per_key", "corpus_psi_drift",
-    "corpus_token_gini", "curation_curriculum_schedule",
-    "curation_dataset_card", "curation_doremi_weights",
-    "curation_mixture_waterfill", "curation_quality_vs_dup",
-    "decontaminate_bloom_filter", "dedup_cascade_report",
-    "dedup_lsh_band_stats", "dedup_minhash_estimate_report",
-    "dedup_minhash_threshold_sweep", "dedup_span_removal_plan",
+    # the 8 late-r9 operators (behind the r9 window; lead per verdict)
+    "graph_beam_sweep", "graph_knn_insert",
+    "events_cohort_retention", "events_props_variant",
+    "layout_zorder_report", "agg_hll_sketch_union",
+    "quality_expectations_report", "join_interval_overlap_binned",
+    # oracle text changed in round 10 (factoring — output-identical)
+    "graph_greedy_search",
+    # new in round 10
+    "graph_rebuild_decision", "sketch_freq_items_topk",
+    # the 30 remaining r5-era rows (alphabetical; clears the era)
+    "embed_centroid_drift", "embed_norm_outliers",
+    "embed_pca_power_iteration", "embed_random_projection",
+    "events_attribution_last_touch", "events_heavy_hitters",
+    "events_rfm_segments", "events_seasonality_profile",
+    "events_session_paths", "events_time_to_convert",
+    "graph_knn_components", "graph_knn_hubness", "graph_knn_two_hop",
+    "join_market_share", "join_promo_revenue_share",
+    "join_shipping_priority", "pack_sequences_doc_intact",
+    "pack_sequences_first_fit", "quality_rule_ablation",
+    "sample_coreset_kcenter", "sim_ann_nprobe_sweep",
+    "sim_pq_distortion_report", "sketch_cms_heavy_hitters",
+    "text_bm25_topk", "text_boilerplate_ngrams", "text_langid_confusion",
+    "text_pii_rate_by_source", "tokenizer_fertility_by_lang",
+    "window_first_last_value", "window_percent_rank_cume",
+    # further round-10 operators, replacing r6-era tail slots per the
+    # rule above (dedup_components / dedup_edit_distance_verify stay
+    # r6-green)
+    "curation_pareto_frontier", "sample_weighted_reservoir",
+    # oldest remaining rows (r6-era), alphabetical first 7
+    "cluster_kmeans_embeddings", "corpus_mix_stats",
+    "corpus_novelty_decay", "curation_annealing_mixture",
+    "curation_contamination_by_benchmark",
+    "curation_epoch_decay_schedule", "decontaminate_ngram_overlap",
 ]
 
 
@@ -343,6 +343,7 @@ _ext4_names: list[str] = []
 _ext5_names: list[str] = []
 _ext6_names: list[str] = []
 _ext9_names: list[str] = []
+_ext10_names: list[str] = []
 
 
 def _populate() -> None:
@@ -352,7 +353,8 @@ def _populate() -> None:
     ORDER MATTERS for external snapshots: harnesses that sample a prefix
     of the registry see entries in registration order.
     """
-    global _POPULATED, _ext3_names, _ext4_names, _ext5_names, _ext9_names
+    global _POPULATED, _ext3_names, _ext4_names, _ext5_names, _ext9_names, \
+        _ext10_names
     if _POPULATED:
         return
     # Set the guard up front (re-entrant imports of the chain must
@@ -368,7 +370,8 @@ def _populate() -> None:
 
 
 def _populate_chain() -> None:
-    global _ext3_names, _ext4_names, _ext5_names, _ext6_names, _ext9_names
+    global _ext3_names, _ext4_names, _ext5_names, _ext6_names, \
+        _ext9_names, _ext10_names
 
     from .queries import llm  # noqa: F401
     from .queries import advanced  # noqa: F401
@@ -411,13 +414,18 @@ def _populate_chain() -> None:
     from .queries import llm_ext8  # noqa: F401
     _ext9_names = [n for n in REGISTRY if n not in pre]
 
+    # Round-10 additions (certify in the round they are written).
+    pre = set(REGISTRY)
+    from .queries import llm_ext9  # noqa: F401
+    _ext10_names = [n for n in REGISTRY if n not in pre]
+
     # Reorder so the curated prefix leads. Every curated name must exist
     # on a clean import (asserted by test_sample_prefix_has_no_name_drift);
     # the soft filter below is only a guard against future partial-import
     # schemes, and the _ext9 overflow fill keeps new operators sampled if
     # the explicit list ever under-allocates.
     prefix = [n for n in SAMPLE_PREFIX_EXPECTED if n in REGISTRY]
-    prefix += [n for n in _ext9_names if n not in prefix][:50 - len(prefix)]
+    prefix += [n for n in _ext10_names if n not in prefix][:50 - len(prefix)]
     order = prefix + [n for n in REGISTRY if n not in set(prefix)]
     reordered = {n: REGISTRY[n] for n in order}
     REGISTRY.clear()

@@ -323,3 +323,23 @@ def test_knn_insert_quality_on_clustered_corpus(spark, clustered_sf):
     assert all(r[1] < nb for r in rows)
     assert recall > visited_frac, (
         f"no navigation lift: {recall:.2f} <= {visited_frac:.2f}")
+
+
+def test_rebuild_decision_curve_on_clustered_corpus(spark, clustered_sf):
+    """Successive insertion must stay USEFUL where the data supports
+    navigation: on the planted-cluster corpus every insert batch's
+    connected-edge recall clears a floor, and the second batch — which
+    searches the graph grown by the first — does not collapse (the
+    drift the operator exists to measure stays modest at two batches).
+    Engine parity asserted against the oracle."""
+    sf_dir, con = clustered_sf
+    rows = sorted(_run_vs_oracle(
+        spark, con, sf_dir, "graph_rebuild_decision"))
+    from nats_stream_processor_spark.queries import llm_ext7 as x7
+    assert [r[0] for r in rows] == list(range(1, x7.GR_B + 1))
+    assert rows[0][5] == 0  # drop measured from batch 1
+    for r in rows:
+        recall = r[3] / 1e6
+        assert recall >= 0.4, f"batch {r[0]} insert recall {recall:.2f}"
+    # grown-graph batch keeps at least half of batch 1's recall
+    assert rows[-1][3] * 2 >= rows[0][3], rows

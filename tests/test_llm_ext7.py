@@ -390,3 +390,81 @@ def test_knn_insert_invariants(spark):
         assert 0 < r.n_visited < nf - x7.GI_M
         assert 0 <= r.n_hits <= x7.ND_K
         assert r.recall_ppm == r.n_hits * 1000000 // x7.ND_K
+
+
+# ------------------------------------------------- rebuild decision
+
+
+def _python_rebuild_decision(vecs):
+    """Plain-Python replica of q_graph_rebuild_decision: GR_B
+    successive insert batches, each searching the graph as grown by
+    its predecessors, with the scoring table growing too."""
+    nf = len(vecs)
+    base = {u: v for u, v in vecs.items()
+            if u < nf - x7.GR_B * x7.GR_M}
+    ppm = _ppm_fn(vecs)  # norms over the FULL table
+    und = _python_graph_und(base, ppm)
+    cur_nodes = set(base)
+    rows = []
+    for b in range(1, x7.GR_B + 1):
+        lo, hi = x7.GR_B - b + 1, x7.GR_B - b
+        batch = sorted(u for u in vecs
+                       if nf - lo * x7.GR_M <= u < nf - hi * x7.GR_M)
+        n_cur = len(cur_nodes)
+        entries = [j * (n_cur // x7.GS_ENTRIES)
+                   for j in range(x7.GS_ENTRIES)]
+        visited = hits = sim_sum = edge_cnt = 0
+        new_edges = []
+        for qid in batch:
+            seen = _python_beam(und, lambda w: ppm(qid, w), entries,
+                                qid, x7.GS_BEAM, x7.GS_HOPS)
+            edges = sorted(seen, key=lambda k: (-seen[k], k))[:x7.ND_K]
+            exact = set(sorted(cur_nodes,
+                               key=lambda u: (-ppm(qid, u), u))
+                        [:x7.ND_K])
+            visited += len(seen)
+            hits += len(set(edges) & exact)
+            sim_sum += sum(seen[e] for e in edges)
+            edge_cnt += len(edges)
+            new_edges += [(qid, e) for e in edges]
+        rows.append((b, visited, hits,
+                     hits * 1000000 // (x7.GR_M * x7.ND_K),
+                     _trunc_div(sim_sum, edge_cnt)))
+        if b < x7.GR_B:
+            for (u, w) in new_edges:
+                und.setdefault(u, set()).add(w)
+                und.setdefault(w, set()).add(u)
+            cur_nodes |= set(batch)
+    first = rows[0][3]
+    return [(b, v, h, r, m, first - r) for (b, v, h, r, m) in rows]
+
+
+def test_rebuild_decision_matches_python_reference(spark):
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in embs}
+    expect = _python_rebuild_decision(vecs)
+    got = [(r.batch, r.n_visited, r.n_hits, r.recall_ppm,
+            r.mean_edge_sim_ppm, r.recall_drop_ppm)
+           for r in registry.REGISTRY["graph_rebuild_decision"].fn(
+               spark, SF).collect()]
+    assert got == expect
+
+
+def test_rebuild_decision_invariants(spark):
+    """One row per batch in order; recall and drop internally
+    consistent (drop is measured FROM batch 1, so row 1's drop is 0);
+    visited bounded by the batch's current corpus."""
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    nf = len(embs)
+    rows = registry.REGISTRY["graph_rebuild_decision"].fn(
+        spark, SF).collect()
+    assert [r.batch for r in rows] == list(range(1, x7.GR_B + 1))
+    first = rows[0].recall_ppm
+    assert rows[0].recall_drop_ppm == 0
+    for i, r in enumerate(rows):
+        n_cur = nf - (x7.GR_B - i) * x7.GR_M
+        assert 0 < r.n_visited < x7.GR_M * n_cur
+        assert 0 <= r.n_hits <= x7.GR_M * x7.ND_K
+        assert r.recall_ppm == r.n_hits * 1000000 // (
+            x7.GR_M * x7.ND_K)
+        assert r.recall_drop_ppm == first - r.recall_ppm

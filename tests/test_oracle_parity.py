@@ -51,38 +51,33 @@ def test_sample_prefix_has_no_name_drift():
     partially-initialized WORKER re-imports don't die — this test is
     where the drift protection actually lives.
 
-    The r9 prefix is fully explicit (50 names: graph_nn_descent — the
-    one entry without a formal row in r1-r8 — the 2 new round-9
-    operators, the 2 round-9 code-changed queries, all 25 remaining
-    r4-era rows, and the alphabetically-first 20 r5-era rows), so the
-    assertion is exact equality on the full window — a silent overflow
-    or an unregistered curated name fails here rather than surfacing
-    in the round artifact."""
+    The r10 prefix is fully explicit (50 names: the 8 late-r9
+    operators that sat behind the allocated r9 window, the one
+    oracle-changed query, the 2 new round-10 operators, all 30
+    remaining r5-era rows, and the alphabetically-first 9 r6-era
+    rows), so the assertion is exact equality on the full window — a
+    silent overflow or an unregistered curated name fails here rather
+    than surfacing in the round artifact."""
     missing = [n for n in registry.SAMPLE_PREFIX_EXPECTED
                if n not in registry.REGISTRY]
     assert not missing, f"prefix names not registered: {missing}"
     assert len(registry.SAMPLE_PREFIX_EXPECTED) == 50
     window = list(registry.REGISTRY)[:50]
     assert window == list(registry.SAMPLE_PREFIX_EXPECTED)
-    # Every operator introduced this round must be inside the sampled
-    # window — new code earns its formal row in the round it is written.
-    # graph_nn_descent (late r8, never sampled) must finally lead it.
-    # Exception, pinned here: these landed AFTER the r9 window was
-    # allocated (it was already full) and sit BEHIND it with honest
-    # behind-window headers, leading the r10 rotation — they must NOT
-    # silently displace a curated slot.
-    assert window[0] == "graph_nn_descent"
-    r9_late = {"graph_beam_sweep", "graph_knn_insert",
+    # The 8 late-r9 operators must LEAD (the pre-allocated rotation the
+    # r9 verdict prescribed), and every operator introduced in round 10
+    # must be inside the sampled window — new code earns its formal row
+    # in the round it is written.
+    r9_late = ["graph_beam_sweep", "graph_knn_insert",
                "events_cohort_retention", "events_props_variant",
                "layout_zorder_report", "agg_hll_sketch_union",
                "quality_expectations_report",
-               "join_interval_overlap_binned"}
-    for n in registry._ext9_names:
-        if n in r9_late:
-            assert n not in window, f"late operator {n} displaced a slot"
-        else:
-            assert n in window, (
-                f"round-9 operator {n} missed the sample window")
+               "join_interval_overlap_binned"]
+    assert window[:8] == r9_late
+    for n in registry._ext10_names:
+        assert n in window, (
+            f"round-10 operator {n} missed the sample window")
+    assert "graph_rebuild_decision" in window  # r10, lives in llm_ext7
 
 
 def test_every_query_module_survives_worker_entry_import():

@@ -828,3 +828,93 @@ def test_interval_overlap_burst_sessionization_is_chunked(spark):
     # merge pass (post-aggregate, bounded input). More than one means
     # raw events leaked onto the skewed key.
     assert len(bare) <= 1, bare
+
+
+def _frame_plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_freq_items_pass1_narrow_reconcile_candidate_bounded(spark):
+    """The mergeable frequent-items workflow's scale claims, stage by
+    stage (the final head reads a pinned intermediate, so the audit
+    drives the shared stage builders directly, spread disabled to see
+    the at-scale shape): pass 1 must be a PURE MAP plan — scan ->
+    explode -> MapInPandas with no exchange touching raw token volume;
+    the reconciliation pass must semi-join the broadcast candidates
+    BEFORE its aggregate, so the only hash exchange carries candidate
+    keys that already passed the prune; and the returned head must be
+    TakeOrderedAndProject, never a full-relation window sort."""
+    from nats_stream_processor_spark.queries import llm_ext9 as x9
+
+    spark.conf.set("spark.nats_spark.spread.enabled", "false")
+    try:
+        d = registry.table(spark, SF, "documents")
+        p1 = _frame_plan(x9._fi_pass1(d))
+        assert "MapInPandas" in p1
+        assert "Exchange" not in p1, p1[:600]
+
+        derr, cand = x9._fi_candidates(x9._fi_pass1(d))
+        p2 = _frame_plan(x9._fi_reconcile(d, cand))
+        assert "BroadcastHashJoin" in p2 and "LeftSemi" in p2, p2[:600]
+        # the semi join must sit BELOW the aggregate: the map-side
+        # partial agg consumes the join output (formatted mode prints
+        # children before parents, so the join line comes first)
+        assert p2.index("LeftSemi") < p2.index("partial_count"), p2[:900]
+
+        p = plan_str(spark, "sketch_freq_items_topk", "simple")
+        assert "TakeOrderedAndProject" in p
+        assert "CartesianProduct" not in p
+    finally:
+        spark.conf.set("spark.nats_spark.spread.enabled", "true")
+
+
+def test_rebuild_decision_same_discipline_as_insert(spark):
+    """The successive-insertion drift report must keep graph_knn_insert's
+    audited shape as the graph grows: per-hop visited state checkpoint-
+    truncated (the plan reads from checkpointed RDD scans, its lineage
+    never re-derives a hop), every cross-shaped join a broadcast of a
+    1-row bound or a bounded panel (no CartesianProduct), and the
+    second batch's scoring join still id-keyed (no vector ever rides a
+    shuffle wider than the id-keyed joins)."""
+    p = plan_str(spark, "graph_rebuild_decision")
+    assert "CartesianProduct" not in p
+    assert "Scan ExistingRDD" in p  # checkpoint-truncated search state
+    for section in re.split(r"\n\(\d+\) ", p):
+        if section.startswith("Exchange") and "hashpartitioning" in section:
+            input_line = next(
+                (ln for ln in section.splitlines()
+                 if ln.startswith("Input")), "")
+            assert "demb#" not in input_line, section[:400]
+
+
+def test_pareto_frontier_local_skyline_is_pure_map(spark):
+    """The Pareto frontier's scale claim: the local-skyline pass is a
+    pure map (scan -> metrics -> MapInPandas, no exchange touches
+    per-document volume — spread disabled to see the at-scale shape),
+    and the one exchange in the full plan feeds the explicit
+    single-partition global pass with local-skyline SURVIVORS only
+    (its input is the mapInPandas output schema, never text)."""
+    from nats_stream_processor_spark.queries import llm_ext9 as x9
+
+    spark.conf.set("spark.nats_spark.spread.enabled", "false")
+    try:
+        d = registry.table(spark, SF, "documents")
+        p1 = _frame_plan(
+            x9._pf_metrics(d).mapInPandas(
+                x9._pf_local, "doc_id long, x long, y long"))
+        assert "MapInPandas" in p1
+        assert "Exchange" not in p1, p1[:600]
+
+        p = plan_str(spark, "curation_pareto_frontier")
+        assert "CartesianProduct" not in p
+        for section in re.split(r"\n\(\d+\) ", p):
+            if section.startswith("Exchange"):
+                input_line = next(
+                    (ln for ln in section.splitlines()
+                     if ln.startswith("Input")), "")
+                assert "text#" not in input_line, section[:400]
+    finally:
+        spark.conf.set("spark.nats_spark.spread.enabled", "true")
