@@ -37,6 +37,16 @@ same-code spread above; no headline query's code changed in round 9.
 The quieter host also explains both numbers beating every recorded
 round: recorded cross-round values remain non-comparable without this
 control.
+
+Round-10 control: the noisiest window yet (load average 9+ from
+neighbors for the whole session). r10 HEAD measured 43.5 s and the r9
+tip (b08fee8, fresh worktree) measured 49.6 s in the adjacent window —
+BOTH ~3.5x the r9 recorded 13.4 s, uniformly across queries, while
+HEAD ran ~12% FASTER than the r9 code under the identical conditions.
+No headline query's code changed in round 10 (the round added new
+non-headline operators and de-skewed join_interval_overlap_binned's
+input derivation); any inflated BENCH_r10 figure is this host state,
+not a regression — the control is the evidence.
 """
 
 from __future__ import annotations
