@@ -224,7 +224,6 @@ def q_freq_items_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and no >=-x point exceeds its y. Generalizes to more axes by
 # swapping the frame trick for the NOT EXISTS form; 2 axes keep both
 # engines on the O(n log n) window plan.
-PF_ORDER = ["n_tokens", "n_distinct_tokens"]  # maximize both
 
 
 def _pf_batch(pdf: pd.DataFrame) -> pd.DataFrame:
