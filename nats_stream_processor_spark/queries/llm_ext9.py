@@ -3,9 +3,9 @@
 Certification status (the honest-labeling house rule):
 
 - ``sketch_freq_items_topk`` / ``curation_pareto_frontier`` /
-  ``sample_weighted_reservoir`` — written in round 10 and INSIDE the
-  r10 sampled window (formal rows expected in the round they were
-  written).
+  ``sample_weighted_reservoir`` / ``events_sliding_distinct_hll`` —
+  written in round 10 and INSIDE the r10 sampled window (formal rows
+  expected in the round they were written).
 
 The frequent-items workflow is the heavy-hitters counterpart of
 round 9's ``agg_hll_sketch_union`` cardinality story: the reference
@@ -385,3 +385,94 @@ def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (topk.withColumn("rank", F.row_number().over(w).cast("long"))
             .select("rank", "doc_id", "weight", "key_micro")
             .orderBy("rank"))
+
+
+# --------------------------- sliding-window distinct via HLL union
+
+# Overlapping time windows are where the mergeable-sketch discipline
+# pays hardest: "distinct users per sliding 6-hour window" computed
+# naively touches every event once PER WINDOW it falls into (6x the
+# raw volume here; worse as windows lengthen). The sketch form builds
+# ONE Datasketches HLL per base hour — each raw event contributes to
+# exactly one partial+final aggregate cell — then every sliding window
+# is an hll_union_agg over its <= 6 constituent hourly sketch
+# binaries: the raw data is scanned once, window fan-out happens on
+# |hours| x 6 sketch rows. This is agg_hll_sketch_union's
+# re-aggregation workflow extended along the time axis (and the batch
+# twin of what a streaming job does with per-bucket sketch state).
+# Output carries the EXACT per-window distinct (computed from the
+# deduplicated (hour, user) pairs — still never raw volume per
+# window) plus a Spark-side estimate-within-5% boolean the oracle
+# pins to literal TRUE, the established engine-specific-sketch
+# pattern.
+SW_HOURS = 6  # sliding window width, hours
+
+
+@register(
+    "events_sliding_distinct_hll",
+    oracle=f"""
+    WITH b AS (SELECT epoch_us(ts) // 3600000000 AS h, user_id
+               FROM events),
+    hm AS (SELECT max(h) AS hmax FROM b),
+    hrs AS (SELECT DISTINCT h FROM b),
+    wins AS (SELECT h, unnest(range(h, least(h + {SW_HOURS - 1},
+                                             hm.hmax) + 1)) AS w
+             FROM hrs CROSS JOIN hm),
+    nh AS (SELECT w, CAST(count(*) AS BIGINT) AS n_hours
+           FROM wins GROUP BY w),
+    pairs AS (SELECT DISTINCT h, user_id FROM b),
+    pw AS (SELECT DISTINCT p.user_id, wn.w
+           FROM pairs p JOIN wins wn ON wn.h = p.h),
+    ex AS (SELECT w, CAST(count(*) AS BIGINT) AS exact_users
+           FROM pw GROUP BY w)
+    SELECT nh.w AS window_hour, nh.n_hours, ex.exact_users,
+           TRUE AS estimate_within_5pct
+    FROM nh JOIN ex ON ex.w = nh.w
+    ORDER BY window_hour
+    """,
+    tags=("events", "sketch", "hll", "sliding-window", "mergeable"),
+)
+def q_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per sliding {SW_HOURS}-hour window from mergeable
+    hourly HLL sketches (module comment above): one row per window
+    ending at each hour with data in range, with the count of
+    contributing hours, the exact distinct count, and the sketch
+    estimate's 5%-tolerance check.
+
+    Scale shape: the sketch build is one partial+final hourly
+    aggregate over the raw scan; window fan-out explodes SKETCH rows
+    (|hours| x {SW_HOURS} binaries), never events; each window's union
+    re-aggregates <= {SW_HOURS} sketches; the exact side rides
+    deduplicated (hour, user) pairs through the same bounded fan-out —
+    an EVAL cost, as in agg_hll_sketch_union."""
+    from .llm_ext8 import HLL_LG_K
+
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        F.expr("unix_micros(ts) div 3600000000").cast("long").alias("h"),
+        "user_id")
+    # pinned 1-row bound: consumed by both the sketch and exact sides,
+    # and a re-derivation would cost a full events scan per consumer
+    hmax = pin(base.agg(F.max("h").alias("hmax")))
+    wexpr = f"sequence(h, least(h + {SW_HOURS - 1}, hmax))"
+    swin = (base.groupBy("h")
+            .agg(F.expr(f"hll_sketch_agg(user_id, {HLL_LG_K})").alias("sk"))
+            .crossJoin(F.broadcast(hmax))
+            .select(F.explode(F.expr(wexpr)).alias("w"), "sk")
+            .groupBy("w")
+            .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+                 .alias("est"),
+                 F.count("*").cast("long").alias("n_hours")))
+    exact = (base.distinct()
+             .crossJoin(F.broadcast(hmax))
+             .select(F.explode(F.expr(wexpr)).alias("w"), "user_id")
+             .groupBy("w")
+             .agg(F.count_distinct("user_id").cast("long")
+                  .alias("exact_users")))
+    return (swin.join(exact, "w")
+            .select(F.col("w").alias("window_hour"), "n_hours",
+                    "exact_users",
+                    (F.abs(F.col("est") - F.col("exact_users"))
+                     / F.col("exact_users") <= F.lit(0.05))
+                    .alias("estimate_within_5pct"))
+            .orderBy("window_hour"))

@@ -311,14 +311,15 @@ SAMPLE_PREFIX_EXPECTED = [
     "text_pii_rate_by_source", "tokenizer_fertility_by_lang",
     "window_first_last_value", "window_percent_rank_cume",
     # further round-10 operators, replacing r6-era tail slots per the
-    # rule above (dedup_components / dedup_edit_distance_verify stay
-    # r6-green)
+    # rule above (decontaminate_ngram_overlap / dedup_components /
+    # dedup_edit_distance_verify stay r6-green)
     "curation_pareto_frontier", "sample_weighted_reservoir",
-    # oldest remaining rows (r6-era), alphabetical first 7
+    "events_sliding_distinct_hll",
+    # oldest remaining rows (r6-era), alphabetical first 6
     "cluster_kmeans_embeddings", "corpus_mix_stats",
     "corpus_novelty_decay", "curation_annealing_mixture",
     "curation_contamination_by_benchmark",
-    "curation_epoch_decay_schedule", "decontaminate_ngram_overlap",
+    "curation_epoch_decay_schedule",
 ]
 
 

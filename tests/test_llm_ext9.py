@@ -313,3 +313,36 @@ def test_weighted_reservoir_pulls_heavy_weights(spark, tmp_path):
         "a 400x-weight doc missed the sample")
     assert all(r.weight > 0 for r in rows)
     assert [r.rank for r in rows] == list(range(1, x9.WR_K + 1))
+
+
+# -------------------------------------- sliding-window HLL distinct
+
+
+def test_sliding_distinct_matches_python_reference(spark):
+    from pyspark.sql import functions as F
+
+    from nats_stream_processor_spark.registry import table
+
+    ev = table(spark, SF, "events").select(
+        F.expr("unix_micros(ts) div 3600000000").alias("h"),
+        "user_id").collect()
+    by_hour = {}
+    for r in ev:
+        by_hour.setdefault(r.h, set()).add(r.user_id)
+    hmax = max(by_hour)
+    expect = []
+    wins = sorted({w for h in by_hour
+                   for w in range(h, min(h + x9.SW_HOURS - 1, hmax) + 1)})
+    for w in wins:
+        hrs = [h for h in by_hour if w - (x9.SW_HOURS - 1) <= h <= w]
+        users = set().union(*(by_hour[h] for h in hrs))
+        expect.append((w, len(hrs), len(users), True))
+    got = [(r.window_hour, r.n_hours, r.exact_users,
+            r.estimate_within_5pct)
+           for r in registry.REGISTRY["events_sliding_distinct_hll"].fn(
+               spark, SF).collect()]
+    assert got == expect
+    # the sketch estimate held the 5% contract on every window (the
+    # boolean is computed Spark-side; the oracle pins it TRUE)
+    assert all(r[3] for r in got)
+    assert all(1 <= r[1] <= x9.SW_HOURS for r in got)

@@ -918,3 +918,20 @@ def test_pareto_frontier_local_skyline_is_pure_map(spark):
                 assert "text#" not in input_line, section[:400]
     finally:
         spark.conf.set("spark.nats_spark.spread.enabled", "true")
+
+
+def test_sliding_hll_fans_out_sketches_not_events(spark):
+    """The sliding-window distinct's scale claim: sketch building is one
+    ObjectHashAggregate over the raw scan; the per-window union
+    re-aggregates exploded SKETCH rows (a second ObjectHashAggregate on
+    the window key); raw events are scanned at most three times in
+    the whole plan (sketch side + the exact-eval side + the pinned
+    1-row hmax bound's own cached build, which formatted mode prints
+    once inside its InMemoryRelation while both consumers read the
+    cache) — window fan-out must never multiply parquet scans — and
+    no cartesian anywhere."""
+    p = plan_str(spark, "events_sliding_distinct_hll")
+    assert "CartesianProduct" not in p
+    assert p.count("ObjectHashAggregate") >= 2, p[:600]
+    assert "InMemoryTableScan" in p, p[:600]
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 3, p[:600]
