@@ -46,11 +46,12 @@ HEAD ran ~12% FASTER than the r9 code under the identical conditions.
 No headline query's code changed in round 10 (the round added new
 non-headline operators and de-skewed join_interval_overlap_binned's
 input derivation); any inflated BENCH_r10 figure is this host state,
-not a regression — the control is the evidence. A later same-session
-HEAD re-run as the neighbors drained measured 22.2 s (still ~1.7x the
-r9 recording with 1-min load back under 1) — the host degradation
-decays over hours, so even within-round numbers are only comparable
-in adjacent windows.
+not a regression — the control is the evidence. Two later same-session
+HEAD re-runs as the neighbors drained measured 22.2 s and 22.6 s (load
+back under 1, even at 0.2) — i.e. the host settled at a ~1.7x-slower
+operating point than when the r9 number was recorded and stayed there;
+within-round numbers are only comparable in adjacent windows, and
+cross-round numbers only through the worktree control.
 """
 
 from __future__ import annotations
