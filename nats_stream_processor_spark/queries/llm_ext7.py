@@ -144,6 +144,10 @@ def q_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     index."""
     en = _embeddings_en(spark, sf_dir)
     rounds = _nn_descent_rounds(en)
+    # Spark `div` vs the oracle's `//`: both truncate toward zero (NOT
+    # floor), so the mean agrees between engines even for a negative
+    # sim_ppm sum — pinned by tests/test_engine_semantics.py. Same
+    # convention at the two sibling mean-sim sites below.
     stats = [
         edges.agg(F.lit(t).cast("bigint").alias("round"),
                   F.count("*").cast("bigint").alias("n_edges"),
@@ -758,6 +762,8 @@ def q_graph_knn_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     nv = (seen.groupBy("query_id")
           .agg(F.count("*").cast("bigint").alias("n_visited")))
     eq = (edges.groupBy("query_id")
+          # `div` == oracle `//`: both truncate toward zero (engine-
+          # semantics pin; see q_nn_descent's note)
           .agg(F.expr("cast(sum(sim_ppm) div count(*) as bigint)")
                .alias("mean_edge_sim_ppm")))
     hits = (edges.select("query_id", "node")
@@ -903,6 +909,8 @@ def q_graph_rebuild_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .join(exact, ["query_id", "node"])
                        .agg(F.count("*").cast("bigint").alias("n_hits")))
             .crossJoin(edges.agg(
+                # `div` == oracle `//`: both truncate toward zero
+                # (engine-semantics pin; see q_nn_descent's note)
                 F.expr("cast(sum(sim_ppm) div count(*) as bigint)")
                 .alias("mean_edge_sim_ppm")))
             .select(F.lit(b).cast("bigint").alias("batch"),

@@ -448,6 +448,11 @@ def q_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ext8 import HLL_LG_K
 
     ev = table(spark, sf_dir, "events")
+    # Hour bucket: Spark `div` and the oracle's `//` BOTH truncate
+    # toward zero, so the bucketing agrees between engines even for
+    # pre-1970 timestamps (the fixtures are post-epoch, where the two
+    # idioms are trivially equal) — pinned by
+    # tests/test_engine_semantics.py::test_hour_bucketing_agrees_pre_epoch.
     base = ev.select(
         F.expr("unix_micros(ts) div 3600000000").cast("long").alias("h"),
         "user_id")
