@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 # Registry import FIRST among intra-package imports (worker re-import
 # ordering; see llm_ext2.py's header note).
-from ..registry import pin, register, spread, table
+from ..registry import pin, register, release_pins, spread, table
 
 from ..functions.hashing import hash32_sql_duck
 from ..functions.text import tokens_col, tokens_sql
@@ -196,6 +196,11 @@ def q_freq_items_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ever truncated (D = 0 -> merged holds every key exactly).
     if not (g.n_out and g.floor_t > g.derr
             and (g.n_out == FI_TOP or g.derr == 0)):
+        # The guard already consumed the pinned candidate-bounded pass —
+        # nothing downstream reads it on this branch, so release it now
+        # rather than letting it sit in cache until the next registry
+        # call (the release protocol's backstop).
+        release_pins()
         exact = (_fi_tokens(d).groupBy("token")
                  .agg(F.count("*").cast("long").alias("n_occ")))
         topk = exact.orderBy(F.col("n_occ").desc(), "token").limit(FI_TOP)

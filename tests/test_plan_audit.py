@@ -935,3 +935,32 @@ def test_sliding_hll_fans_out_sketches_not_events(spark):
     assert p.count("ObjectHashAggregate") >= 2, p[:600]
     assert "InMemoryTableScan" in p, p[:600]
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 3, p[:600]
+
+
+def test_weighted_reservoir_head_is_take_ordered_never_global_sort(spark):
+    """sample_weighted_reservoir's whole scale claim is 'one scan +
+    TakeOrderedAndProject's K-row heaps, never a global sort' — assert
+    exactly that: the top-K is a TakeOrderedAndProject, and the ONLY
+    Sort in the plan is the K-row presentation sort on rank sitting
+    ABOVE it (a corpus-scale Sort below the heap would be the silent
+    regression this pin exists to catch)."""
+    p = plan_str(spark, "sample_weighted_reservoir", "simple")
+    assert "TakeOrderedAndProject" in p
+    sorts = re.findall(r"Sort \[(\w+)", p)
+    assert sorts == ["rank"], p[:800]
+    # parents print first in simple mode: the presentation Sort and the
+    # rank Window must both consume the TakeOrdered output (K rows)
+    assert p.index("Sort [rank") < p.index("TakeOrderedAndProject")
+    assert p.index("Window") < p.index("TakeOrderedAndProject")
+
+
+def test_freq_items_head_never_global_sort(spark):
+    """The companion pin for sketch_freq_items_topk (its stage-by-stage
+    audit lives above): the returned head must contain NO Sort other
+    than the FI_TOP-row presentation sort on rank — the candidate-
+    bounded top-K must stay a TakeOrderedAndProject heap."""
+    p = plan_str(spark, "sketch_freq_items_topk", "simple")
+    assert "TakeOrderedAndProject" in p
+    sorts = re.findall(r"Sort \[(\w+)", p)
+    assert sorts == ["rank"], p[:800]
+    assert p.index("Sort [rank") < p.index("TakeOrderedAndProject")
