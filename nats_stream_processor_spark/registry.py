@@ -345,6 +345,7 @@ _ext5_names: list[str] = []
 _ext6_names: list[str] = []
 _ext9_names: list[str] = []
 _ext10_names: list[str] = []
+_ext11_names: list[str] = []
 
 
 def _populate() -> None:
@@ -355,7 +356,7 @@ def _populate() -> None:
     of the registry see entries in registration order.
     """
     global _POPULATED, _ext3_names, _ext4_names, _ext5_names, _ext9_names, \
-        _ext10_names
+        _ext10_names, _ext11_names
     if _POPULATED:
         return
     # Set the guard up front (re-entrant imports of the chain must
@@ -372,7 +373,7 @@ def _populate() -> None:
 
 def _populate_chain() -> None:
     global _ext3_names, _ext4_names, _ext5_names, _ext6_names, \
-        _ext9_names, _ext10_names
+        _ext9_names, _ext10_names, _ext11_names
 
     from .queries import llm  # noqa: F401
     from .queries import advanced  # noqa: F401
@@ -420,13 +421,18 @@ def _populate_chain() -> None:
     from .queries import llm_ext9  # noqa: F401
     _ext10_names = [n for n in REGISTRY if n not in pre]
 
+    # Round-11 additions (certify in the round they are written).
+    pre = set(REGISTRY)
+    from .queries import llm_ext10  # noqa: F401
+    _ext11_names = [n for n in REGISTRY if n not in pre]
+
     # Reorder so the curated prefix leads. Every curated name must exist
     # on a clean import (asserted by test_sample_prefix_has_no_name_drift);
     # the soft filter below is only a guard against future partial-import
-    # schemes, and the _ext9 overflow fill keeps new operators sampled if
-    # the explicit list ever under-allocates.
+    # schemes, and the current-round overflow fill keeps new operators
+    # sampled if the explicit list ever under-allocates.
     prefix = [n for n in SAMPLE_PREFIX_EXPECTED if n in REGISTRY]
-    prefix += [n for n in _ext10_names if n not in prefix][:50 - len(prefix)]
+    prefix += [n for n in _ext11_names if n not in prefix][:50 - len(prefix)]
     order = prefix + [n for n in REGISTRY if n not in set(prefix)]
     reordered = {n: REGISTRY[n] for n in order}
     REGISTRY.clear()

@@ -964,3 +964,31 @@ def test_freq_items_head_never_global_sort(spark):
     sorts = re.findall(r"Sort \[(\w+)", p)
     assert sorts == ["rank"], p[:800]
     assert p.index("Sort [rank") < p.index("TakeOrderedAndProject")
+
+
+def test_max_run_shuffles_positions_not_text_window_is_pair_keyed(spark):
+    """dedup_max_duplicated_run's scale claims: the pair match is an
+    equi-join on span_id (never a nested loop over the corpus), every
+    exchange carries (span_id, doc_id, pos) ints — document text never
+    rides a shuffle — and the islands Window is partitioned by
+    (pair, diagonal), whose per-partition mass is bounded by one
+    document's span count (never a SinglePartition window over the
+    match relation). Spread disabled to see the at-scale shape (its
+    fixture-only round-robin is the one exchange allowed to carry
+    text)."""
+    spark.conf.set("spark.nats_spark.spread.enabled", "false")
+    try:
+        p = plan_str(spark, "dedup_max_duplicated_run")
+    finally:
+        spark.conf.set("spark.nats_spark.spread.enabled", "true")
+    assert "CartesianProduct" not in p
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", p)
+    for section in re.split(r"\n\(\d+\) ", p):
+        if section.startswith("Exchange"):
+            input_line = next(
+                (ln for ln in section.splitlines()
+                 if ln.startswith("Input")), "")
+            assert "text#" not in input_line, section[:400]
+    m = re.search(r"Window.*?Arguments: \[.*?windowspecdefinition\("
+                  r"(doc_a\S+, doc_b\S+, diag\S+),", p, re.S)
+    assert m, p[:900]
