@@ -12,7 +12,12 @@ Certification status (the honest-labeling house rule):
 - ``graph_beam_sweep`` / ``graph_knn_insert`` (late round 9) — landed
   AFTER the r9 window was allocated and sat honestly BEHIND it; they
   LEAD the r10 window (the rotation the r9 verdict pre-allocated).
-- ``graph_rebuild_decision`` (round 10) — INSIDE the r10 window
+- ``graph_rebuild_decision`` (round 10) — formal row round 10; its
+  builder was factored into the shared ``_rebuild_curve`` /
+  ``_rebuild_curve_ctes`` in round 11 (output-identical — rendered
+  oracle text compared against the r10 tip), so it re-certifies
+  inside the r11 window per the house rule.
+- ``graph_rebuild_policy`` (round 11) — INSIDE the r11 window
   (formal row expected in the round it was written).
 """
 
@@ -850,30 +855,12 @@ GR_M = 12  # vectors per insert batch
 GR_B = 2   # successive batches (unrolled in both engines)
 
 
-@register(
-    "graph_rebuild_decision",
-    oracle=None,  # set below
-    tags=("llm", "graph", "ann", "incremental", "maintenance"),
-)
-def q_graph_rebuild_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Successive-insertion drift report: hold out the last GR_B x GR_M
-    vectors, build the NN-Descent graph on the base slice, then insert
-    GR_B batches in id order — each batch beam-searches the CURRENT
-    graph (base + all edges added by earlier batches, symmetrized; the
-    scoring table grows with the inserted vectors) and connects to its
-    top-ND_K found nodes. One row per batch: nodes visited, hits and
-    recall of the connected edges against the exact top-ND_K over the
-    batch's CURRENT corpus, mean edge similarity, and the recall drop
-    vs batch 1 — the curve that decides when accumulated insertions
-    warrant a full rebuild.
-
-    Scale shape: identical per batch to graph_knn_insert (broadcast
-    query panel, id-keyed scoring joins, per-hop checkpoint-truncated
-    state); between batches the graph grows by a batch x ND_K edge
-    list (union + distinct + localCheckpoint, the same lineage
-    discipline as the build rounds) and the scoring table by GR_M
-    rows. The exact reference re-scans the current corpus once per
-    batch — an EVAL cost only, as in graph_knn_insert."""
+def _rebuild_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The successive-insertion drift curve shared by
+    graph_rebuild_decision (which reports it) and graph_rebuild_policy
+    (which reads the actionable decision off it): one row per insert
+    batch with visited/hit counts, recall vs the batch's exact top-K,
+    mean edge similarity, and the recall drop vs batch 1."""
     en = _embeddings_en(spark, sf_dir)
     nfull = en.agg(F.count("*").cast("bigint").alias("nf"))
     base = pin(en.crossJoin(F.broadcast(nfull))
@@ -942,7 +929,81 @@ def q_graph_rebuild_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("batch"))
 
 
-def _rebuild_decision_oracle() -> str:
+@register(
+    "graph_rebuild_decision",
+    oracle=None,  # set below
+    tags=("llm", "graph", "ann", "incremental", "maintenance"),
+)
+def q_graph_rebuild_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Successive-insertion drift report: hold out the last GR_B x GR_M
+    vectors, build the NN-Descent graph on the base slice, then insert
+    GR_B batches in id order — each batch beam-searches the CURRENT
+    graph (base + all edges added by earlier batches, symmetrized; the
+    scoring table grows with the inserted vectors) and connects to its
+    top-ND_K found nodes. One row per batch: nodes visited, hits and
+    recall of the connected edges against the exact top-ND_K over the
+    batch's CURRENT corpus, mean edge similarity, and the recall drop
+    vs batch 1 — the curve that decides when accumulated insertions
+    warrant a full rebuild.
+
+    Scale shape: identical per batch to graph_knn_insert (broadcast
+    query panel, id-keyed scoring joins, per-hop checkpoint-truncated
+    state); between batches the graph grows by a batch x ND_K edge
+    list (union + distinct + localCheckpoint, the same lineage
+    discipline as the build rounds) and the scoring table by GR_M
+    rows. The exact reference re-scans the current corpus once per
+    batch — an EVAL cost only, as in graph_knn_insert."""
+    return _rebuild_curve(spark, sf_dir)
+
+
+# The drop threshold the policy face acts on: rebuild once any batch's
+# insertion recall has degraded >= this many ppm below batch 1's. On
+# the shipped fixtures both regimes are exercised across SFs (sf0.001
+# crosses the floor at batch 2; sf0.01's curve is flat, so the policy
+# row reports no-rebuild NULLs there).
+GRP_DROP_FLOOR_PPM = 50000
+
+
+@register(
+    "graph_rebuild_policy",
+    oracle=None,  # set below
+    tags=("llm", "graph", "ann", "incremental", "maintenance", "policy"),
+)
+def q_graph_rebuild_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable face of graph_rebuild_decision: given the recall-
+    degradation floor (GRP_DROP_FLOOR_PPM), emit the ONE-row decision
+    the curve already determines — the first insert batch whose recall
+    drop crosses the floor (NULL when none does), the index size in
+    vectors at that decision point, and the edge budget a full rebuild
+    would process there (vectors x ND_K, the NN-Descent target edge
+    count). Closes the lifecycle loop: build -> search -> sweep ->
+    insert -> decide -> act.
+
+    Scale shape: the curve is the whole cost (audited in
+    graph_rebuild_decision); the policy adds two 1-row aggregates over
+    the GR_B-row curve, a 1-row embeddings count, and broadcast
+    crossJoins of those bounds — nothing here grows with the corpus."""
+    curve = _rebuild_curve(spark, sf_dir)
+    nfq = (_embeddings_en(spark, sf_dir)
+           .agg(F.count("*").cast("bigint").alias("nf")))
+    dec = (curve.filter(F.col("recall_drop_ppm") >= GRP_DROP_FLOOR_PPM)
+           .agg(F.min("batch").cast("bigint").alias("rb")))
+    vec_expr = f"nf - ({GR_B} - rb) * {GR_M}"
+    return (curve.agg(F.max("recall_drop_ppm").cast("bigint")
+                      .alias("max_drop_ppm"))
+            .crossJoin(F.broadcast(dec))
+            .crossJoin(F.broadcast(nfq))
+            .select(F.lit(GRP_DROP_FLOOR_PPM).cast("bigint")
+                    .alias("drop_floor_ppm"),
+                    "max_drop_ppm",
+                    F.col("rb").alias("rebuild_after_batch"),
+                    F.expr(f"cast({vec_expr} as bigint)")
+                    .alias("index_vectors_at_decision"),
+                    F.expr(f"cast(({vec_expr}) * {ND_K} as bigint)")
+                    .alias("rebuild_edge_budget")))
+
+
+def _rebuild_curve_ctes() -> str:
     where = (f" CROSS JOIN (SELECT count(*) AS nf FROM embeddings) nf"
              f" WHERE vec_id < nf.nf - {GR_B * GR_M}")
     parts = [_graph_ctes(where), _und_cte()]
@@ -1011,12 +1072,32 @@ def _rebuild_decision_oracle() -> str:
            (SELECT CAST(sum(sim_ppm) // count(*) AS BIGINT)
             FROM edges{b}) AS mean_edge_sim_ppm""" for b in range(1, GR_B + 1))
     parts.append(f"""
-    batch_rows AS ({batch_rows})
-    SELECT batch, n_visited, n_hits, recall_ppm, mean_edge_sim_ppm,
-           CAST((SELECT recall_ppm FROM batch_rows WHERE batch = 1)
-                - recall_ppm AS BIGINT) AS recall_drop_ppm
-    FROM batch_rows ORDER BY batch""")
+    batch_rows AS ({batch_rows})""")
     return ",".join(parts)
 
 
-REGISTRY["graph_rebuild_decision"].oracle = _rebuild_decision_oracle()
+REGISTRY["graph_rebuild_decision"].oracle = _rebuild_curve_ctes() + """
+    SELECT batch, n_visited, n_hits, recall_ppm, mean_edge_sim_ppm,
+           CAST((SELECT recall_ppm FROM batch_rows WHERE batch = 1)
+                - recall_ppm AS BIGINT) AS recall_drop_ppm
+    FROM batch_rows ORDER BY batch"""
+
+
+REGISTRY["graph_rebuild_policy"].oracle = _rebuild_curve_ctes() + f""",
+    curve AS (SELECT batch,
+                     CAST((SELECT recall_ppm FROM batch_rows
+                           WHERE batch = 1) - recall_ppm AS BIGINT)
+                         AS drop_ppm
+              FROM batch_rows),
+    nfq AS (SELECT CAST(count(*) AS BIGINT) AS nf FROM embeddings),
+    dec AS (SELECT CAST(min(batch) AS BIGINT) AS rb
+            FROM curve WHERE drop_ppm >= {GRP_DROP_FLOOR_PPM})
+    SELECT CAST({GRP_DROP_FLOOR_PPM} AS BIGINT) AS drop_floor_ppm,
+           (SELECT CAST(max(drop_ppm) AS BIGINT) FROM curve)
+               AS max_drop_ppm,
+           dec.rb AS rebuild_after_batch,
+           CAST(nfq.nf - ({GR_B} - dec.rb) * {GR_M} AS BIGINT)
+               AS index_vectors_at_decision,
+           CAST((nfq.nf - ({GR_B} - dec.rb) * {GR_M}) * {ND_K} AS BIGINT)
+               AS rebuild_edge_budget
+    FROM dec CROSS JOIN nfq"""

@@ -468,3 +468,32 @@ def test_rebuild_decision_invariants(spark):
         assert r.recall_ppm == r.n_hits * 1000000 // (
             x7.GR_M * x7.ND_K)
         assert r.recall_drop_ppm == first - r.recall_ppm
+
+
+def test_rebuild_policy_matches_curve(spark):
+    """The policy row must be exactly the decision the curve determines:
+    first batch whose drop crosses GRP_DROP_FLOOR_PPM (NULL when the
+    curve never does), index vectors at that point, and the rebuild
+    edge budget (vectors x ND_K) — recomputed here from the collected
+    curve rows, independent of the operator's join/agg plumbing."""
+    curve = registry.REGISTRY["graph_rebuild_decision"].fn(
+        spark, SF).collect()
+    nf = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    crossing = [r.batch for r in curve
+                if r.recall_drop_ppm >= x7.GRP_DROP_FLOOR_PPM]
+    rb = min(crossing) if crossing else None
+    vecs = None if rb is None else nf - (x7.GR_B - rb) * x7.GR_M
+    rows = registry.REGISTRY["graph_rebuild_policy"].fn(
+        spark, SF).collect()
+    assert len(rows) == 1
+    p = rows[0]
+    assert p.drop_floor_ppm == x7.GRP_DROP_FLOOR_PPM
+    assert p.max_drop_ppm == max(r.recall_drop_ppm for r in curve)
+    assert p.rebuild_after_batch == rb
+    assert p.index_vectors_at_decision == vecs
+    assert p.rebuild_edge_budget == (None if vecs is None
+                                     else vecs * x7.ND_K)
+    # the sf0.001 fixture actually crosses the floor — the decision row
+    # is exercised non-vacuously (the flat-curve NULL regime is covered
+    # at sf0.01 by the oracle-parity sweep)
+    assert rb is not None

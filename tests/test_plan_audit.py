@@ -992,3 +992,21 @@ def test_max_run_shuffles_positions_not_text_window_is_pair_keyed(spark):
     m = re.search(r"Window.*?Arguments: \[.*?windowspecdefinition\("
                   r"(doc_a\S+, doc_b\S+, diag\S+),", p, re.S)
     assert m, p[:900]
+
+
+def test_rebuild_policy_adds_only_bounded_bounds_to_the_curve(spark):
+    """graph_rebuild_policy's scale claim: everything corpus-scale is
+    the audited curve; the policy layer itself must attach its 1-row
+    bounds (decision batch, embeddings count) via BROADCAST joins and
+    keep the curve's discipline (checkpoint-truncated search state, no
+    cartesian, no vector-carrying hash exchange)."""
+    p = plan_str(spark, "graph_rebuild_policy")
+    assert "CartesianProduct" not in p
+    assert "Scan ExistingRDD" in p, p[:400]
+    assert "BroadcastNestedLoopJoin" in p
+    for section in re.split(r"\n\(\d+\) ", p):
+        if section.startswith("Exchange") and "hashpartitioning" in section:
+            input_line = next(
+                (ln for ln in section.splitlines()
+                 if ln.startswith("Input")), "")
+            assert "demb#" not in input_line, section[:400]
