@@ -456,3 +456,75 @@ def test_streaming_cusum_drift_matches_batch(spark, tmp_path):
     q.awaitTermination(180)
     assert snapshots, "no micro-batch arrived"
     assert snapshots[max(snapshots)] == expect
+
+
+def test_streaming_hourly_hll_state_matches_batch(spark, tmp_path):
+    """The streaming half of the sliding-HLL sketch story
+    (streaming/hll.py): per-hour HLL registers as applyInPandasWithState
+    managed state, fed one parquet file per micro-batch, must end
+    byte-identical to the batch twin's registers over the same rows —
+    so every sliding-window union (register-wise max over <= SW_HOURS
+    sketch rows, never events) and every estimate agrees exactly
+    between the streaming and batch paths, and the estimates sit
+    within the batch operator's 5% tolerance of the exact per-window
+    distinct counts."""
+    from nats_stream_processor_spark import registry
+    from nats_stream_processor_spark.queries.llm_ext9 import SW_HOURS
+    from nats_stream_processor_spark.streaming import hll
+
+    sf = "/root/testdata/sf0.001"
+    src = registry.table(spark, sf, "events").select("ts", "user_id")
+    pdir = tmp_path / "hll_events"
+    # 4 files -> 4 micro-batches with maxFilesPerTrigger=1: hours are
+    # touched across MULTIPLE batches, so the state genuinely merges.
+    src.repartition(4).write.parquet(str(pdir))
+
+    batch = {r.h: r for r in
+             hll.hourly_distinct_hll_batch(
+                 spark.read.parquet(str(pdir))).collect()}
+
+    stream = (spark.readStream.schema(src.schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(pdir)))
+    latest, touches = {}, []
+    def collect(bdf, epoch_id):
+        rows = bdf.collect()
+        touches.append({r.h for r in rows})
+        for r in rows:
+            latest[r.h] = r
+    q = (hll.hourly_distinct_hll(stream)
+         .writeStream.outputMode("update").foreachBatch(collect)
+         .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    assert len([t for t in touches if t]) >= 2, "wanted multiple batches"
+    assert any(t1 & t2 for i, t1 in enumerate(touches)
+               for t2 in touches[i + 1:]), \
+        "no hour was updated across batches — statefulness unexercised"
+
+    # streaming final state == batch kernel, byte for byte
+    assert set(latest) == set(batch)
+    for h, r in latest.items():
+        assert bytes(r.regs) == bytes(batch[h].regs), h
+        assert r.estimate == batch[h].estimate, h
+
+    # sliding windows: union of hourly STREAMING sketches == union of
+    # hourly BATCH sketches, and estimates within the 5% tolerance of
+    # the exact distinct counts the batch operator certifies
+    exact = {r.window_hour: r.exact_users for r in
+             registry.REGISTRY["events_sliding_distinct_hll"].fn(
+                 spark, sf).collect()}
+    registry.release_pins()
+    hmax = max(latest)
+    wins = sorted({w for h in latest
+                   for w in range(h, min(h + SW_HOURS - 1, hmax) + 1)})
+    assert wins == sorted(exact)
+    for w in wins:
+        hours = [h for h in latest if w - SW_HOURS + 1 <= h <= w]
+        merged_s = merged_b = bytes(hll.HLL_PY_M)
+        for h in hours:
+            merged_s = hll.hll_merge(merged_s, bytes(latest[h].regs))
+            merged_b = hll.hll_merge(merged_b, bytes(batch[h].regs))
+        assert merged_s == merged_b, w
+        est = hll.hll_estimate(merged_s)
+        assert abs(est - exact[w]) / exact[w] <= 0.05, (w, est, exact[w])
