@@ -2,9 +2,9 @@
 
 Certification status (the honest-labeling house rule):
 
-- ``dedup_max_duplicated_run`` — written in round 11 and INSIDE the
-  r11 sampled window (formal row expected in the round it was
-  written).
+- ``dedup_max_duplicated_run`` / ``dedup_containment_drop_plan`` —
+  written in round 11 and INSIDE the r11 sampled window (formal rows
+  expected in the round they were written).
 
 ``dedup_substring_spans`` (queries/llm.py) answers "which K-token
 spans repeat across documents"; the curation decision a dedup pipeline
@@ -16,7 +16,13 @@ gaps-and-islands on match diagonals, the distributed reformulation of
 the diagonal-runs view of longest-common-substring: a common run of
 length L tokens is exactly L - K + 1 consecutive span matches on one
 diagonal (pa - pb constant), so per-diagonal islands of consecutive
-positions recover every maximal run exactly.
+positions recover every maximal run exactly. The drop plan is the
+action face: every document whose ENTIRE span sequence appears
+contiguously in a larger (or equal-content, smaller-id) document is
+dropped, kept_in pointing at its best container — provably always a
+SURVIVOR, because contiguous containment is transitive (if X, C's
+argmax container, were itself contained in Y, then C ⊂ Y too with
+n_spans(Y) >= n_spans(X), so the argmax would have picked Y).
 """
 
 from __future__ import annotations
@@ -51,9 +57,10 @@ from ..functions.text import tokens_col
 MR_K = 16  # tokens per span (= SUBSTR_SPAN_K; same dedup granularity)
 
 
-@register(
-    "dedup_max_duplicated_run",
-    oracle=f"""
+# Shared oracle CTE chain: tokens -> per-token hashes -> positioned
+# spans -> per-doc span counts -> diagonal islands -> per-pair run
+# stats. Both operators' oracles append their tails to this.
+_RUN_CTES = f"""
     WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
                FROM documents),
     h AS (SELECT doc_id, {token_hashes_32_duck_sql('toks')} AS hs FROM t
@@ -84,38 +91,13 @@ MR_K = 16  # tokens per span (= SUBSTR_SPAN_K; same dedup granularity)
     pairs AS (SELECT doc_a, doc_b,
                      CAST(max(run_len) AS BIGINT) AS max_run_spans,
                      CAST(sum(run_len) AS BIGINT) AS n_shared_positions
-              FROM runs GROUP BY doc_a, doc_b)
-    SELECT p.doc_a, p.doc_b, p.n_shared_positions, p.max_run_spans,
-           CAST(p.max_run_spans + {MR_K} - 1 AS BIGINT) AS max_run_tokens,
-           p.max_run_spans = least(na.n_spans, nb.n_spans)
-               AS full_containment
-    FROM pairs p JOIN ns na ON na.doc_id = p.doc_a
-                 JOIN ns nb ON nb.doc_id = p.doc_b
-    ORDER BY doc_a, doc_b
-    """,
-    tags=("llm", "dedup-substring", "gaps-and-islands"),
-)
-def q_max_duplicated_run(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal duplicated token run per document pair (module comment
-    above): one row per pair sharing at least one {MR_K}-token span,
-    with the total shared span matches, the longest consecutive run in
-    spans and in tokens, and the superstring-extract flag — TRUE when
-    the maximal run covers the smaller document's ENTIRE span sequence
-    (its text is a contiguous substring of the other, up to the
-    tokenizer; the curation signal "drop B, keep A").
+              FROM runs GROUP BY doc_a, doc_b)"""
 
-    Scale shape: span ids with positions are O(n_tokens) JVM
-    expressions per doc (no Python); the pair match is an equi-join on
-    span_id — candidates bounded by cross-doc span multiplicity, the
-    same blocking discipline as dedup_containment, never all-pairs —
-    and every shuffle carries (span_id, doc_id, pos) ints, never text.
-    The islands window is partitioned by (pair, diagonal): its
-    per-partition row count is bounded by the shorter document's span
-    count, the per-doc-window license every text operator here uses
-    (no burst-chunking needed — the key cannot concentrate mass beyond
-    one document's length, unlike the event-time sessionization in
-    llm_ext8). Run totals come out of two partial+final aggregates on
-    pair keys; the n_spans join is id-keyed."""
+
+def _span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared builder: per-pair run stats joined with both sides' span
+    counts — (doc_a, doc_b, n_shared_positions, max_run_spans,
+    n_spans_a, n_spans_b). The Spark twin of _RUN_CTES."""
     d = spread(table(spark, sf_dir, "documents"))
     hs = token_hashes_32_col(F.col("text"))
     k = MR_K
@@ -155,12 +137,114 @@ def q_max_duplicated_run(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("n_spans").alias("n_spans_a"))
     nb = ns.select(F.col("doc_id").alias("doc_b"),
                    F.col("n_spans").alias("n_spans_b"))
-    return (pairs.join(na, "doc_a").join(nb, "doc_b")
+    return pairs.join(na, "doc_a").join(nb, "doc_b")
+
+
+@register(
+    "dedup_max_duplicated_run",
+    oracle=_RUN_CTES + f"""
+    SELECT p.doc_a, p.doc_b, p.n_shared_positions, p.max_run_spans,
+           CAST(p.max_run_spans + {MR_K} - 1 AS BIGINT) AS max_run_tokens,
+           p.max_run_spans = least(na.n_spans, nb.n_spans)
+               AS full_containment
+    FROM pairs p JOIN ns na ON na.doc_id = p.doc_a
+                 JOIN ns nb ON nb.doc_id = p.doc_b
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm", "dedup-substring", "gaps-and-islands"),
+)
+def q_max_duplicated_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token run per document pair (module comment
+    above): one row per pair sharing at least one {MR_K}-token span,
+    with the total shared span matches, the longest consecutive run in
+    spans and in tokens, and the superstring-extract flag — TRUE when
+    the maximal run covers the smaller document's ENTIRE span sequence
+    (its text is a contiguous substring of the other, up to the
+    tokenizer; the curation signal "drop B, keep A").
+
+    Scale shape: span ids with positions are O(n_tokens) JVM
+    expressions per doc (no Python); the pair match is an equi-join on
+    span_id — candidates bounded by cross-doc span multiplicity, the
+    same blocking discipline as dedup_containment, never all-pairs —
+    and every shuffle carries (span_id, doc_id, pos) ints, never text.
+    The islands window is partitioned by (pair, diagonal): its
+    per-partition row count is bounded by the shorter document's span
+    count, the per-doc-window license every text operator here uses
+    (no burst-chunking needed — the key cannot concentrate mass beyond
+    one document's length, unlike the event-time sessionization in
+    llm_ext8). Run totals come out of two partial+final aggregates on
+    pair keys; the n_spans join is id-keyed."""
+    return (_span_pairs(spark, sf_dir)
             .select("doc_a", "doc_b", "n_shared_positions",
                     "max_run_spans",
-                    (F.col("max_run_spans") + k - 1).cast("long")
+                    (F.col("max_run_spans") + MR_K - 1).cast("long")
                     .alias("max_run_tokens"),
                     (F.col("max_run_spans")
                      == F.least("n_spans_a", "n_spans_b"))
                     .alias("full_containment"))
             .orderBy("doc_a", "doc_b"))
+
+
+# ------------------------------- containment drop plan (action face)
+
+@register(
+    "dedup_containment_drop_plan",
+    oracle=_RUN_CTES + f""",
+    drops AS (
+        SELECT CASE WHEN na.n_spans < nb.n_spans THEN p.doc_a
+                    ELSE p.doc_b END AS doc_id,
+               CASE WHEN na.n_spans < nb.n_spans THEN p.doc_b
+                    ELSE p.doc_a END AS container,
+               CASE WHEN na.n_spans < nb.n_spans THEN nb.n_spans
+                    ELSE na.n_spans END AS c_spans
+        FROM pairs p JOIN ns na ON na.doc_id = p.doc_a
+                     JOIN ns nb ON nb.doc_id = p.doc_b
+        WHERE p.max_run_spans = least(na.n_spans, nb.n_spans)),
+    best AS (SELECT doc_id, container, c_spans,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY c_spans DESC, container)
+                        AS rk
+             FROM drops)
+    SELECT b.doc_id, b.container AS kept_in, ns.n_spans,
+           CAST(ns.n_spans + {MR_K} - 1 AS BIGINT) AS tokens_saved
+    FROM best b JOIN ns ON ns.doc_id = b.doc_id
+    WHERE b.rk = 1
+    ORDER BY b.doc_id
+    """,
+    tags=("llm", "dedup-substring", "curation", "action"),
+)
+def q_containment_drop_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The action face of dedup_max_duplicated_run: one row per DROPPED
+    document — a doc whose entire span sequence appears contiguously in
+    a strictly larger document, or in an equal-content document with a
+    smaller id (the exact-duplicate tie-break) — with the container it
+    is kept in (best = most spans, tie on smaller id; provably a
+    survivor by the transitivity argument in the module comment), the
+    dropped doc's span count, and the tokens a removal saves.
+
+    Scale shape: everything corpus-scale is the audited pair builder
+    (_span_pairs — equi-join on span_id, int-only shuffles, pair-keyed
+    windows); the drop layer adds one projection over the pair rows, a
+    per-dropped-doc rank window (per-partition mass = that doc's
+    container count), and one id-keyed join back to the span counts."""
+    p = _span_pairs(spark, sf_dir)
+    contained_a = F.col("n_spans_a") < F.col("n_spans_b")
+    drops = (p.filter(F.col("max_run_spans")
+                      == F.least("n_spans_a", "n_spans_b"))
+             .select(F.when(contained_a, F.col("doc_a"))
+                     .otherwise(F.col("doc_b")).alias("doc_id"),
+                     F.when(contained_a, F.col("doc_b"))
+                     .otherwise(F.col("doc_a")).alias("container"),
+                     F.when(contained_a, F.col("n_spans_b"))
+                     .otherwise(F.col("n_spans_a")).alias("c_spans"),
+                     F.when(contained_a, F.col("n_spans_a"))
+                     .otherwise(F.col("n_spans_b")).alias("n_spans")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("c_spans").desc(),
+                                             "container")
+    return (drops.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("doc_id", F.col("container").alias("kept_in"),
+                    "n_spans",
+                    (F.col("n_spans") + MR_K - 1).cast("long")
+                    .alias("tokens_saved"))
+            .orderBy("doc_id"))

@@ -136,3 +136,70 @@ def test_fixture_corpus_has_planted_duplicate_runs(spark):
     assert rows, "no duplicated runs found at sf0.001 — vacuous row"
     assert all(r.max_run_tokens >= x10.MR_K for r in rows)
     assert all(r.max_run_spans <= r.n_shared_positions for r in rows)
+
+
+def _expected_drop_plan(toks, k):
+    """Independent drop-plan reference off raw tokens: doc d drops iff
+    its whole span sequence appears contiguously in a doc with more
+    spans, or an equal-content doc with smaller id."""
+    n_spans = {i: len(t) - k + 1 for i, t in enumerate(toks)
+               if len(t) >= k}
+    def contained(small, big):
+        s, g = toks[small], toks[big]
+        return any(g[i:i + len(s)] == s for i in range(len(g) - len(s) + 1))
+    plan = {}
+    for d in n_spans:
+        containers = []
+        for o in n_spans:
+            if o == d:
+                continue
+            if (n_spans[o] > n_spans[d] or (n_spans[o] == n_spans[d]
+                                            and o < d)) \
+                    and contained(d, o):
+                containers.append(o)
+        if containers:
+            best = max(containers, key=lambda o: (n_spans[o], -o))
+            plan[d] = (best, n_spans[d], n_spans[d] + k - 1)
+    return plan
+
+
+def test_drop_plan_matches_containment_reference(spark, tmp_path):
+    texts = _vocab_texts()
+    # add an exact duplicate of doc 0 (id 6) and a chain link: doc 7 is
+    # an extract of doc 1 (which is itself an extract of doc 0)
+    toks0 = _toks(texts[0])
+    toks1 = _toks(texts[1])
+    texts = texts + [" ".join(toks0), " ".join(toks1[5:25])]
+    sf_dir = _write_docs(spark, tmp_path, texts)
+    got = {r.doc_id: (r.kept_in, r.n_spans, r.tokens_saved) for r in
+           registry.REGISTRY["dedup_containment_drop_plan"].fn(
+               spark, sf_dir).collect()}
+    toks = [_toks(t) for t in texts]
+    expect = _expected_drop_plan(toks, x10.MR_K)
+    assert got == expect
+    # the planted regimes land as designed: the nested extract (1), the
+    # exact duplicate (6, kept in 0 by the id tie-break), and the chain
+    # tail (7) are dropped; every container is a SURVIVOR
+    assert {1, 6, 7} <= set(got)
+    assert got[6][0] == 0
+    # doc 7's containers are 1 (16 spans), 0 and 6 (45 spans each); the
+    # best-container rule (most spans, tie on smaller id) picks 0 — not
+    # the dropped middle link 1
+    assert got[7][0] == 0
+    survivors = set(range(len(texts))) - set(got)
+    assert all(kept in survivors for kept, _, _ in got.values())
+
+
+def test_drop_plan_chain_kept_in_is_transitive_survivor(spark, tmp_path):
+    """A -> B -> C extraction chain: B and C both drop, and C's kept_in
+    must be A (the transitivity argument — the argmax container is
+    never itself dropped), not the dropped middle link B."""
+    base = [f"c{i:03d}" for i in range(50)]
+    texts = [" ".join(base),           # A (doc 0)
+             " ".join(base[5:40]),     # B = extract of A (doc 1)
+             " ".join(base[10:30])]    # C = extract of B and A (doc 2)
+    sf_dir = _write_docs(spark, tmp_path, texts)
+    got = {r.doc_id: r.kept_in for r in
+           registry.REGISTRY["dedup_containment_drop_plan"].fn(
+               spark, sf_dir).collect()}
+    assert got == {1: 0, 2: 0}

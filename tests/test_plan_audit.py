@@ -1010,3 +1010,25 @@ def test_rebuild_policy_adds_only_bounded_bounds_to_the_curve(spark):
                 (ln for ln in section.splitlines()
                  if ln.startswith("Input")), "")
             assert "demb#" not in input_line, section[:400]
+
+
+def test_drop_plan_inherits_pair_builder_discipline(spark):
+    """dedup_containment_drop_plan rides the audited pair builder; the
+    drop layer itself must add only a per-dropped-doc rank window
+    (keyed on doc_id — bounded by that doc's container count, never
+    SinglePartition) and id-keyed joins. Same text-free-exchange pin
+    as the max-run audit (spread disabled to see the at-scale shape)."""
+    spark.conf.set("spark.nats_spark.spread.enabled", "false")
+    try:
+        p = plan_str(spark, "dedup_containment_drop_plan")
+    finally:
+        spark.conf.set("spark.nats_spark.spread.enabled", "true")
+    assert "CartesianProduct" not in p
+    for section in re.split(r"\n\(\d+\) ", p):
+        if section.startswith("Exchange"):
+            input_line = next(
+                (ln for ln in section.splitlines()
+                 if ln.startswith("Input")), "")
+            assert "text#" not in input_line, section[:400]
+    assert re.search(r"windowspecdefinition\(doc_id\S+, c_spans\S+ DESC",
+                     p), p[:900]
