@@ -838,8 +838,11 @@ REGISTRY["graph_knn_insert"].oracle = _knn_insert_oracle()
 
 # ------------------------------- rebuild decision (insertion drift)
 
-# CERTIFICATION STATUS: written in round 10, INSIDE the r10 sampled
-# window (formal row expected in the round it was written).
+# CERTIFICATION STATUS: written in round 10, formal row round 10;
+# builder factored into the shared _rebuild_curve in round 11
+# (rendered oracle byte-identical to the r10 tip), re-certifying
+# inside the r11 window per the house rule. graph_rebuild_policy:
+# written in round 11, INSIDE the r11 window.
 #
 # graph_knn_insert shows ONE batch's insertion quality; the operational
 # question an index maintainer actually asks is the TREND: as batch

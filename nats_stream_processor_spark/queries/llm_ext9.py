@@ -4,8 +4,11 @@ Certification status (the honest-labeling house rule):
 
 - ``sketch_freq_items_topk`` / ``curation_pareto_frontier`` /
   ``sample_weighted_reservoir`` / ``events_sliding_distinct_hll`` —
-  written in round 10 and INSIDE the r10 sampled window (formal rows
-  expected in the round they were written).
+  written in round 10, formal rows round 10. Two changed in round 11
+  (sketch_freq_items_topk: explicit release_pins on the fallback
+  branch; events_sliding_distinct_hll: engine-semantics note at the
+  hour-bucket expression) and re-certify inside the r11 window per
+  the house rule; the other two are unchanged and rotate behind.
 
 The frequent-items workflow is the heavy-hitters counterpart of
 round 9's ``agg_hll_sketch_union`` cardinality story: the reference

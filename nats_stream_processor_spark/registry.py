@@ -252,74 +252,64 @@ def oracle_sql() -> dict[str, str]:
 
 
 
-# Round-10 sampled-prefix rotation. The round driver snapshots the FIRST
+# Round-11 sampled-prefix rotation. The round driver snapshots the FIRST
 # 50 entries, so the prefix is curated each round to cover what most needs
-# a formal correctness row. The r10 window holds exactly (the composition
-# the r9 window comment and the r9 verdict pre-allocated):
-#  - the 8 late-round-9 operators LEAD — they landed AFTER the r9
-#    window was allocated and sat behind it with honest headers:
-#    graph_beam_sweep, graph_knn_insert (llm_ext7), then
-#    events_cohort_retention, events_props_variant,
-#    layout_zorder_report, agg_hll_sketch_union,
-#    quality_expectations_report, join_interval_overlap_binned
-#    (llm_ext8, registration order). join_interval_overlap_binned's
-#    burst-side sessionization was ALSO de-skewed this round (chunked
-#    gaps-and-islands; output-identical), so it certifies its new code;
-#  - graph_greedy_search, whose ORACLE text changed this round (the
-#    query-panel CTE factored to one construction site shared with
-#    graph_beam_sweep — output-identical at every fixture SF,
-#    re-certified anyway, the house rule for changed code);
-#  - the 2 new round-10 operators — formal rows in the round they are
-#    written: graph_rebuild_decision (llm_ext7) and
-#    sketch_freq_items_topk (llm_ext9);
-#  - ALL 30 remaining r5-era queries (embed_centroid_drift
-#    alphabetically onward — exactly the rotation the r9 window
-#    comment promised), clearing the r5 era entirely;
-#  - the alphabetically-first 9 of the 47 r6-era queries. If further
-#    round-10 operators land while the window is still open, they
-#    replace the TAIL of this r6-era slice (new code certifies in its
-#    round; an r6-era row is merely old, not missing) — any landing
-#    after that carries the honest behind-window header and leads r11.
-# Everything else — formally green in r6-r9 and unchanged — rotates
-# behind. After this round every entry has a formal row no older than
-# r6 (the only oracle-less one, dedup_minhash_lsh_fast, is
-# value-checked via its parity twin, green r5... re-certifying in a
-# later window as the r6 era drains).
+# a formal correctness row. The r11 window holds exactly (the composition
+# the r10 verdict pre-allocated):
+#  - the parity pair LEADS: dedup_minhash_fast_parity (oracle row) and
+#    dedup_minhash_lsh_fast (the registry's only oracle-less entry,
+#    rows-only for the driver; its VALUE check is the parity twin) —
+#    the one entry whose value-check evidence dated to r5, now
+#    re-certified on current code;
+#  - the 5 queries whose CODE changed in round 11 (house rule: changed
+#    code re-certifies even when output-identical):
+#    graph_rebuild_decision (builder factored into the shared
+#    _rebuild_curve/_rebuild_curve_ctes; rendered oracle text verified
+#    byte-identical to the r10 tip), sketch_freq_items_topk (explicit
+#    release_pins on the fallback branch), and the three sites that
+#    gained engine-semantics notes for the r10 ADVICE items —
+#    events_sliding_distinct_hll, graph_nn_descent, graph_knn_insert
+#    (comments only; oracle text unchanged);
+#  - the 3 new round-11 operators — formal rows in the round they are
+#    written: dedup_max_duplicated_run, dedup_containment_drop_plan
+#    (llm_ext10) and graph_rebuild_policy (llm_ext7);
+#  - the alphabetically-first 40 of the 41 remaining r6-era rows —
+#    draining that era to ONE entry (train_val_split, r6-green, queued
+#    to lead the r12 fill). If further round-11 operators land while
+#    the window is open, they replace the TAIL of this r6-era slice
+#    (new code certifies in its round; an r6-era row is merely old,
+#    not missing) — any landing after that carries the honest
+#    behind-window header and leads r12.
+# Everything else — formally green in r7-r10 and unchanged — rotates
+# behind. After this round no entry's latest formal row is older than
+# r6, the r6 era holds a single row, and the oracle-less entry's
+# parity evidence is current-code.
 SAMPLE_PREFIX_EXPECTED = [
-    # the 8 late-r9 operators (behind the r9 window; lead per verdict)
-    "graph_beam_sweep", "graph_knn_insert",
-    "events_cohort_retention", "events_props_variant",
-    "layout_zorder_report", "agg_hll_sketch_union",
-    "quality_expectations_report", "join_interval_overlap_binned",
-    # oracle text changed in round 10 (factoring — output-identical)
-    "graph_greedy_search",
-    # new in round 10
+    # the parity pair (value evidence dated r5; re-certify on HEAD)
+    "dedup_minhash_fast_parity", "dedup_minhash_lsh_fast",
+    # code changed in round 11 (house rule re-certs)
     "graph_rebuild_decision", "sketch_freq_items_topk",
-    # the 30 remaining r5-era rows (alphabetical; clears the era)
-    "embed_centroid_drift", "embed_norm_outliers",
-    "embed_pca_power_iteration", "embed_random_projection",
-    "events_attribution_last_touch", "events_heavy_hitters",
-    "events_rfm_segments", "events_seasonality_profile",
-    "events_session_paths", "events_time_to_convert",
-    "graph_knn_components", "graph_knn_hubness", "graph_knn_two_hop",
-    "join_market_share", "join_promo_revenue_share",
-    "join_shipping_priority", "pack_sequences_doc_intact",
-    "pack_sequences_first_fit", "quality_rule_ablation",
-    "sample_coreset_kcenter", "sim_ann_nprobe_sweep",
-    "sim_pq_distortion_report", "sketch_cms_heavy_hitters",
-    "text_bm25_topk", "text_boilerplate_ngrams", "text_langid_confusion",
-    "text_pii_rate_by_source", "tokenizer_fertility_by_lang",
-    "window_first_last_value", "window_percent_rank_cume",
-    # further round-10 operators, replacing r6-era tail slots per the
-    # rule above (decontaminate_ngram_overlap / dedup_components /
-    # dedup_edit_distance_verify stay r6-green)
-    "curation_pareto_frontier", "sample_weighted_reservoir",
-    "events_sliding_distinct_hll",
-    # oldest remaining rows (r6-era), alphabetical first 6
-    "cluster_kmeans_embeddings", "corpus_mix_stats",
-    "corpus_novelty_decay", "curation_annealing_mixture",
-    "curation_contamination_by_benchmark",
-    "curation_epoch_decay_schedule",
+    "events_sliding_distinct_hll", "graph_nn_descent",
+    "graph_knn_insert",
+    # new in round 11
+    "dedup_max_duplicated_run", "dedup_containment_drop_plan",
+    "graph_rebuild_policy",
+    # the alphabetically-first 40 of the 41 remaining r6-era rows
+    "decontaminate_ngram_overlap", "dedup_components",
+    "dedup_edit_distance_verify", "dedup_embedding_cosine",
+    "dedup_exact", "dedup_keep_best", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_semantic_clusters", "dedup_simhash",
+    "dedup_substring_spans", "doc_fingerprints",
+    "events_bot_regularity_flags", "events_cohort_ltv",
+    "events_longest_streak", "graph_knn_bfs_recursive",
+    "join_disjunctive_brackets", "media_audio_windows",
+    "media_frame_sample", "media_metadata", "media_resize_thumbnail",
+    "pack_sequences", "quality_filter_pipeline", "quality_gopher_rules",
+    "sample_fixed_k_per_source", "sample_stratified", "sim_ann_ivf",
+    "sim_ann_ivf_pq", "sim_ann_lsh", "sim_ann_pq", "sim_cosine_topk",
+    "sim_matryoshka_recall", "text_keyphrases_rake", "text_lang_id",
+    "text_quality_scores", "text_redact_pii", "text_repetition_score",
+    "text_token_entropy", "text_token_stats", "text_vocab_topk",
 ]
 
 

@@ -51,33 +51,28 @@ def test_sample_prefix_has_no_name_drift():
     partially-initialized WORKER re-imports don't die — this test is
     where the drift protection actually lives.
 
-    The r10 prefix is fully explicit (50 names: the 8 late-r9
-    operators that sat behind the allocated r9 window, the one
-    oracle-changed query, the 2 new round-10 operators, all 30
-    remaining r5-era rows, and the alphabetically-first 9 r6-era
-    rows), so the assertion is exact equality on the full window — a
-    silent overflow or an unregistered curated name fails here rather
-    than surfacing in the round artifact."""
+    The r11 prefix is fully explicit (50 names: the parity pair whose
+    value evidence dated to r5, the 5 round-11 changed-code re-certs,
+    the 3 new round-11 operators, and the alphabetically-first 40 of
+    the 41 remaining r6-era rows), so the assertion is exact equality
+    on the full window — a silent overflow or an unregistered curated
+    name fails here rather than surfacing in the round artifact."""
     missing = [n for n in registry.SAMPLE_PREFIX_EXPECTED
                if n not in registry.REGISTRY]
     assert not missing, f"prefix names not registered: {missing}"
     assert len(registry.SAMPLE_PREFIX_EXPECTED) == 50
     window = list(registry.REGISTRY)[:50]
     assert window == list(registry.SAMPLE_PREFIX_EXPECTED)
-    # The 8 late-r9 operators must LEAD (the pre-allocated rotation the
-    # r9 verdict prescribed), and every operator introduced in round 10
-    # must be inside the sampled window — new code earns its formal row
-    # in the round it is written.
-    r9_late = ["graph_beam_sweep", "graph_knn_insert",
-               "events_cohort_retention", "events_props_variant",
-               "layout_zorder_report", "agg_hll_sketch_union",
-               "quality_expectations_report",
-               "join_interval_overlap_binned"]
-    assert window[:8] == r9_late
-    for n in registry._ext10_names:
+    # The parity pair must LEAD (the rotation the r10 verdict
+    # pre-allocated), and every operator introduced in round 11 must be
+    # inside the sampled window — new code earns its formal row in the
+    # round it is written.
+    assert window[:2] == ["dedup_minhash_fast_parity",
+                          "dedup_minhash_lsh_fast"]
+    for n in registry._ext11_names:
         assert n in window, (
-            f"round-10 operator {n} missed the sample window")
-    assert "graph_rebuild_decision" in window  # r10, lives in llm_ext7
+            f"round-11 operator {n} missed the sample window")
+    assert "graph_rebuild_policy" in window  # r11, lives in llm_ext7
 
 
 def test_every_query_module_survives_worker_entry_import():
