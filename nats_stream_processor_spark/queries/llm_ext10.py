@@ -2,9 +2,10 @@
 
 Certification status (the honest-labeling house rule):
 
-- ``dedup_max_duplicated_run`` / ``dedup_containment_drop_plan`` —
-  written in round 11 and INSIDE the r11 sampled window (formal rows
-  expected in the round they were written).
+- ``dedup_max_duplicated_run`` / ``dedup_containment_drop_plan`` /
+  ``split_leakage_report`` — written in round 11 and INSIDE the r11
+  sampled window (formal rows expected in the round they were
+  written).
 
 ``dedup_substring_spans`` (queries/llm.py) answers "which K-token
 spans repeat across documents"; the curation decision a dedup pipeline
@@ -32,7 +33,7 @@ from pyspark.sql import functions as F
 
 # Registry import FIRST among intra-package imports (worker re-import
 # ordering; see llm_ext2.py's header note).
-from ..registry import register, spread, table
+from ..registry import REGISTRY, register, spread, table
 
 from ..operators.dedup import (
     MERSENNE_P as _P,
@@ -248,3 +249,93 @@ def q_containment_drop_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("n_spans") + MR_K - 1).cast("long")
                     .alias("tokens_saved"))
             .orderBy("doc_id"))
+
+
+# ------------------------------- split leakage report (dedup x split)
+
+# Dedup and splitting interact: a hash-mod train/val split
+# (train_val_split) is reproducible, but if two NEAR-DUPLICATE
+# documents land on opposite sides of the boundary, the val set leaks
+# into training and every eval on it is contaminated — the standard
+# failure mode dedup-aware splitting exists to prevent. This operator
+# classifies every verified near-dup pair (the audited
+# dedup_minhash_lsh pipeline, identical banding + Jaccard verify) by
+# the split memberships of its two sides and reports one row per
+# class: train-train / val-val (benign) and train-val (the leak),
+# with pair counts and the Jaccard range. The split label is the same
+# pure id-hash function train_val_split certifies, so the report
+# composes two already-certified definitions rather than inventing a
+# third.
+
+
+def _split_leakage_oracle() -> str:
+    from .llm import _SH_CTE, NEAR_DUP_JACCARD
+    from ..operators.dedup import jaccard_sql
+    from ..functions.hashing import hash32_sql_duck
+
+    jac = jaccard_sql("sa.sids", "sb.sids")
+    def lab(col: str) -> str:
+        return (f"CASE WHEN {hash32_sql_duck(f'CAST({col} AS VARCHAR)')}"
+                f" % 100 < 95 THEN 'train' ELSE 'val' END")
+    return f"""
+    {_SH_CTE},
+    pairs AS (SELECT doc_a, doc_b, {jac} AS jaccard
+              FROM cand JOIN s sa ON sa.doc_id = doc_a
+                        JOIN s sb ON sb.doc_id = doc_b
+              WHERE {jac} >= {NEAR_DUP_JACCARD}),
+    lab AS (SELECT {lab('doc_a')} AS la, {lab('doc_b')} AS lb, jaccard
+            FROM pairs),
+    norm AS (SELECT least(la, lb) AS lo, greatest(la, lb) AS hi, jaccard
+             FROM lab)
+    SELECT lo || '-' || hi AS split_pair,
+           lo <> hi AS is_leak,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           min(jaccard) AS min_jaccard,
+           max(jaccard) AS max_jaccard
+    FROM norm GROUP BY lo, hi
+    ORDER BY split_pair
+    """
+
+
+@register(
+    "split_leakage_report",
+    oracle=None,  # set below (composes llm.py's shared CTE chain)
+    tags=("llm", "split", "dedup-minhash-lsh", "leakage"),
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate leakage across the train/val split (module comment
+    above): every verified MinHash-LSH near-dup pair classified by its
+    sides' split memberships — one row per class with the pair count
+    and Jaccard range; ``is_leak`` marks the train-val class whose
+    count a dedup-aware split drives to zero.
+
+    Scale shape: the pair pipeline is dedup_minhash_lsh's audited plan
+    verbatim (banded candidates, id-keyed verify joins, int-signature
+    shuffles); the split labels are map-side md5 expressions over the
+    pair ids (no join against a membership table — membership is a
+    pure function of the id, the property train_val_split certifies);
+    the report is a partial+final aggregate onto <= 3 class rows."""
+    from ..functions.hashing import hash32_col
+    from .llm import _minhash_pairs
+
+    def lab(col: str):
+        return F.when(
+            hash32_col(F.col(col).cast("string")) % 100 < 95, "train"
+        ).otherwise("val")
+
+    pairs = _minhash_pairs(spark, sf_dir, fast=False)
+    norm = (pairs.select(
+        F.least(lab("doc_a"), lab("doc_b")).alias("lo"),
+        F.greatest(lab("doc_a"), lab("doc_b")).alias("hi"),
+        "jaccard"))
+    return (norm.groupBy("lo", "hi")
+            .agg(F.count("*").cast("long").alias("n_pairs"),
+                 F.min("jaccard").alias("min_jaccard"),
+                 F.max("jaccard").alias("max_jaccard"))
+            .select(F.concat_ws("-", "lo", "hi").alias("split_pair"),
+                    (F.col("lo") != F.col("hi")).alias("is_leak"),
+                    "n_pairs", "min_jaccard", "max_jaccard")
+            .orderBy("split_pair"))
+
+
+REGISTRY["split_leakage_report"].oracle = _split_leakage_oracle()

@@ -1,9 +1,16 @@
-"""Correctness of the maximal-duplicated-run operator
-(queries/llm_ext10.py): a planted nested/partial-overlap fixture
-replicated by a plain-Python diagonal scan (token-level, no hashing —
-an independent formulation of the same quantity), explicit expected
-values for the planted regimes, and the full-containment flag's
-semantics on both sides of its boundary."""
+"""Correctness of the round-11 operators (queries/llm_ext10.py):
+
+- dedup_max_duplicated_run: a planted nested/partial-overlap fixture
+  replicated by a plain-Python diagonal scan (token-level, no
+  hashing — an independent formulation of the same quantity), explicit
+  expected values for the planted regimes, and the full-containment
+  flag's semantics on both sides of its boundary.
+- dedup_containment_drop_plan: raw-token containment reference,
+  exact-duplicate tie-breaks, and the A>B>C chain (kept_in must be a
+  surviving doc, never the dropped middle link).
+- split_leakage_report: planted near-dup families across the split
+  boundary (all three classes surfaced, is_leak only on train-val),
+  plus the composition check against its two certified parents."""
 
 from __future__ import annotations
 
@@ -203,3 +210,64 @@ def test_drop_plan_chain_kept_in_is_transitive_survivor(spark, tmp_path):
            registry.REGISTRY["dedup_containment_drop_plan"].fn(
                spark, sf_dir).collect()}
     assert got == {1: 0, 2: 0}
+
+
+def _h32(s):
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _split(doc_id):
+    return "train" if _h32(str(doc_id)) % 100 < 95 else "val"
+
+
+def test_split_leakage_planted_all_three_classes(spark, tmp_path):
+    """Planted near-dup families across the split boundary (ids 20/30/37
+    hash into val under the md5 %100 rule; 0/1/2 into train): one
+    train-train pair, one train-val LEAK, one val-val pair — the
+    report must surface exactly the three classes with is_leak set
+    only on train-val."""
+    assert [_split(i) for i in (0, 1, 2, 20, 30, 37)] == \
+        ["train", "train", "train", "val", "val", "val"]
+    fam1 = " ".join(f"a{i:03d}" for i in range(30))
+    fam2 = " ".join(f"b{i:03d}" for i in range(30))
+    fam3 = " ".join(f"c{i:03d}" for i in range(30))
+    docs = [(0, fam1), (1, fam1 + " extra1"),
+            (2, fam2), (20, fam2 + " extra2"),
+            (30, fam3), (37, fam3 + " extra3")]
+    d = tmp_path / "sf_leak"
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(str(d / "documents.parquet"))
+    rows = {r.split_pair: r for r in
+            registry.REGISTRY["split_leakage_report"].fn(
+                spark, str(d)).collect()}
+    assert set(rows) == {"train-train", "train-val", "val-val"}
+    for sp_name, r in rows.items():
+        assert r.n_pairs == 1, sp_name
+        assert 0.5 <= r.min_jaccard <= r.max_jaccard <= 1.0, sp_name
+        assert r.is_leak == (sp_name == "train-val"), sp_name
+
+
+def test_split_leakage_composes_lsh_pairs_and_split_labels(spark):
+    """On the driver fixture the report must equal the composition of
+    its two certified parents: dedup_minhash_lsh's verified pairs,
+    classified by train_val_split's hash-mod membership rule — the
+    operator invents no third definition."""
+    sf = "/root/testdata/sf0.001"
+    pairs = registry.REGISTRY["dedup_minhash_lsh"].fn(spark, sf).collect()
+    registry.release_pins()
+    from collections import defaultdict
+    expect = defaultdict(list)
+    for p in pairs:
+        lo, hi = sorted([_split(p.doc_a), _split(p.doc_b)])
+        expect[f"{lo}-{hi}"].append(p.jaccard)
+    got = {r.split_pair: r for r in
+           registry.REGISTRY["split_leakage_report"].fn(
+               spark, sf).collect()}
+    assert set(got) == set(expect)
+    assert got, "no near-dup pairs at sf0.001 — vacuous report"
+    for k, jacs in expect.items():
+        assert got[k].n_pairs == len(jacs), k
+        assert got[k].min_jaccard == min(jacs), k
+        assert got[k].max_jaccard == max(jacs), k

@@ -1032,3 +1032,28 @@ def test_drop_plan_inherits_pair_builder_discipline(spark):
             assert "text#" not in input_line, section[:400]
     assert re.search(r"windowspecdefinition\(doc_id\S+, c_spans\S+ DESC",
                      p), p[:900]
+
+
+def test_split_leakage_inherits_lsh_plan_adds_map_side_labels(spark):
+    """split_leakage_report composes the audited LSH pair pipeline with
+    MAP-SIDE split labels: the candidate stage stays an equi-join
+    (never a nested loop over the corpus), no exchange carries text,
+    and no join against a membership table appears — the split label
+    is a pure md5 expression over the pair ids, so the report layer
+    adds exactly one partial+final aggregate onto <= 3 class rows."""
+    spark.conf.set("spark.nats_spark.spread.enabled", "false")
+    try:
+        p = plan_str(spark, "split_leakage_report")
+    finally:
+        spark.conf.set("spark.nats_spark.spread.enabled", "true")
+    assert "CartesianProduct" not in p
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", p)
+    for section in re.split(r"\n\(\d+\) ", p):
+        if section.startswith("Exchange"):
+            input_line = next(
+                (ln for ln in section.splitlines()
+                 if ln.startswith("Input")), "")
+            assert "text#" not in input_line, section[:400]
+    # exactly the pair pipeline's joins — no extra membership join
+    # (labels are expressions over doc_a/doc_b, visible in the agg keys)
+    assert re.search(r"partial_count|partial", p), p[:400]
