@@ -271,3 +271,52 @@ def test_split_leakage_composes_lsh_pairs_and_split_labels(spark):
         assert got[k].n_pairs == len(jacs), k
         assert got[k].min_jaccard == min(jacs), k
         assert got[k].max_jaccard == max(jacs), k
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_tok = st.sampled_from(["x", "y", "z"])  # tiny alphabet -> rich overlaps
+
+
+def _islands_max_run(xs, ys, k):
+    """The operator's formulation, in pure Python: K-gram position
+    matches grouped by diagonal; islands of consecutive positions;
+    answer = max island + k - 1 (None when no K-gram matches)."""
+    ga = [tuple(xs[i:i + k]) for i in range(len(xs) - k + 1)]
+    gb = [tuple(ys[j:j + k]) for j in range(len(ys) - k + 1)]
+    from collections import defaultdict
+    diags = defaultdict(list)
+    for i, a in enumerate(ga):
+        for j, b in enumerate(gb):
+            if a == b:
+                diags[i - j].append(i)
+    if not diags:
+        return None
+    best = 0
+    for pos in diags.values():
+        pos.sort()
+        run = 1
+        for p, q in zip(pos, pos[1:]):
+            run = run + 1 if q == p + 1 else 1
+            best = max(best, run)
+        best = max(best, run if len(pos) > 1 else 1)
+    return best + k - 1
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_tok, max_size=14), st.lists(_tok, max_size=14), 
+       st.integers(min_value=2, max_value=4))
+def test_islands_theorem_equals_diagonal_scan(xs, ys, k):
+    """The equivalence dedup_max_duplicated_run is built on, verified
+    over random inputs at small K: a maximal common token run of
+    length L >= K is exactly an island of L-K+1 consecutive K-gram
+    position matches on one diagonal — so the islands answer equals
+    the direct longest-common-run scan whenever any K-gram matches,
+    and no K-gram matches iff the longest common run is < K."""
+    direct = _max_common_run(xs, ys)
+    via_islands = _islands_max_run(xs, ys, k)
+    if direct >= k:
+        assert via_islands == direct
+    else:
+        assert via_islands is None
