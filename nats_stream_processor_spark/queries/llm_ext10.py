@@ -3,9 +3,9 @@
 Certification status (the honest-labeling house rule):
 
 - ``dedup_max_duplicated_run`` / ``dedup_containment_drop_plan`` /
-  ``split_leakage_report`` — written in round 11 and INSIDE the r11
-  sampled window (formal rows expected in the round they were
-  written).
+  ``split_leakage_report`` / ``events_sliding_quantile_hist`` —
+  written in round 11 and INSIDE the r11 sampled window (formal rows
+  expected in the round they were written).
 
 ``dedup_substring_spans`` (queries/llm.py) answers "which K-token
 spans repeat across documents"; the curation decision a dedup pipeline
@@ -339,3 +339,169 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["split_leakage_report"].oracle = _split_leakage_oracle()
+
+
+# ------------------- sliding-window quantiles from hourly histograms
+
+# The quantile face of the mergeable-summary time axis
+# (events_sliding_distinct_hll is the cardinality face): per-hour
+# fixed-width value HISTOGRAMS are trivially mergeable (bucket-wise
+# count sums), so every sliding window's quantiles come from merging
+# <= SW_HOURS bounded histogram summaries — raw events are histogrammed
+# ONCE; window fan-out multiplies (hour, bucket, count) rows, never
+# events. The estimator picks the first bucket whose cumulative count
+# reaches k (k = ceil(p*n), the type-1 order statistic), so the k-th
+# smallest value PROVABLY lies inside that bucket: the report's
+# within_w booleans are a theorem (est <= exact < est + SQ_W for any
+# data and any bucketing), which is what lets the oracle pin them to
+# literal TRUE — the agg_hll_sketch_union discipline applied to
+# quantiles. SQ_W is a power of two, so value/SQ_W is EXACT binary
+# float division and the bucket id is engine-identical. The exact
+# order statistics ride the raw fan-out through one rank window per
+# window — an EVAL cost only, exactly like the HLL operator's exact
+# side; a production job ships the estimate and the error bound.
+SQ_W = 4  # histogram bucket width (value units; power of two)
+
+
+def _sliding_quantile_oracle() -> str:
+    from .llm_ext9 import SW_HOURS
+
+    return f"""
+    WITH b AS (SELECT epoch_us(ts) // 3600000000 AS h, value
+               FROM events WHERE value IS NOT NULL),
+    hm AS (SELECT max(h) AS hmax FROM b),
+    hist AS (SELECT h, CAST(floor(value / {SQ_W}) AS BIGINT) AS bk,
+                    count(*) AS cnt
+             FROM b GROUP BY h, bk),
+    hrs AS (SELECT DISTINCT h FROM hist),
+    wins AS (SELECT h, unnest(range(h, least(h + {SW_HOURS - 1},
+                                             hm.hmax) + 1)) AS w
+             FROM hrs CROSS JOIN hm),
+    nh AS (SELECT w, CAST(count(*) AS BIGINT) AS n_hours
+           FROM wins GROUP BY w),
+    wh AS (SELECT wn.w, hist.bk, sum(hist.cnt) AS cnt
+           FROM hist JOIN wins wn ON wn.h = hist.h GROUP BY 1, 2),
+    k AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS n_events,
+                 (CAST(sum(cnt) AS BIGINT) + 1) // 2 AS k50,
+                 (19 * CAST(sum(cnt) AS BIGINT) + 19) // 20 AS k95
+          FROM wh GROUP BY w),
+    cum AS (SELECT w, bk,
+                   sum(cnt) OVER (PARTITION BY w ORDER BY bk) AS cum
+            FROM wh),
+    est AS (SELECT c.w,
+                   CAST(min(CASE WHEN c.cum >= k.k50 THEN c.bk END)
+                        * {SQ_W} AS BIGINT) AS est_p50,
+                   CAST(min(CASE WHEN c.cum >= k.k95 THEN c.bk END)
+                        * {SQ_W} AS BIGINT) AS est_p95
+            FROM cum c JOIN k ON k.w = c.w GROUP BY c.w),
+    raw AS (SELECT wn.w, b.value,
+                   row_number() OVER (PARTITION BY wn.w
+                                      ORDER BY b.value) AS rn
+            FROM b JOIN wins wn ON wn.h = b.h),
+    ex AS (SELECT r.w,
+                  max(CASE WHEN r.rn = k.k50 THEN r.value END)
+                      AS exact_p50,
+                  max(CASE WHEN r.rn = k.k95 THEN r.value END)
+                      AS exact_p95
+           FROM raw r JOIN k ON k.w = r.w
+           WHERE r.rn = k.k50 OR r.rn = k.k95
+           GROUP BY r.w)
+    SELECT k.w AS window_hour, nh.n_hours, k.n_events,
+           est.est_p50, ex.exact_p50, TRUE AS within_w_p50,
+           est.est_p95, ex.exact_p95, TRUE AS within_w_p95
+    FROM k JOIN nh ON nh.w = k.w JOIN est ON est.w = k.w
+           JOIN ex ON ex.w = k.w
+    ORDER BY window_hour
+    """
+
+
+@register(
+    "events_sliding_quantile_hist",
+    oracle=None,  # set below (renders SW_HOURS from llm_ext9)
+    tags=("events", "sketch", "quantile", "sliding-window", "mergeable"),
+)
+def q_sliding_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95 of event values per sliding SW_HOURS-hour window from
+    mergeable hourly histograms (module comment above): one row per
+    window with the contributing-hour count, event count, the
+    histogram estimate and exact value for each quantile, and the
+    bucket-containment booleans the oracle pins to TRUE (a theorem of
+    the estimator, not a tolerance).
+
+    Scale shape: the histogram build is one partial+final hourly
+    aggregate over the raw scan; window fan-out explodes HISTOGRAM
+    rows (|hours| x SW_HOURS x |buckets| ints); the per-window
+    cumulative scan and both bucket picks ride ONE window pass + ONE
+    grouped conditional aggregate (no per-quantile re-scan); the
+    exact side rides the raw fan-out through one rank window per
+    window — an EVAL cost, as in events_sliding_distinct_hll; k
+    arithmetic is integer (ceil via (a + b - 1)-style div, `div` ==
+    `//` per the engine-semantics pin)."""
+    from .llm_ext9 import SW_HOURS
+
+    ev = table(spark, sf_dir, "events")
+    base = ev.filter(F.col("value").isNotNull()).select(
+        F.expr("unix_micros(ts) div 3600000000").cast("long").alias("h"),
+        "value")
+    # pinned 1-row bound consumed by both fan-out sides (hmax); the
+    # per-window k table is consumed by the estimate and exact sides
+    # and re-deriving it costs a histogram pass, so it is pinned too
+    from ..registry import pin
+    hmax = pin(base.agg(F.max("h").alias("hmax")))
+    wexpr = f"sequence(h, least(h + {SW_HOURS - 1}, hmax))"
+    # pinned: the hourly histogram (|hours| x |buckets| rows) feeds the
+    # window merge, the hour list, and (through the merge) the k table —
+    # without the pin each consumer would re-scan raw events
+    hist = pin(base.groupBy("h", F.floor(F.col("value") / SQ_W)
+                    .cast("long").alias("bk"))
+               .agg(F.count("*").alias("cnt")))
+    wh = (hist.crossJoin(F.broadcast(hmax))
+          .select(F.explode(F.expr(wexpr)).alias("w"), "bk", "cnt")
+          .groupBy("w", "bk").agg(F.sum("cnt").alias("cnt")))
+    nh = (hist.select("h").distinct()
+          .crossJoin(F.broadcast(hmax))
+          .select(F.explode(F.expr(wexpr)).alias("w"))
+          .groupBy("w").agg(F.count("*").cast("long").alias("n_hours")))
+    k = pin(wh.groupBy("w")
+            .agg(F.sum("cnt").cast("long").alias("n_events"))
+            .select("w", "n_events",
+                    F.expr("(n_events + 1) div 2").alias("k50"),
+                    F.expr("(19 * n_events + 19) div 20").alias("k95")))
+    cumw = (Window.partitionBy("w").orderBy("bk")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    est = (wh.withColumn("cum", F.sum("cnt").over(cumw))
+           .join(k, "w")
+           .groupBy("w")
+           .agg((F.min(F.when(F.col("cum") >= F.col("k50"),
+                              F.col("bk"))) * SQ_W)
+                .cast("long").alias("est_p50"),
+                (F.min(F.when(F.col("cum") >= F.col("k95"),
+                              F.col("bk"))) * SQ_W)
+                .cast("long").alias("est_p95")))
+    rankw = Window.partitionBy("w").orderBy("value")
+    ex = (base.crossJoin(F.broadcast(hmax))
+          .select(F.explode(F.expr(wexpr)).alias("w"), "value")
+          .withColumn("rn", F.row_number().over(rankw))
+          .join(k, "w")
+          .filter((F.col("rn") == F.col("k50"))
+                  | (F.col("rn") == F.col("k95")))
+          .groupBy("w")
+          .agg(F.max(F.when(F.col("rn") == F.col("k50"), F.col("value")))
+               .alias("exact_p50"),
+               F.max(F.when(F.col("rn") == F.col("k95"), F.col("value")))
+               .alias("exact_p95")))
+    return (k.join(nh, "w").join(est, "w").join(ex, "w")
+            .select(F.col("w").alias("window_hour"), "n_hours",
+                    "n_events",
+                    "est_p50", "exact_p50",
+                    ((F.col("exact_p50") >= F.col("est_p50"))
+                     & (F.col("exact_p50") < F.col("est_p50") + SQ_W))
+                    .alias("within_w_p50"),
+                    "est_p95", "exact_p95",
+                    ((F.col("exact_p95") >= F.col("est_p95"))
+                     & (F.col("exact_p95") < F.col("est_p95") + SQ_W))
+                    .alias("within_w_p95"))
+            .orderBy("window_hour"))
+
+
+REGISTRY["events_sliding_quantile_hist"].oracle = _sliding_quantile_oracle()

@@ -320,3 +320,70 @@ def test_islands_theorem_equals_diagonal_scan(xs, ys, k):
         assert via_islands == direct
     else:
         assert via_islands is None
+
+
+def test_sliding_quantile_hist_matches_python_reference(spark):
+    """Full plain-Python replication over the events fixture: hourly
+    bucketing, window membership, histogram k-th-bucket estimates and
+    exact order statistics — plus the bucket-containment theorem
+    (est <= exact < est + SQ_W) on every window and both quantiles."""
+    import math
+
+    rows = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet").collect()
+    from nats_stream_processor_spark.queries.llm_ext9 import SW_HOURS
+    from collections import defaultdict
+    by_hour = defaultdict(list)
+    for r in rows:
+        if r.value is None:
+            continue
+        # nanos-stored fixtures load as long; normalize like the table()
+        # helper (micros truncation)
+        us = (r.ts // 1000 if isinstance(r.ts, int)
+              else int(r.ts.timestamp() * 1_000_000))
+        by_hour[int(us // 3_600_000_000)].append(float(r.value))
+    hmax = max(by_hour)
+    wins = defaultdict(list)
+    n_hours = defaultdict(int)
+    for h, vals in by_hour.items():
+        for w in range(h, min(h + SW_HOURS - 1, hmax) + 1):
+            wins[w].extend(vals)
+            n_hours[w] += 1
+
+    def expect_row(w):
+        vals = sorted(wins[w])
+        n = len(vals)
+        k50, k95 = (n + 1) // 2, (19 * n + 19) // 20
+        out = {"n_hours": n_hours[w], "n_events": n}
+        for tag, k in (("p50", k50), ("p95", k95)):
+            exact = vals[k - 1]
+            hist = defaultdict(int)
+            for v in wins[w]:
+                hist[math.floor(v / x10.SQ_W)] += 1
+            cum, est_b = 0, None
+            for b in sorted(hist):
+                cum += hist[b]
+                if cum >= k:
+                    est_b = b
+                    break
+            out[f"est_{tag}"] = est_b * x10.SQ_W
+            out[f"exact_{tag}"] = exact
+        return out
+
+    got = registry.REGISTRY["events_sliding_quantile_hist"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    registry.release_pins()
+    assert sorted(r.window_hour for r in got) == sorted(wins)
+    for r in got:
+        e = expect_row(r.window_hour)
+        assert r.n_hours == e["n_hours"], r.window_hour
+        assert r.n_events == e["n_events"], r.window_hour
+        for tag in ("p50", "p95"):
+            assert getattr(r, f"est_{tag}") == e[f"est_{tag}"], \
+                (r.window_hour, tag)
+            assert getattr(r, f"exact_{tag}") == e[f"exact_{tag}"], \
+                (r.window_hour, tag)
+            # the containment theorem, independently re-checked
+            assert e[f"est_{tag}"] <= e[f"exact_{tag}"] \
+                < e[f"est_{tag}"] + x10.SQ_W
+            assert getattr(r, f"within_w_{tag}") is True

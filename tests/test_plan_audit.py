@@ -1057,3 +1057,18 @@ def test_split_leakage_inherits_lsh_plan_adds_map_side_labels(spark):
     # exactly the pair pipeline's joins — no extra membership join
     # (labels are expressions over doc_a/doc_b, visible in the agg keys)
     assert re.search(r"partial_count|partial", p), p[:400]
+
+
+def test_sliding_quantile_fans_out_histograms_not_events(spark):
+    """The sliding-quantile scale claim, mirroring the sliding-HLL
+    audit: the histogram build is one partial+final hourly aggregate;
+    window fan-out multiplies HISTOGRAM rows; raw events are scanned a
+    bounded number of times in the whole plan (the pinned histogram's
+    own build + the exact-eval side + the pinned hmax bound's build;
+    every histogram consumer reads the cache) — never once per
+    window — and no cartesian anywhere (the 1-row hmax bound rides
+    broadcast nested loops)."""
+    p = plan_str(spark, "events_sliding_quantile_hist")
+    assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" in p, p[:600]
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 3, p[:600]
