@@ -3,9 +3,10 @@
 Certification status (the honest-labeling house rule):
 
 - ``dedup_max_duplicated_run`` / ``dedup_containment_drop_plan`` /
-  ``split_leakage_report`` / ``events_sliding_quantile_hist`` —
-  written in round 11 and INSIDE the r11 sampled window (formal rows
-  expected in the round they were written).
+  ``split_leakage_report`` / ``events_sliding_quantile_hist`` /
+  ``text_looping_run_report`` — written in round 11 and INSIDE the
+  r11 sampled window (formal rows expected in the round they were
+  written).
 
 ``dedup_substring_spans`` (queries/llm.py) answers "which K-token
 spans repeat across documents"; the curation decision a dedup pipeline
@@ -95,11 +96,10 @@ _RUN_CTES = f"""
               FROM runs GROUP BY doc_a, doc_b)"""
 
 
-def _span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared builder: per-pair run stats joined with both sides' span
-    counts — (doc_a, doc_b, n_shared_positions, max_run_spans,
-    n_spans_a, n_spans_b). The Spark twin of _RUN_CTES."""
-    d = spread(table(spark, sf_dir, "documents"))
+def _positioned_spans(d: DataFrame) -> DataFrame:
+    """(doc_id, pos, span_id): the rolling-hash span at each 0-based
+    token position — the shared relation every operator in this module
+    matches on."""
     hs = token_hashes_32_col(F.col("text"))
     k = MR_K
     grams = F.transform(
@@ -108,10 +108,19 @@ def _span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(hs, i, k), F.lit(0).cast("long"),
             lambda acc, x: (acc * _COMB + x) % _P),
     )
-    sp = d.select(
+    return d.select(
         "doc_id",
         F.posexplode(F.when(F.size(hs) >= k, grams).otherwise(F.array()))
         .alias("pos", "span_id"))
+
+
+def _span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared builder: per-pair run stats joined with both sides' span
+    counts — (doc_a, doc_b, n_shared_positions, max_run_spans,
+    n_spans_a, n_spans_b). The Spark twin of _RUN_CTES."""
+    d = spread(table(spark, sf_dir, "documents"))
+    k = MR_K
+    sp = _positioned_spans(d)
     # n_spans needs only the token COUNT (len - K + 1) — no second md5
     # pass over the corpus
     ns = (d.select("doc_id",
@@ -505,3 +514,135 @@ def q_sliding_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["events_sliding_quantile_hist"].oracle = _sliding_quantile_oracle()
+
+
+# --------------------------- intra-document looping-run report
+
+# Degenerate looping text ("the the the...", a phrase stuck on repeat,
+# an n-gram cycle from a sampling failure) is a repetition mode the
+# bigram-share score (text_repetition_score) underestimates when the
+# loop UNIT is long. At run granularity it is the INTRA-document twin
+# of the max-run operator: a region that repeats with period d <= LP_D
+# is exactly an island of consecutive positions p where span(p) ==
+# span(p + d) — the same diagonal islands, with the two sides being
+# the SAME document shifted. The period is bounded (LP_D) for the same
+# reason the interval-overlap join is binned (llm_ext8): an unbounded
+# intra-doc self-join is quadratic in a degenerate all-same-token
+# document, while the position-binned form (bucket = pos div LP_D;
+# the shifted side emits its bucket and its predecessor, the equi-join
+# matches each qualifying pair exactly once) bounds candidates to
+# O(n_tokens x LP_D) for ANY input. Far-apart (period > LP_D)
+# duplicated regions are dedup_substring_spans' regime, not a loop.
+LP_D = 64  # max period, in token positions
+
+
+def _looping_oracle() -> str:
+    return f"""
+    WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+               FROM documents),
+    h AS (SELECT doc_id, {token_hashes_32_duck_sql('toks')} AS hs FROM t
+          WHERE len(toks) >= {MR_K}),
+    g AS (SELECT doc_id,
+                 list_transform(
+                     range(1, len(hs) - {MR_K} + 2),
+                     i -> list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                                      list_slice(hs, i, i + {MR_K} - 1)),
+                         (acc, x) -> (acc * {_COMB} + x) % {_P})) AS spans
+          FROM h),
+    sp AS (SELECT doc_id, unnest(range(0, len(spans))) AS pos,
+                  unnest(spans) AS span_id
+           FROM g),
+    lhs AS (SELECT doc_id, span_id, pos, pos // {LP_D} AS bkt FROM sp),
+    rhs AS (SELECT doc_id, span_id, pos, pos // {LP_D} AS bkt FROM sp
+            UNION ALL
+            SELECT doc_id, span_id, pos, pos // {LP_D} - 1 AS bkt FROM sp),
+    m AS (SELECT a.doc_id, a.pos AS pa, b.pos - a.pos AS diag
+          FROM lhs a JOIN rhs b
+            ON b.doc_id = a.doc_id AND b.span_id = a.span_id
+               AND b.bkt = a.bkt
+          WHERE b.pos - a.pos BETWEEN 1 AND {LP_D}),
+    r AS (SELECT doc_id, diag,
+                 pa - row_number() OVER (PARTITION BY doc_id, diag
+                                         ORDER BY pa) AS isl,
+                 pa
+          FROM m),
+    runs AS (SELECT doc_id, diag, isl, count(*) AS run_len,
+                    min(pa) AS start
+             FROM r GROUP BY doc_id, diag, isl),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_loop_positions
+            FROM m GROUP BY doc_id),
+    best AS (SELECT doc_id, run_len, diag, start,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY run_len DESC, diag, start)
+                        AS rk
+             FROM runs)
+    SELECT b.doc_id, CAST(b.run_len AS BIGINT) AS max_run_spans,
+           CAST(b.run_len + {MR_K} - 1 AS BIGINT) AS max_run_tokens,
+           CAST(b.diag AS BIGINT) AS period_tokens,
+           CAST(b.start AS BIGINT) AS run_start_pos,
+           tot.n_loop_positions
+    FROM best b JOIN tot ON tot.doc_id = b.doc_id
+    WHERE b.rk = 1
+    ORDER BY b.doc_id
+    """
+
+
+@register(
+    "text_looping_run_report",
+    oracle=None,  # set below
+    tags=("llm", "text-quality", "repetition", "gaps-and-islands"),
+)
+def q_looping_run_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest intra-document periodic run (module comment above): one
+    row per document containing any region that repeats itself at a
+    period of 1..{LP_D} token positions — the run length in spans and
+    tokens, the period and start of the maximal run (ties: shortest
+    period, earliest start), and the total count of shifted span
+    matches (the doc's overall "loopiness" mass).
+
+    Scale shape: the shifted self-match is the position-BINNED
+    equi-join (bucket = pos div LP_D; the shifted side emits two
+    bucket keys, each qualifying pair matches exactly once), so
+    candidates are O(n_tokens x LP_D) even for an all-identical-token
+    document — never the quadratic unbinned self-join; islands ride a
+    (doc, diag) window whose partition mass is bounded by one doc's
+    span count; everything shuffled is (doc_id, span_id, pos) ints."""
+    d = spread(table(spark, sf_dir, "documents"))
+    sp = _positioned_spans(d)
+    lhs = sp.select("doc_id", "span_id", "pos",
+                    F.expr(f"pos div {LP_D}").alias("bkt"))
+    rhs = lhs.unionByName(
+        sp.select("doc_id", "span_id", "pos",
+                  F.expr(f"pos div {LP_D} - 1").alias("bkt")))
+    m = (lhs.alias("a").join(
+            rhs.alias("b"),
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.span_id") == F.col("a.span_id"))
+            & (F.col("b.bkt") == F.col("a.bkt")))
+         .filter((F.col("b.pos") - F.col("a.pos")).between(1, LP_D))
+         .select(F.col("a.doc_id").alias("doc_id"),
+                 F.col("a.pos").alias("pa"),
+                 (F.col("b.pos") - F.col("a.pos")).alias("diag")))
+    w = Window.partitionBy("doc_id", "diag").orderBy("pa")
+    runs = (m.withColumn("isl", F.col("pa") - F.row_number().over(w))
+            .groupBy("doc_id", "diag", "isl")
+            .agg(F.count("*").alias("run_len"), F.min("pa").alias("start")))
+    tot = m.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_loop_positions"))
+    wb = Window.partitionBy("doc_id").orderBy(
+        F.col("run_len").desc(), "diag", "start")
+    best = (runs.withColumn("rk", F.row_number().over(wb))
+            .filter(F.col("rk") == 1))
+    return (best.join(tot, "doc_id")
+            .select("doc_id",
+                    F.col("run_len").cast("long").alias("max_run_spans"),
+                    (F.col("run_len") + MR_K - 1).cast("long")
+                    .alias("max_run_tokens"),
+                    F.col("diag").cast("long").alias("period_tokens"),
+                    F.col("start").cast("long").alias("run_start_pos"),
+                    "n_loop_positions")
+            .orderBy("doc_id"))
+
+
+REGISTRY["text_looping_run_report"].oracle = _looping_oracle()

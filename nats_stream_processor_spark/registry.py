@@ -270,14 +270,15 @@ def oracle_sql() -> dict[str, str]:
 #    gained engine-semantics notes for the r10 ADVICE items —
 #    events_sliding_distinct_hll, graph_nn_descent, graph_knn_insert
 #    (comments only; oracle text unchanged);
-#  - the 5 new round-11 operators — formal rows in the round they are
+#  - the 6 new round-11 operators — formal rows in the round they are
 #    written: dedup_max_duplicated_run, dedup_containment_drop_plan,
-#    split_leakage_report, events_sliding_quantile_hist (llm_ext10)
-#    and graph_rebuild_policy (llm_ext7);
-#  - the alphabetically-first 38 of the 41 remaining r6-era rows —
-#    draining that era to THREE entries (text_token_stats,
-#    text_vocab_topk, train_val_split, r6-green, queued to lead the
-#    r12 fill). If
+#    split_leakage_report, events_sliding_quantile_hist,
+#    text_looping_run_report (llm_ext10) and graph_rebuild_policy
+#    (llm_ext7);
+#  - the alphabetically-first 37 of the 41 remaining r6-era rows —
+#    draining that era to FOUR entries (text_token_entropy,
+#    text_token_stats, text_vocab_topk, train_val_split, r6-green,
+#    queued to lead the r12 fill). If
 #    further round-11 operators land while the window is open, they
 #    replace the TAIL of this r6-era slice (new code certifies in its
 #    round; an r6-era row is merely old, not missing) — any landing
@@ -296,8 +297,8 @@ SAMPLE_PREFIX_EXPECTED = [
     # new in round 11
     "dedup_max_duplicated_run", "dedup_containment_drop_plan",
     "split_leakage_report", "events_sliding_quantile_hist",
-    "graph_rebuild_policy",
-    # the alphabetically-first 38 of the 41 remaining r6-era rows
+    "text_looping_run_report", "graph_rebuild_policy",
+    # the alphabetically-first 37 of the 41 remaining r6-era rows
     "decontaminate_ngram_overlap", "dedup_components",
     "dedup_edit_distance_verify", "dedup_embedding_cosine",
     "dedup_exact", "dedup_keep_best", "dedup_minhash_lsh",
@@ -312,7 +313,6 @@ SAMPLE_PREFIX_EXPECTED = [
     "sim_ann_ivf_pq", "sim_ann_lsh", "sim_ann_pq", "sim_cosine_topk",
     "sim_matryoshka_recall", "text_keyphrases_rake", "text_lang_id",
     "text_quality_scores", "text_redact_pii", "text_repetition_score",
-    "text_token_entropy",
 ]
 
 

@@ -387,3 +387,77 @@ def test_sliding_quantile_hist_matches_python_reference(spark):
             assert e[f"est_{tag}"] <= e[f"exact_{tag}"] \
                 < e[f"est_{tag}"] + x10.SQ_W
             assert getattr(r, f"within_w_{tag}") is True
+
+
+def _loop_reference(toks, k, dmax):
+    """Plain-Python reference for the looping-run report: best
+    (run_len, period, start) by (run desc, period asc, start asc),
+    plus the total shifted-match count."""
+    grams = [tuple(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    best, total = None, 0
+    for d in range(1, dmax + 1):
+        run = 0
+        for i in range(len(grams) - d):
+            if grams[i] == grams[i + d]:
+                total += 1
+                run += 1
+                start = i - run + 1
+                cand = (-run, d, start)
+                if best is None or cand < best:
+                    best = cand
+            else:
+                run = 0
+    if best is None:
+        return None
+    run, d, start = -best[0], best[1], best[2]
+    return (run, run + k - 1, d, start, total)
+
+
+def test_looping_run_planted_periods(spark, tmp_path):
+    """Planted loop regimes: a 20-token phrase repeated 4x (period 20,
+    run = region minus one period), a period-1 degenerate token loop
+    (tie-break must pick the SHORTEST period), and clean text (absent
+    from the report). Full agreement with the plain-Python reference."""
+    phrase = [f"q{i:02d}" for i in range(20)]
+    looped = phrase * 4 + [f"t{i:03d}" for i in range(10)]
+    degenerate = ["ha"] * 50
+    clean = [f"c{i:03d}" for i in range(40)]
+    texts = [" ".join(looped), " ".join(degenerate), " ".join(clean)]
+    sf_dir = _write_docs(spark, tmp_path, texts)
+    got = {r.doc_id: r for r in
+           registry.REGISTRY["text_looping_run_report"].fn(
+               spark, sf_dir).collect()}
+    toks = [_toks(t) for t in texts]
+    for i, t in enumerate(toks):
+        e = _loop_reference(t, x10.MR_K, x10.LP_D)
+        if e is None:
+            assert i not in got, i
+            continue
+        r = got[i]
+        assert (r.max_run_spans, r.max_run_tokens, r.period_tokens,
+                r.run_start_pos, r.n_loop_positions) == e, i
+    # the planted shapes landed as designed
+    assert got[0].period_tokens == 20
+    assert got[0].max_run_tokens == 60  # 80-token region minus 1 period
+    assert got[1].period_tokens == 1    # shortest period wins the tie
+    assert 2 not in got
+
+
+def test_looping_run_binned_join_equals_unbinned(spark, tmp_path):
+    """The position-binned self-match (the O(n x LP_D) scale shape)
+    must produce exactly the unbinned quadratic join's matches — run
+    the operator against a brute-force pair count per doc computed
+    off raw grams, over a corpus whose loops straddle bucket
+    boundaries (periods near LP_D and runs crossing pos = LP_D)."""
+    near = [f"w{i:02d}" for i in range(x10.LP_D - 2)]
+    texts = [" ".join(near * 3),                      # period 62 runs
+             " ".join(["z"] * (x10.LP_D * 2 + 30))]   # period 1, long
+    sf_dir = _write_docs(spark, tmp_path, texts)
+    got = {r.doc_id: r for r in
+           registry.REGISTRY["text_looping_run_report"].fn(
+               spark, sf_dir).collect()}
+    for i, t in enumerate(_toks(x) for x in texts):
+        e = _loop_reference(t, x10.MR_K, x10.LP_D)
+        r = got[i]
+        assert (r.max_run_spans, r.max_run_tokens, r.period_tokens,
+                r.run_start_pos, r.n_loop_positions) == e, i

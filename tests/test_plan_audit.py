@@ -1072,3 +1072,27 @@ def test_sliding_quantile_fans_out_histograms_not_events(spark):
     assert "CartesianProduct" not in p
     assert "InMemoryTableScan" in p, p[:600]
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 3, p[:600]
+
+
+def test_looping_run_self_match_is_binned_equi_join(spark):
+    """text_looping_run_report's scale claim: the intra-doc shifted
+    self-match must be the position-binned EQUI-join (never a nested
+    loop / cartesian — the unbinned form is quadratic on a degenerate
+    all-same-token doc), no exchange carries text, and the islands
+    window is (doc, diag)-keyed."""
+    spark.conf.set("spark.nats_spark.spread.enabled", "false")
+    try:
+        p = plan_str(spark, "text_looping_run_report")
+    finally:
+        spark.conf.set("spark.nats_spark.spread.enabled", "true")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p, p[:600]
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", p)
+    for section in re.split(r"\n\(\d+\) ", p):
+        if section.startswith("Exchange"):
+            input_line = next(
+                (ln for ln in section.splitlines()
+                 if ln.startswith("Input")), "")
+            assert "text#" not in input_line, section[:400]
+    assert re.search(r"windowspecdefinition\(doc_id\S+, diag\S+, pa\S+",
+                     p), p[:900]
