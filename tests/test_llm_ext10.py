@@ -461,3 +461,36 @@ def test_looping_run_binned_join_equals_unbinned(spark, tmp_path):
         r = got[i]
         assert (r.max_run_spans, r.max_run_tokens, r.period_tokens,
                 r.run_start_pos, r.n_loop_positions) == e, i
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.data())
+def test_drop_plan_kept_in_is_always_a_survivor_property(data):
+    """The survivor theorem behind dedup_containment_drop_plan, hammered
+    on random slice-of-a-base corpora (rich containment chains, equal
+    slices, partial overlaps) at small K: in the reference plan, every
+    dropped doc's chosen container is itself NEVER dropped — the
+    transitivity argument holds on arbitrary inputs, including
+    equal-content groups and multi-level chains."""
+    k = data.draw(st.integers(min_value=2, max_value=5))
+    n_base = data.draw(st.integers(min_value=k, max_value=25))
+    base = [data.draw(st.sampled_from(["x", "y"])) for _ in range(n_base)]
+    n_docs = data.draw(st.integers(min_value=2, max_value=8))
+    toks = []
+    for _ in range(n_docs):
+        lo = data.draw(st.integers(min_value=0, max_value=max(0, n_base - k)))
+        hi = data.draw(st.integers(min_value=lo + k, max_value=n_base))
+        toks.append(base[lo:hi])
+    plan = _expected_drop_plan(toks, k)
+    dropped = set(plan)
+    for d, (kept_in, n_spans, tokens_saved) in plan.items():
+        assert kept_in not in dropped, (d, kept_in, toks)
+        assert kept_in != d
+        assert n_spans == len(toks[d]) - k + 1
+        assert tokens_saved == len(toks[d])
+    # and every dropped doc really is a contiguous sublist of its
+    # container (the semantic the operator reports)
+    for d, (kept_in, _, _) in plan.items():
+        s, g = toks[d], toks[kept_in]
+        assert any(g[i:i + len(s)] == s
+                   for i in range(len(g) - len(s) + 1)), (d, kept_in)
