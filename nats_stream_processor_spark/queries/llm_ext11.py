@@ -1,0 +1,242 @@
+"""Round-11 operators, second wave: pipeline-maintenance and statistics
+faces (mergeable moments, incremental view maintenance, robust trends,
+SCD2 history build, bootstrap CIs, calibration, mutual-NN alignment,
+gazetteer tagging).
+
+Certification status (the honest-labeling house rule): every operator in
+this module was written in round 11 and is INSIDE the r11 sampled window —
+the window comment in registry.py pre-allocated exactly this move (further
+round-11 operators replace the TAIL of the r6-era re-certification slice;
+new code certifies in the round it is written, an r6-era row is merely old,
+not missing).
+
+Reference scope note: the reference (/root/reference, a single-purpose
+NATS enrichment daemon, src/main.py + src/stream_processor.py) has no
+analytics surface; every operator here is north-star scope (the
+large-scale training-data pipeline brief), built Spark-first and
+oracle-paired like the rest of the package.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# Registry import FIRST among intra-package imports (worker re-import
+# ordering; see llm_ext2.py's header note).
+from ..registry import REGISTRY, pin, register, spread, table
+
+from ..operators import similarity as sim
+from ..operators.relational import dsum, dsum_sql
+
+
+# ----------------------------- mergeable moments (mean/var/skew) merge
+
+# The moments face of the mergeable-summary story (HLL = cardinality,
+# histograms = quantiles, THIS = central moments): raw power sums
+# (n, Σv, Σv², Σv³) are the canonical mergeable moment summary — partials
+# from any partitioning of the data (here: per event-hour) merge by plain
+# addition, with NO approximation, so a 100 TB job materializes per-hour
+# (or per-file) 4-number summaries once and answers mean/variance/skewness
+# for ANY hour subset by summing a handful of rows. Exactness discipline:
+# values are quantized to the unit grid first (floor(v + 0.5), pure double
+# ops both engines perform bit-identically), so every power sum is an
+# exact INTEGER (order-independent — merged == direct is a theorem, not a
+# float coincidence) carried as decimal(38,0)/int128; the final moments
+# are a fixed sequence of IEEE double ops on exactly-converted sums.
+# Magnitude license: v <= ~500 units, so Σv³ < 2^53 (exact double
+# conversion) through ~sf300; past that, re-quantize coarser or split the
+# conversion — the summary itself never saturates decimal(38,0).
+
+
+def _moments_tail_sql() -> str:
+    # Shared final-moment arithmetic (identical textual op sequence on
+    # both engines; see module comment). Input relation `mg` carries
+    # (event_type, n_hours, n, s1, s2, s3) with exact integer sums.
+    return f"""
+    d AS (SELECT event_type, n_hours, n,
+                 CAST(n AS DOUBLE) AS nd,
+                 CAST(s1 AS DOUBLE) AS s1d,
+                 CAST(s2 AS DOUBLE) AS s2d,
+                 CAST(s3 AS DOUBLE) AS s3d
+          FROM mg),
+    m1 AS (SELECT event_type, n_hours, n, nd, s2d, s3d,
+                  s1d / nd AS mean FROM d),
+    m2 AS (SELECT event_type, n_hours, n, nd, s3d, mean,
+                  s2d / nd AS ex2,
+                  s2d / nd - mean * mean AS var FROM m1)
+    SELECT event_type, n_hours, CAST(n AS BIGINT) AS n_events,
+           {sim.round6_stable_sql('mean')} AS mean_value,
+           {sim.round6_stable_sql('var')} AS variance,
+           {sim.round6_stable_sql(
+               '(s3d / nd - 3.0 * mean * ex2 + 2.0 * mean * mean * mean)'
+               ' / (sqrt(var) * var)')} AS skewness
+    FROM m2 ORDER BY event_type
+    """
+
+
+@register(
+    "events_moments_merge",
+    oracle=f"""
+    WITH q AS (SELECT event_type,
+                      epoch_us(ts) // 3600000000 AS h,
+                      CAST(floor(value + 0.5) AS BIGINT) AS v
+               FROM events WHERE value IS NOT NULL),
+    part AS (SELECT event_type, h, count(*) AS pn,
+                    sum(v) AS p1, sum(v * v) AS p2,
+                    sum(v * v * v) AS p3
+             FROM q GROUP BY event_type, h),
+    mg AS (SELECT event_type,
+                  CAST(count(*) AS BIGINT) AS n_hours,
+                  sum(pn) AS n, sum(p1) AS s1,
+                  sum(p2) AS s2, sum(p3) AS s3
+           FROM part GROUP BY event_type),
+    {_moments_tail_sql()}
+    """,
+    tags=("events", "sketch", "mergeable", "moments"),
+)
+def q_moments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean / variance / skewness per event type computed by MERGING
+    per-hour raw-power-sum partials (module comment above): one row per
+    event type with the number of hourly summaries merged, the event
+    count, and the three moments (6 dp).
+
+    Scale shape: pass 1 is a partial+final aggregate onto (type, hour)
+    keys — the summary table a production job would persist (4 ints per
+    key); pass 2 merges those rows by plain integer addition onto
+    |types| keys. Nothing after the first aggregate ever touches raw
+    events, and because the power sums are exact integers the merged
+    result equals a direct global aggregate BIT-FOR-BIT (asserted
+    against the oracle, which computes the same partials), at any
+    partitioning — the property that makes incremental/rolling moment
+    maintenance safe at 100 TB."""
+    ev = table(spark, sf_dir, "events")
+    q = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("h"),
+        F.floor(F.col("value") + F.lit(0.5)).cast("long").alias("v"))
+    dec = "decimal(38,0)"
+    part = (q.groupBy("event_type", "h")
+            .agg(F.count("*").alias("pn"),
+                 F.sum(F.col("v").cast(dec)).alias("p1"),
+                 F.sum((F.col("v") * F.col("v")).cast(dec)).alias("p2"),
+                 F.sum((F.col("v") * F.col("v") * F.col("v")).cast(dec))
+                  .alias("p3")))
+    mg = (part.groupBy("event_type")
+          .agg(F.count("*").cast("long").alias("n_hours"),
+               F.sum("pn").alias("n"), F.sum("p1").alias("s1"),
+               F.sum("p2").alias("s2"), F.sum("p3").alias("s3")))
+    d = mg.select(
+        "event_type", "n_hours", "n",
+        F.col("n").cast("double").alias("nd"),
+        F.col("s1").cast("double").alias("s1d"),
+        F.col("s2").cast("double").alias("s2d"),
+        F.col("s3").cast("double").alias("s3d"))
+    m1 = d.withColumn("mean", F.col("s1d") / F.col("nd"))
+    m2 = (m1.withColumn("ex2", F.col("s2d") / F.col("nd"))
+          .withColumn("var",
+                      F.col("s2d") / F.col("nd")
+                      - F.col("mean") * F.col("mean")))
+    skew = ((F.col("s3d") / F.col("nd")
+             - F.lit(3.0) * F.col("mean") * F.col("ex2")
+             + F.lit(2.0) * F.col("mean") * F.col("mean") * F.col("mean"))
+            / (F.sqrt(F.col("var")) * F.col("var")))
+    return (m2.select(
+        "event_type", "n_hours", F.col("n").cast("long").alias("n_events"),
+        sim.round6_stable(F.col("mean")).alias("mean_value"),
+        sim.round6_stable(F.col("var")).alias("variance"),
+        sim.round6_stable(skew).alias("skewness"))
+        .orderBy("event_type"))
+
+
+# --------------------------- incremental aggregate maintenance (IVM)
+
+
+# The watermark splitting base from delta. Mid-range for the orders
+# table's 1995..2001 span, so both sides are substantial at every SF.
+IVM_WATERMARK = "1998-01-01"
+
+
+@register(
+    "ivm_agg_delta",
+    oracle=f"""
+    WITH flagged AS (SELECT o_orderpriority,
+                            o_orderdate >= TIMESTAMP '{IVM_WATERMARK}'
+                                AS is_delta,
+                            o_totalprice
+                     FROM orders),
+    part AS (SELECT o_orderpriority, is_delta,
+                    CAST(count(*) AS BIGINT) AS pn,
+                    sum(CAST(o_totalprice AS DECIMAL(25,6))) AS ps
+             FROM flagged GROUP BY o_orderpriority, is_delta),
+    merged AS (SELECT o_orderpriority,
+                      CAST(sum(CASE WHEN NOT is_delta THEN pn
+                                    ELSE 0 END) AS BIGINT) AS n_base,
+                      CAST(sum(CASE WHEN is_delta THEN pn
+                                    ELSE 0 END) AS BIGINT) AS n_delta,
+                      CAST(sum(pn) AS BIGINT) AS n_total,
+                      CAST(round(sum(ps), 4) AS DOUBLE) AS revenue_total
+               FROM part GROUP BY o_orderpriority),
+    full_agg AS (SELECT o_orderpriority,
+                        CAST(count(*) AS BIGINT) AS fn,
+                        {dsum_sql('o_totalprice')} AS fs
+                 FROM orders GROUP BY o_orderpriority)
+    SELECT m.o_orderpriority, m.n_base, m.n_delta, m.n_total,
+           m.revenue_total,
+           (m.n_total = f.fn AND m.revenue_total = f.fs)
+               AS merged_eq_full
+    FROM merged m JOIN full_agg f USING (o_orderpriority)
+    ORDER BY o_orderpriority
+    """,
+    tags=("relational", "ivm", "incremental", "mergeable"),
+)
+def q_ivm_agg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: maintain a per-priority order
+    count + revenue aggregate by MERGING a pre-watermark base partial
+    with a post-watermark delta partial, and prove the maintained
+    result equals a full recompute — one row per priority with both
+    sides' contributions and the equality flag (TRUE is a theorem
+    here, not a tolerance: counts are integers and the revenue sums
+    ride the package's exact-decimal discipline, so partial-merge ==
+    direct is order-independent arithmetic).
+
+    This is the pattern that makes a 100 TB nightly aggregate a
+    delta-sized job: persist the base partial once, aggregate only the
+    new partition each day, and ADD — the same mergeable-summary
+    algebra as events_moments_merge, applied to the relational
+    surface. The full recompute here exists only as the in-query
+    proof; a production run ships the merged row.
+
+    Scale shape: one scan computes per-(priority, is_delta) partials
+    map-side (partial+final hash aggregate, 10 groups); the merge is
+    an aggregate over those 10 rows; the proof side is a second
+    partial+final aggregate joined on the 5-row priority key. No
+    window, no per-row state, shuffles carry group keys only."""
+    o = table(spark, sf_dir, "orders")
+    flagged = o.select(
+        "o_orderpriority",
+        (F.col("o_orderdate") >= F.lit(IVM_WATERMARK).cast("timestamp"))
+        .alias("is_delta"),
+        "o_totalprice")
+    part = (flagged.groupBy("o_orderpriority", "is_delta")
+            .agg(F.count("*").cast("long").alias("pn"),
+                 F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+                  .alias("ps")))
+    merged = (part.groupBy("o_orderpriority")
+              .agg(F.sum(F.when(~F.col("is_delta"), F.col("pn"))
+                         .otherwise(F.lit(0))).cast("long").alias("n_base"),
+                   F.sum(F.when(F.col("is_delta"), F.col("pn"))
+                         .otherwise(F.lit(0))).cast("long").alias("n_delta"),
+                   F.sum("pn").cast("long").alias("n_total"),
+                   F.round(F.sum("ps"), 4).cast("double")
+                    .alias("revenue_total")))
+    full_agg = (o.groupBy("o_orderpriority")
+                .agg(F.count("*").cast("long").alias("fn"),
+                     dsum("o_totalprice").alias("fs")))
+    return (merged.join(full_agg, "o_orderpriority")
+            .select("o_orderpriority", "n_base", "n_delta", "n_total",
+                    "revenue_total",
+                    ((F.col("n_total") == F.col("fn"))
+                     & (F.col("revenue_total") == F.col("fs")))
+                    .alias("merged_eq_full"))
+            .orderBy("o_orderpriority"))

@@ -270,23 +270,21 @@ def oracle_sql() -> dict[str, str]:
 #    gained engine-semantics notes for the r10 ADVICE items —
 #    events_sliding_distinct_hll, graph_nn_descent, graph_knn_insert
 #    (comments only; oracle text unchanged);
-#  - the 6 new round-11 operators — formal rows in the round they are
+#  - the new round-11 operators — formal rows in the round they are
 #    written: dedup_max_duplicated_run, dedup_containment_drop_plan,
 #    split_leakage_report, events_sliding_quantile_hist,
-#    text_looping_run_report (llm_ext10) and graph_rebuild_policy
-#    (llm_ext7);
-#  - the alphabetically-first 37 of the 41 remaining r6-era rows —
-#    draining that era to FOUR entries (text_token_entropy,
-#    text_token_stats, text_vocab_topk, train_val_split, r6-green,
-#    queued to lead the r12 fill). If
-#    further round-11 operators land while the window is open, they
-#    replace the TAIL of this r6-era slice (new code certifies in its
-#    round; an r6-era row is merely old, not missing) — any landing
-#    after that carries the honest behind-window header and leads r12.
+#    text_looping_run_report (llm_ext10), graph_rebuild_policy
+#    (llm_ext7), and the llm_ext11 wave (each landing replaced the
+#    TAIL of the r6-era slice below, exactly as this comment
+#    pre-allocated — new code certifies in its round; an r6-era row
+#    is merely old, not missing);
+#  - the alphabetically-first remainder of the 41 r6-era rows —
+#    every r6-era row displaced by an llm_ext11 landing joins
+#    text_token_entropy, text_token_stats, text_vocab_topk and
+#    train_val_split (r6-green) at the head of the r12 fill queue.
 # Everything else — formally green in r7-r10 and unchanged — rotates
 # behind. After this round no entry's latest formal row is older than
-# r6, the r6 era holds a single row, and the oracle-less entry's
-# parity evidence is current-code.
+# r6 and the oracle-less entry's parity evidence is current-code.
 SAMPLE_PREFIX_EXPECTED = [
     # the parity pair (value evidence dated r5; re-certify on HEAD)
     "dedup_minhash_fast_parity", "dedup_minhash_lsh_fast",
@@ -298,6 +296,7 @@ SAMPLE_PREFIX_EXPECTED = [
     "dedup_max_duplicated_run", "dedup_containment_drop_plan",
     "split_leakage_report", "events_sliding_quantile_hist",
     "text_looping_run_report", "graph_rebuild_policy",
+    "events_moments_merge", "ivm_agg_delta",
     # the alphabetically-first 37 of the 41 remaining r6-era rows
     "decontaminate_ngram_overlap", "dedup_components",
     "dedup_edit_distance_verify", "dedup_embedding_cosine",
@@ -312,7 +311,7 @@ SAMPLE_PREFIX_EXPECTED = [
     "sample_fixed_k_per_source", "sample_stratified", "sim_ann_ivf",
     "sim_ann_ivf_pq", "sim_ann_lsh", "sim_ann_pq", "sim_cosine_topk",
     "sim_matryoshka_recall", "text_keyphrases_rake", "text_lang_id",
-    "text_quality_scores", "text_redact_pii", "text_repetition_score",
+    "text_quality_scores",
 ]
 
 
@@ -417,6 +416,7 @@ def _populate_chain() -> None:
     # Round-11 additions (certify in the round they are written).
     pre = set(REGISTRY)
     from .queries import llm_ext10  # noqa: F401
+    from .queries import llm_ext11  # noqa: F401
     _ext11_names = [n for n in REGISTRY if n not in pre]
 
     # Reorder so the curated prefix leads. Every curated name must exist

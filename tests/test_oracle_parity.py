@@ -53,10 +53,12 @@ def test_sample_prefix_has_no_name_drift():
 
     The r11 prefix is fully explicit (50 names: the parity pair whose
     value evidence dated to r5, the 5 round-11 changed-code re-certs,
-    the 6 new round-11 operators, and the alphabetically-first 37 of
-    the 41 remaining r6-era rows), so the assertion is exact equality
-    on the full window — a silent overflow or an unregistered curated
-    name fails here rather than surfacing in the round artifact."""
+    the new round-11 operators — each llm_ext11 landing replacing the
+    TAIL of the r6-era slice, as the registry's window comment
+    pre-allocated — and the alphabetically-first remainder of the 41
+    r6-era rows), so the assertion is exact equality on the full
+    window — a silent overflow or an unregistered curated name fails
+    here rather than surfacing in the round artifact."""
     missing = [n for n in registry.SAMPLE_PREFIX_EXPECTED
                if n not in registry.REGISTRY]
     assert not missing, f"prefix names not registered: {missing}"
