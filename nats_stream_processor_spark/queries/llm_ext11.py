@@ -240,3 +240,181 @@ def q_ivm_agg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                      & (F.col("revenue_total") == F.col("fs")))
                     .alias("merged_eq_full"))
             .orderBy("o_orderpriority"))
+
+
+# ------------------------------------ Theil-Sen robust trend per type
+
+# Robust drift detection over a daily activity series: the Theil-Sen
+# estimator (median of all pairwise slopes) tolerates up to ~29% wild
+# outliers where an OLS slope (events_hourly_zscore's frame of
+# reference) is dragged by a single burst day. Distributed license:
+# the pairwise self-join is over the DAILY AGGREGATE series, never raw
+# events — the series length is bounded by the analysis window (30
+# days here; a production job pins a trailing window the same way),
+# so per-type pair counts are <= days², a few hundred rows. The slope
+# of an integer-count pair over integer day indices is ONE IEEE
+# division, so the median pick is engine-deterministic; the median is
+# the type-1 lower order statistic (rank (n+1) div 2) with a
+# (slope, d1, d2) total order so equal slopes break ties identically.
+
+
+@register(
+    "events_theil_sen_trend",
+    oracle=f"""
+    WITH daily AS (SELECT event_type,
+                          epoch_us(ts) // 86400000000 AS d,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM events GROUP BY event_type, d),
+    pairs AS (SELECT a.event_type,
+                     (b.c - a.c) / CAST(b.d - a.d AS DOUBLE) AS slope,
+                     a.d AS d1, b.d AS d2
+              FROM daily a JOIN daily b
+                ON b.event_type = a.event_type AND b.d > a.d),
+    ranked AS (SELECT event_type, slope,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY slope, d1, d2) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS np
+               FROM pairs),
+    nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+           FROM daily GROUP BY event_type)
+    SELECT r.event_type, nd.n_days, CAST(r.np AS BIGINT) AS n_pairs,
+           {sim.round6_stable_sql('r.slope')} AS slope_per_day
+    FROM ranked r JOIN nd ON nd.event_type = r.event_type
+    WHERE r.rn = (r.np + 1) // 2
+    ORDER BY r.event_type
+    """,
+    tags=("events", "robust-statistics", "trend"),
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust daily-activity trend per event type (module
+    comment above): one row per type with the day count, the pairwise
+    slope count, and the median pairwise slope in events/day (6 dp) —
+    the outlier-tolerant answer to "is this event stream growing?".
+
+    Scale shape: raw events collapse to the (type, day) aggregate in
+    one partial+final pass; the pairwise join and the median window
+    touch only that bounded series (<= days² rows per type), so the
+    whole robust fit costs one aggregate + one tiny self-join no
+    matter how many raw events back the series."""
+    ev = table(spark, sf_dir, "events")
+    daily = pin(ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("d"))
+        .agg(F.count("*").cast("long").alias("c")))
+    a = daily.select("event_type", F.col("d").alias("d1"),
+                     F.col("c").alias("c1"))
+    b = daily.select("event_type", F.col("d").alias("d2"),
+                     F.col("c").alias("c2"))
+    pairs = (a.join(b, "event_type")
+             .filter(F.col("d2") > F.col("d1"))
+             .select("event_type",
+                     ((F.col("c2") - F.col("c1"))
+                      / (F.col("d2") - F.col("d1")).cast("double"))
+                     .alias("slope"), "d1", "d2"))
+    wrk = Window.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    wall = Window.partitionBy("event_type")
+    ranked = (pairs.withColumn("rn", F.row_number().over(wrk))
+              .withColumn("np", F.count("*").over(wall)))
+    nd = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"))
+    return (ranked.filter(F.col("rn") == F.expr("(np + 1) div 2"))
+            .join(nd, "event_type")
+            .select("event_type", "n_days",
+                    F.col("np").cast("long").alias("n_pairs"),
+                    sim.round6_stable(F.col("slope"))
+                    .alias("slope_per_day"))
+            .orderBy("event_type"))
+
+
+# ------------------------------------- SCD2 history build (changelog)
+
+# The warehouse-maintenance face of gaps-and-islands: fold an event
+# changelog into a type-2 slowly-changing-dimension history — one
+# validity interval per run of consecutive equal states per key, with
+# half-open [valid_from, valid_to) bounds and an is_current marker.
+# This is how a 100 TB event log becomes a point-in-time-joinable
+# dimension table (the asof_join_* operators consume exactly this
+# shape). State here is the event_type; versioning is the classic
+# lag-compare -> running change count, all inside per-user windows
+# whose partition mass is one user's history (the per-key license
+# every sessionization operator in the package uses). Bounds are
+# exact integer microseconds (the epoch_us/unix_micros discipline).
+# The user_id % 10 filter bounds the CHECKED subset (pushed to the
+# scan); a production build emits all keys — nothing in the plan
+# depends on the filter.
+
+
+@register(
+    "scd2_build_intervals",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_id, event_type AS state,
+                       epoch_us(ts) AS us
+                FROM events WHERE user_id % 10 = 0),
+    chg AS (SELECT user_id, state, us,
+                   CASE WHEN lag(state) OVER w IS NULL
+                             OR state <> lag(state) OVER w
+                        THEN 1 ELSE 0 END AS is_chg
+            FROM ev WINDOW w AS (PARTITION BY user_id
+                                 ORDER BY us, event_id)),
+    ver AS (SELECT user_id, state, us,
+                   sum(is_chg) OVER (PARTITION BY user_id
+                                     ORDER BY us
+                                     ROWS UNBOUNDED PRECEDING) AS version
+            FROM chg),
+    runs AS (SELECT user_id, CAST(version AS BIGINT) AS version,
+                    min(state) AS state,
+                    min(us) AS valid_from_us,
+                    CAST(count(*) AS BIGINT) AS n_events
+             FROM ver GROUP BY user_id, version)
+    SELECT user_id, version, state, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY version) AS valid_to_us,
+           n_events,
+           lead(valid_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY version) IS NULL
+               AS is_current
+    FROM runs ORDER BY user_id, version
+    """,
+    tags=("events", "scd2", "gaps-and-islands", "warehouse"),
+)
+def q_scd2_build_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history from the event changelog (module comment
+    above): one row per (user, state-run) with the version number,
+    the state, exact-microsecond half-open validity bounds
+    ([valid_from_us, valid_to_us); NULL valid_to_us = current), the
+    event count backing the version, and the is_current flag.
+
+    Scale shape: one scan (the key filter reaches the parquet scan),
+    two per-user window passes (lag-compare and the running change
+    count — Catalyst fuses them into one sort per partition spec) and
+    one per-(user, version) aggregate; the final lead() rides a
+    per-user window over VERSION rows, already collapsed. Every
+    partition's mass is a single key's history; the shuffles carry
+    (user, state, us) triples."""
+    ev = (table(spark, sf_dir, "events")
+          .filter(F.col("user_id") % 10 == 0)
+          .select("user_id", "event_id",
+                  F.col("event_type").alias("state"),
+                  F.expr("unix_micros(ts)").alias("us")))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    chg = ev.withColumn(
+        "is_chg",
+        F.when(F.lag("state").over(w).isNull()
+               | (F.col("state") != F.lag("state").over(w)), 1)
+        .otherwise(0))
+    wv = (Window.partitionBy("user_id").orderBy("us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ver = chg.withColumn("version", F.sum("is_chg").over(wv))
+    runs = (ver.groupBy("user_id",
+                        F.col("version").cast("long").alias("version"))
+            .agg(F.min("state").alias("state"),
+                 F.min("us").alias("valid_from_us"),
+                 F.count("*").cast("long").alias("n_events")))
+    wl = Window.partitionBy("user_id").orderBy("version")
+    return (runs
+            .withColumn("valid_to_us",
+                        F.lead("valid_from_us").over(wl))
+            .select("user_id", "version", "state", "valid_from_us",
+                    "valid_to_us", "n_events",
+                    F.col("valid_to_us").isNull().alias("is_current"))
+            .orderBy("user_id", "version"))

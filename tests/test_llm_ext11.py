@@ -183,3 +183,133 @@ def test_ivm_planted_watermark_boundary(spark, tmp_path):
     assert out["5-LOW"]["n_base"] == 0
     assert out["5-LOW"]["n_delta"] == 1
     assert all(r["merged_eq_full"] for r in out.values())
+
+
+# ------------------------------------------------ events_theil_sen_trend
+
+
+def test_theil_sen_matches_python_reference(spark):
+    import duckdb
+    rows = {r["event_type"]: r for r in registry.REGISTRY[
+        "events_theil_sen_trend"].fn(spark, SF_SMOKE).collect()}
+    raw = duckdb.sql(
+        "SELECT event_type, epoch_us(ts) // 86400000000 AS d, "
+        f"count(*) AS c FROM '{SF_SMOKE}/events.parquet' "
+        "GROUP BY 1, 2").fetchall()
+    series: dict[str, dict[int, int]] = {}
+    for t, d, c in raw:
+        series.setdefault(t, {})[d] = c
+    assert set(rows) == set(series)
+    for t, dc in series.items():
+        days = sorted(dc)
+        slopes = sorted(
+            ((dc[d2] - dc[d1]) / float(d2 - d1), d1, d2)
+            for i, d1 in enumerate(days) for d2 in days[i + 1:])
+        med = slopes[(len(slopes) + 1) // 2 - 1][0]
+        r = rows[t]
+        assert r["n_days"] == len(days)
+        assert r["n_pairs"] == len(slopes)
+        assert r["slope_per_day"] == math.floor(med * 1e6 + 0.5) / 1e6
+
+
+def test_theil_sen_robust_to_planted_outlier(spark, tmp_path):
+    """A linearly growing series (slope 2/day) with one wild burst day:
+    the Theil-Sen slope must stay 2.0 while the OLS slope would not."""
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(11):
+        n = 1000 if day == 5 else 10 + 2 * day   # burst at day 5
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(days=day), 1,
+                         "grow", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(str(tmp_path / "events.parquet"))
+    out = registry.REGISTRY["events_theil_sen_trend"].fn(
+        spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_days"] == 11 and r["n_pairs"] == 55
+    assert r["slope_per_day"] == 2.0
+
+
+# ------------------------------------------------ scd2_build_intervals
+
+
+def test_scd2_matches_python_reference(spark):
+    import duckdb
+    out = registry.REGISTRY["scd2_build_intervals"].fn(
+        spark, SF_SMOKE).collect()
+    raw = duckdb.sql(
+        "SELECT user_id, event_id, event_type, epoch_us(ts) AS us "
+        f"FROM '{SF_SMOKE}/events.parquet' WHERE user_id % 10 = 0 "
+        "ORDER BY user_id, us, event_id").fetchall()
+    # plain-Python run-length fold
+    expected = []
+    cur = None  # (user, version, state, from, n)
+    prev_user = None
+    version = 0
+    for u, _e, st, us in raw:
+        if u != prev_user:
+            if cur:
+                expected.append(cur)
+            prev_user, version = u, 1
+            cur = [u, 1, st, us, 1]
+        elif st != cur[2]:
+            expected.append(cur)
+            version += 1
+            cur = [u, version, st, us, 1]
+        else:
+            cur[4] += 1
+    if cur:
+        expected.append(cur)
+    assert len(out) == len(expected)
+    by_key = {(r["user_id"], r["version"]): r for r in out}
+    # half-open chain: valid_to == next version's valid_from; last NULL
+    for i, (u, v, st, frm, n) in enumerate(expected):
+        r = by_key[(u, v)]
+        assert r["state"] == st
+        assert r["valid_from_us"] == frm
+        assert r["n_events"] == n
+        nxt = expected[i + 1] if i + 1 < len(expected) else None
+        if nxt and nxt[0] == u:
+            assert r["valid_to_us"] == nxt[3]
+            assert r["is_current"] is False
+        else:
+            assert r["valid_to_us"] is None
+            assert r["is_current"] is True
+
+
+def test_scd2_planted_changelog(spark, tmp_path):
+    """Hand-built changelog: A A B A -> three versions with exact
+    bounds; equal-timestamp events break ties by event_id."""
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+
+    def us(minutes):
+        return int((t0 + dt.timedelta(minutes=minutes)).timestamp() * 1e6)
+
+    rows = [
+        (1, t0 + dt.timedelta(minutes=0), 10, "A", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 10, "A", 1.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=2), 10, "B", 1.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=3), 10, "A", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(str(tmp_path / "events.parquet"))
+    out = registry.REGISTRY["scd2_build_intervals"].fn(
+        spark, str(tmp_path)).collect()
+    assert [(r["version"], r["state"], r["n_events"]) for r in out] \
+        == [(1, "A", 2), (2, "B", 1), (3, "A", 1)]
+    assert out[0]["valid_from_us"] == us(0)
+    assert out[0]["valid_to_us"] == us(2)
+    assert out[1]["valid_to_us"] == us(3)
+    assert out[2]["valid_to_us"] is None and out[2]["is_current"] is True
