@@ -418,3 +418,252 @@ def q_scd2_build_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "valid_to_us", "n_events",
                     F.col("valid_to_us").isNull().alias("is_current"))
             .orderBy("user_id", "version"))
+
+
+# ------------------------------------ Poisson-bootstrap confidence CI
+
+# The distributed bootstrap: classic resampling draws n docs WITH
+# replacement per replica — impossible to coordinate across executors —
+# but the multinomial replica-membership vector is asymptotically a
+# vector of independent Poisson(1) counts, so each (doc, replica) pair
+# can draw its own weight from a hash of (doc_id, replica) with NO
+# coordination at all (the standard streaming/Poisson bootstrap).
+# Determinism discipline: the uniform is an integer (md5-derived
+# hash32 mod 1e6) compared against the Poisson(1) CDF in fixed
+# micro-unit literals (P[X<=0]=.367879, <=1 .735759, <=2 .919699,
+# <=3 .981012, <=4 .996340, else 5), so weights are integer CASE
+# arithmetic; replica means are integer-sum ratios (one IEEE division);
+# CI bounds are type-1 order statistics over the replica means with a
+# (mean, replica) total order. Replicas whose weight mass is zero
+# (possible for tiny strata) are EXCLUDED from the order statistics on
+# both engines and reported via n_replicas.
+BOOT_B = 40  # bootstrap replicas
+_POIS_CDF_MICRO = (367879, 735759, 919699, 981012, 996340)
+
+
+def _pois_w_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {i}"
+        for i, t in enumerate(_POIS_CDF_MICRO))
+    return f"(CASE {cases} ELSE {len(_POIS_CDF_MICRO)} END)"
+
+
+def _pois_w_col(u) -> "F.Column":
+    w = F.lit(len(_POIS_CDF_MICRO))
+    for i, t in reversed(list(enumerate(_POIS_CDF_MICRO))):
+        w = F.when(u < t, F.lit(i)).otherwise(w)
+    return w
+
+
+def _bootstrap_oracle() -> str:
+    from ..functions.hashing import hash32_sql_duck
+    u = (hash32_sql_duck(
+        "CAST(doc_id AS VARCHAR) || '-' || CAST(r AS VARCHAR)")
+        + " % 1000000")
+    return f"""
+    WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+    fan AS (SELECT source, n_chars,
+                   {_pois_w_sql(f'({u})')} AS w, r
+            FROM d CROSS JOIN
+                 (SELECT unnest(range(0, {BOOT_B})) AS r) reps),
+    rep AS (SELECT source, r,
+                   CAST(sum(w * n_chars) AS BIGINT) AS sw_chars,
+                   CAST(sum(w) AS BIGINT) AS sw
+            FROM fan GROUP BY source, r),
+    means AS (SELECT source, r,
+                     sw_chars / CAST(sw AS DOUBLE) AS m
+              FROM rep WHERE sw > 0),
+    ranked AS (SELECT source, m,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY m, r) AS rn,
+                      count(*) OVER (PARTITION BY source) AS nb
+               FROM means),
+    pt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(n_chars) AS BIGINT) AS t_chars
+           FROM d GROUP BY source)
+    SELECT p.source, p.n_docs,
+           {sim.round6_stable_sql('p.t_chars / CAST(p.n_docs AS DOUBLE)')}
+               AS point_mean,
+           {sim.round6_stable_sql(
+               'max(CASE WHEN r.rn = (r.nb + 19) // 20 THEN r.m END)')}
+               AS ci_lo,
+           {sim.round6_stable_sql(
+               'max(CASE WHEN r.rn = (19 * r.nb + 19) // 20 THEN r.m END)')}
+               AS ci_hi,
+           CAST(max(r.nb) AS BIGINT) AS n_replicas
+    FROM pt p JOIN ranked r ON r.source = p.source
+    GROUP BY p.source, p.n_docs, p.t_chars
+    ORDER BY p.source
+    """
+
+
+@register(
+    "corpus_bootstrap_ci",
+    oracle=None,  # set below (renders the hash expression)
+    tags=("llm", "statistics", "bootstrap", "resampling"),
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mean-document-length with a Poisson-bootstrap 90%
+    confidence interval (module comment above): one row per source
+    with the doc count, the point mean, the 5th/95th-percentile
+    replica means as CI bounds, and the surviving replica count.
+
+    Scale shape: the fan-out is a map-side explode of {BOOT_B} weight
+    rows per doc (ints only — the text never rides); replica sums are
+    one partial+final aggregate onto (source, replica) keys; the CI
+    pick is a per-source window over <= {BOOT_B} replica rows. No
+    coordination between executors, no second pass over the corpus —
+    the reason the Poisson bootstrap is THE resampling scheme that
+    survives 100 TB (a classical with-replacement resample would need
+    a global multinomial draw per replica)."""
+    from ..functions.hashing import hash32_col
+
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "n_chars")
+    fan = d.select(
+        "doc_id", "source", "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("r"))
+    u = hash32_col(
+        F.concat(F.col("doc_id").cast("string"), F.lit("-"),
+                 F.col("r").cast("string"))) % 1000000
+    fan = fan.select("source", "n_chars", "r", _pois_w_col(u).alias("w"))
+    rep = (fan.groupBy("source", "r")
+           .agg(F.sum(F.col("w") * F.col("n_chars")).cast("long")
+                .alias("sw_chars"),
+                F.sum("w").cast("long").alias("sw")))
+    means = (rep.filter(F.col("sw") > 0)
+             .select("source", "r",
+                     (F.col("sw_chars") / F.col("sw").cast("double"))
+                     .alias("m")))
+    wrk = Window.partitionBy("source").orderBy("m", "r")
+    wall = Window.partitionBy("source")
+    ranked = (means.withColumn("rn", F.row_number().over(wrk))
+              .withColumn("nb", F.count("*").over(wall)))
+    pt = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("t_chars"))
+    picks = (ranked.groupBy("source")
+             .agg(sim.round6_stable(
+                     F.max(F.when(F.col("rn") == F.expr("(nb + 19) div 20"),
+                                  F.col("m")))).alias("ci_lo"),
+                  sim.round6_stable(
+                     F.max(F.when(
+                         F.col("rn") == F.expr("(19 * nb + 19) div 20"),
+                         F.col("m")))).alias("ci_hi"),
+                  F.max("nb").cast("long").alias("n_replicas")))
+    return (pt.join(picks, "source")
+            .select("source", "n_docs",
+                    sim.round6_stable(
+                        F.col("t_chars") / F.col("n_docs").cast("double"))
+                    .alias("point_mean"),
+                    "ci_lo", "ci_hi", "n_replicas")
+            .orderBy("source"))
+
+
+def _render_bootstrap_oracle() -> None:
+    REGISTRY["corpus_bootstrap_ci"].oracle = _bootstrap_oracle()
+
+
+_render_bootstrap_oracle()
+
+
+# ----------------------------------- classifier calibration report
+
+from ..operators import logreg as lg  # noqa: E402
+
+# A quality/language classifier that FILTERS a corpus is consumed
+# through its probability threshold, so what matters operationally is
+# CALIBRATION: within documents scored ~0.8, do ~80% actually carry the
+# label? This is the reliability-diagram / Expected-Calibration-Error
+# face of the already-certified logreg pipeline (train_quality_logreg
+# learns the weights, score_quality_logreg value-checks per-doc
+# probabilities; this operator buckets those probabilities into 10
+# fixed-width bins and compares mean predicted probability against the
+# observed positive rate per bin). Determinism discipline: the sigmoid
+# is quantized to integer MICRO-units first (floor(p*1e6+0.5), the
+# round6_stable kernel), so bin ids are integer division and every
+# per-bin statistic is a ratio of exact integer sums — the one
+# libm-boundary exposure (exp at a micro-unit tie) is the same accepted
+# class score_quality_logreg carries.
+
+_CAL_FEAT_CTE = (
+    "feat AS (SELECT doc_id, "
+    "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, "
+    + ", ".join(f"{sql} AS x_{name}"
+                for name, sql in lg.feature_sql("text").items())
+    + " FROM documents)"
+)
+
+
+@register(
+    "score_calibration_report",
+    oracle=f"""
+    WITH {_CAL_FEAT_CTE},
+    {lg.logreg_train_cte_sql()},
+    scored AS (SELECT f.y,
+                      CAST(floor(1.0 / (1.0 + exp(-({lg.margin_sql('w')})))
+                                 * 1e6 + 0.5) AS BIGINT) AS pi
+               FROM feat f CROSS JOIN w{lg.ROUNDS} w),
+    binned AS (SELECT least(pi // 100000, 9) AS bin, y, pi FROM scored),
+    agg AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(pi) AS BIGINT) AS spi,
+                   CAST(sum(y) AS BIGINT) AS sy
+            FROM binned GROUP BY bin),
+    stats AS (SELECT bin, n_docs,
+                     CAST(spi AS DOUBLE)
+                         / (CAST(n_docs AS DOUBLE) * 1e6) AS mp,
+                     CAST(sy AS DOUBLE) / CAST(n_docs AS DOUBLE) AS fp
+              FROM agg)
+    SELECT bin, n_docs,
+           {sim.round6_stable_sql('mp')} AS mean_pred,
+           {sim.round6_stable_sql('fp')} AS frac_pos,
+           {sim.round6_stable_sql('abs(mp - fp)')} AS abs_gap
+    FROM stats ORDER BY bin
+    """,
+    tags=("llm", "score-logreg", "calibration"),
+)
+def q_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram calibration report for the trained quality
+    logreg (module comment above): one row per occupied fixed-width
+    probability bin with the doc count, mean predicted probability,
+    observed positive rate, and the absolute calibration gap (the
+    per-bin ECE term; ECE itself is the n-weighted sum over this
+    table).
+
+    Scale shape: training is the certified R-pass loop over the pinned
+    feature projection (4-number gradients to the driver); scoring +
+    micro-unit quantization + binning are one map-only pass with the
+    weights inlined as literals; the report is a partial+final
+    aggregate onto <= 10 bin keys. Same 100 TB plan as
+    score_quality_logreg with one aggregate appended."""
+    d = spread(table(spark, sf_dir, "documents"))
+    fcols = lg.feature_cols(F.col("text"))
+    feat = pin(d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0))
+         .alias("y"),
+        *[c.alias(f"x_{name}") for name, c in fcols.items()]))
+    weights = lg.train_logreg(feat)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-lg._margin(weights)))
+    scored = feat.select(
+        F.col("y").cast("long").alias("y"),
+        F.floor(p * F.lit(1e6) + F.lit(0.5)).cast("long").alias("pi"))
+    agg = (scored
+           .select(F.least(F.expr("pi div 100000"), F.lit(9)).alias("bin"),
+                   "y", "pi")
+           .groupBy("bin")
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.sum("pi").cast("long").alias("spi"),
+                F.sum("y").cast("long").alias("sy")))
+    stats = agg.select(
+        "bin", "n_docs",
+        (F.col("spi").cast("double")
+         / (F.col("n_docs").cast("double") * F.lit(1e6))).alias("mp"),
+        (F.col("sy").cast("double") / F.col("n_docs").cast("double"))
+        .alias("fp"))
+    return (stats.select(
+        "bin", "n_docs",
+        sim.round6_stable(F.col("mp")).alias("mean_pred"),
+        sim.round6_stable(F.col("fp")).alias("frac_pos"),
+        sim.round6_stable(F.abs(F.col("mp") - F.col("fp"))).alias("abs_gap"))
+        .orderBy("bin"))

@@ -298,6 +298,7 @@ SAMPLE_PREFIX_EXPECTED = [
     "text_looping_run_report", "graph_rebuild_policy",
     "events_moments_merge", "ivm_agg_delta",
     "events_theil_sen_trend", "scd2_build_intervals",
+    "corpus_bootstrap_ci", "score_calibration_report",
     # the alphabetically-first 37 of the 41 remaining r6-era rows
     "decontaminate_ngram_overlap", "dedup_components",
     "dedup_edit_distance_verify", "dedup_embedding_cosine",
@@ -311,7 +312,6 @@ SAMPLE_PREFIX_EXPECTED = [
     "pack_sequences", "quality_filter_pipeline", "quality_gopher_rules",
     "sample_fixed_k_per_source", "sample_stratified", "sim_ann_ivf",
     "sim_ann_ivf_pq", "sim_ann_lsh", "sim_ann_pq", "sim_cosine_topk",
-    "sim_matryoshka_recall", "text_keyphrases_rake",
 ]
 
 

@@ -313,3 +313,111 @@ def test_scd2_planted_changelog(spark, tmp_path):
     assert out[0]["valid_to_us"] == us(2)
     assert out[1]["valid_to_us"] == us(3)
     assert out[2]["valid_to_us"] is None and out[2]["is_current"] is True
+
+
+# ------------------------------------------------- corpus_bootstrap_ci
+
+
+def test_bootstrap_ci_matches_python_reference(spark):
+    import duckdb
+    import hashlib
+    from nats_stream_processor_spark.queries.llm_ext11 import (
+        BOOT_B, _POIS_CDF_MICRO)
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def pois_w(u):
+        for i, t in enumerate(_POIS_CDF_MICRO):
+            if u < t:
+                return i
+        return len(_POIS_CDF_MICRO)
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    out = {r["source"]: r for r in registry.REGISTRY[
+        "corpus_bootstrap_ci"].fn(spark, SF_SMOKE).collect()}
+    raw = duckdb.sql(
+        f"SELECT doc_id, source, n_chars FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    by_src: dict[str, list[tuple[int, int]]] = {}
+    for did, src, nc in raw:
+        by_src.setdefault(src, []).append((did, nc))
+    assert set(out) == set(by_src)
+    for src, docs in by_src.items():
+        means = []
+        for rep in range(BOOT_B):
+            sw = swc = 0
+            for did, nc in docs:
+                w = pois_w(h32(f"{did}-{rep}") % 1000000)
+                sw += w
+                swc += w * nc
+            if sw > 0:
+                means.append((swc / float(sw), rep))
+        means.sort()
+        nb = len(means)
+        lo = means[(nb + 19) // 20 - 1][0]
+        hi = means[(19 * nb + 19) // 20 - 1][0]
+        r = out[src]
+        assert r["n_docs"] == len(docs)
+        assert r["n_replicas"] == nb
+        assert r["point_mean"] == r6(sum(nc for _, nc in docs)
+                                     / float(len(docs)))
+        assert r["ci_lo"] == r6(lo)
+        assert r["ci_hi"] == r6(hi)
+        assert r["ci_lo"] <= r["ci_hi"]
+
+
+# -------------------------------------------- score_calibration_report
+
+
+def test_calibration_composes_scored_probabilities(spark):
+    """The report must be exactly the binned view of the per-document
+    probabilities score_quality_logreg certifies: rebin that query's
+    output in plain Python and compare every column."""
+    out = {r["bin"]: r for r in registry.REGISTRY[
+        "score_calibration_report"].fn(spark, SF_SMOKE).collect()}
+    registry.release_pins()
+    scored = registry.REGISTRY["score_quality_logreg"].fn(
+        spark, SF_SMOKE).collect()
+    import duckdb
+    langs = dict(duckdb.sql(
+        f"SELECT doc_id, lang FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall())
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    bins: dict[int, list[tuple[int, int]]] = {}
+    for r in scored:
+        pi = int(round(r["p_en"] * 1e6))  # p_en IS floor(p*1e6+.5)/1e6
+        b = min(pi // 100000, 9)
+        y = 1 if langs[r["doc_id"]] == "en" else 0
+        bins.setdefault(b, []).append((pi, y))
+    assert set(out) == set(bins)
+    for b, rows in bins.items():
+        n = len(rows)
+        mp = sum(p for p, _ in rows) / (float(n) * 1e6)
+        fp = sum(y for _, y in rows) / float(n)
+        assert out[b]["n_docs"] == n
+        assert out[b]["mean_pred"] == r6(mp)
+        assert out[b]["frac_pos"] == r6(fp)
+        assert out[b]["abs_gap"] == r6(abs(mp - fp))
+
+
+def test_calibration_bins_are_consistent(spark):
+    out = registry.REGISTRY["score_calibration_report"].fn(
+        spark, SF_SMOKE).collect()
+    total = sum(r["n_docs"] for r in out)
+    import duckdb
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchone()[0]
+    assert total == n_docs
+    for r in out:
+        # mean predicted probability must lie inside its bin (bin 9
+        # also absorbs pi == 1e6 exactly)
+        assert r["bin"] / 10.0 <= r["mean_pred"] <= (r["bin"] + 1) / 10.0
+        assert 0.0 <= r["frac_pos"] <= 1.0
+        assert r["abs_gap"] <= 1.0
