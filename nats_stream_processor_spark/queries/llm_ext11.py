@@ -667,3 +667,154 @@ def q_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim.round6_stable(F.col("fp")).alias("frac_pos"),
         sim.round6_stable(F.abs(F.col("mp") - F.col("fp"))).alias("abs_gap"))
         .orderBy("bin"))
+
+
+# ------------------------------- mutual nearest-neighbor alignment
+
+from .knn_shared import _KNN_CTE, _knn_graph_df  # noqa: E402
+
+# The bitext-mining / cross-corpus alignment primitive: a pair (a, b)
+# is a MUTUAL nearest neighbor when a's best match is b AND b's best
+# match is a — the reciprocal-best-match filter that kills the hubness
+# false positives a one-directional top-1 keeps (a hub vector is
+# "best" for many queries, but the hub's own best points elsewhere,
+# so the mutuality test rejects those pairs). Built entirely on the
+# already-certified approximate kNN graph (LSH-bucketed candidates,
+# never all-pairs): mutual pairs are the rn=1 edge set self-joined on
+# its own reversal — two id-keyed joins over k-bounded rows.
+
+
+@register(
+    "sim_mutual_nn_pairs",
+    oracle=f"""
+    {_KNN_CTE},
+    best AS (SELECT src, dst, cosine FROM knn WHERE rn = 1),
+    mutual AS (SELECT a.src AS vec_a, a.dst AS vec_b, a.cosine
+               FROM best a JOIN best b
+                 ON b.src = a.dst AND b.dst = a.src
+               WHERE a.src < a.dst)
+    SELECT m.vec_a, m.vec_b, m.cosine,
+           la.label AS label_a, lb.label AS label_b,
+           la.label = lb.label AS same_label
+    FROM mutual m
+    JOIN embeddings la ON la.vec_id = m.vec_a
+    JOIN embeddings lb ON lb.vec_id = m.vec_b
+    ORDER BY vec_a
+    """,
+    tags=("llm", "similarity", "alignment", "mutual-nn"),
+)
+def q_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual nearest-neighbor pairs over the embedding corpus (module
+    comment above): one row per reciprocal-best-match pair with the
+    cosine and both sides' labels — same_label is the alignment-quality
+    signal (a planted-cluster corpus should pair within clusters).
+
+    Scale shape: candidates come from the certified multi-table LSH
+    bucket join (_knn_graph_df — shuffles carry bucket/pair ids, the
+    pairwise work is bucket-bounded); the mutuality test is the rn=1
+    edge set (|V| rows) joined once on its own reversal, and the label
+    decoration is two id-keyed joins that never move the vectors."""
+    g = _knn_graph_df(spark, sf_dir)
+    best = pin(g.filter(F.col("rn") == 1).select("src", "dst", "cosine"))
+    rev = best.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
+    mutual = (best.join(rev, ["src", "dst"])
+              .filter(F.col("src") < F.col("dst"))
+              .select(F.col("src").alias("vec_a"),
+                      F.col("dst").alias("vec_b"), "cosine"))
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    la = emb.select(F.col("vec_id").alias("vec_a"),
+                    F.col("label").alias("label_a"))
+    lb = emb.select(F.col("vec_id").alias("vec_b"),
+                    F.col("label").alias("label_b"))
+    return (mutual.join(la, "vec_a").join(lb, "vec_b")
+            .select("vec_a", "vec_b", "cosine", "label_a", "label_b",
+                    (F.col("label_a") == F.col("label_b"))
+                    .alias("same_label"))
+            .orderBy("vec_a"))
+
+
+# ------------------------------------- gazetteer phrase tagging
+
+from ..functions.text import tokens_col, tokens_sql  # noqa: E402
+
+# Dictionary-driven span tagging — the blocklist / domain-term /
+# entity-gazetteer pass every curation pipeline runs (flag documents
+# mentioning benchmark names, brands, PII terms...). The dictionary is
+# a FIXED side input, so the scale shape is the broadcast pattern: the
+# phrase list rides to every executor (inlined literals here — the
+# broadcast equivalent for a table-valued dictionary), and matching is
+# a pure map-side scan per document — multi-token phrases match by
+# comparing the token-array slice at each start position against the
+# phrase array (contiguous, order-sensitive — a phrase, not a bag),
+# the same positional-adjacency semantics an Aho-Corasick tagger
+# would produce, expressed as one higher-order-function expression
+# with no join and no shuffle until the <= |terms|-row report.
+GAZETTEER = (
+    ("spark", "spark"),
+    ("customer", "customer"),
+    ("table_scan", "table scan"),
+    ("hash_join", "hash join"),
+    ("sort_merge", "sort merge"),
+    ("data_stream", "data stream"),
+    ("window_agg", "window agg"),
+    ("sort_merge_join", "sort merge join"),
+)
+
+
+@register(
+    "text_gazetteer_mentions",
+    oracle=f"""
+    WITH gaz(term_id, phrase) AS (VALUES {", ".join(
+        f"('{tid}', {{'p': string_split('{p}', ' ')}}.p)"
+        for tid, p in GAZETTEER)}),
+    t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+    m AS (SELECT g.term_id, len(g.phrase) AS n_words, t.doc_id,
+                 CASE WHEN len(t.toks) >= len(g.phrase) THEN
+                 len(list_filter(range(1, len(t.toks) - len(g.phrase) + 2),
+                                 i -> t.toks[i:i + len(g.phrase) - 1]
+                                      = g.phrase)) ELSE 0 END AS n_hits
+          FROM t CROSS JOIN gaz g)
+    SELECT term_id, CAST(max(n_words) AS BIGINT) AS n_words,
+           CAST(count(*) FILTER (n_hits > 0) AS BIGINT) AS n_docs,
+           CAST(sum(n_hits) AS BIGINT) AS n_mentions
+    FROM m GROUP BY term_id
+    ORDER BY term_id
+    """,
+    tags=("llm", "text-analysis", "gazetteer", "broadcast"),
+)
+def q_gazetteer_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer mention counts (module comment above): one row per
+    dictionary term — unigrams up to trigrams — with the phrase
+    length, the number of documents mentioning it, and the total
+    (overlapping) mention count across the corpus.
+
+    Scale shape: the dictionary is a broadcast cross join (8 literal
+    rows); per-(doc, term) counting is one map-side higher-order
+    expression over the token array (slice-compare at each start
+    position — contiguous positional match, not a bag-of-words test);
+    the only exchange is the final partial+final aggregate onto
+    |terms| keys. Raw text never shuffles; a larger dictionary swaps
+    the literals for an F.broadcast() dimension join on the first
+    token with identical downstream shape."""
+    d = spread(table(spark, sf_dir, "documents"))
+    gaz = spark.createDataFrame(
+        [(tid, p.split(" ")) for tid, p in GAZETTEER],
+        "term_id string, phrase array<string>")
+    t = d.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    m = (t.crossJoin(F.broadcast(gaz))
+         .select("term_id",
+                 F.size("phrase").alias("n_words"),
+                 # sub-phrase-length docs: 0 hits explicitly — Spark's
+                 # sequence(1, n) COUNTS DOWN for n < 1 (DuckDB range()
+                 # is empty), so the guard is a correctness fence, not
+                 # an optimization
+                 F.expr("CASE WHEN size(toks) >= size(phrase) THEN "
+                        "size(filter(sequence(1, size(toks) - size(phrase)"
+                        " + 1), i -> slice(toks, i, size(phrase))"
+                        " == phrase)) ELSE 0 END").alias("n_hits")))
+    return (m.groupBy("term_id")
+            .agg(F.max("n_words").cast("long").alias("n_words"),
+                 F.count(F.when(F.col("n_hits") > 0, 1)).cast("long")
+                  .alias("n_docs"),
+                 F.sum("n_hits").cast("long").alias("n_mentions"))
+            .orderBy("term_id"))

@@ -299,6 +299,7 @@ SAMPLE_PREFIX_EXPECTED = [
     "events_moments_merge", "ivm_agg_delta",
     "events_theil_sen_trend", "scd2_build_intervals",
     "corpus_bootstrap_ci", "score_calibration_report",
+    "sim_mutual_nn_pairs", "text_gazetteer_mentions",
     # the alphabetically-first 37 of the 41 remaining r6-era rows
     "decontaminate_ngram_overlap", "dedup_components",
     "dedup_edit_distance_verify", "dedup_embedding_cosine",
@@ -311,7 +312,7 @@ SAMPLE_PREFIX_EXPECTED = [
     "media_frame_sample", "media_metadata", "media_resize_thumbnail",
     "pack_sequences", "quality_filter_pipeline", "quality_gopher_rules",
     "sample_fixed_k_per_source", "sample_stratified", "sim_ann_ivf",
-    "sim_ann_ivf_pq", "sim_ann_lsh", "sim_ann_pq", "sim_cosine_topk",
+    "sim_ann_ivf_pq", "sim_ann_lsh",
 ]
 
 

@@ -11,6 +11,22 @@
   base/delta decomposition must cover the table, and a planted fixture
   pins the watermark boundary (an order AT the watermark timestamp is
   delta, one microsecond before is base).
+- events_theil_sen_trend: plain-Python pairwise-slope-median replication,
+  plus the robustness claim itself (a planted linear series with one wild
+  burst day keeps slope exactly 2.0).
+- scd2_build_intervals: plain-Python run-length fold replication (bounds
+  chain, version numbering, is_current), plus a hand-built A A B A
+  changelog with explicit interval bounds.
+- corpus_bootstrap_ci: full plain-Python replication (md5 uniforms ->
+  Poisson CDF weights -> replica means -> order-statistic CI picks).
+- score_calibration_report: must equal the plain-Python rebinning of
+  score_quality_logreg's certified per-document probabilities; bin
+  invariants (totals, in-bin means, gap bounds).
+- sim_mutual_nn_pairs: reciprocity against the kNN graph's rn=1 edges
+  (both directions of the iff), planted-cluster alignment.
+- text_gazetteer_mentions: plain-Python positional-match replication,
+  order-sensitivity ('join hash' does not match 'hash join'), and the
+  sub-phrase-length fence (Spark sequence(1, n<1) counts down).
 """
 
 from __future__ import annotations
@@ -421,3 +437,107 @@ def test_calibration_bins_are_consistent(spark):
         assert r["bin"] / 10.0 <= r["mean_pred"] <= (r["bin"] + 1) / 10.0
         assert 0.0 <= r["frac_pos"] <= 1.0
         assert r["abs_gap"] <= 1.0
+
+
+# --------------------------------------------------- sim_mutual_nn_pairs
+
+
+def test_mutual_nn_pairs_are_reciprocal_best(spark):
+    """Every emitted pair must be reciprocal top-1 in the kNN graph,
+    and every reciprocal top-1 in the graph must be emitted."""
+    from nats_stream_processor_spark.queries.knn_shared import (
+        _knn_graph_df)
+    g = _knn_graph_df(spark, SF_SMOKE).filter("rn = 1").collect()
+    registry.release_pins()
+    best = {r["src"]: r["dst"] for r in g}
+    expected = sorted(
+        (a, b) for a, b in best.items()
+        if a < b and best.get(b) == a)
+    out = registry.REGISTRY["sim_mutual_nn_pairs"].fn(
+        spark, SF_SMOKE).collect()
+    got = sorted((r["vec_a"], r["vec_b"]) for r in out)
+    assert got == expected
+    assert len(got) > 0
+    for r in out:
+        assert r["same_label"] == (r["label_a"] == r["label_b"])
+
+
+def test_mutual_nn_pairs_planted_clusters_align(spark, tmp_path):
+    """Two tight synthetic clusters (base direction + small per-vector
+    jitter): every reciprocal best match must stay inside its cluster
+    — the hubness-rejection property the operator exists for. (The
+    driver corpus's labels are NOT cosine-clustered, so the alignment
+    claim is asserted on a planted corpus.)"""
+    import random
+    rng = random.Random(11)
+    dim = 16
+    rows = []
+    for vid in range(24):
+        label = vid % 2
+        base = [1.0 if (i % 2 == label) else 0.05 for i in range(dim)]
+        vec = [b + rng.uniform(-0.02, 0.02) for b in base]
+        rows.append((vid, vec, label))
+    d = tmp_path / "emb"
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(str(d / "embeddings.parquet"))
+    out = registry.REGISTRY["sim_mutual_nn_pairs"].fn(
+        spark, str(d)).collect()
+    assert len(out) > 0
+    assert all(r["same_label"] for r in out)
+
+
+# ----------------------------------------------- text_gazetteer_mentions
+
+
+def test_gazetteer_matches_python_reference(spark):
+    import duckdb
+    import re
+    from nats_stream_processor_spark.queries.llm_ext11 import GAZETTEER
+    out = {r["term_id"]: r for r in registry.REGISTRY[
+        "text_gazetteer_mentions"].fn(spark, SF_SMOKE).collect()}
+    texts = [t for (t,) in duckdb.sql(
+        f"SELECT text FROM '{SF_SMOKE}/documents.parquet'").fetchall()]
+    assert set(out) == {tid for tid, _ in GAZETTEER}
+    for tid, phrase in GAZETTEER:
+        ph = phrase.split(" ")
+        nd = nm = 0
+        for t in texts:
+            toks = re.findall("[a-z0-9]+", t.lower())
+            hits = sum(1 for i in range(len(toks) - len(ph) + 1)
+                       if toks[i:i + len(ph)] == ph)
+            nd += 1 if hits else 0
+            nm += hits
+        r = out[tid]
+        assert r["n_words"] == len(ph)
+        assert r["n_docs"] == nd
+        assert r["n_mentions"] == nm
+
+
+def test_gazetteer_positional_not_bag_and_short_doc_fence(spark, tmp_path):
+    """'hash join' must match only contiguously in order ('join hash'
+    does not count); a doc shorter than the phrase contributes zero
+    instead of tripping Spark's descending sequence(1, n<1)."""
+    texts = [
+        "hash join hash join",   # 2 mentions
+        "join hash",             # 0 (wrong order)
+        "hash",                  # 0 (short doc, 1 token vs 2-word phrase)
+        "",                      # 0 (empty)
+        "sort merge join",       # trigram + its two bigram prefixes
+    ]
+    d = tmp_path / "g"
+    spark.createDataFrame([(i, t, "en", "s", len(t))
+                           for i, t in enumerate(texts)],
+                          "doc_id long, text string, lang string, "
+                          "source string, n_chars long") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(str(d / "documents.parquet"))
+    out = {r["term_id"]: r for r in registry.REGISTRY[
+        "text_gazetteer_mentions"].fn(spark, str(d)).collect()}
+    assert out["hash_join"]["n_mentions"] == 2
+    assert out["hash_join"]["n_docs"] == 1
+    assert out["sort_merge_join"]["n_mentions"] == 1
+    assert out["sort_merge"]["n_mentions"] == 1
+    assert out["window_agg"]["n_mentions"] == 0
+    assert out["window_agg"]["n_docs"] == 0
