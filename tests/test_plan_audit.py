@@ -1096,3 +1096,124 @@ def test_looping_run_self_match_is_binned_equi_join(spark):
             assert "text#" not in input_line, section[:400]
     assert re.search(r"windowspecdefinition\(doc_id\S+, diag\S+, pa\S+",
                      p), p[:900]
+
+
+def test_moments_merge_is_two_level_agg_no_window_no_join(spark):
+    """events_moments_merge's scale claim: raw events collapse in ONE
+    partial+final aggregate onto (type, hour) keys, the merge is a
+    second aggregate over summary rows, and nothing else touches the
+    data — no Window, no Join anywhere, and the only Sort is the
+    |types|-row presentation sort."""
+    p = plan_str(spark, "events_moments_merge")
+    assert "Window" not in p and "Join" not in p
+    assert "partial_sum" in p  # map-side combine on the raw scan
+    sorts = re.findall(r"\bSort \[(\w+)", plan_str(
+        spark, "events_moments_merge", "simple"))
+    assert sorts == ["event_type"]
+
+
+def test_ivm_both_routes_are_partial_final_aggregates(spark):
+    """ivm_agg_delta: the maintained route and the proof route must
+    both be partial+final hash aggregates (map-side combine before any
+    exchange), and the reconciliation join must join 5-row aggregates
+    — never re-scan orders as a join probe without aggregation."""
+    p = plan_str(spark, "ivm_agg_delta")
+    assert p.count("partial_count") >= 2
+    assert "HashAggregate" in p
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", p)
+
+
+def test_theil_sen_pairs_join_daily_aggregates_never_raw_events(spark):
+    """events_theil_sen_trend: the pairwise self-join must consume the
+    DAILY aggregate (pruned scan: ts + event_type only — value/props
+    never read), the join must be an equi-join on event_type, and the
+    median Window must be event_type-keyed, never SinglePartition."""
+    p = plan_str(spark, "events_theil_sen_trend")
+    schemas = " ".join(re.findall(r"ReadSchema: (.+)", p))
+    assert "value" not in schemas and "props" not in schemas
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", p)
+    assert "CartesianProduct" not in p
+    assert re.search(r"windowspecdefinition\(event_type", p)
+    assert not re.search(r"Window.*SinglePartition", p, re.S)
+
+
+def test_scd2_windows_are_user_keyed_and_filter_reaches_scan(spark):
+    """scd2_build_intervals: every window pass must be user-partitioned
+    (per-key history license — a SinglePartition window would serialize
+    the whole changelog through one task), and the key-subset filter
+    must sit directly on the scan, not after a shuffle."""
+    p = plan_str(spark, "scd2_build_intervals")
+    specs = re.findall(r"windowspecdefinition\((\w+)#", p)
+    assert specs and all(s == "user_id" for s in specs), specs
+    # the modulo filter evaluates pre-exchange: formatted mode numbers
+    # operators bottom-up, so the Filter carrying the % 10 condition
+    # must have a SMALLER operator number than every Exchange
+    filt = re.search(r"\((\d+)\) Filter\nInput[^\n]*\n"
+                     r"Condition[^\n]*% 10", p)
+    assert filt, p[:900]
+    exchanges = [int(n) for n in re.findall(r"\((\d+)\) Exchange", p)]
+    assert exchanges and int(filt.group(1)) < min(exchanges)
+
+
+def test_bootstrap_never_reads_text_and_aggregates_weight_rows(spark):
+    """corpus_bootstrap_ci: the resample must be metadata-only — the
+    documents scan reads (doc_id, source, n_chars), never text — and
+    the replica reduction is a partial+final aggregate onto
+    (source, replica) keys with the CI pick riding a source-keyed
+    window over <= B replica rows."""
+    spark.conf.set("spark.nats_spark.spread.enabled", "false")
+    try:
+        p = plan_str(spark, "corpus_bootstrap_ci")
+    finally:
+        spark.conf.set("spark.nats_spark.spread.enabled", "true")
+    schemas = " ".join(re.findall(r"ReadSchema: (.+)", p))
+    assert "text" not in schemas, schemas
+    assert "partial_sum" in p
+    assert re.search(r"windowspecdefinition\(source", p)
+
+
+def test_calibration_is_scan_project_aggregate_no_join_no_window(spark):
+    """score_calibration_report: inference must stay the
+    score_quality_logreg shape — trained weights inlined as literals,
+    one map-only scoring pass over the pinned feature projection, then
+    a single partial+final aggregate onto <= 10 bin keys. No Join, no
+    Window, no Python UDF."""
+    p = plan_str(spark, "score_calibration_report")
+    assert "Join" not in p and "Window" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "partial_count" in p
+    assert "InMemoryTableScan" in p  # the pinned feature projection
+
+
+def test_mutual_nn_layers_are_id_keyed_over_audited_graph(spark):
+    """sim_mutual_nn_pairs: above the audited kNN-graph builder, the
+    mutuality test and the label decoration must be equi-joins on ids
+    — no nested loop, and no exchange introduced by those layers may
+    carry an embedding array (vectors stay inside the builder)."""
+    p = plan_str(spark, "sim_mutual_nn_pairs")
+    assert "CartesianProduct" not in p
+    assert re.search(r"windowspecdefinition\(src", p)  # the rn=1 edge set
+    # the label joins consume 2-column (vec_id, label) scans
+    schemas = re.findall(r"ReadSchema: struct<vec_id:bigint,label:int>", p)
+    assert len(schemas) >= 1, "label decoration must prune embedding"
+
+
+def test_gazetteer_matching_is_map_side_until_terms_aggregate(spark):
+    """text_gazetteer_mentions: the dictionary must arrive by broadcast
+    (BroadcastNestedLoopJoin over 8 literal rows), the positional match
+    must be a map-side higher-order expression, and NO exchange may
+    carry the token arrays or raw text — the only shuffles are the
+    <= |terms|-key aggregate and the presentation sort."""
+    spark.conf.set("spark.nats_spark.spread.enabled", "false")
+    try:
+        p = plan_str(spark, "text_gazetteer_mentions")
+    finally:
+        spark.conf.set("spark.nats_spark.spread.enabled", "true")
+    assert "BroadcastNestedLoopJoin" in p
+    for section in re.split(r"\n\(\d+\) ", p):
+        if section.startswith("Exchange"):
+            input_line = next(
+                (ln for ln in section.splitlines()
+                 if ln.startswith("Input")), "")
+            assert "toks#" not in input_line, section[:400]
+            assert "text#" not in input_line, section[:400]
