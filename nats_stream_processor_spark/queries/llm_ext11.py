@@ -49,6 +49,27 @@ from ..operators.relational import dsum, dsum_sql
 # conversion — the summary itself never saturates decimal(38,0).
 
 
+def hourly_power_sums(df: DataFrame) -> DataFrame:
+    """(event_type, h, pn, p1, p2, p3): the mergeable per-hour moment
+    summary. Plain built-in aggregation, so the SAME builder runs as a
+    batch pass here and as a stateful Structured Streaming query in
+    tests/test_streaming.py (update mode; Spark keeps the per-(type,
+    hour) sums as managed aggregation state) — the unified-API half of
+    the mergeable-moments story, proven exactly equal because the sums
+    are integers."""
+    dec = "decimal(38,0)"
+    q = df.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("h"),
+        F.floor(F.col("value") + F.lit(0.5)).cast("long").alias("v"))
+    return (q.groupBy("event_type", "h")
+            .agg(F.count("*").alias("pn"),
+                 F.sum(F.col("v").cast(dec)).alias("p1"),
+                 F.sum((F.col("v") * F.col("v")).cast(dec)).alias("p2"),
+                 F.sum((F.col("v") * F.col("v") * F.col("v")).cast(dec))
+                  .alias("p3")))
+
+
 def _moments_tail_sql() -> str:
     # Shared final-moment arithmetic (identical textual op sequence on
     # both engines; see module comment). Input relation `mg` carries
@@ -110,18 +131,7 @@ def q_moments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the oracle, which computes the same partials), at any
     partitioning — the property that makes incremental/rolling moment
     maintenance safe at 100 TB."""
-    ev = table(spark, sf_dir, "events")
-    q = ev.filter(F.col("value").isNotNull()).select(
-        "event_type",
-        F.expr("unix_micros(ts) div 3600000000").alias("h"),
-        F.floor(F.col("value") + F.lit(0.5)).cast("long").alias("v"))
-    dec = "decimal(38,0)"
-    part = (q.groupBy("event_type", "h")
-            .agg(F.count("*").alias("pn"),
-                 F.sum(F.col("v").cast(dec)).alias("p1"),
-                 F.sum((F.col("v") * F.col("v")).cast(dec)).alias("p2"),
-                 F.sum((F.col("v") * F.col("v") * F.col("v")).cast(dec))
-                  .alias("p3")))
+    part = hourly_power_sums(table(spark, sf_dir, "events"))
     mg = (part.groupBy("event_type")
           .agg(F.count("*").cast("long").alias("n_hours"),
                F.sum("pn").alias("n"), F.sum("p1").alias("s1"),

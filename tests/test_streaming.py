@@ -528,3 +528,88 @@ def test_streaming_hourly_hll_state_matches_batch(spark, tmp_path):
         assert merged_s == merged_b, w
         est = hll.hll_estimate(merged_s)
         assert abs(est - exact[w]) / exact[w] <= 0.05, (w, est, exact[w])
+
+
+def test_streaming_hourly_power_sums_match_batch_moments(spark, tmp_path):
+    """The streaming half of the mergeable-moments story
+    (queries/llm_ext11.hourly_power_sums): the SAME builder that feeds
+    events_moments_merge runs as a stateful Structured Streaming
+    aggregation (update mode, one parquet file per micro-batch, Spark
+    managing the per-(type, hour) sums as aggregation state). Because
+    the power sums are exact integers, the final streaming state must
+    equal the batch partials EXACTLY — and python-merging the streaming
+    partials must reproduce the certified operator's moments to the
+    last rounded digit."""
+    import math
+    from nats_stream_processor_spark import registry
+    from nats_stream_processor_spark.queries.llm_ext11 import (
+        hourly_power_sums)
+
+    sf = "/root/testdata/sf0.001"
+    src = registry.table(spark, sf, "events").select(
+        "ts", "event_type", "value")
+    pdir = tmp_path / "mom_events"
+    # 4 files -> 4 micro-batches: (type, hour) cells are updated across
+    # multiple batches, so the aggregation state genuinely merges.
+    src.repartition(4).write.parquet(str(pdir))
+
+    batch = {(r.event_type, r.h): r for r in
+             hourly_power_sums(spark.read.parquet(str(pdir))).collect()}
+
+    stream = (spark.readStream.schema(src.schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(pdir)))
+    latest, touches = {}, []
+
+    def collect(bdf, epoch_id):
+        rows = bdf.collect()
+        touches.append({(r.event_type, r.h) for r in rows})
+        for r in rows:
+            latest[(r.event_type, r.h)] = r
+
+    q = (hourly_power_sums(stream)
+         .writeStream.outputMode("update").foreachBatch(collect)
+         .option("checkpointLocation", str(tmp_path / "ckpt_mom"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    assert len([t for t in touches if t]) >= 2, "wanted multiple batches"
+    assert any(t1 & t2 for i, t1 in enumerate(touches)
+               for t2 in touches[i + 1:]), \
+        "no (type, hour) cell updated across batches — state unexercised"
+
+    # final streaming state == batch partials, integer for integer
+    assert set(latest) == set(batch)
+    for k, r in latest.items():
+        b = batch[k]
+        assert (r.pn, int(r.p1), int(r.p2), int(r.p3)) \
+            == (b.pn, int(b.p1), int(b.p2), int(b.p3)), k
+
+    # python-merge of the STREAMING partials == the certified operator
+    operator = {r["event_type"]: r for r in registry.REGISTRY[
+        "events_moments_merge"].fn(spark, sf).collect()}
+    registry.release_pins()
+    by_type: dict[str, list] = {}
+    for (t, _h), r in latest.items():
+        by_type.setdefault(t, []).append(r)
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    assert set(by_type) == set(operator)
+    for t, rows in by_type.items():
+        n = sum(r.pn for r in rows)
+        s1 = sum(int(r.p1) for r in rows)
+        s2 = sum(int(r.p2) for r in rows)
+        s3 = sum(int(r.p3) for r in rows)
+        nd = float(n)
+        mean = s1 / nd
+        ex2 = s2 / nd
+        var = s2 / nd - mean * mean
+        skew = (s3 / nd - 3.0 * mean * ex2 + 2.0 * mean ** 3) / (
+            math.sqrt(var) * var)
+        o = operator[t]
+        assert o["n_hours"] == len(rows)
+        assert o["n_events"] == n
+        assert o["mean_value"] == r6(mean)
+        assert o["variance"] == r6(var)
+        assert o["skewness"] == r6(skew)
