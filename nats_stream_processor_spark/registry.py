@@ -300,7 +300,9 @@ SAMPLE_PREFIX_EXPECTED = [
     "events_theil_sen_trend", "scd2_build_intervals",
     "corpus_bootstrap_ci", "score_calibration_report",
     "sim_mutual_nn_pairs", "text_gazetteer_mentions",
-    # the alphabetically-first 37 of the 41 remaining r6-era rows
+    # the alphabetically-first 29 of the 41 remaining r6-era rows (the
+    # 8 tail rows were displaced by the llm_ext11 wave, as the window
+    # comment above pre-allocated; they lead the r12 fill queue)
     "decontaminate_ngram_overlap", "dedup_components",
     "dedup_edit_distance_verify", "dedup_embedding_cosine",
     "dedup_exact", "dedup_keep_best", "dedup_minhash_lsh",
@@ -339,6 +341,7 @@ _ext6_names: list[str] = []
 _ext9_names: list[str] = []
 _ext10_names: list[str] = []
 _ext11_names: list[str] = []
+_ext12_names: list[str] = []
 
 
 def _populate() -> None:
@@ -349,7 +352,7 @@ def _populate() -> None:
     of the registry see entries in registration order.
     """
     global _POPULATED, _ext3_names, _ext4_names, _ext5_names, _ext9_names, \
-        _ext10_names, _ext11_names
+        _ext10_names, _ext11_names, _ext12_names
     if _POPULATED:
         return
     # Set the guard up front (re-entrant imports of the chain must
@@ -366,7 +369,7 @@ def _populate() -> None:
 
 def _populate_chain() -> None:
     global _ext3_names, _ext4_names, _ext5_names, _ext6_names, \
-        _ext9_names, _ext10_names, _ext11_names
+        _ext9_names, _ext10_names, _ext11_names, _ext12_names
 
     from .queries import llm  # noqa: F401
     from .queries import advanced  # noqa: F401
@@ -419,6 +422,13 @@ def _populate_chain() -> None:
     from .queries import llm_ext10  # noqa: F401
     from .queries import llm_ext11  # noqa: F401
     _ext11_names = [n for n in REGISTRY if n not in pre]
+
+    # Late round-11 additions: landed AFTER the r11 window was fully
+    # allocated — honest behind-window headers in llm_ext12; their first
+    # formal rows lead the r12 window.
+    pre = set(REGISTRY)
+    from .queries import llm_ext12  # noqa: F401
+    _ext12_names = [n for n in REGISTRY if n not in pre]
 
     # Reorder so the curated prefix leads. Every curated name must exist
     # on a clean import (asserted by test_sample_prefix_has_no_name_drift);

@@ -1,0 +1,120 @@
+"""Correctness of the late round-11 operators (queries/llm_ext12.py,
+behind the r11 window — honest headers in the module):
+
+- sketch_hll_overlap_matrix: plain-Python replication of every exact
+  column (cardinalities, union, overlap, Jaccard), lattice invariants
+  (overlap <= min side, union >= max side), and the pinned
+  inclusion-exclusion boolean.
+- join_size_estimate_report: plain-SQL replication of counts/NDVs/
+  estimate/actual, the estimate identity itself, and a planted skew
+  fixture proving the uniform assumption UNDERESTIMATES a skewed join
+  (negative err_ppm) — the failure mode the report exists to expose.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from nats_stream_processor_spark import registry
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(autouse=True)
+def _release():
+    yield
+    registry.release_pins()
+
+
+def _r6(x):
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def test_hll_overlap_matches_python_reference(spark):
+    import duckdb
+    out = {(r["type_a"], r["type_b"]): r for r in registry.REGISTRY[
+        "sketch_hll_overlap_matrix"].fn(spark, SF_SMOKE).collect()}
+    raw = duckdb.sql(
+        "SELECT DISTINCT event_type, user_id "
+        f"FROM '{SF_SMOKE}/events.parquet'").fetchall()
+    users: dict[str, set] = {}
+    for t, u in raw:
+        users.setdefault(t, set()).add(u)
+    types = sorted(users)
+    expected_keys = {(a, b) for i, a in enumerate(types)
+                     for b in types[i + 1:]
+                     if users[a] & users[b]}
+    assert set(out) == expected_keys
+    for (a, b), r in out.items():
+        ov = len(users[a] & users[b])
+        un = len(users[a] | users[b])
+        assert r["exact_a"] == len(users[a])
+        assert r["exact_b"] == len(users[b])
+        assert r["exact_overlap"] == ov
+        assert r["exact_union"] == un
+        assert r["jaccard"] == _r6(ov / float(un))
+        # lattice invariants + the pinned estimate boolean
+        assert ov <= min(len(users[a]), len(users[b]))
+        assert un >= max(len(users[a]), len(users[b]))
+        assert r["overlap_within_10pct"] is True
+
+
+def test_join_size_estimate_matches_reference(spark):
+    import duckdb
+    from nats_stream_processor_spark.queries.llm_ext12 import JSE_JOINS
+    out = {r["join_name"]: r for r in registry.REGISTRY[
+        "join_size_estimate_report"].fn(spark, SF_SMOKE).collect()}
+    assert set(out) == {name for name, *_ in JSE_JOINS}
+    for name, lt, lk, rt, rk in JSE_JOINS:
+        nl, dl = duckdb.sql(
+            f"SELECT count(*), count(DISTINCT {lk}) FROM "
+            f"'{SF_SMOKE}/{lt}.parquet' WHERE {lk} IS NOT NULL").fetchone()
+        nr, dr = duckdb.sql(
+            f"SELECT count(*), count(DISTINCT {rk}) FROM "
+            f"'{SF_SMOKE}/{rt}.parquet' WHERE {rk} IS NOT NULL").fetchone()
+        actual = duckdb.sql(
+            f"SELECT count(*) FROM '{SF_SMOKE}/{lt}.parquet' l "
+            f"JOIN '{SF_SMOKE}/{rt}.parquet' r ON r.{rk} = l.{lk}"
+        ).fetchone()[0]
+        est = (nl * nr) // max(dl, dr)  # both sides positive: // == div
+        r = out[name]
+        assert (r["n_left"], r["ndv_left"]) == (nl, dl)
+        assert (r["n_right"], r["ndv_right"]) == (nr, dr)
+        assert r["est_uniform"] == est
+        assert r["actual"] == actual
+        # err_ppm uses truncation-toward-zero division (the pinned
+        # cross-engine `div` semantics)
+        diff = (est - actual) * 1000000
+        expect_ppm = (abs(diff) // actual) * (1 if diff >= 0 else -1)
+        assert r["err_ppm"] == expect_ppm
+
+
+def test_join_size_estimate_skew_underestimates(spark, tmp_path):
+    """Planted skew: left has key 1 ten times plus keys 2..5 once; right
+    has every key once. ndv_l = 5, ndv_r = 5, n_l = 14, n_r = 5 ->
+    est = 14*5 div 5 = 14 = actual here (FK-shaped). Now make the RIGHT
+    side skewed too (key 1 five times): actual = 10*5 + 4 = 54 while
+    est = 14*9 div 5 = 25 — the uniform assumption underestimates a
+    skew-on-skew join, so err_ppm must be negative."""
+    lrows = [(1,) for _ in range(10)] + [(k,) for k in range(2, 6)]
+    rrows = [(1,) for _ in range(5)] + [(k,) for k in range(2, 6)]
+    from nats_stream_processor_spark.queries import llm_ext12 as x12
+    spark.createDataFrame(lrows, "o_custkey long") \
+        .selectExpr("o_custkey", "1 AS o_orderkey") \
+        .write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(rrows, "c_custkey long") \
+        .write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    # restrict to the orders_customer probe: the other profiled tables
+    # don't exist in the fixture dir, so monkeypatch the probe list
+    orig = x12.JSE_JOINS
+    x12.JSE_JOINS = (orig[0],)
+    try:
+        out = registry.REGISTRY["join_size_estimate_report"].fn(
+            spark, str(tmp_path)).collect()
+    finally:
+        x12.JSE_JOINS = orig
+    r = out[0]
+    assert r["actual"] == 10 * 5 + 4
+    assert r["est_uniform"] == (14 * 9) // 5
+    assert r["err_ppm"] < 0

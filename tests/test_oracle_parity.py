@@ -75,6 +75,14 @@ def test_sample_prefix_has_no_name_drift():
         assert n in window, (
             f"round-11 operator {n} missed the sample window")
     assert "graph_rebuild_policy" in window  # r11, lives in llm_ext7
+    # Late round-11 operators (llm_ext12) landed AFTER the window was
+    # fully allocated: they must be registered (sweep-checked + pytest
+    # covered) but must NOT displace a curated slot — they lead r12.
+    assert registry._ext12_names, "llm_ext12 must register its operators"
+    for n in registry._ext12_names:
+        assert n in registry.REGISTRY
+        assert n not in window, (
+            f"late operator {n} displaced a curated r11 slot")
 
 
 def test_every_query_module_survives_worker_entry_import():
