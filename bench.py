@@ -63,6 +63,13 @@ regression; no round-11 commit touches its code. No headline query's
 code changed in round 11 (the round added llm_ext10/policy/leakage
 operators, none in the headline set); HEAD measured equal-or-faster
 than the r10 code under identical conditions.
+
+Late-round-11 re-measure (after the second/third operator waves —
+llm_ext11's eight in-window operators, llm_ext12's two behind-window
+ones, and the hourly_power_sums streaming twin; still zero headline
+code touched): 14.101 s headline / 3,908 streaming posts/s on a
+quiet host, at the fast end of the documented noise band — the new
+waves add registry entries and imports only, no regression.
 """
 
 from __future__ import annotations
