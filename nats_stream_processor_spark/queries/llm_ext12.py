@@ -1,6 +1,6 @@
-"""Round-11 operators, third wave: sketch-algebra faces.
+"""Round-11 operators, third wave: sketch-algebra and evaluation faces.
 
-CERTIFICATION STATUS (the honest-labeling house rule): both operators
+CERTIFICATION STATUS (the honest-labeling house rule): every operator
 here landed AFTER the r11 sample window was fully allocated (the
 llm_ext11 wave consumed the pre-allocated tail-replacement slots), so
 they sit honestly BEHIND the window this round — verified at all three
@@ -9,8 +9,8 @@ next verdict) and pytest-covered, with their FIRST formal driver rows
 expected to LEAD the r12 window.
 
 Reference scope note: the reference (/root/reference, a single-purpose
-NATS enrichment daemon) has no analytics surface; both operators are
-north-star scope, built Spark-first and oracle-paired.
+NATS enrichment daemon) has no analytics surface; every operator here
+is north-star scope, built Spark-first and oracle-paired.
 """
 
 from __future__ import annotations
@@ -204,3 +204,109 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                           " * 1000000 div actual").alias("err_ppm")))
         out = row if out is None else out.unionByName(row)
     return out.orderBy("join_name")
+
+
+# ------------------------------- classifier discrimination (AUC/Gini)
+
+# score_calibration_report (llm_ext11) answers "are the probabilities
+# honest?"; this answers the complementary question a gate-threshold
+# decision needs: "do the scores RANK positives above negatives?" —
+# ROC-AUC, computed exactly as the Mann-Whitney U statistic with the
+# standard average-rank tie treatment. Exactness discipline: scores are
+# the same micro-unit integers the calibration report bins, so with
+# per-distinct-score counts c (cp positives, below-count R = rows with
+# a strictly smaller score), twice the positive rank sum is the integer
+# Σ cp·(2R + c + 1), and 2U = that − n_pos·(n_pos+1) — AUC and Gini are
+# single IEEE divisions of exact integers. 100 TB shape: one map-only
+# scoring pass, one partial+final aggregate onto distinct scores
+# (<= 1e6+1 keys by construction — the micro-unit grid bounds the
+# state no matter the corpus), one bounded cumulative window, one
+# 1-row reduction.
+
+from .llm_ext11 import _CAL_FEAT_CTE  # noqa: E402
+from ..operators import logreg as lg  # noqa: E402
+
+
+@register(
+    "score_auc_report",
+    oracle=f"""
+    WITH {_CAL_FEAT_CTE},
+    {lg.logreg_train_cte_sql()},
+    scored AS (SELECT f.y,
+                      CAST(floor(1.0 / (1.0 + exp(-({lg.margin_sql('w')})))
+                                 * 1e6 + 0.5) AS BIGINT) AS pi
+               FROM feat f CROSS JOIN w{lg.ROUNDS} w),
+    per AS (SELECT pi, CAST(count(*) AS BIGINT) AS c,
+                   CAST(sum(y) AS BIGINT) AS cp
+            FROM scored GROUP BY pi),
+    cum AS (SELECT pi, c, cp,
+                   CAST(sum(c) OVER (ORDER BY pi
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - c AS BIGINT) AS below
+            FROM per),
+    tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+                   CAST(sum(c - cp) AS BIGINT) AS nn,
+                   CAST(sum(cp * (2 * below + c + 1)) AS BIGINT) AS r2
+            FROM cum),
+    u AS (SELECT np, nn, r2 - np * (np + 1) AS u2 FROM tot)
+    SELECT np AS n_pos, nn AS n_neg,
+           {sim.round6_stable_sql(
+               'CAST(u2 AS DOUBLE)'
+               ' / (2.0 * (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)))')}
+               AS auc,
+           {sim.round6_stable_sql(
+               'CAST(u2 AS DOUBLE)'
+               ' / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) - 1.0')}
+               AS gini
+    FROM u
+    """,
+    tags=("llm", "score-logreg", "auc", "discrimination"),
+)
+def q_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (Mann-Whitney with average-rank ties) and Gini of
+    the trained quality logreg against the language label (module
+    comment above): one row with the class sizes and both statistics.
+
+    Scale shape: the certified training loop, a map-only scoring pass
+    (weights as literals), a partial+final aggregate onto the bounded
+    micro-unit score grid, one cumulative window over those summary
+    rows, and a 1-row total — the integer rank algebra means no
+    sort of raw rows is ever needed."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    fcols = lg.feature_cols(F.col("text"))
+    feat = pin(d.select(
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0))
+         .alias("y"),
+        *[c.alias(f"x_{name}") for name, c in fcols.items()]))
+    weights = lg.train_logreg(feat)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-lg._margin(weights)))
+    scored = feat.select(
+        F.col("y").cast("long").alias("y"),
+        F.floor(p * F.lit(1e6) + F.lit(0.5)).cast("long").alias("pi"))
+    per = (scored.groupBy("pi")
+           .agg(F.count("*").cast("long").alias("c"),
+                F.sum("y").cast("long").alias("cp")))
+    cw = (W.orderBy("pi")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = per.withColumn(
+        "below", (F.sum("c").over(cw) - F.col("c")).cast("long"))
+    tot = cum.agg(
+        F.sum("cp").cast("long").alias("np"),
+        F.sum(F.col("c") - F.col("cp")).cast("long").alias("nn"),
+        F.sum(F.col("cp") * (2 * F.col("below") + F.col("c") + 1))
+         .cast("long").alias("r2"))
+    u = tot.select("np", "nn",
+                   (F.col("r2") - F.col("np") * (F.col("np") + 1))
+                   .alias("u2"))
+    return u.select(
+        F.col("np").alias("n_pos"), F.col("nn").alias("n_neg"),
+        sim.round6_stable(
+            F.col("u2").cast("double")
+            / (F.lit(2.0) * (F.col("np").cast("double")
+                             * F.col("nn").cast("double")))).alias("auc"),
+        sim.round6_stable(
+            F.col("u2").cast("double")
+            / (F.col("np").cast("double") * F.col("nn").cast("double"))
+            - F.lit(1.0)).alias("gini"))
