@@ -285,6 +285,20 @@ def oracle_sql() -> dict[str, str]:
 # Everything else — formally green in r7-r10 and unchanged — rotates
 # behind. After this round no entry's latest formal row is older than
 # r6 and the oracle-less entry's parity evidence is current-code.
+#
+# R12 PRE-ALLOCATION (fill next round's window in this order):
+#  1. the 3 late-r11 behind-window operators (llm_ext12:
+#     sketch_hll_overlap_matrix, join_size_estimate_report,
+#     score_auc_report — first formal rows) plus any operator whose
+#     code changes in round 12 (house rule);
+#  2. the 12 r6-era rows left outside the r11 window: the 8 displaced
+#     by the llm_ext11 wave (sim_ann_pq, sim_cosine_topk,
+#     sim_matryoshka_recall, text_keyphrases_rake, text_lang_id,
+#     text_quality_scores, text_redact_pii, text_repetition_score)
+#     and the 4 never-rotated (text_token_entropy, text_token_stats,
+#     text_vocab_topk, train_val_split) — this CLEARS the r6 era;
+#  3. the remaining ~34 slots: the oldest r7-era rows alphabetically,
+#     starting the next era drain.
 SAMPLE_PREFIX_EXPECTED = [
     # the parity pair (value evidence dated r5; re-certify on HEAD)
     "dedup_minhash_fast_parity", "dedup_minhash_lsh_fast",
