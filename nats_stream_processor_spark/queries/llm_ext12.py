@@ -310,3 +310,122 @@ def q_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("u2").cast("double")
             / (F.col("np").cast("double") * F.col("nn").cast("double"))
             - F.lit(1.0)).alias("gini"))
+
+
+# --------------------------------- hard-negative mining (contrastive)
+
+# Contrastive/embedding training needs NEGATIVE pairs, and random
+# negatives are too easy — the gradient signal comes from HARD
+# negatives: different-label vectors that the current embedding space
+# nevertheless places close. The LSH-bucket structure that blocks the
+# kNN build IS the hard-negative sieve: a different-label vector
+# sharing any of the 8 sign-projection buckets is, by construction,
+# one the space confuses. This operator emits the top-HN_K hardest
+# (highest-cosine) different-label candidates per anchor — the mining
+# pass a contrastive fine-tune consumes — using the same bucket
+# candidates, exact cosine verify, and per-anchor k-bounded window as
+# the certified kNN builder, with one label-inequality filter before
+# the ranking.
+HN_K = 3  # hardest negatives kept per anchor
+
+
+def _hard_negatives_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, label, {sim.as_double_sql('embedding')}
+                          AS demb
+               FROM embeddings),
+    n AS (SELECT vec_id, label, demb, {sim.norm_sql('demb')} AS nrm
+          FROM e),
+    b AS (SELECT vec_id, {sim.lsh_buckets_multi_sql('demb')} AS buckets
+          FROM n),
+    x AS (SELECT vec_id, i AS tbl, buckets[i + 1] AS bucket
+          FROM b CROSS JOIN
+               (SELECT unnest(range(0, {sim.LSH_TABLES})) AS i) u),
+    cand AS (SELECT DISTINCT a.vec_id AS va, c.vec_id AS vb
+             FROM x a JOIN x c ON c.tbl = a.tbl AND c.bucket = a.bucket
+                              AND a.vec_id < c.vec_id),
+    sc AS MATERIALIZED (
+        SELECT cand.va, cand.vb,
+               round({sim.dot_unrolled_sql('na.demb', 'nb.demb')}
+                     / (na.nrm * nb.nrm), 6) AS cosine
+        FROM cand JOIN n na ON na.vec_id = cand.va
+                  JOIN n nb ON nb.vec_id = cand.vb
+        WHERE na.label <> nb.label),
+    dir AS (SELECT va AS anchor, vb AS negative, cosine FROM sc
+            UNION ALL
+            SELECT vb AS anchor, va AS negative, cosine FROM sc),
+    ranked AS (SELECT anchor, negative, cosine,
+                      row_number() OVER (PARTITION BY anchor
+                                         ORDER BY cosine DESC, negative)
+                          AS rk
+               FROM dir)
+    SELECT r.anchor, r.rk, r.negative, r.cosine,
+           la.label AS anchor_label, lb.label AS negative_label
+    FROM ranked r
+    JOIN embeddings la ON la.vec_id = r.anchor
+    JOIN embeddings lb ON lb.vec_id = r.negative
+    WHERE r.rk <= {HN_K}
+    ORDER BY anchor, rk
+    """
+
+
+@register(
+    "sim_hard_negatives",
+    oracle=_hard_negatives_oracle(),
+    tags=("llm", "similarity", "contrastive", "hard-negatives"),
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (module comment
+    above): up to {HN_K} highest-cosine different-label candidates per
+    anchor from the LSH-bucket sieve, with both labels decorated.
+
+    Scale shape: identical to the certified kNN builder — bucket
+    shuffles carry (table, bucket, vec_id), the pairwise cosine work
+    is bucket-bounded and computed once per undirected pair, the
+    label-inequality filter cuts candidates BEFORE the per-anchor
+    window, and that window is k-bounded. The label decoration joins
+    prune the embedding column."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", sim.as_double(F.col("embedding")).alias("demb"))
+    n = pin(e.select("vec_id", "label", "demb",
+                     sim.norm(F.col("demb")).alias("nrm")))
+    x = pin(n.select(
+        "vec_id",
+        F.posexplode(sim.lsh_buckets_multi(F.col("demb")))
+         .alias("tbl", "bucket")).select("vec_id", "tbl", "bucket"))
+    a = x.select(F.col("vec_id").alias("va"), "tbl", "bucket")
+    c = x.select(F.col("vec_id").alias("vb"), "tbl", "bucket")
+    cand = (a.join(c, ["tbl", "bucket"])
+            .filter(F.col("va") < F.col("vb"))
+            .select("va", "vb").distinct())
+    na = n.select(F.col("vec_id").alias("va"),
+                  F.col("label").alias("label_a"),
+                  F.col("demb").alias("demb_a"), F.col("nrm").alias("nrm_a"))
+    nb = n.select(F.col("vec_id").alias("vb"),
+                  F.col("label").alias("label_b"),
+                  F.col("demb").alias("demb_b"), F.col("nrm").alias("nrm_b"))
+    sc = (cand.join(na, "va").join(nb, "vb")
+          .filter(F.col("label_a") != F.col("label_b"))
+          .select("va", "vb",
+                  sim.cosine(sim.dot(F.col("demb_a"), F.col("demb_b")),
+                             F.col("nrm_a"), F.col("nrm_b"))
+                     .alias("cosine")))
+    directed = (
+        sc.select(F.col("va").alias("anchor"),
+                  F.col("vb").alias("negative"), "cosine")
+        .unionAll(sc.select(F.col("vb").alias("anchor"),
+                            F.col("va").alias("negative"), "cosine")))
+    w = W.partitionBy("anchor").orderBy(F.col("cosine").desc(), "negative")
+    ranked = (directed.withColumn("rk", F.row_number().over(w))
+              .filter(F.col("rk") <= HN_K))
+    lab = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    la = lab.select(F.col("vec_id").alias("anchor"),
+                    F.col("label").alias("anchor_label"))
+    lb = lab.select(F.col("vec_id").alias("negative"),
+                    F.col("label").alias("negative_label"))
+    return (ranked.join(la, "anchor").join(lb, "negative")
+            .select("anchor", "rk", "negative", "cosine",
+                    "anchor_label", "negative_label")
+            .orderBy("anchor", "rk"))

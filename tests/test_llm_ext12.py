@@ -9,6 +9,12 @@ behind the r11 window — honest headers in the module):
   estimate/actual, the estimate identity itself, and a planted skew
   fixture proving the uniform assumption UNDERESTIMATES a skewed join
   (negative err_ppm) — the failure mode the report exists to expose.
+- score_auc_report: Mann-Whitney average-rank reference replication on
+  the certified per-document scores; boundary semantics (all-tied
+  corpus -> AUC exactly 0.5).
+- sim_hard_negatives: per-anchor rows must be the cosine-descending
+  top-k of exactly the different-label LSH-bucket candidate set,
+  recomputed independently.
 """
 
 from __future__ import annotations
@@ -196,3 +202,62 @@ def test_auc_boundary_cases(spark, tmp_path):
     r = registry.REGISTRY["score_auc_report"].fn(
         spark, str(d2)).collect()[0]
     assert r["auc"] == 0.5 and r["gini"] == 0.0
+
+
+# --------------------------------------------------- sim_hard_negatives
+
+
+def test_hard_negatives_are_cross_label_topk_of_bucket_candidates(spark):
+    """Every emitted row must be a different-label pair; per anchor the
+    rows must be the cosine-descending top-HN_K of exactly the
+    different-label LSH-bucket candidates (verified against the raw
+    bucket relation recomputed independently)."""
+    from nats_stream_processor_spark.operators import similarity as sim
+    from nats_stream_processor_spark.queries.llm_ext12 import HN_K
+    import duckdb
+
+    out = registry.REGISTRY["sim_hard_negatives"].fn(
+        spark, SF_SMOKE).collect()
+    assert out, "no hard negatives mined"
+    registry.release_pins()
+    labels = dict(duckdb.sql(
+        f"SELECT vec_id, label FROM '{SF_SMOKE}/embeddings.parquet'"
+    ).fetchall())
+    # independent candidate recomputation via the oracle-side SQL pieces
+    cand = duckdb.sql(f"""
+        WITH e AS (SELECT vec_id, label,
+                          {sim.as_double_sql('embedding')} AS demb
+                   FROM '{SF_SMOKE}/embeddings.parquet'),
+        n AS (SELECT vec_id, label, demb, {sim.norm_sql('demb')} AS nrm
+              FROM e),
+        b AS (SELECT vec_id, {sim.lsh_buckets_multi_sql('demb')} AS bks
+              FROM n),
+        x AS (SELECT vec_id, i AS tbl, bks[i + 1] AS bucket
+              FROM b CROSS JOIN
+                   (SELECT unnest(range(0, {sim.LSH_TABLES})) AS i) u),
+        c AS (SELECT DISTINCT a.vec_id AS va, q.vec_id AS vb
+              FROM x a JOIN x q ON q.tbl = a.tbl AND q.bucket = a.bucket
+                               AND a.vec_id < q.vec_id)
+        SELECT c.va, c.vb,
+               round({sim.dot_unrolled_sql('na.demb', 'nb.demb')}
+                     / (na.nrm * nb.nrm), 6) AS cosine
+        FROM c JOIN n na ON na.vec_id = c.va
+               JOIN n nb ON nb.vec_id = c.vb
+        WHERE na.label <> nb.label""").fetchall()
+    per_anchor: dict[int, list] = {}
+    for va, vb, cos in cand:
+        per_anchor.setdefault(va, []).append((-cos, vb))
+        per_anchor.setdefault(vb, []).append((-cos, va))
+    got: dict[int, list] = {}
+    for r in out:
+        assert r["anchor_label"] == labels[r["anchor"]]
+        assert r["negative_label"] == labels[r["negative"]]
+        assert r["anchor_label"] != r["negative_label"]
+        got.setdefault(r["anchor"], []).append(
+            (r["rk"], r["negative"], r["cosine"]))
+    assert set(got) == set(per_anchor)
+    for a, rows in got.items():
+        rows.sort()
+        expect = sorted(per_anchor[a])[:HN_K]
+        assert [(v, -c) for c, v in expect] \
+            == [(v, c) for _rk, v, c in rows]
