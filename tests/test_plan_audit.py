@@ -1217,3 +1217,48 @@ def test_gazetteer_matching_is_map_side_until_terms_aggregate(spark):
                  if ln.startswith("Input")), "")
             assert "toks#" not in input_line, section[:400]
             assert "text#" not in input_line, section[:400]
+
+
+def test_hll_overlap_prunes_scan_and_pairs_summary_rows(spark):
+    """sketch_hll_overlap_matrix: the events scan must read only
+    (event_type, user_id) — sketches and exact distincts come from one
+    deduplicated relation — and the estimate layer must consume the
+    pinned |types|-row summary (InMemoryTableScan), never re-scan
+    events per pair."""
+    p = plan_str(spark, "sketch_hll_overlap_matrix")
+    schemas = re.findall(r"ReadSchema: (\S+)", p)
+    assert schemas, p[:400]
+    for s in schemas:
+        fields = set(re.findall(r"(\w+):", s))
+        assert fields <= {"event_type", "user_id"}, s
+    assert "InMemoryTableScan" in p
+
+
+def test_auc_aggregates_score_grid_no_python_no_join(spark):
+    """score_auc_report: after the pinned feature projection the plan
+    must be aggregate -> (bounded) cumulative window -> 1-row total —
+    no Join, no Python eval; the one unpartitioned window is licensed
+    by the micro-unit score grid bound (<= 1e6+1 summary rows)."""
+    p = plan_str(spark, "score_auc_report")
+    assert "Join" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "InMemoryTableScan" in p
+    assert p.count("Window") >= 1
+
+
+def test_hard_negatives_inherit_knn_builder_discipline(spark):
+    """sim_hard_negatives: bucket-blocked equi-join (never a cartesian),
+    label filter applied BEFORE the per-anchor rank window (the window
+    input must already be the filtered pair relation), k-bounded
+    anchor-keyed window."""
+    p = plan_str(spark, "sim_hard_negatives")
+    assert "CartesianProduct" not in p
+    assert re.search(r"windowspecdefinition\(anchor", p)
+    # the label inequality must appear in a Filter/Join section, and no
+    # window section may precede every occurrence of it (formatted mode
+    # numbers bottom-up: the filter's operator id < the window's)
+    filt = re.search(r"\((\d+)\) (?:Filter|SortMergeJoin|BroadcastHashJoin|"
+                     r"ShuffledHashJoin)[^\0]*?NOT \(label", p)
+    win = re.search(r"\((\d+)\) Window", p)
+    assert filt and win, p[:800]
+    assert int(filt.group(1)) < int(win.group(1))
