@@ -545,3 +545,118 @@ def _render_dedup_split_oracle() -> None:
 
 
 _render_dedup_split_oracle()
+
+
+# ----------------------- SCD2 point-in-time join (consume the history)
+
+# scd2_build_intervals (llm_ext11) BUILDS the type-2 history; this is
+# the consuming half — the point-in-time (PIT) join every feature
+# store / temporal warehouse runs: enrich a fact row with the
+# dimension state that was valid AT the fact's timestamp (us >=
+# valid_from AND (us < valid_to OR current)). Probing the history
+# with the very events that built it yields two THEOREMS the report
+# surfaces per user: every probe matches exactly one interval (the
+# half-open intervals partition [first_event, inf) per key), and the
+# matched state equals the probe's own event type (an event belongs
+# to the run it created) — both recomputed, not assumed, on both
+# engines.
+
+
+def _scd2_pit_oracle() -> str:
+    from ..registry import REGISTRY
+    hist = REGISTRY["scd2_build_intervals"].oracle
+    return f"""
+    WITH hist AS ({hist}),
+    probe AS (SELECT user_id, event_id, event_type AS pstate,
+                     epoch_us(ts) AS us
+              FROM events WHERE user_id % 10 = 0),
+    m AS (SELECT p.user_id, p.event_id, p.pstate, h.state
+          FROM probe p JOIN hist h
+            ON h.user_id = p.user_id
+               AND p.us >= h.valid_from_us
+               AND (h.valid_to_us IS NULL OR p.us < h.valid_to_us)),
+    per AS (SELECT user_id, event_id, min(pstate) AS pstate,
+                   CAST(count(*) AS BIGINT) AS n_matches,
+                   min(state) AS state
+            FROM m GROUP BY user_id, event_id)
+    SELECT pr.user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(per.event_id) AS BIGINT) AS n_matched,
+           CAST(sum(CASE WHEN per.n_matches = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unique_match,
+           CAST(sum(CASE WHEN per.state = per.pstate THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_state_consistent,
+           (count(*) = count(per.event_id)
+            AND count(*) = sum(CASE WHEN per.n_matches = 1
+                                    THEN 1 ELSE 0 END)
+            AND count(*) = sum(CASE WHEN per.state = per.pstate
+                                    THEN 1 ELSE 0 END)) AS all_consistent
+    FROM probe pr LEFT JOIN per
+      ON per.user_id = pr.user_id AND per.event_id = pr.event_id
+    GROUP BY pr.user_id
+    ORDER BY pr.user_id
+    """
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle=None,  # set below (embeds the scd2 builder's oracle)
+    tags=("events", "scd2", "point-in-time", "temporal-join"),
+)
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against the SCD2 history (module comment
+    above): one row per probed user with the probe count, how many
+    probes matched an interval, how many matched EXACTLY one, how many
+    got back their own state, and the conjunction — TRUE everywhere by
+    the partition/self-consistency theorems.
+
+    Scale shape: the history build is the certified scd2 plan; the PIT
+    join is an equi-join on user_id with the validity range as a join
+    filter — per-key candidate mass is (user's events x user's
+    versions), the per-key license, and a corpus with heavy keys
+    swaps in the time-chunk binning the interval-overlap join
+    certifies (llm_ext8) with the same downstream shape; the report
+    is a partial+final aggregate onto user keys."""
+    from ..registry import REGISTRY
+    hist = pin(REGISTRY["scd2_build_intervals"].fn.__wrapped__(
+        spark, sf_dir))
+    probe = (table(spark, sf_dir, "events")
+             .filter(F.col("user_id") % 10 == 0)
+             .select("user_id", "event_id",
+                     F.col("event_type").alias("pstate"),
+                     F.expr("unix_micros(ts)").alias("us")))
+    h = hist.select("user_id", "state", "valid_from_us", "valid_to_us")
+    m = (probe.join(h, "user_id")
+         .filter((F.col("us") >= F.col("valid_from_us"))
+                 & (F.col("valid_to_us").isNull()
+                    | (F.col("us") < F.col("valid_to_us")))))
+    per = (m.groupBy("user_id", "event_id")
+           .agg(F.min("pstate").alias("pstate"),
+                F.count("*").cast("long").alias("n_matches"),
+                F.min("state").alias("state")))
+    joined = probe.join(per.withColumnRenamed("pstate", "mstate_p"),
+                        ["user_id", "event_id"], "left")
+    agg = (joined.groupBy("user_id")
+           .agg(F.count("*").cast("long").alias("n_events"),
+                F.count("n_matches").cast("long").alias("n_matched"),
+                F.sum(F.when(F.col("n_matches") == 1, 1).otherwise(0))
+                 .cast("long").alias("n_unique_match"),
+                F.sum(F.when(F.col("state") == F.col("mstate_p"), 1)
+                      .otherwise(0)).cast("long")
+                 .alias("n_state_consistent")))
+    return (agg.select(
+        "user_id", "n_events", "n_matched", "n_unique_match",
+        "n_state_consistent",
+        ((F.col("n_events") == F.col("n_matched"))
+         & (F.col("n_events") == F.col("n_unique_match"))
+         & (F.col("n_events") == F.col("n_state_consistent")))
+        .alias("all_consistent"))
+        .orderBy("user_id"))
+
+
+def _render_scd2_pit_oracle() -> None:
+    from ..registry import REGISTRY
+    REGISTRY["scd2_point_in_time_join"].oracle = _scd2_pit_oracle()
+
+
+_render_scd2_pit_oracle()

@@ -287,11 +287,11 @@ def oracle_sql() -> dict[str, str]:
 # r6 and the oracle-less entry's parity evidence is current-code.
 #
 # R12 PRE-ALLOCATION (fill next round's window in this order):
-#  1. the 5 late-r11 behind-window operators (llm_ext12:
+#  1. the 6 late-r11 behind-window operators (llm_ext12:
 #     sketch_hll_overlap_matrix, join_size_estimate_report,
-#     score_auc_report, sim_hard_negatives, curation_dedup_aware_split
-#     — first formal rows) plus any operator whose code changes in
-#     round 12 (house rule);
+#     score_auc_report, sim_hard_negatives, curation_dedup_aware_split,
+#     scd2_point_in_time_join — first formal rows) plus any operator
+#     whose code changes in round 12 (house rule);
 #  2. the 12 r6-era rows left outside the r11 window: the 8 displaced
 #     by the llm_ext11 wave (sim_ann_pq, sim_cosine_topk,
 #     sim_matryoshka_recall, text_keyphrases_rake, text_lang_id,
