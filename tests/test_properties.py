@@ -545,3 +545,134 @@ def test_scene_frame_features_bounds(payload):
         assert isinstance(f, int)
         assert 0 <= f <= 255 * SCENE_SAMPLES
     assert out == scene_frame_features(payload)
+
+
+# ---------------------- round-11 wave-2 pure-kernel properties
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 10 ** 6),
+                          st.integers(0, 1)),
+                min_size=2, max_size=120))
+def test_auc_integer_identity_matches_float_reference(pairs):
+    """score_auc_report's integer rank algebra (2U = Σ cp·(2R+c+1) −
+    np(np+1) over distinct scores) must equal the direct float
+    definition of tie-averaged AUC — P(pos > neg) + 0.5·P(pos == neg)
+    over all positive×negative pairs — for ANY score/label multiset
+    with both classes present."""
+    from hypothesis import assume
+    np_ = sum(y for _, y in pairs)
+    nn = len(pairs) - np_
+    assume(np_ > 0 and nn > 0)
+    # integer identity (the operator's formula)
+    from collections import Counter
+    cnt, pos = Counter(), Counter()
+    for s, y in pairs:
+        cnt[s] += 1
+        pos[s] += y
+    below = 0
+    r2 = 0
+    for s in sorted(cnt):
+        r2 += pos[s] * (2 * below + cnt[s] + 1)
+        below += cnt[s]
+    u2 = r2 - np_ * (np_ + 1)
+    auc_int = u2 / (2.0 * (float(np_) * float(nn)))
+    # direct pairwise definition
+    wins = ties = 0
+    for sp, yp in pairs:
+        if yp != 1:
+            continue
+        for sn, yn in pairs:
+            if yn != 0:
+                continue
+            if sp > sn:
+                wins += 1
+            elif sp == sn:
+                ties += 1
+    auc_direct = (wins + 0.5 * ties) / (np_ * nn)
+    assert math.isclose(auc_int, auc_direct, rel_tol=0, abs_tol=1e-12)
+    assert 0.0 <= auc_int <= 1.0
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.sampled_from("ABC"), min_size=1, max_size=80))
+def test_scd2_fold_is_runlength_encoding(states):
+    """The SCD2 lag-compare -> running-change-count fold must produce
+    exactly the run-length encoding of the state sequence: versions
+    1..k, one per maximal run, event counts summing to n, half-open
+    bounds chaining with no gaps."""
+    # replay the fold the operator performs
+    versions = []
+    ver = 0
+    prev = None
+    for i, s in enumerate(states):
+        if prev is None or s != prev:
+            ver += 1
+            versions.append([ver, s, i, 1])  # [version, state, start, n]
+        else:
+            versions[-1][3] += 1
+        prev = s
+    # run-length reference
+    import itertools
+    rle = [(k, len(list(g))) for k, g in itertools.groupby(states)]
+    assert len(versions) == len(rle)
+    assert [(v[1], v[3]) for v in versions] == rle
+    assert [v[0] for v in versions] == list(range(1, len(rle) + 1))
+    assert sum(v[3] for v in versions) == len(states)
+    # bounds chain: each version starts where the previous ended
+    for a, b in zip(versions, versions[1:]):
+        assert b[2] == a[2] + a[3]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(0, 999_999), min_size=1, max_size=300))
+def test_poisson_weight_kernel_properties(uniforms):
+    """corpus_bootstrap_ci's CASE-ladder Poisson(1) inverse CDF: weights
+    in 0..5, monotone in the uniform, and the breakpoints are exactly
+    the pinned micro-unit CDF literals."""
+    from nats_stream_processor_spark.queries.llm_ext11 import (
+        _POIS_CDF_MICRO)
+
+    def w(u):
+        for i, t in enumerate(_POIS_CDF_MICRO):
+            if u < t:
+                return i
+        return len(_POIS_CDF_MICRO)
+
+    ws = [w(u) for u in uniforms]
+    assert all(0 <= x <= 5 for x in ws)
+    su = sorted(uniforms)
+    assert [w(u) for u in su] == sorted(w(u) for u in su)  # monotone
+    # breakpoints exact: one below vs at each threshold
+    for i, t in enumerate(_POIS_CDF_MICRO):
+        assert w(t - 1) == i and w(t) == i + 1
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(-500, 500), min_size=1, max_size=60),
+       st.integers(2, 7))
+def test_power_sum_merge_invariance_under_any_partitioning(vals, k):
+    """events_moments_merge's merge theorem in miniature: splitting the
+    value multiset into ANY k chunks, summing per-chunk integer power
+    sums, then merging must equal the direct sums exactly — and the
+    derived moments (the same IEEE op sequence) must match the direct
+    computation bit for bit."""
+    direct = (len(vals), sum(vals), sum(v * v for v in vals),
+              sum(v ** 3 for v in vals))
+    chunks = [vals[i::k] for i in range(k)]
+    merged = tuple(
+        sum(x) for x in zip(*[
+            (len(c), sum(c), sum(v * v for v in c),
+             sum(v ** 3 for v in c)) for c in chunks]))
+    assert merged == direct
+    n, s1, s2, s3 = direct
+    if n and (s2 / float(n) - (s1 / float(n)) ** 2) > 0:
+        def moments(n_, s1_, s2_, s3_):
+            nd = float(n_)
+            mean = s1_ / nd
+            ex2 = s2_ / nd
+            var = s2_ / nd - mean * mean
+            return (mean, var,
+                    (s3_ / nd - 3.0 * mean * ex2 + 2.0 * mean ** 3)
+                    / (math.sqrt(var) * var))
+        assert moments(*direct) == moments(*merged)
