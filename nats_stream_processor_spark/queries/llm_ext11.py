@@ -11,7 +11,7 @@ new code certifies in the round it is written, an r6-era row is merely old,
 not missing).
 
 Reference scope note: the reference (/root/reference, a single-purpose
-NATS enrichment daemon, src/main.py + src/stream_processor.py) has no
+NATS enrichment daemon, main.py + src/service.py) has no
 analytics surface; every operator here is north-star scope (the
 large-scale training-data pipeline brief), built Spark-first and
 oracle-paired like the rest of the package.
@@ -347,7 +347,11 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shape). State here is the event_type; versioning is the classic
 # lag-compare -> running change count, all inside per-user windows
 # whose partition mass is one user's history (the per-key license
-# every sessionization operator in the package uses). Bounds are
+# every sessionization operator in the package uses). BOTH window
+# passes order by (us, event_id) on BOTH engines — the running change
+# count included — so two events in the same microsecond with a state
+# flip version deterministically (the r11 advice item: an oracle `ver`
+# ordered by us alone would tie-break arbitrarily there). Bounds are
 # exact integer microseconds (the epoch_us/unix_micros discipline).
 # The user_id % 10 filter bounds the CHECKED subset (pushed to the
 # scan); a production build emits all keys — nothing in the plan
@@ -360,7 +364,7 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ev AS (SELECT user_id, event_id, event_type AS state,
                        epoch_us(ts) AS us
                 FROM events WHERE user_id % 10 = 0),
-    chg AS (SELECT user_id, state, us,
+    chg AS (SELECT user_id, event_id, state, us,
                    CASE WHEN lag(state) OVER w IS NULL
                              OR state <> lag(state) OVER w
                         THEN 1 ELSE 0 END AS is_chg
@@ -368,7 +372,7 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  ORDER BY us, event_id)),
     ver AS (SELECT user_id, state, us,
                    sum(is_chg) OVER (PARTITION BY user_id
-                                     ORDER BY us
+                                     ORDER BY us, event_id
                                      ROWS UNBOUNDED PRECEDING) AS version
             FROM chg),
     runs AS (SELECT user_id, CAST(version AS BIGINT) AS version,

@@ -52,27 +52,34 @@ from .llm_ext8 import HLL_LG_K
                   CAST(count(*) AS BIGINT) AS exact_overlap
            FROM du a JOIN du b
              ON b.user_id = a.user_id AND a.event_type < b.event_type
-           GROUP BY 1, 2)
-    SELECT ov.type_a, ov.type_b,
-           da.nd AS exact_a, db.nd AS exact_b,
-           da.nd + db.nd - ov.exact_overlap AS exact_union,
-           ov.exact_overlap,
+           GROUP BY 1, 2),
+    pr AS (SELECT da.event_type AS type_a, db.event_type AS type_b,
+                  da.nd AS exact_a, db.nd AS exact_b,
+                  CAST(coalesce(ov.exact_overlap, 0) AS BIGINT)
+                      AS exact_overlap
+           FROM d da JOIN d db ON da.event_type < db.event_type
+                LEFT JOIN ov ON ov.type_a = da.event_type
+                            AND ov.type_b = db.event_type)
+    SELECT type_a, type_b, exact_a, exact_b,
+           exact_a + exact_b - exact_overlap AS exact_union,
+           exact_overlap,
            {sim.round6_stable_sql(
-               'ov.exact_overlap / CAST(da.nd + db.nd - ov.exact_overlap'
+               'exact_overlap / CAST(exact_a + exact_b - exact_overlap'
                ' AS DOUBLE)')} AS jaccard,
            TRUE AS overlap_within_10pct
-    FROM ov JOIN d da ON da.event_type = ov.type_a
-            JOIN d db ON db.event_type = ov.type_b
+    FROM pr
     ORDER BY type_a, type_b
     """,
     tags=("events", "sketch", "mergeable", "overlap"),
 )
 def q_hll_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise audience overlap between event types (module comment
-    above): one row per unordered type pair with both exact
-    cardinalities, the exact union and overlap, the exact Jaccard, and
-    the pinned boolean that the sketch-only inclusion-exclusion
-    estimate lands within 10% of the exact overlap.
+    above): one row per unordered type pair — INCLUDING disjoint
+    pairs, which surface as overlap 0 / jaccard 0 via the left join —
+    with both exact cardinalities, the exact union and overlap, the
+    exact Jaccard, and the pinned boolean that the sketch-only
+    inclusion-exclusion estimate lands within 10% of the exact overlap
+    (of the union, for the zero-overlap case).
 
     Scale shape: ONE partial+final aggregate builds a constant-size
     sketch plus the exact distinct per type (|types| rows); the pair
@@ -101,19 +108,32 @@ def q_hll_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_overlap = (F.expr("hll_sketch_estimate(sk_a)")
                    + F.expr("hll_sketch_estimate(sk_b)")
                    - F.expr("hll_sketch_estimate(hll_union(sk_a, sk_b))"))
-    return (pairs.join(ov, ["type_a", "type_b"])
+    # LEFT join + coalesce(0): a DISJOINT type pair is a real matrix
+    # row (overlap 0, jaccard 0), not a silent omission (r11 advice
+    # item). The union is >= each side's nd >= 1, so the jaccard
+    # division is safe; the 10% bound switches to the UNION scale for
+    # the zero-overlap case (relative-to-zero is undefined, and the
+    # inclusion-exclusion estimate's absolute error is driven by
+    # est(A ∪ B)'s error — union-relative is the honest tolerance).
+    exact_union = (F.col("exact_a") + F.col("exact_b")
+                   - F.col("exact_overlap"))
+    return (pairs.join(ov, ["type_a", "type_b"], "left")
+            .withColumn("exact_overlap",
+                        F.coalesce("exact_overlap", F.lit(0))
+                        .cast("long"))
             .select(
                 "type_a", "type_b", "exact_a", "exact_b",
-                (F.col("exact_a") + F.col("exact_b")
-                 - F.col("exact_overlap")).alias("exact_union"),
+                exact_union.alias("exact_union"),
                 "exact_overlap",
                 sim.round6_stable(
                     F.col("exact_overlap")
-                    / (F.col("exact_a") + F.col("exact_b")
-                       - F.col("exact_overlap")).cast("double"))
-                .alias("jaccard"),
-                (F.abs(est_overlap - F.col("exact_overlap"))
-                 / F.col("exact_overlap") <= F.lit(0.10))
+                    / exact_union.cast("double")).alias("jaccard"),
+                F.when(F.col("exact_overlap") == 0,
+                       F.abs(est_overlap)
+                       <= F.lit(0.10) * exact_union.cast("double"))
+                 .otherwise(
+                     F.abs(est_overlap - F.col("exact_overlap"))
+                     / F.col("exact_overlap") <= F.lit(0.10))
                 .alias("overlap_within_10pct"))
             .orderBy("type_a", "type_b"))
 
@@ -130,7 +150,17 @@ def q_hll_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # column is the data-dependent signal: TPC-H-ish foreign keys are
 # near-uniform (small error), while skewed joins would blow the
 # estimate up, which is exactly what the report exists to expose
-# before the optimizer finds out at runtime.
+# before the optimizer finds out at runtime. Magnitude discipline
+# (r11 advice item): |R|·|S| overflows int64 already at ~3e9 rows per
+# side, and Spark's non-ANSI multiply would WRAP silently where DuckDB
+# raises — so the product is computed WIDE on both engines (Spark
+# decimal(38,0), DuckDB HUGEINT; both `div`/`//` truncate toward zero,
+# tests/test_engine_semantics.py) and only the QUOTIENT is narrowed to
+# int64. License for the narrowing: est_uniform <= max(|R|,|S|) ·
+# (min(|R|,|S|) / max(ndv)) — a per-key fan-out times a side count —
+# and err_ppm <= est/actual · 1e6; both exceed int64 only in regimes
+# (a 9e18-row join estimate, a 9e12-fold misestimate) where the report
+# is saturated noise anyway.
 JSE_JOINS = (
     ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
     ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
@@ -141,14 +171,15 @@ JSE_JOINS = (
 def _jse_oracle() -> str:
     arms = []
     for name, lt, lk, rt, rk in JSE_JOINS:
+        est = "(CAST(l.n AS HUGEINT) * r.n) // greatest(l.ndv, r.ndv)"
         arms.append(f"""
     SELECT '{name}' AS join_name,
            l.n AS n_left, l.ndv AS ndv_left,
            r.n AS n_right, r.ndv AS ndv_right,
-           (l.n * r.n) // greatest(l.ndv, r.ndv) AS est_uniform,
+           CAST({est} AS BIGINT) AS est_uniform,
            a.actual,
-           ((l.n * r.n) // greatest(l.ndv, r.ndv) - a.actual)
-               * 1000000 // a.actual AS err_ppm
+           CAST((({est} - a.actual) * 1000000) // a.actual AS BIGINT)
+               AS err_ppm
     FROM (SELECT CAST(count(*) AS BIGINT) AS n,
                  CAST(count(DISTINCT {lk}) AS BIGINT) AS ndv
           FROM {lt} WHERE {lk} IS NOT NULL) l,
@@ -191,17 +222,19 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         a_ = (ldf.select(F.col(lk).alias("k"))
               .join(rdf.select(F.col(rk).alias("k")), "k")
               .agg(F.count("*").cast("long").alias("actual")))
+        # wide product, narrow quotient (module comment above): the
+        # decimal(38,0) product cannot wrap; `div` truncates toward
+        # zero exactly like the oracle's HUGEINT `//`
+        est = ("(cast(n_left as decimal(38,0)) * n_right)"
+               " div greatest(ndv_left, ndv_right)")
         row = (l_.crossJoin(F.broadcast(r_)).crossJoin(F.broadcast(a_))
                .select(
                    F.lit(name).alias("join_name"),
                    "n_left", "ndv_left", "n_right", "ndv_right",
-                   F.expr("(n_left * n_right)"
-                          " div greatest(ndv_left, ndv_right)")
-                   .alias("est_uniform"),
+                   F.expr(est).alias("est_uniform"),
                    "actual",
-                   F.expr("((n_left * n_right)"
-                          " div greatest(ndv_left, ndv_right) - actual)"
-                          " * 1000000 div actual").alias("err_ppm")))
+                   F.expr(f"(cast(({est}) - actual as decimal(38,0))"
+                          " * 1000000) div actual").alias("err_ppm")))
         out = row if out is None else out.unionByName(row)
     return out.orderBy("join_name")
 

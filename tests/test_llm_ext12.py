@@ -52,9 +52,10 @@ def test_hll_overlap_matches_python_reference(spark):
     for t, u in raw:
         users.setdefault(t, set()).add(u)
     types = sorted(users)
+    # EVERY unordered pair is a matrix row — disjoint pairs included
+    # (overlap 0 via the left join; the r11 advice item)
     expected_keys = {(a, b) for i, a in enumerate(types)
-                     for b in types[i + 1:]
-                     if users[a] & users[b]}
+                     for b in types[i + 1:]}
     assert set(out) == expected_keys
     for (a, b), r in out.items():
         ov = len(users[a] & users[b])
@@ -68,6 +69,31 @@ def test_hll_overlap_matches_python_reference(spark):
         assert ov <= min(len(users[a]), len(users[b]))
         assert un >= max(len(users[a]), len(users[b]))
         assert r["overlap_within_10pct"] is True
+
+
+def test_hll_overlap_disjoint_pair_row(spark, tmp_path):
+    """Planted DISJOINT audiences (the r11 advice item): types 'aa' and
+    'bb' share no users, 'cc' overlaps both. The matrix must emit all
+    three unordered pairs — the disjoint one with overlap 0 / jaccard 0
+    and the union-scale estimate boolean TRUE — instead of silently
+    dropping it as the pre-fix inner join did."""
+    rows = ([("aa", u) for u in range(50)]
+            + [("bb", u) for u in range(100, 150)]
+            + [("cc", u) for u in range(25, 125)])
+    spark.createDataFrame(rows, "event_type string, user_id long") \
+        .selectExpr("event_type", "user_id",
+                    "timestamp'2024-01-01 00:00:00' AS ts") \
+        .write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {(r["type_a"], r["type_b"]): r for r in registry.REGISTRY[
+        "sketch_hll_overlap_matrix"].fn(spark, str(tmp_path)).collect()}
+    assert set(out) == {("aa", "bb"), ("aa", "cc"), ("bb", "cc")}
+    dj = out[("aa", "bb")]
+    assert dj["exact_overlap"] == 0
+    assert dj["exact_union"] == 100
+    assert dj["jaccard"] == 0.0
+    assert dj["overlap_within_10pct"] is True
+    assert out[("aa", "cc")]["exact_overlap"] == 25
+    assert out[("bb", "cc")]["exact_overlap"] == 25
 
 
 def test_join_size_estimate_matches_reference(spark):
