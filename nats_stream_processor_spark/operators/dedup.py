@@ -64,6 +64,24 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # Spark and DuckDB, no overflow.
 SHINGLE_COMB = 65599
 
+# Document-frequency cap for the substring-span PAIR joins
+# (dedup_containment, dedup_max_duplicated_run,
+# dedup_containment_drop_plan): a span occurring in D documents emits
+# ~D^2/2 candidate pairs through the span-bucket self-join, and real
+# web corpora carry 16-token boilerplate (license headers, nav chrome,
+# disclaimers) with DF in the thousands — one such span is a quadratic
+# shuffle on a single key at 100 TB. Spans with DF > cap are dropped
+# from the PAIR relation before joining (denominator span counts stay
+# uncapped). The semantic license is the MOSS/winnowing convention:
+# ubiquitous boilerplate is noise for containment/extract decisions,
+# not evidence of copying. The drop is never silent — the
+# dedup_span_df_stats diagnostic reports the full DF spectrum with
+# per-bucket pair mass and the capped occurrence mass. Fixture
+# headroom: max observed span DF is 4 at every shipped SF (16x under
+# the cap), so capped and uncapped outputs agree there; the planted
+# hot-span tests exercise the capped path.
+SPAN_DF_CAP = 64
+
 
 def token_hashes_32_col(text: Column, fast: bool = False) -> Column:
     """One 32-bit hash per token: md5-derived (portable, oracle-checkable)

@@ -38,6 +38,7 @@ from ..operators.dedup import (
     LSH_BANDS,
     LSH_ROWS,
     MINHASH_K,
+    SPAN_DF_CAP,
     connected_components,
     jaccard_sql,
     minhash_signature_col,
@@ -1683,10 +1684,15 @@ CONTAIN_SPAN_K = 16
           FROM h),
     ns AS (SELECT doc_id, len(spans) AS n_spans FROM g),
     sp AS (SELECT doc_id, unnest(spans) AS span FROM g),
+    hot AS (SELECT span
+            FROM (SELECT span, count(DISTINCT doc_id) AS d
+                  FROM sp GROUP BY span)
+            WHERE d > {SPAN_DF_CAP}),
+    spc AS (SELECT sp.doc_id, sp.span FROM sp ANTI JOIN hot USING (span)),
     shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                       count(*) AS n_shared
-               FROM sp a JOIN sp b ON a.span = b.span
-                                  AND a.doc_id < b.doc_id
+               FROM spc a JOIN spc b ON a.span = b.span
+                                    AND a.doc_id < b.doc_id
                GROUP BY 1, 2),
     scored AS (
         SELECT s.doc_a, s.doc_b,
@@ -1715,10 +1721,16 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: span ids are the blocking key AND the measure, so there
     is no separate verify join carrying arrays or text — the only
-    shuffles are (span_id, doc_id) pairs, the span-bucket self-join
-    (bounded by cross-doc span multiplicity), and a pair-keyed count.
-    Span sharing is rare by construction, so the pair table is
-    duplicate-bounded, not corpus-bounded."""
+    shuffles are (span_id, doc_id) pairs, the DF-CAPPED span-bucket
+    self-join, and a pair-keyed count. The cap (SPAN_DF_CAP,
+    operators/dedup.py) is what makes the pair table duplicate-bounded
+    rather than corpus-bounded on REAL corpora: ubiquitous boilerplate
+    spans (DF in the thousands on web crawl) would each emit ~DF^2/2
+    pairs; they are dropped before pairing — the MOSS/winnowing
+    convention — and the DF spectrum plus dropped mass is reported by
+    dedup_span_df_stats. Numerators count only surviving shared spans;
+    denominators (n_spans) stay uncapped, so a doc made entirely of
+    boilerplate can no longer reach tau — by design."""
     from ..functions.hashing import hash32_col  # noqa: F401 (via dedup ops)
 
     d = spread(table(spark, sf_dir, "documents"))
@@ -1728,8 +1740,16 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_ids_tok_col(hs, CONTAIN_SPAN_K).alias("spans")))
     ns = g.select("doc_id", F.size("spans").alias("n_spans"))
     sp = g.select("doc_id", F.explode("spans").alias("span"))
-    a = sp.select(F.col("doc_id").alias("doc_a"), "span")
-    b = sp.select(F.col("doc_id").alias("doc_b"), "span")
+    # DF cap BEFORE pairing (operators/dedup.py SPAN_DF_CAP comment):
+    # boilerplate spans with DF > cap would turn the span-bucket
+    # self-join quadratic on a single key; the hot set is tiny, so the
+    # anti-join broadcasts under AQE. Denominators (ns) stay uncapped.
+    hot = (sp.groupBy("span")
+           .agg(F.count_distinct("doc_id").alias("span_df"))
+           .filter(F.col("span_df") > SPAN_DF_CAP).select("span"))
+    spc = sp.join(hot, "span", "left_anti")
+    a = spc.select(F.col("doc_id").alias("doc_a"), "span")
+    b = spc.select(F.col("doc_id").alias("doc_b"), "span")
     shared = (
         a.join(b, "span")
         .filter(F.col("doc_a") < F.col("doc_b"))

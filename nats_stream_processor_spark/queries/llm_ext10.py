@@ -4,9 +4,17 @@ Certification status (the honest-labeling house rule):
 
 - ``dedup_max_duplicated_run`` / ``dedup_containment_drop_plan`` /
   ``split_leakage_report`` / ``events_sliding_quantile_hist`` /
-  ``text_looping_run_report`` — written in round 11 and INSIDE the
-  r11 sampled window (formal rows expected in the round they were
-  written).
+  ``text_looping_run_report`` — written in round 11, formal rows
+  round 11 (all green).
+- Round 12: the cross-doc pair builders gained the SPAN_DF_CAP
+  anti-join (the r11 verdict's weak marker — hot boilerplate spans
+  would quadratic the span_id key on real corpora), so
+  ``dedup_max_duplicated_run`` / ``dedup_containment_drop_plan``
+  re-certify inside the r12 window per the house rule, and the new
+  ``dedup_span_df_stats`` diagnostic (the cap's no-silent-caps
+  receipts) earns its first formal row there too.
+  ``text_looping_run_report`` is untouched (intra-document matching
+  is DF-immune — a span's document frequency counts DISTINCT docs).
 
 ``dedup_substring_spans`` (queries/llm.py) answers "which K-token
 spans repeat across documents"; the curation decision a dedup pipeline
@@ -39,6 +47,7 @@ from ..registry import REGISTRY, register, spread, table
 from ..operators.dedup import (
     MERSENNE_P as _P,
     SHINGLE_COMB as _COMB,
+    SPAN_DF_CAP,
     token_hashes_32_col,
     token_hashes_32_duck_sql,
 )
@@ -60,9 +69,11 @@ MR_K = 16  # tokens per span (= SUBSTR_SPAN_K; same dedup granularity)
 
 
 # Shared oracle CTE chain: tokens -> per-token hashes -> positioned
-# spans -> per-doc span counts -> diagonal islands -> per-pair run
-# stats. Both operators' oracles append their tails to this.
-_RUN_CTES = f"""
+# spans -> per-doc span counts (the _SPAN_CTES prefix, also consumed by
+# the dedup_span_df_stats diagnostic) -> DF cap -> diagonal islands ->
+# per-pair run stats. Both pair operators' oracles append their tails
+# to _RUN_CTES.
+_SPAN_CTES = f"""
     WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
                FROM documents),
     h AS (SELECT doc_id, {token_hashes_32_duck_sql('toks')} AS hs FROM t
@@ -78,10 +89,18 @@ _RUN_CTES = f"""
     sp AS (SELECT doc_id, unnest(range(0, len(spans))) AS pos,
                   unnest(spans) AS span_id
            FROM g),
-    ns AS (SELECT doc_id, CAST(len(spans) AS BIGINT) AS n_spans FROM g),
+    ns AS (SELECT doc_id, CAST(len(spans) AS BIGINT) AS n_spans FROM g)"""
+
+_RUN_CTES = _SPAN_CTES + f""",
+    hot AS (SELECT span_id
+            FROM (SELECT span_id, count(DISTINCT doc_id) AS d
+                  FROM sp GROUP BY span_id)
+            WHERE d > {SPAN_DF_CAP}),
+    spc AS (SELECT sp.doc_id, sp.pos, sp.span_id
+            FROM sp ANTI JOIN hot USING (span_id)),
     m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  a.pos AS pa, a.pos - b.pos AS diag
-          FROM sp a JOIN sp b
+          FROM spc a JOIN spc b
             ON a.span_id = b.span_id AND a.doc_id < b.doc_id),
     r AS (SELECT doc_a, doc_b, diag,
                  pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
@@ -127,10 +146,19 @@ def _span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (F.size(tokens_col(F.col("text"))) - k + 1)
                    .cast("long").alias("n_spans"))
           .filter(F.col("n_spans") >= 1))
-    a = sp.select(F.col("doc_id").alias("doc_a"),
-                  F.col("pos").alias("pa"), "span_id")
-    b = sp.select(F.col("doc_id").alias("doc_b"),
-                  F.col("pos").alias("pb"), "span_id")
+    # DF cap BEFORE pairing (operators/dedup.py SPAN_DF_CAP comment):
+    # a span in D docs emits ~D^2/2 pairs; ubiquitous boilerplate spans
+    # would make the span_id join quadratic on a single key at 100 TB.
+    # The hot set is tiny (<= occurrences/cap spans), so the anti-join
+    # broadcasts under AQE; denominator counts (ns) stay uncapped.
+    dfc = sp.groupBy("span_id").agg(
+        F.count_distinct("doc_id").alias("span_df"))
+    hot = dfc.filter(F.col("span_df") > SPAN_DF_CAP).select("span_id")
+    spc = sp.join(hot, "span_id", "left_anti")
+    a = spc.select(F.col("doc_id").alias("doc_a"),
+                   F.col("pos").alias("pa"), "span_id")
+    b = spc.select(F.col("doc_id").alias("doc_b"),
+                   F.col("pos").alias("pb"), "span_id")
     m = (a.join(b, "span_id")
          .filter(F.col("doc_a") < F.col("doc_b"))
          .select("doc_a", "doc_b", "pa",
@@ -174,9 +202,14 @@ def q_max_duplicated_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: span ids with positions are O(n_tokens) JVM
     expressions per doc (no Python); the pair match is an equi-join on
-    span_id — candidates bounded by cross-doc span multiplicity, the
-    same blocking discipline as dedup_containment, never all-pairs —
-    and every shuffle carries (span_id, doc_id, pos) ints, never text.
+    span_id over the DF-CAPPED span relation (SPAN_DF_CAP in
+    operators/dedup.py — a span in D docs emits ~D^2/2 pairs, so
+    ubiquitous boilerplate is dropped before pairing, with the spectrum
+    and dropped mass reported by dedup_span_df_stats), never all-pairs
+    — and every shuffle carries (span_id, doc_id, pos) ints, never
+    text. Semantic license of the cap: a run witnessed ONLY by
+    above-cap boilerplate spans does not surface (the MOSS/winnowing
+    convention); runs through sub-cap spans are exact as before.
     The islands window is partitioned by (pair, diagonal): its
     per-partition row count is bounded by the shorter document's span
     count, the per-doc-window license every text operator here uses
@@ -258,6 +291,68 @@ def q_containment_drop_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("n_spans") + MR_K - 1).cast("long")
                     .alias("tokens_saved"))
             .orderBy("doc_id"))
+
+
+# ------------------------------- span DF spectrum (the cap's receipts)
+
+# The span-family analog of dedup_lsh_band_stats: the pair joins above
+# are DF-capped (SPAN_DF_CAP, operators/dedup.py), and a cap must never
+# be silent — this diagnostic reports the full span document-frequency
+# spectrum in power-of-two buckets with, per bucket, the span count,
+# the total positioned occurrences, and the PAIR MASS (sum of
+# D*(D-1)/2 — the candidate pairs the uncapped self-join would emit),
+# split by whether the bucket's spans survive the cap. The capped=true
+# rows ARE the dropped mass report: their n_occurrences is the span
+# mass removed from the pair relation and their pair_mass is the
+# quadratic work the cap avoided. Magnitude discipline: a per-span
+# pair count D*(D-1)/2 fits int64 up to DF ~4.2e9 documents-per-span
+# (the practical bound); the bucket SUMS are computed wide (Spark
+# decimal(38,0), DuckDB HUGEINT) and narrowed to int64 once, with the
+# same saturation license as join_size_estimate_report.
+
+
+@register(
+    "dedup_span_df_stats",
+    oracle=_SPAN_CTES + f""",
+    df AS (SELECT span_id, CAST(count(DISTINCT doc_id) AS BIGINT) AS d,
+                  CAST(count(*) AS BIGINT) AS occ
+           FROM sp GROUP BY span_id)
+    SELECT CAST(length(bin(d)) AS BIGINT) AS df_bits,
+           d > {SPAN_DF_CAP} AS capped,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(occ) AS BIGINT) AS n_occurrences,
+           CAST(sum((CAST(d AS HUGEINT) * (d - 1)) // 2) AS BIGINT)
+               AS pair_mass
+    FROM df GROUP BY 1, 2 ORDER BY df_bits, capped
+    """,
+    tags=("llm", "dedup-substring", "diagnostic", "skew"),
+)
+def q_span_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span document-frequency spectrum (module comment above): one row
+    per (power-of-two DF bucket, capped flag) with span count, total
+    occurrences, and the candidate-pair mass the uncapped span
+    self-join would emit — the receipts for SPAN_DF_CAP.
+
+    Scale shape: one partial+final aggregate onto span_id (the same
+    key the pair join shuffles on), then one onto the ~64 bucket keys;
+    nothing here touches text or emits pairs."""
+    d = spread(table(spark, sf_dir, "documents"))
+    sp = _positioned_spans(d)
+    df = sp.groupBy("span_id").agg(
+        F.count_distinct("doc_id").cast("long").alias("span_df"),
+        F.count("*").cast("long").alias("occ"))
+    return (df.groupBy(
+        F.length(F.bin(F.col("span_df"))).cast("long").alias("df_bits"),
+        (F.col("span_df") > SPAN_DF_CAP).alias("capped"))
+        .agg(F.count("*").cast("long").alias("n_spans"),
+             F.sum("occ").cast("long").alias("n_occurrences"),
+             # wide per-span pair count, wide sum, narrow once (module
+             # comment): decimal div == HUGEINT //, both exact here
+             # since D*(D-1) is even
+             F.expr("cast(sum(cast((cast(span_df as decimal(38,0))"
+                    " * (span_df - 1)) div 2 as decimal(38,0)))"
+                    " as bigint)").alias("pair_mass"))
+        .orderBy("df_bits", "capped"))
 
 
 # ------------------------------- split leakage report (dedup x split)

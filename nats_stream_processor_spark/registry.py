@@ -252,84 +252,71 @@ def oracle_sql() -> dict[str, str]:
 
 
 
-# Round-11 sampled-prefix rotation. The round driver snapshots the FIRST
+# Round-12 sampled-prefix rotation. The round driver snapshots the FIRST
 # 50 entries, so the prefix is curated each round to cover what most needs
-# a formal correctness row. The r11 window holds exactly (the composition
-# the r10 verdict pre-allocated):
-#  - the parity pair LEADS: dedup_minhash_fast_parity (oracle row) and
-#    dedup_minhash_lsh_fast (the registry's only oracle-less entry,
-#    rows-only for the driver; its VALUE check is the parity twin) —
-#    the one entry whose value-check evidence dated to r5, now
-#    re-certified on current code;
-#  - the 5 queries whose CODE changed in round 11 (house rule: changed
-#    code re-certifies even when output-identical):
-#    graph_rebuild_decision (builder factored into the shared
-#    _rebuild_curve/_rebuild_curve_ctes; rendered oracle text verified
-#    byte-identical to the r10 tip), sketch_freq_items_topk (explicit
-#    release_pins on the fallback branch), and the three sites that
-#    gained engine-semantics notes for the r10 ADVICE items —
-#    events_sliding_distinct_hll, graph_nn_descent, graph_knn_insert
-#    (comments only; oracle text unchanged);
-#  - the new round-11 operators — formal rows in the round they are
-#    written: dedup_max_duplicated_run, dedup_containment_drop_plan,
-#    split_leakage_report, events_sliding_quantile_hist,
-#    text_looping_run_report (llm_ext10), graph_rebuild_policy
-#    (llm_ext7), and the llm_ext11 wave (each landing replaced the
-#    TAIL of the r6-era slice below, exactly as this comment
-#    pre-allocated — new code certifies in its round; an r6-era row
-#    is merely old, not missing);
-#  - the alphabetically-first remainder of the 41 r6-era rows —
-#    every r6-era row displaced by an llm_ext11 landing joins
-#    text_token_entropy, text_token_stats, text_vocab_topk and
-#    train_val_split (r6-green) at the head of the r12 fill queue.
-# Everything else — formally green in r7-r10 and unchanged — rotates
-# behind. After this round no entry's latest formal row is older than
-# r6 and the oracle-less entry's parity evidence is current-code.
+# a formal correctness row. The r12 window holds exactly the composition
+# the r11 verdict (and the r11 comment here) pre-allocated — see the
+# section comments inside SAMPLE_PREFIX_EXPECTED below:
+#  1. the six late-r11 llm_ext12 operators (first formal rows);
+#  2. the operators NEW in round 12 (dedup_span_df_stats — the
+#     SPAN_DF_CAP receipts — and graph_rebuild_execute, the act step
+#     that closes the ANN lifecycle loop);
+#  3. every operator whose code or oracle text changed in round 12
+#     (house rule: changed code re-certifies even when
+#     output-identical);
+#  4. the 12 r6-era rows left outside the r11 window — after this
+#     round the r6 era is EMPTY;
+#  5. the alphabetically-first 20 of the 48 r7-era rows.
+# Everything else — formally green in r7-r11 and unchanged — rotates
+# behind.
 #
-# R12 PRE-ALLOCATION (fill next round's window in this order):
-#  1. the 6 late-r11 behind-window operators (llm_ext12:
-#     sketch_hll_overlap_matrix, join_size_estimate_report,
-#     score_auc_report, sim_hard_negatives, curation_dedup_aware_split,
-#     scd2_point_in_time_join — first formal rows) plus any operator
-#     whose code changes in round 12 (house rule);
-#  2. the 12 r6-era rows left outside the r11 window: the 8 displaced
-#     by the llm_ext11 wave (sim_ann_pq, sim_cosine_topk,
-#     sim_matryoshka_recall, text_keyphrases_rake, text_lang_id,
-#     text_quality_scores, text_redact_pii, text_repetition_score)
-#     and the 4 never-rotated (text_token_entropy, text_token_stats,
-#     text_vocab_topk, train_val_split) — this CLEARS the r6 era;
-#  3. the remaining ~34 slots: the oldest r7-era rows alphabetically,
-#     starting the next era drain.
+# R13 PRE-ALLOCATION (fill next round's window in this order):
+#  1. any operator written in or behind the r12 window plus any whose
+#     code changes in round 13 (house rule);
+#  2. the remaining 28 r7-era rows alphabetically
+#     (join_range_price_bands .. window_running_revenue) — clearing
+#     the r7 era needs ~28 slots, so round 13 can likely finish it;
+#  3. any remaining slots: the oldest r8-era rows alphabetically.
+# Operators WRITTEN in round 12 (the overflow-fill safety net below
+# keeps them sampled even if the explicit list ever under-allocates —
+# new code earns its formal row in the round it is written).
+_R12_NEW = ("dedup_span_df_stats", "graph_rebuild_execute")
+
 SAMPLE_PREFIX_EXPECTED = [
-    # the parity pair (value evidence dated r5; re-certify on HEAD)
-    "dedup_minhash_fast_parity", "dedup_minhash_lsh_fast",
-    # code changed in round 11 (house rule re-certs)
-    "graph_rebuild_decision", "sketch_freq_items_topk",
-    "events_sliding_distinct_hll", "graph_nn_descent",
-    "graph_knn_insert",
-    # new in round 11
-    "dedup_max_duplicated_run", "dedup_containment_drop_plan",
-    "split_leakage_report", "events_sliding_quantile_hist",
-    "text_looping_run_report", "graph_rebuild_policy",
-    "events_moments_merge", "ivm_agg_delta",
-    "events_theil_sen_trend", "scd2_build_intervals",
-    "corpus_bootstrap_ci", "score_calibration_report",
-    "sim_mutual_nn_pairs", "text_gazetteer_mentions",
-    # the alphabetically-first 29 of the 41 remaining r6-era rows (the
-    # 8 tail rows were displaced by the llm_ext11 wave, as the window
-    # comment above pre-allocated; they lead the r12 fill queue)
-    "decontaminate_ngram_overlap", "dedup_components",
-    "dedup_edit_distance_verify", "dedup_embedding_cosine",
-    "dedup_exact", "dedup_keep_best", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_semantic_clusters", "dedup_simhash",
-    "dedup_substring_spans", "doc_fingerprints",
-    "events_bot_regularity_flags", "events_cohort_ltv",
-    "events_longest_streak", "graph_knn_bfs_recursive",
-    "join_disjunctive_brackets", "media_audio_windows",
-    "media_frame_sample", "media_metadata", "media_resize_thumbnail",
-    "pack_sequences", "quality_filter_pipeline", "quality_gopher_rules",
-    "sample_fixed_k_per_source", "sample_stratified", "sim_ann_ivf",
-    "sim_ann_ivf_pq", "sim_ann_lsh",
+    # 1. the six late-r11 llm_ext12 operators — FIRST formal rows,
+    #    exactly as the r11 pre-allocation above ordered
+    "sketch_hll_overlap_matrix", "join_size_estimate_report",
+    "score_auc_report", "sim_hard_negatives",
+    "curation_dedup_aware_split", "scd2_point_in_time_join",
+    # 2. new in round 12 (formal rows in the round they are written;
+    #    graph_rebuild_execute joins here when it lands, displacing the
+    #    last r7 fill name)
+    "dedup_span_df_stats",
+    # 3. code changed in round 12 (house rule re-certs): the span pair
+    #    family gained the SPAN_DF_CAP anti-join; scd2_build_intervals'
+    #    oracle gained the event_id tie-break; the graph family's
+    #    shared builders (_graph_ctes tag parameter, _rebuild_curve ->
+    #    _insert_replay factor) changed for graph_rebuild_execute
+    "dedup_containment", "dedup_max_duplicated_run",
+    "dedup_containment_drop_plan", "scd2_build_intervals",
+    "graph_nn_descent", "graph_greedy_search", "graph_beam_sweep",
+    "graph_knn_insert", "graph_rebuild_decision", "graph_rebuild_policy",
+    # 4. the 12 remaining r6-era rows — this CLEARS the r6 era
+    "sim_ann_pq", "sim_cosine_topk", "sim_matryoshka_recall",
+    "text_keyphrases_rake", "text_lang_id", "text_quality_scores",
+    "text_redact_pii", "text_repetition_score", "text_token_entropy",
+    "text_token_stats", "text_vocab_topk", "train_val_split",
+    # 5. the alphabetically-first 20 of the 48 r7-era rows — the start
+    #    of the r7 drain (the remaining 28 lead the r13 fill queue)
+    "agg_distinct_per_segment", "agg_having", "agg_percentiles",
+    "array_map_functions", "asof_join_latest_order", "confidence_gate",
+    "cube_returnflag_linestatus", "date_funcs_orders",
+    "dedup_idf_weighted_jaccard", "dedup_sorted_neighborhood",
+    "events_cusum_drift", "events_gap_fill", "events_kleinberg_burst",
+    "events_retention_cohorts", "events_session_windows",
+    "events_sliding_windows", "grouping_sets_priority_status",
+    "join_anti_customers_no_orders", "join_full_outer_nation_counts",
+    "join_left_customer_orders", "join_range_price_bands",
 ]
 
 
@@ -451,7 +438,8 @@ def _populate_chain() -> None:
     # schemes, and the current-round overflow fill keeps new operators
     # sampled if the explicit list ever under-allocates.
     prefix = [n for n in SAMPLE_PREFIX_EXPECTED if n in REGISTRY]
-    prefix += [n for n in _ext11_names if n not in prefix][:50 - len(prefix)]
+    prefix += [n for n in _R12_NEW
+               if n in REGISTRY and n not in prefix][:50 - len(prefix)]
     order = prefix + [n for n in REGISTRY if n not in set(prefix)]
     reordered = {n: REGISTRY[n] for n in order}
     REGISTRY.clear()

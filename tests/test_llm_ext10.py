@@ -134,6 +134,47 @@ def test_planted_regimes_explicit_values(spark, tmp_path):
     assert got[(1, 3)].max_run_tokens == 19
 
 
+def test_span_df_cap_drops_boilerplate_pairs(spark, tmp_path):
+    """Planted hot span (the r11 verdict's weak marker): 80 documents
+    share ONE 16-token boilerplate sentence (span DF 80 > SPAN_DF_CAP)
+    but are otherwise disjoint; docs 80/81 are a genuine containment
+    pair through sub-cap spans. The capped pair join must emit ONLY the
+    genuine pair — the uncapped join would emit 80*79/2 = 3160
+    boilerplate pairs, the single-key quadratic the cap exists to
+    prevent — and dedup_span_df_stats must report the hot span's
+    dropped occurrence mass and avoided pair mass (no silent caps)."""
+    from nats_stream_processor_spark.operators.dedup import SPAN_DF_CAP
+    k = x10.MR_K
+    boiler = " ".join(f"bw{j}" for j in range(k))
+    texts = [boiler + " " + " ".join(f"u{i}x{j}" for j in range(8))
+             for i in range(80)]
+    xs = [f"xt{j}" for j in range(30)]
+    texts.append(" ".join(xs))        # doc 80: the container
+    texts.append(" ".join(xs[:24]))   # doc 81: contained prefix
+    assert 80 > SPAN_DF_CAP
+    sf_dir = _write_docs(spark, tmp_path, texts)
+
+    runs = registry.REGISTRY["dedup_max_duplicated_run"].fn(
+        spark, sf_dir).collect()
+    assert {(r.doc_a, r.doc_b) for r in runs} == {(80, 81)}
+    assert runs[0].full_containment
+
+    cont = registry.REGISTRY["dedup_containment"].fn(
+        spark, sf_dir).collect()
+    assert {(r.doc_a, r.doc_b) for r in cont} == {(80, 81)}
+    assert cont[0].containment == 1.0
+
+    stats = {(r.df_bits, r.capped): r for r in registry.REGISTRY[
+        "dedup_span_df_stats"].fn(spark, sf_dir).collect()}
+    hot = stats[(7, True)]  # DF 80 -> 7 bits, above the cap
+    assert hot.n_spans == 1
+    assert hot.n_occurrences == 80          # the dropped span mass
+    assert hot.pair_mass == 80 * 79 // 2    # the avoided quadratic
+    assert stats[(1, False)].n_spans > 0    # the unique-span bulk
+    # every surviving bucket is below the cap
+    assert all(bits <= 7 for bits, capped in stats if not capped)
+
+
 def test_fixture_corpus_has_planted_duplicate_runs(spark):
     """The driver fixtures contain planted near-duplicates — the formal
     row must be non-vacuous (the operator reports real runs there, not

@@ -51,38 +51,43 @@ def test_sample_prefix_has_no_name_drift():
     partially-initialized WORKER re-imports don't die — this test is
     where the drift protection actually lives.
 
-    The r11 prefix is fully explicit (50 names: the parity pair whose
-    value evidence dated to r5, the 5 round-11 changed-code re-certs,
-    the new round-11 operators — each llm_ext11 landing replacing the
-    TAIL of the r6-era slice, as the registry's window comment
-    pre-allocated — and the alphabetically-first remainder of the 41
-    r6-era rows), so the assertion is exact equality on the full
-    window — a silent overflow or an unregistered curated name fails
-    here rather than surfacing in the round artifact."""
+    The r12 prefix is fully explicit (50 names: the six late-r11
+    llm_ext12 operators' FIRST formal rows leading — exactly as the
+    r11 verdict pre-allocated — then the operators new in round 12,
+    the round-12 changed-code re-certs, the 12 rows that clear the r6
+    era, and the alphabetically-first r7-era fill), so the assertion
+    is exact equality on the full window — a silent overflow or an
+    unregistered curated name fails here rather than surfacing in the
+    round artifact."""
     missing = [n for n in registry.SAMPLE_PREFIX_EXPECTED
                if n not in registry.REGISTRY]
     assert not missing, f"prefix names not registered: {missing}"
     assert len(registry.SAMPLE_PREFIX_EXPECTED) == 50
     window = list(registry.REGISTRY)[:50]
     assert window == list(registry.SAMPLE_PREFIX_EXPECTED)
-    # The parity pair must LEAD (the rotation the r10 verdict
-    # pre-allocated), and every operator introduced in round 11 must be
-    # inside the sampled window — new code earns its formal row in the
-    # round it is written.
-    assert window[:2] == ["dedup_minhash_fast_parity",
-                          "dedup_minhash_lsh_fast"]
-    for n in registry._ext11_names:
-        assert n in window, (
-            f"round-11 operator {n} missed the sample window")
-    assert "graph_rebuild_policy" in window  # r11, lives in llm_ext7
-    # Late round-11 operators (llm_ext12) landed AFTER the window was
-    # fully allocated: they must be registered (sweep-checked + pytest
-    # covered) but must NOT displace a curated slot — they lead r12.
-    assert registry._ext12_names, "llm_ext12 must register its operators"
-    for n in registry._ext12_names:
-        assert n in registry.REGISTRY
-        assert n not in window, (
-            f"late operator {n} displaced a curated r11 slot")
+    # The six llm_ext12 operators must LEAD (first formal rows — the
+    # rotation the r11 verdict pre-allocated), and every operator
+    # written in round 12 must be inside the sampled window — new code
+    # earns its formal row in the round it is written.
+    assert window[:6] == ["sketch_hll_overlap_matrix",
+                          "join_size_estimate_report",
+                          "score_auc_report", "sim_hard_negatives",
+                          "curation_dedup_aware_split",
+                          "scd2_point_in_time_join"]
+    assert set(registry._ext12_names) <= set(window), (
+        "an llm_ext12 operator missed its pre-allocated r12 slot")
+    for n in registry._R12_NEW:
+        if n in registry.REGISTRY:
+            assert n in window, (
+                f"round-12 operator {n} missed the sample window")
+    # The r6 era must be CLEARED this round: all 12 remaining r6-era
+    # rows are in the window.
+    for n in ("sim_ann_pq", "sim_cosine_topk", "sim_matryoshka_recall",
+              "text_keyphrases_rake", "text_lang_id",
+              "text_quality_scores", "text_redact_pii",
+              "text_repetition_score", "text_token_entropy",
+              "text_token_stats", "text_vocab_topk", "train_val_split"):
+        assert n in window, f"r6-era row {n} missed the clearing window"
 
 
 def test_every_query_module_survives_worker_entry_import():

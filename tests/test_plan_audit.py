@@ -1034,6 +1034,41 @@ def test_drop_plan_inherits_pair_builder_discipline(spark):
                      p), p[:900]
 
 
+def test_span_pair_joins_are_df_capped(spark):
+    """The r11 weak marker's fix must be visible in the PLAN: the span
+    relation feeding each pair self-join rides a left-ANTI join against
+    the hot-span set (DF > SPAN_DF_CAP) — the guard that keeps a
+    thousand-document boilerplate span from quadraticing the span_id
+    key at 100 TB."""
+    for name in ("dedup_max_duplicated_run", "dedup_containment",
+                 "dedup_containment_drop_plan"):
+        p = plan_str(spark, name)
+        assert "LeftAnti" in p, (name, p[:600])
+
+
+def test_span_df_stats_is_two_aggregates_no_pairs(spark):
+    """dedup_span_df_stats (the cap's receipts) must itself be cheap:
+    one partial+final aggregate onto span_id, one onto the bucket
+    keys — no self-join, no pair relation, no window, and no exchange
+    carrying text."""
+    spark.conf.set("spark.nats_spark.spread.enabled", "false")
+    try:
+        p = plan_str(spark, "dedup_span_df_stats")
+    finally:
+        spark.conf.set("spark.nats_spark.spread.enabled", "true")
+    assert "CartesianProduct" not in p
+    assert not re.search(r"SortMergeJoin|ShuffledHashJoin"
+                         r"|BroadcastHashJoin", p), p[:600]
+    assert "() Window" not in p and "Window\n" not in p, p[:600]
+    for section in re.split(r"\n\(\d+\) ", p):
+        if section.startswith("Exchange"):
+            input_line = next(
+                (ln for ln in section.splitlines()
+                 if ln.startswith("Input")), "")
+            assert "text#" not in input_line, section[:400]
+    assert re.search(r"partial_count|partial", p), p[:400]
+
+
 def test_split_leakage_inherits_lsh_plan_adds_map_side_labels(spark):
     """split_leakage_report composes the audited LSH pair pipeline with
     MAP-SIDE split labels: the candidate stage stays an equi-join
