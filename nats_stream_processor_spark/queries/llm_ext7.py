@@ -17,8 +17,16 @@ Certification status (the honest-labeling house rule):
   ``_rebuild_curve_ctes`` in round 11 (output-identical — rendered
   oracle text compared against the r10 tip), so it re-certifies
   inside the r11 window per the house rule.
-- ``graph_rebuild_policy`` (round 11) — INSIDE the r11 window
-  (formal row expected in the round it was written).
+- ``graph_rebuild_policy`` (round 11) — INSIDE the r11 window, formal
+  row round 11 (green).
+- Round 12: ``graph_rebuild_execute`` (new — the ACT step: run the
+  full rebuild and measure the recall it buys back) plus house-rule
+  re-certs of the whole family inside the r12 window, because the
+  shared builders changed: ``_graph_ctes`` gained tag/lead parameters
+  (rendered text byte-identical for every existing oracle — verified
+  by md5 against the r11 tip) and ``_rebuild_curve`` was factored
+  through the new ``_insert_replay`` (output-identical; the curve
+  tail is unchanged).
 """
 
 from __future__ import annotations
@@ -165,7 +173,7 @@ def q_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("round")
 
 
-def _graph_ctes(where: str = "") -> str:
+def _graph_ctes(where: str = "", tag: str = "", lead: bool = True) -> str:
     """The construction CTE chain shared by the graph oracles:
     embeddings -> en (vectors + norms) -> stride init -> e0 ..
     e{ND_ROUNDS} (scored, per-node top-K kept edges). Unrolled fixed
@@ -175,47 +183,52 @@ def _graph_ctes(where: str = "") -> str:
     interpreted lambda form costs ~12 us per element and the candidate
     table is corpus x ~K^2 pairs. ``where`` restricts the graph's node
     table (the insert oracle builds on the base slice only; the others
-    pass nothing, their text unchanged)."""
+    pass nothing, their text unchanged). ``tag`` suffixes every CTE
+    name and ``lead=False`` drops the WITH keyword, so the
+    rebuild-execute oracle can run a SECOND, full-corpus build inside
+    the same query; defaults render byte-identically to the untagged
+    form."""
     ppm = (f"CAST(floor(({sim.dot_unrolled_sql('a.demb', 'b.demb')}"
            f" / (a.nrm * b.nrm)) * 1e6 + 0.5) AS BIGINT)")
+    kw = "WITH " if lead else ""
     parts = [f"""
-    WITH e AS (SELECT vec_id, {sim.as_double_sql('embedding')} AS demb
+    {kw}e{tag} AS (SELECT vec_id, {sim.as_double_sql('embedding')} AS demb
                FROM embeddings{where}),
-    en AS MATERIALIZED (
+    en{tag} AS MATERIALIZED (
         SELECT vec_id, demb, sqrt({sim.dot_sql('demb', 'demb')}) AS nrm
-        FROM e),
-    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM en),
-    init AS (
+        FROM e{tag}),
+    nn{tag} AS (SELECT CAST(count(*) AS BIGINT) AS n FROM en{tag}),
+    init{tag} AS (
         SELECT DISTINCT u, w FROM (
             SELECT a.vec_id AS u,
-                   ((a.vec_id + j.j * {ND_STRIDE}) % nn.n
-                    + CASE WHEN (a.vec_id + j.j * {ND_STRIDE}) % nn.n
-                                = a.vec_id THEN 1 ELSE 0 END) % nn.n AS w
-            FROM en a CROSS JOIN nn,
+                   ((a.vec_id + j.j * {ND_STRIDE}) % nn{tag}.n
+                    + CASE WHEN (a.vec_id + j.j * {ND_STRIDE}) % nn{tag}.n
+                                = a.vec_id THEN 1 ELSE 0 END) % nn{tag}.n AS w
+            FROM en{tag} a CROSS JOIN nn{tag},
                  LATERAL (SELECT unnest(range(1, {ND_K} + 1)) AS j) j)
         WHERE u != w),
-    e0 AS MATERIALIZED (SELECT i.u, i.w, {ppm} AS sim_ppm
-           FROM init i JOIN en a ON a.vec_id = i.u
-                       JOIN en b ON b.vec_id = i.w)"""]
+    e0{tag} AS MATERIALIZED (SELECT i.u, i.w, {ppm} AS sim_ppm
+           FROM init{tag} i JOIN en{tag} a ON a.vec_id = i.u
+                       JOIN en{tag} b ON b.vec_id = i.w)"""]
     for t in range(1, ND_ROUNDS + 1):
         p = t - 1
         parts.append(f"""
-    c{t} AS (
+    c{t}{tag} AS (
         SELECT DISTINCT u, w FROM (
-            SELECT u, w FROM e{p}
+            SELECT u, w FROM e{p}{tag}
             UNION ALL
-            SELECT x.u, y.w FROM e{p} x JOIN e{p} y ON x.w = y.u
+            SELECT x.u, y.w FROM e{p}{tag} x JOIN e{p}{tag} y ON x.w = y.u
             UNION ALL
-            SELECT w AS u, u AS w FROM e{p})
+            SELECT w AS u, u AS w FROM e{p}{tag})
         WHERE u != w),
-    s{t} AS (SELECT c.u, c.w, {ppm} AS sim_ppm
-             FROM c{t} c JOIN en a ON a.vec_id = c.u
-                         JOIN en b ON b.vec_id = c.w),
-    e{t} AS MATERIALIZED (SELECT u, w, sim_ppm FROM (
+    s{t}{tag} AS (SELECT c.u, c.w, {ppm} AS sim_ppm
+             FROM c{t}{tag} c JOIN en{tag} a ON a.vec_id = c.u
+                         JOIN en{tag} b ON b.vec_id = c.w),
+    e{t}{tag} AS MATERIALIZED (SELECT u, w, sim_ppm FROM (
                  SELECT u, w, sim_ppm,
                         row_number() OVER (PARTITION BY u
                                            ORDER BY sim_ppm DESC, w) AS rk
-                 FROM s{t})
+                 FROM s{t}{tag})
              WHERE rk <= {ND_K})""")
     return ",".join(parts)
 
@@ -466,16 +479,16 @@ _SCORE_SQL = (f"CAST(floor(({sim.dot_sql('p.qvec', 'b.demb')}"
               f" / (p.qnorm * b.nrm)) * 1e6 + 0.5) AS BIGINT)")
 
 
-def _und_cte() -> str:
+def _und_cte(tag: str = "") -> str:
     return f"""
-    und AS MATERIALIZED (SELECT DISTINCT u, w FROM (
-                SELECT u, w FROM e{ND_ROUNDS}
+    und{tag} AS MATERIALIZED (SELECT DISTINCT u, w FROM (
+                SELECT u, w FROM e{ND_ROUNDS}{tag}
                 UNION ALL
-                SELECT u, w FROM e0
+                SELECT u, w FROM e0{tag}
                 UNION ALL
-                SELECT w AS u, u AS w FROM e{ND_ROUNDS}
+                SELECT w AS u, u AS w FROM e{ND_ROUNDS}{tag}
                 UNION ALL
-                SELECT w AS u, u AS w FROM e0))"""
+                SELECT w AS u, u AS w FROM e0{tag}))"""
 
 
 def _entries_seen0_ctes(qp: str = "qp", tag: str = "",
@@ -858,12 +871,14 @@ GR_M = 12  # vectors per insert batch
 GR_B = 2   # successive batches (unrolled in both engines)
 
 
-def _rebuild_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The successive-insertion drift curve shared by
-    graph_rebuild_decision (which reports it) and graph_rebuild_policy
-    (which reads the actionable decision off it): one row per insert
-    batch with visited/hit counts, recall vs the batch's exact top-K,
-    mean edge similarity, and the recall drop vs batch 1."""
+def _insert_replay(spark: SparkSession, sf_dir: str):
+    """Replay the GR_B successive insert batches over the growing
+    graph; returns (per_batch_stat_rows, per_batch_inserts) where
+    per_batch_inserts is [(qpanel, edges)] — the panel each batch
+    searched with and the top-ND_K edges it connected. Shared by
+    _rebuild_curve (the drift report) and graph_rebuild_execute (the
+    act step, which re-measures those same edges against a full
+    rebuild)."""
     en = _embeddings_en(spark, sf_dir)
     nfull = en.agg(F.count("*").cast("bigint").alias("nf"))
     base = pin(en.crossJoin(F.broadcast(nfull))
@@ -872,6 +887,7 @@ def _rebuild_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = _sym_edges(_nn_descent_rounds(base))
     cur_en = base
     rows = []
+    inserts = []
     for b in range(1, GR_B + 1):
         lo, hi = GR_B - b + 1, GR_B - b
         qpanel = (en.crossJoin(F.broadcast(nfull))
@@ -892,6 +908,7 @@ def _rebuild_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = (seen.withColumn("rk", F.row_number().over(_wq()))
                  .filter(F.col("rk") <= ND_K)
                  .select("query_id", "node", "sim_ppm"))
+        inserts.append((qpanel, edges))
         exact = _exact_topk(cur_en, qpanel, ND_K)
         rows.append(
             seen.agg(F.count("*").cast("bigint").alias("n_visited"))
@@ -920,6 +937,16 @@ def _rebuild_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 qpanel.select(F.col("qid").alias("vec_id"),
                               F.col("qvec").alias("demb"),
                               F.col("qnorm").alias("nrm"))))
+    return rows, inserts
+
+
+def _rebuild_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The successive-insertion drift curve shared by
+    graph_rebuild_decision (which reports it) and graph_rebuild_policy
+    (which reads the actionable decision off it): one row per insert
+    batch with visited/hit counts, recall vs the batch's exact top-K,
+    mean edge similarity, and the recall drop vs batch 1."""
+    rows, _ = _insert_replay(spark, sf_dir)
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
@@ -1004,6 +1031,101 @@ def q_graph_rebuild_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("index_vectors_at_decision"),
                     F.expr(f"cast(({vec_expr}) * {ND_K} as bigint)")
                     .alias("rebuild_edge_budget")))
+
+
+# ------------------------------- rebuild execute (the act step)
+
+# graph_rebuild_policy DECIDES when accumulated insertions warrant a
+# full rebuild; this operator EXECUTES one and measures what the edge
+# budget buys. After all GR_B insert batches, rebuild the whole index
+# from scratch (full-corpus NN-Descent — the certified graph_nn_descent
+# plan over base + every inserted vector) and compare, against ONE
+# fixed baseline (the exact top-ND_K over the FINAL corpus), the
+# inserted nodes' answers BEFORE vs AFTER: "before" is the edges each
+# batch connected at insert time — handicapped both by graph staleness
+# (batch 1 searched a graph that had never seen batch 2's vectors) and
+# by baseline drift (its true neighbors may not have existed yet) —
+# exactly the degradation the drift curve tracks; "after" is the SAME
+# beam search re-run over the freshly rebuilt, fully-symmetrized graph
+# (the query path a production index serves after maintenance — a
+# rebuilt index is judged by what its searches return, not by its raw
+# out-edge lists). The report is the 1-row receipt: hits and recall on
+# both sides, the regained ppm, the edges the rebuild actually built,
+# and the policy's edge budget at full index size. Closes the
+# lifecycle: build -> search -> sweep -> insert -> decide -> ACT.
+
+
+@register(
+    "graph_rebuild_execute",
+    oracle=None,  # set below
+    tags=("llm", "graph", "ann", "incremental", "maintenance", "action"),
+)
+def q_graph_rebuild_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the full rebuild the policy's budget pays for (module
+    comment above): one row with the inserted-node count, the
+    insertion-time hits/recall and the post-rebuild re-search
+    hits/recall vs the final-corpus exact top-ND_K, the recall
+    regained in ppm, the rebuilt edge count, and the edge budget
+    (|corpus| x ND_K).
+
+    Scale shape: the insert replay, the full-corpus NN-Descent, and
+    the beam re-search are the three already-audited plans (per-batch
+    broadcast panels + id-keyed scoring joins; per-round edge
+    self-joins and per-hop visited state with checkpoint-truncated
+    lineage); the act layer adds one broadcast panel for the exact
+    baseline (GR_B x GR_M queries, corpus scanned once with two-phase
+    top-K), two id-keyed hit joins against the pinned exact set, and
+    broadcast crossJoins of 1-row bounds."""
+    _, inserts = _insert_replay(spark, sf_dir)
+    en_full = _embeddings_en(spark, sf_dir)
+    nfull = en_full.agg(F.count("*").cast("bigint").alias("nf"))
+    qpall = inserts[0][0]
+    pre = inserts[0][1].select("query_id", "node")
+    for qp, e in inserts[1:]:
+        qpall = qpall.unionByName(qp)
+        pre = pre.unionByName(e.select("query_id", "node"))
+    qpall = pin(qpall)
+    rounds_f = _nn_descent_rounds(en_full)
+    rebuilt = rounds_f[-1]
+    # the act's answer path: re-run the SAME beam search over the
+    # rebuilt, symmetrized graph and answer with its top-ND_K
+    und_f = _sym_edges(rounds_f)
+    score = _make_score(en_full, qpall)
+    nn_f = nfull.select(F.col("nf").alias("n"))
+    seen0 = score(qpall.select("query_id", "qid")
+                  .crossJoin(F.broadcast(_entry_nodes(spark, nn_f)))
+                  .filter(F.col("node") != F.col("qid"))
+                  .select("query_id", "node")
+                  ).localCheckpoint(eager=True)
+    seen = _search_seen(seen0, und_f, qpall, score, GS_BEAM, GS_HOPS)
+    post = _topk_nodes(seen, ND_K)
+    exact = pin(_exact_topk(en_full, qpall, ND_K))
+    pre_h = (pre.join(exact, ["query_id", "node"])
+             .agg(F.count("*").cast("bigint").alias("pre_hits")))
+    post_h = (post.join(exact, ["query_id", "node"])
+              .agg(F.count("*").cast("bigint").alias("post_hits")))
+    built = rebuilt.agg(F.count("*").cast("bigint")
+                        .alias("rebuild_edges_built"))
+    denom = GR_B * GR_M * ND_K
+    # `div` == oracle `//`: both truncate toward zero, including the
+    # possibly-negative regained column (engine-semantics pin)
+    return (pre_h.crossJoin(F.broadcast(post_h))
+            .crossJoin(F.broadcast(built))
+            .crossJoin(F.broadcast(nfull))
+            .select(
+                F.lit(GR_B * GR_M).cast("bigint").alias("n_inserted"),
+                "pre_hits",
+                F.expr(f"cast(pre_hits * 1000000 div {denom} as bigint)")
+                .alias("pre_recall_ppm"),
+                "post_hits",
+                F.expr(f"cast(post_hits * 1000000 div {denom} as bigint)")
+                .alias("post_recall_ppm"),
+                F.expr(f"cast((post_hits - pre_hits) * 1000000"
+                       f" div {denom} as bigint)")
+                .alias("recall_regained_ppm"),
+                "rebuild_edges_built",
+                F.expr(f"cast(nf * {ND_K} as bigint)")
+                .alias("rebuild_edge_budget")))
 
 
 def _rebuild_curve_ctes() -> str:
@@ -1104,3 +1226,61 @@ REGISTRY["graph_rebuild_policy"].oracle = _rebuild_curve_ctes() + f""",
            CAST((nfq.nf - ({GR_B} - dec.rb) * {GR_M}) * {ND_K} AS BIGINT)
                AS rebuild_edge_budget
     FROM dec CROSS JOIN nfq"""
+
+
+def _rebuild_execute_oracle() -> str:
+    """The insert-replay chain (edges1..edges{GR_B}, qp1..qp{GR_B})
+    plus a SECOND, full-corpus NN-Descent chain (tag 'f'), the beam
+    re-search over the rebuilt symmetrized graph (the act's answer
+    path), and the final-corpus exact baseline (tag 'x') — the SQL
+    twin of q_graph_rebuild_execute."""
+    qpall = " UNION ALL ".join(
+        f"SELECT * FROM qp{b}" for b in range(1, GR_B + 1))
+    pre = "\n              UNION ALL\n              ".join(
+        f"SELECT query_id, node FROM edges{b}"
+        for b in range(1, GR_B + 1))
+    denom = GR_B * GR_M * ND_K
+    return (_rebuild_curve_ctes()
+            + ","
+            + _graph_ctes("", tag="f", lead=False)
+            + ","
+            + _und_cte(tag="f")
+            + f""",
+    qpall AS MATERIALIZED ({qpall}),
+    pre AS ({pre}),"""
+            + _entries_seen0_ctes(qp="qpall", tag="f",
+                                  en_cte="enf", nn_cte="nnf")
+            + ","
+            + _beam_hops_ctes("f", GS_BEAM, GS_HOPS, qp="qpall",
+                              seen0="gs0f", und_cte="undf",
+                              en_cte="enf")
+            + ","
+            + _found_cte(f"gs{GS_HOPS}f", ND_K, tag="f")
+            + ","
+            + _exact_ctes(ND_K, qp="qpall", en_cte="enf", tag="x")
+            + f""",
+    nfq AS (SELECT CAST(count(*) AS BIGINT) AS nf FROM embeddings),
+    post AS (SELECT query_id, node FROM foundf),
+    preh AS (SELECT CAST(count(*) AS BIGINT) AS pre_hits
+             FROM pre p JOIN exactx e
+               ON e.query_id = p.query_id AND e.node = p.node),
+    posth AS (SELECT CAST(count(*) AS BIGINT) AS post_hits
+              FROM post p JOIN exactx e
+                ON e.query_id = p.query_id AND e.node = p.node),
+    built AS (SELECT CAST(count(*) AS BIGINT) AS rebuild_edges_built
+              FROM e{ND_ROUNDS}f)
+    SELECT CAST({GR_B * GR_M} AS BIGINT) AS n_inserted,
+           preh.pre_hits,
+           CAST(pre_hits * 1000000 // {denom} AS BIGINT)
+               AS pre_recall_ppm,
+           posth.post_hits,
+           CAST(post_hits * 1000000 // {denom} AS BIGINT)
+               AS post_recall_ppm,
+           CAST((post_hits - pre_hits) * 1000000 // {denom} AS BIGINT)
+               AS recall_regained_ppm,
+           built.rebuild_edges_built,
+           CAST(nfq.nf * {ND_K} AS BIGINT) AS rebuild_edge_budget
+    FROM preh CROSS JOIN posth CROSS JOIN built CROSS JOIN nfq""")
+
+
+REGISTRY["graph_rebuild_execute"].oracle = _rebuild_execute_oracle()

@@ -288,10 +288,8 @@ SAMPLE_PREFIX_EXPECTED = [
     "sketch_hll_overlap_matrix", "join_size_estimate_report",
     "score_auc_report", "sim_hard_negatives",
     "curation_dedup_aware_split", "scd2_point_in_time_join",
-    # 2. new in round 12 (formal rows in the round they are written;
-    #    graph_rebuild_execute joins here when it lands, displacing the
-    #    last r7 fill name)
-    "dedup_span_df_stats",
+    # 2. new in round 12 (formal rows in the round they are written)
+    "dedup_span_df_stats", "graph_rebuild_execute",
     # 3. code changed in round 12 (house rule re-certs): the span pair
     #    family gained the SPAN_DF_CAP anti-join; scd2_build_intervals'
     #    oracle gained the event_id tie-break; the graph family's
@@ -316,7 +314,7 @@ SAMPLE_PREFIX_EXPECTED = [
     "events_retention_cohorts", "events_session_windows",
     "events_sliding_windows", "grouping_sets_priority_status",
     "join_anti_customers_no_orders", "join_full_outer_nation_counts",
-    "join_left_customer_orders", "join_range_price_bands",
+    "join_left_customer_orders",
 ]
 
 

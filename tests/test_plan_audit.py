@@ -1012,6 +1012,28 @@ def test_rebuild_policy_adds_only_bounded_bounds_to_the_curve(spark):
             assert "demb#" not in input_line, section[:400]
 
 
+def test_rebuild_execute_act_layer_is_id_keyed_and_bounded(spark):
+    """graph_rebuild_execute's scale claim: everything corpus-scale is
+    the three already-audited plans (insert replay, full-corpus
+    NN-Descent, beam re-search — all visible as checkpoint-truncated
+    ExistingRDD scans); the act layer itself adds only id-keyed hit
+    joins against the pinned exact baseline and BROADCAST-attached
+    1-row bounds — no cartesian, and no hash exchange ever carries a
+    vector column."""
+    p = plan_str(spark, "graph_rebuild_execute")
+    assert "CartesianProduct" not in p
+    assert "Scan ExistingRDD" in p, p[:400]
+    assert "BroadcastNestedLoopJoin" in p
+    assert "InMemoryTableScan" in p, p[:400]  # the pinned exact set
+    for section in re.split(r"\n\(\d+\) ", p):
+        if section.startswith("Exchange") and "hashpartitioning" in section:
+            input_line = next(
+                (ln for ln in section.splitlines()
+                 if ln.startswith("Input")), "")
+            assert "demb#" not in input_line, section[:400]
+            assert "qvec#" not in input_line, section[:400]
+
+
 def test_drop_plan_inherits_pair_builder_discipline(spark):
     """dedup_containment_drop_plan rides the audited pair builder; the
     drop layer itself must add only a per-dropped-doc rank window
