@@ -464,6 +464,11 @@ REGISTRY["split_leakage_report"].oracle = _split_leakage_oracle()
 # order statistics ride the raw fan-out through one rank window per
 # window — an EVAL cost only, exactly like the HLL operator's exact
 # side; a production job ships the estimate and the error bound.
+# STREAMING twin (round 12): streaming/quantile.py keeps the same
+# hourly histograms as applyInPandasWithState managed state —
+# byte-identical to the batch kernel, window composition equal to
+# THIS operator exactly (tests/test_streaming.py) — completing the
+# mergeable matrix (cardinality/moments/quantiles each batch+stream).
 SQ_W = 4  # histogram bucket width (value units; power of two)
 
 

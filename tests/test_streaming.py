@@ -530,6 +530,89 @@ def test_streaming_hourly_hll_state_matches_batch(spark, tmp_path):
         assert abs(est - exact[w]) / exact[w] <= 0.05, (w, est, exact[w])
 
 
+def test_streaming_hourly_quantile_hist_state_matches_batch(spark, tmp_path):
+    """The streaming half of the mergeable-QUANTILE story
+    (streaming/quantile.py), completing the mergeable-summary matrix
+    (cardinality: HLL batch+stream; moments: power sums batch+stream;
+    quantiles: THIS): per-hour value histograms as
+    applyInPandasWithState managed state, fed one parquet file per
+    micro-batch, must end byte-identical to the batch twin's canonical
+    histogram encoding over the same rows — and sliding-window p50/p95
+    composed from the STREAMING state (merge <= SW_HOURS hourly bucket
+    dicts, integer k arithmetic) must equal the certified
+    events_sliding_quantile_hist operator's estimates EXACTLY, not
+    within a tolerance: same buckets, same counts, same `div`
+    truncation on both paths."""
+    from nats_stream_processor_spark import registry
+    from nats_stream_processor_spark.queries.llm_ext9 import SW_HOURS
+    from nats_stream_processor_spark.queries.llm_ext10 import SQ_W
+    from nats_stream_processor_spark.streaming import quantile as qh
+
+    sf = "/root/testdata/sf0.001"
+    src = registry.table(spark, sf, "events").select("ts", "value")
+    pdir = tmp_path / "qh_events"
+    # 4 files -> 4 micro-batches with maxFilesPerTrigger=1: hours are
+    # touched across MULTIPLE batches, so the state genuinely merges.
+    src.repartition(4).write.parquet(str(pdir))
+
+    batch = {r.h: r for r in
+             qh.hourly_value_hist_batch(
+                 spark.read.parquet(str(pdir))).collect()}
+
+    stream = (spark.readStream.schema(src.schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(pdir)))
+    latest, touches = {}, []
+
+    def collect(bdf, epoch_id):
+        rows = bdf.collect()
+        touches.append({r.h for r in rows})
+        for r in rows:
+            latest[r.h] = r
+
+    q = (qh.hourly_value_hist(stream)
+         .writeStream.outputMode("update").foreachBatch(collect)
+         .option("checkpointLocation", str(tmp_path / "ckpt_qh"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    assert len([t for t in touches if t]) >= 2, "wanted multiple batches"
+    assert any(t1 & t2 for i, t1 in enumerate(touches)
+               for t2 in touches[i + 1:]), \
+        "no hour was updated across batches — statefulness unexercised"
+
+    # streaming final state == batch kernel, byte for byte (canonical
+    # sorted-pair encoding, so dict equality <=> byte equality)
+    assert set(latest) == set(batch)
+    for h, r in latest.items():
+        assert bytes(r.hist) == bytes(batch[h].hist), h
+        assert (r.n_events, r.est_p50, r.est_p95) == \
+            (batch[h].n_events, batch[h].est_p50, batch[h].est_p95), h
+
+    # sliding windows: merging hourly STREAMING histograms reproduces
+    # the certified batch operator's window rows EXACTLY
+    op = {r.window_hour: r for r in
+          registry.REGISTRY["events_sliding_quantile_hist"].fn(
+              spark, sf).collect()}
+    registry.release_pins()
+    hmax = max(latest)
+    wins = sorted({w for h in latest
+                   for w in range(h, min(h + SW_HOURS - 1, hmax) + 1)})
+    assert wins == sorted(op)
+    for w in wins:
+        merged: dict[int, int] = {}
+        for h in latest:
+            if w - SW_HOURS + 1 <= h <= w:
+                merged = qh.hist_merge(
+                    merged, qh.hist_decode(bytes(latest[h].hist)))
+        n, est50, est95 = qh.hist_quantiles(merged, SQ_W)
+        assert n == op[w].n_events, w
+        assert est50 == op[w].est_p50, w
+        assert est95 == op[w].est_p95, w
+        # and the operator's own theorem holds for the composed state
+        assert est50 <= op[w].exact_p50 < est50 + SQ_W, w
+        assert est95 <= op[w].exact_p95 < est95 + SQ_W, w
+
+
 def test_streaming_hourly_power_sums_match_batch_moments(spark, tmp_path):
     """The streaming half of the mergeable-moments story
     (queries/llm_ext11.hourly_power_sums): the SAME builder that feeds
