@@ -4,11 +4,15 @@ SCD2 history build, bootstrap CIs, calibration, mutual-NN alignment,
 gazetteer tagging).
 
 Certification status (the honest-labeling house rule): every operator in
-this module was written in round 11 and is INSIDE the r11 sampled window —
-the window comment in registry.py pre-allocated exactly this move (further
-round-11 operators replace the TAIL of the r6-era re-certification slice;
-new code certifies in the round it is written, an r6-era row is merely old,
-not missing).
+this module was written in round 11, INSIDE the r11 sampled window, and
+has a green r11 formal row. Round-12 changes (house-rule re-certs inside
+the r12 window): scd2_build_intervals' oracle gained the event_id
+tie-break in the running-change-count window (the r11 advice item — the
+Spark window already ordered by (us, event_id)), and the calibration
+tail was factored through calibration_from_scored / _cal_tail_sql
+(oracle byte-identical, verified by md5 against the r11 tip) so the
+planted multi-bin/bin-9-clamp test can drive the operator's real tail
+with pi values the shipped trainer provably cannot produce.
 
 Reference scope note: the reference (/root/reference, a single-purpose
 NATS enrichment daemon, main.py + src/service.py) has no
@@ -609,15 +613,14 @@ _CAL_FEAT_CTE = (
 )
 
 
-@register(
-    "score_calibration_report",
-    oracle=f"""
-    WITH {_CAL_FEAT_CTE},
-    {lg.logreg_train_cte_sql()},
-    scored AS (SELECT f.y,
-                      CAST(floor(1.0 / (1.0 + exp(-({lg.margin_sql('w')})))
-                                 * 1e6 + 0.5) AS BIGINT) AS pi
-               FROM feat f CROSS JOIN w{lg.ROUNDS} w),
+def _cal_tail_sql() -> str:
+    """The binning/aggregation tail of the calibration oracle, over a
+    `scored(y, pi)` CTE — split out so the planted multi-bin test can
+    drive the IDENTICAL SQL (bin-9 clamp included) with pi values the
+    shipped trainer provably cannot produce (see the r12 test note in
+    tests/test_llm_ext11.py: five lr=0.5 rounds over [0,1] features
+    bound the margin by 10, so pi <= 999,955 < 1e6 on ANY corpus)."""
+    return f""",
     binned AS (SELECT least(pi // 100000, 9) AS bin, y, pi FROM scored),
     agg AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(pi) AS BIGINT) AS spi,
@@ -633,7 +636,18 @@ _CAL_FEAT_CTE = (
            {sim.round6_stable_sql('fp')} AS frac_pos,
            {sim.round6_stable_sql('abs(mp - fp)')} AS abs_gap
     FROM stats ORDER BY bin
-    """,
+    """
+
+
+@register(
+    "score_calibration_report",
+    oracle=f"""
+    WITH {_CAL_FEAT_CTE},
+    {lg.logreg_train_cte_sql()},
+    scored AS (SELECT f.y,
+                      CAST(floor(1.0 / (1.0 + exp(-({lg.margin_sql('w')})))
+                                 * 1e6 + 0.5) AS BIGINT) AS pi
+               FROM feat f CROSS JOIN w{lg.ROUNDS} w){_cal_tail_sql()}""",
     tags=("llm", "score-logreg", "calibration"),
 )
 def q_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -662,6 +676,13 @@ def q_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = feat.select(
         F.col("y").cast("long").alias("y"),
         F.floor(p * F.lit(1e6) + F.lit(0.5)).cast("long").alias("pi"))
+    return calibration_from_scored(scored)
+
+
+def calibration_from_scored(scored: DataFrame) -> DataFrame:
+    """The binning/aggregation tail over a (y, pi) frame — the Spark
+    twin of _cal_tail_sql, split out so the planted multi-bin/clamp
+    test drives the operator's REAL tail (see _cal_tail_sql's note)."""
     agg = (scored
            .select(F.least(F.expr("pi div 100000"), F.lit(9)).alias("bin"),
                    "y", "pi")

@@ -294,18 +294,21 @@ SAMPLE_PREFIX_EXPECTED = [
     #    family gained the SPAN_DF_CAP anti-join; scd2_build_intervals'
     #    oracle gained the event_id tie-break; the graph family's
     #    shared builders (_graph_ctes tag parameter, _rebuild_curve ->
-    #    _insert_replay factor) changed for graph_rebuild_execute
+    #    _insert_replay factor) changed for graph_rebuild_execute; the
+    #    calibration tail was factored through calibration_from_scored
+    #    for the planted multi-bin/clamp test (oracle byte-identical)
     "dedup_containment", "dedup_max_duplicated_run",
     "dedup_containment_drop_plan", "scd2_build_intervals",
     "graph_nn_descent", "graph_greedy_search", "graph_beam_sweep",
     "graph_knn_insert", "graph_rebuild_decision", "graph_rebuild_policy",
+    "score_calibration_report",
     # 4. the 12 remaining r6-era rows — this CLEARS the r6 era
     "sim_ann_pq", "sim_cosine_topk", "sim_matryoshka_recall",
     "text_keyphrases_rake", "text_lang_id", "text_quality_scores",
     "text_redact_pii", "text_repetition_score", "text_token_entropy",
     "text_token_stats", "text_vocab_topk", "train_val_split",
-    # 5. the alphabetically-first 20 of the 48 r7-era rows — the start
-    #    of the r7 drain (the remaining 28 lead the r13 fill queue)
+    # 5. the alphabetically-first 19 of the 48 r7-era rows — the start
+    #    of the r7 drain (the remaining 29 lead the r13 fill queue)
     "agg_distinct_per_segment", "agg_having", "agg_percentiles",
     "array_map_functions", "asof_join_latest_order", "confidence_gate",
     "cube_returnflag_linestatus", "date_funcs_orders",
@@ -314,7 +317,6 @@ SAMPLE_PREFIX_EXPECTED = [
     "events_retention_cohorts", "events_session_windows",
     "events_sliding_windows", "grouping_sets_priority_status",
     "join_anti_customers_no_orders", "join_full_outer_nation_counts",
-    "join_left_customer_orders",
 ]
 
 

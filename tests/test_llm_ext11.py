@@ -422,6 +422,86 @@ def test_calibration_composes_scored_probabilities(spark):
         assert out[b]["abs_gap"] == r6(abs(mp - fp))
 
 
+def test_calibration_multibin_tail_and_bin9_clamp(spark):
+    """(r12, for the r11 advice item) The multi-bin path and the
+    least(pi div 100000, 9) clamp, driven through the operator's REAL
+    tail on BOTH engines. The shipped trainer provably cannot produce
+    the clamp's operand: each round moves each weight by at most
+    LR * max|x| * max|p-y| = 0.5, so after ROUNDS=5 rounds
+    |w_j| <= 2.5 and the margin over [0,1] features is <= 10 —
+    sigmoid(10) quantizes to pi = 999,955 < 1e6 on ANY corpus (and the
+    adversarially-separable planted corpora tried empirically stay
+    within ~one bin of 0.5). So the clamp is exercised the only honest
+    way: a planted scored(y, pi) table spanning bins 0, 3 and 9 —
+    including pi = 1e6 exactly, which must land in bin 9, not a
+    phantom bin 10 — through calibration_from_scored (Spark) and
+    _cal_tail_sql (DuckDB), with every column replicated in plain
+    Python."""
+    import duckdb
+    from nats_stream_processor_spark.queries import llm_ext11 as x11
+
+    rows = [(1, 1000000), (1, 1000000), (0, 999999), (1, 950000),
+            (0, 300000), (1, 349999), (0, 399999),
+            (0, 0), (0, 49999), (1, 99999)]
+    scored = spark.createDataFrame(rows, "y long, pi long")
+    out = {r.bin: r for r in
+           x11.calibration_from_scored(scored).collect()}
+    assert set(out) == {0, 3, 9}
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE sc (y BIGINT, pi BIGINT)")
+    con.executemany("INSERT INTO sc VALUES (?, ?)", rows)
+    oracle_rows = con.sql(
+        "WITH scored AS (SELECT * FROM sc)" + x11._cal_tail_sql()
+    ).fetchall()
+    spark_rows = sorted(tuple(r) for r in
+                        x11.calibration_from_scored(scored).collect())
+    assert spark_rows == sorted(oracle_rows)
+
+    def _r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def expect(bin_rows):
+        n = len(bin_rows)
+        mp = sum(p for _, p in bin_rows) / (float(n) * 1e6)
+        fp = sum(y for y, _ in bin_rows) / float(n)
+        return n, _r6(mp), _r6(fp), _r6(abs(mp - fp))
+
+    by_bin: dict[int, list] = {}
+    for y, pi in rows:
+        by_bin.setdefault(min(pi // 100000, 9), []).append((y, pi))
+    assert set(by_bin) == {0, 3, 9}
+    assert len(by_bin[9]) == 4  # pi = 1e6 absorbed by the clamp
+    for b, r in out.items():
+        n, mp, fp, gap = expect(by_bin[b])
+        assert (r.n_docs, r.mean_pred, r.frac_pos, r.abs_gap) == \
+            (n, mp, fp, gap), b
+
+
+def test_calibration_trained_margin_stays_under_clamp_threshold(spark):
+    """The reachability bound behind the clamp theorem above, pinned
+    empirically: train the real logreg on the driver fixture and
+    assert the learned weights respect the per-round update bound
+    (|w_j| <= ROUNDS * LR), hence every score satisfies pi < 1e6 —
+    the clamp cannot bind through the shipped trainer; it guards
+    future hyperparameter changes."""
+    from nats_stream_processor_spark.operators import logreg as lg
+    from nats_stream_processor_spark.functions.text import tokens_col  # noqa: F401
+    from pyspark.sql import functions as F
+    d = registry.table(spark, SF_SMOKE, "documents")
+    fcols = lg.feature_cols(F.col("text"))
+    feat = registry.pin(d.select(
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0))
+         .alias("y"),
+        *[c.alias(f"x_{name}") for name, c in fcols.items()]))
+    weights = lg.train_logreg(feat)
+    assert all(abs(w) <= lg.ROUNDS * lg.LR for w in weights), weights
+    # margin bound over [0,1] features -> sigmoid -> micro-units
+    bound = sum(abs(w) for w in weights)
+    pi_max = math.floor(1.0 / (1.0 + math.exp(-bound)) * 1e6 + 0.5)
+    assert pi_max < 1000000, (bound, pi_max)
+
+
 def test_calibration_bins_are_consistent(spark):
     out = registry.REGISTRY["score_calibration_report"].fn(
         spark, SF_SMOKE).collect()
