@@ -271,8 +271,10 @@ def oracle_sql() -> dict[str, str]:
 # behind.
 #
 # R13 PRE-ALLOCATION (fill next round's window in this order):
-#  1. any operator written in or behind the r12 window plus any whose
-#     code changes in round 13 (house rule);
+#  1. the late-r12 behind-window operators (llm_ext13:
+#     sim_ivf_list_balance, quality_gate_agreement — first formal
+#     rows) plus any operator whose code changes in round 13 (house
+#     rule);
 #  2. the remaining 28 r7-era rows alphabetically
 #     (join_range_price_bands .. window_running_revenue) — clearing
 #     the r7 era needs ~28 slots, so round 13 can likely finish it;
@@ -344,6 +346,7 @@ _ext9_names: list[str] = []
 _ext10_names: list[str] = []
 _ext11_names: list[str] = []
 _ext12_names: list[str] = []
+_ext13_names: list[str] = []
 
 
 def _populate() -> None:
@@ -371,7 +374,8 @@ def _populate() -> None:
 
 def _populate_chain() -> None:
     global _ext3_names, _ext4_names, _ext5_names, _ext6_names, \
-        _ext9_names, _ext10_names, _ext11_names, _ext12_names
+        _ext9_names, _ext10_names, _ext11_names, _ext12_names, \
+        _ext13_names
 
     from .queries import llm  # noqa: F401
     from .queries import advanced  # noqa: F401
@@ -426,11 +430,18 @@ def _populate_chain() -> None:
     _ext11_names = [n for n in REGISTRY if n not in pre]
 
     # Late round-11 additions: landed AFTER the r11 window was fully
-    # allocated — honest behind-window headers in llm_ext12; their first
-    # formal rows lead the r12 window.
+    # allocated; their first formal rows LEAD the r12 window (honest
+    # behind-window headers stood in llm_ext12 through round 11).
     pre = set(REGISTRY)
     from .queries import llm_ext12  # noqa: F401
     _ext12_names = [n for n in REGISTRY if n not in pre]
+
+    # Late round-12 additions: landed AFTER the r12 window was fully
+    # allocated — honest behind-window headers in llm_ext13; their first
+    # formal rows lead the r13 window.
+    pre = set(REGISTRY)
+    from .queries import llm_ext13  # noqa: F401
+    _ext13_names = [n for n in REGISTRY if n not in pre]
 
     # Reorder so the curated prefix leads. Every curated name must exist
     # on a clean import (asserted by test_sample_prefix_has_no_name_drift);

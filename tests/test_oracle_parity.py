@@ -88,6 +88,14 @@ def test_sample_prefix_has_no_name_drift():
               "text_repetition_score", "text_token_entropy",
               "text_token_stats", "text_vocab_topk", "train_val_split"):
         assert n in window, f"r6-era row {n} missed the clearing window"
+    # Late round-12 operators (llm_ext13) landed AFTER the window was
+    # fully allocated: they must be registered (sweep-checked + pytest
+    # covered) but must NOT displace a curated slot — they lead r13.
+    assert registry._ext13_names, "llm_ext13 must register its operators"
+    for n in registry._ext13_names:
+        assert n in registry.REGISTRY
+        assert n not in window, (
+            f"late operator {n} displaced a curated r12 slot")
 
 
 def test_every_query_module_survives_worker_entry_import():

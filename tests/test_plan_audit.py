@@ -1319,3 +1319,47 @@ def test_hard_negatives_inherit_knn_builder_discipline(spark):
     win = re.search(r"\((\d+)\) Window", p)
     assert filt and win, p[:800]
     assert int(filt.group(1)) < int(win.group(1))
+
+
+def test_ivf_list_balance_is_one_scan_no_vector_exchange(spark):
+    """sim_ivf_list_balance's scale claim: the assignment is one corpus
+    scan against the BROADCAST centroid table; the per-vector rank
+    window's exchange carries (vec_id, cent_id, score) — never the
+    vector column — and the report layer is an aggregate onto <= nlist
+    keys with the 1-row total attached by broadcast. No cartesian."""
+    spark.conf.set("spark.nats_spark.spread.enabled", "false")
+    try:
+        p = plan_str(spark, "sim_ivf_list_balance")
+    finally:
+        spark.conf.set("spark.nats_spark.spread.enabled", "true")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # 1-row total + centroid table
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 1, p[:600]
+    for section in re.split(r"\n\(\d+\) ", p):
+        if section.startswith("Exchange") and "hashpartitioning" in section:
+            input_line = next(
+                (ln for ln in section.splitlines()
+                 if ln.startswith("Input")), "")
+            assert "demb#" not in input_line, section[:400]
+
+
+def test_gate_agreement_flags_are_map_side_single_scan(spark):
+    """quality_gate_agreement's scale claim: the C4 and Gopher flags
+    are pure JVM expressions over the scan, the logreg gate joins the
+    pinned feature projection by id only, and every pair row is a
+    partial+final aggregate of 0/1 products — no exchange carries
+    text, no cartesian beyond the broadcast 1-row unions."""
+    spark.conf.set("spark.nats_spark.spread.enabled", "false")
+    try:
+        p = plan_str(spark, "quality_gate_agreement")
+    finally:
+        spark.conf.set("spark.nats_spark.spread.enabled", "true")
+    assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" in p, p[:400]  # the pinned projections
+    for section in re.split(r"\n\(\d+\) ", p):
+        if section.startswith("Exchange"):
+            input_line = next(
+                (ln for ln in section.splitlines()
+                 if ln.startswith("Input")), "")
+            assert "text#" not in input_line, section[:400]
+    assert re.search(r"partial_sum|partial_count", p), p[:400]
