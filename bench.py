@@ -70,6 +70,19 @@ ones, and the hourly_power_sums streaming twin; still zero headline
 code touched): 14.101 s headline / 3,908 streaming posts/s on a
 quiet host, at the fast end of the documented noise band — the new
 waves add registry entries and imports only, no regression.
+
+Round-12 control: three adjacent windows — r12 HEAD 16.624 s, then
+the r11 tip (02cc528, fresh worktree) 14.223 s, then r12 HEAD again
+14.468 s. The decisive comparison is windows 2 vs 3 (adjacent,
+settled host): a 1.7% gap, uniform across queries — equal-code
+within noise. Window 1's 16.6 s is the usual first-window warmth
+(same pattern as every prior round's control). No headline query's
+code changed in round 12 (the round DF-capped the substring-span
+pair joins, added graph_rebuild_execute / dedup_span_df_stats /
+sim_ivf_list_balance / quality_gate_agreement and the streaming
+quantile twin — none in the headline set); streaming posts/s
+measured 3,908.6 (window 1) / 3,447.6 (window 3) vs the r11 tip's
+3,397.0 in the adjacent window — equal-or-faster code.
 """
 
 from __future__ import annotations
