@@ -1,7 +1,8 @@
-"""Round-12 operators, second wave: index-balance and gate-agreement
-observability faces.
+"""Round-12 operators, second wave: observability and incremental-
+maintenance faces (IVF list balance, quality-gate agreement,
+incremental SCD2 apply, sliding mergeable top-k).
 
-CERTIFICATION STATUS (the honest-labeling house rule): both operators
+CERTIFICATION STATUS (the honest-labeling house rule): every operator
 here landed AFTER the r12 sample window was fully allocated (the six
 llm_ext12 first-rows, the round-12 new/changed code, the r6-clearing
 dozen and the r7 fill consumed all 50 slots), so they sit honestly
@@ -12,7 +13,7 @@ lead the r13 window (pre-allocated in registry.py).
 
 Reference scope note: the reference (/root/reference, a single-purpose
 NATS enrichment daemon, main.py + src/service.py) has no analytics
-surface; both operators here are north-star scope, built Spark-first
+surface; every operator here is north-star scope, built Spark-first
 and oracle-paired.
 
 - ``sim_ivf_list_balance`` — the IVF analog of dedup_lsh_band_stats /
@@ -360,3 +361,451 @@ def _render_gate_agreement_oracle() -> None:
 
 
 _render_gate_agreement_oracle()
+
+
+# --------------------- incremental SCD2 maintenance (IVM x warehouse)
+
+# ivm_agg_delta proves base-partial + delta-partial == full recompute
+# for AGGREGATES; this operator proves the same maintenance law for the
+# SCD2 HISTORY BUILD — the nightly warehouse job that matters at
+# 100 TB, where rebuilding a type-2 dimension from the full changelog
+# every day is exactly the cost incremental apply exists to avoid. The
+# changelog splits at a deterministic mid-range watermark (integer
+# microsecond (min+max) div 2 over the checked keys, the same `div`
+# pin as everywhere); the BASE history is the certified scd2 run fold
+# over pre-cut events, and the delta applies WITHOUT touching closed
+# versions: the only base row that can change is each user's OPEN run
+# — if the delta's first run continues the same state it MERGES
+# (n_events adds, valid_from keeps — the run that straddled the cut is
+# rejoined exactly), otherwise the open run closes at the delta's
+# first timestamp; later delta runs append with continued version
+# numbers, and brand-new users start at version 1. Validity bounds
+# re-derive from one per-user lead over the ASSEMBLED version rows
+# (closed rows' bounds provably unchanged: their successor's
+# valid_from is already fixed). The in-query theorem: the assembled
+# incremental history equals the full rebuild row-for-row on every
+# column — recomputed, not assumed, on both engines (the full rebuild
+# exists only as the proof side; a production job ships the merge).
+
+
+def _scd2_runs_ctes(tag: str, where: str) -> str:
+    """ev/chg/ver/runs chain (the certified scd2_build_intervals fold)
+    over `events` restricted by `where`, CTE names suffixed by `tag`;
+    ends in runs{tag}(user_id, version, state, valid_from_us,
+    n_events) with versions starting at 1 per user."""
+    return f"""
+    ev{tag} AS (SELECT user_id, event_id, event_type AS state,
+                       epoch_us(ts) AS us
+                FROM events WHERE user_id % 10 = 0{where}),
+    chg{tag} AS (SELECT user_id, event_id, state, us,
+                   CASE WHEN lag(state) OVER w IS NULL
+                             OR state <> lag(state) OVER w
+                        THEN 1 ELSE 0 END AS is_chg
+            FROM ev{tag} WINDOW w AS (PARTITION BY user_id
+                                      ORDER BY us, event_id)),
+    ver{tag} AS (SELECT user_id, state, us,
+                   sum(is_chg) OVER (PARTITION BY user_id
+                                     ORDER BY us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS version
+            FROM chg{tag}),
+    runs{tag} AS (SELECT user_id, CAST(version AS BIGINT) AS version,
+                    min(state) AS state,
+                    min(us) AS valid_from_us,
+                    CAST(count(*) AS BIGINT) AS n_events
+             FROM ver{tag} GROUP BY user_id, version)"""
+
+
+def _scd2_inc_oracle() -> str:
+    hist = """SELECT user_id, version, state, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY version) AS valid_to_us,
+           n_events,
+           lead(valid_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY version) IS NULL
+               AS is_current
+    FROM {src}"""
+    return f"""
+    WITH cutq AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+                      AS cut
+                  FROM events WHERE user_id % 10 = 0),
+    {_scd2_runs_ctes('b', ' AND epoch_us(ts) < (SELECT cut FROM cutq)')},
+    {_scd2_runs_ctes('d', ' AND epoch_us(ts) >= (SELECT cut FROM cutq)')},
+    {_scd2_runs_ctes('f', '')},
+    vmax AS (SELECT user_id, CAST(max(version) AS BIGINT) AS vmax
+             FROM runsb GROUP BY user_id),
+    opn AS (SELECT r.* FROM runsb r JOIN vmax m
+              ON m.user_id = r.user_id AND r.version = m.vmax),
+    firstd AS (SELECT * FROM runsd WHERE version = 1),
+    closed AS (SELECT r.user_id, r.version, r.state, r.valid_from_us,
+                      r.n_events
+               FROM runsb r JOIN vmax m
+                 ON m.user_id = r.user_id AND r.version < m.vmax),
+    open_adj AS (SELECT o.user_id, o.version, o.state, o.valid_from_us,
+                        o.n_events
+                        + CASE WHEN f.user_id IS NOT NULL
+                                    AND f.state = o.state
+                               THEN f.n_events ELSE 0 END AS n_events
+                 FROM opn o LEFT JOIN firstd f
+                   ON f.user_id = o.user_id),
+    tail AS (SELECT d.user_id,
+                    CASE WHEN o.user_id IS NULL THEN d.version
+                         WHEN f.state = o.state
+                              THEN o.version + d.version - 1
+                         ELSE o.version + d.version END AS version,
+                    d.state, d.valid_from_us, d.n_events
+             FROM runsd d
+                  LEFT JOIN opn o ON o.user_id = d.user_id
+                  LEFT JOIN firstd f ON f.user_id = d.user_id
+             WHERE o.user_id IS NULL
+                   OR d.version >= CASE WHEN f.state = o.state
+                                        THEN 2 ELSE 1 END),
+    assembled AS (SELECT * FROM closed
+                  UNION ALL SELECT * FROM open_adj
+                  UNION ALL SELECT * FROM tail),
+    inc AS ({hist.format(src='assembled')}),
+    full_h AS ({hist.format(src='runsf')}),
+    cmp AS (SELECT coalesce(i.user_id, f.user_id) AS user_id,
+                   CASE WHEN i.user_id IS NOT NULL
+                             AND f.user_id IS NOT NULL
+                             AND i.state = f.state
+                             AND i.valid_from_us = f.valid_from_us
+                             AND i.valid_to_us IS NOT DISTINCT FROM
+                                 f.valid_to_us
+                             AND i.n_events = f.n_events
+                             AND i.is_current = f.is_current
+                        THEN 0 ELSE 1 END AS mism
+            FROM inc i FULL OUTER JOIN full_h f
+              ON f.user_id = i.user_id AND f.version = i.version),
+    nd AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_delta_events
+           FROM evd GROUP BY user_id),
+    per AS (SELECT i.user_id,
+                   CAST(count(*) AS BIGINT) AS n_versions,
+                   CAST(sum(CASE WHEN NOT i.is_current THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_closed
+            FROM inc i GROUP BY i.user_id)
+    SELECT p.user_id, p.n_versions, p.n_closed,
+           CAST(coalesce(nd.n_delta_events, 0) AS BIGINT)
+               AS n_delta_events,
+           CAST(sum(c.mism) AS BIGINT) = 0 AS inc_eq_full
+    FROM per p LEFT JOIN nd ON nd.user_id = p.user_id
+               JOIN cmp c ON c.user_id = p.user_id
+    GROUP BY p.user_id, p.n_versions, p.n_closed, nd.n_delta_events
+    ORDER BY p.user_id
+    """
+
+
+def _runs_df(ev: DataFrame) -> DataFrame:
+    """Spark twin of _scd2_runs_ctes' fold: (user_id, version, state,
+    valid_from_us, n_events) from an (user_id, event_id, state, us)
+    frame — the certified scd2_build_intervals body minus the final
+    bounds pass."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    chg = ev.withColumn(
+        "is_chg",
+        F.when(F.lag("state").over(w).isNull()
+               | (F.col("state") != F.lag("state").over(w)), 1)
+        .otherwise(0))
+    wv = (Window.partitionBy("user_id").orderBy("us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ver = chg.withColumn("version", F.sum("is_chg").over(wv))
+    return (ver.groupBy("user_id",
+                        F.col("version").cast("long").alias("version"))
+            .agg(F.min("state").alias("state"),
+                 F.min("us").alias("valid_from_us"),
+                 F.count("*").cast("long").alias("n_events")))
+
+
+def _hist_df(runs: DataFrame) -> DataFrame:
+    """Validity bounds + is_current from version rows (one per-user
+    lead over already-collapsed rows — the certified final pass)."""
+    from pyspark.sql import Window
+    wl = Window.partitionBy("user_id").orderBy("version")
+    return (runs.withColumn("valid_to_us",
+                            F.lead("valid_from_us").over(wl))
+            .select("user_id", "version", "state", "valid_from_us",
+                    "valid_to_us", "n_events",
+                    F.col("valid_to_us").isNull().alias("is_current")))
+
+
+@register(
+    "scd2_incremental_apply",
+    oracle=None,  # set below
+    tags=("events", "scd2", "ivm", "incremental", "warehouse"),
+)
+def q_scd2_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 apply proven equal to the full rebuild (module
+    comment above): one row per user with the incremental history's
+    version count, its closed-version count, the delta event count
+    folded in, and the per-user theorem flag — TRUE everywhere, by the
+    run-algebra argument (only the open run can change; a cut-straddling
+    run rejoins exactly by n_events addition).
+
+    Scale shape: three run folds (base / delta / proof-side full), each
+    the certified per-user-window scd2 plan with the key filter at the
+    scan; the apply layer is id-keyed joins over VERSION rows (already
+    collapsed — per-user mass is a user's version count, orders of
+    magnitude below events); the theorem rides one full-outer join on
+    (user, version) summary rows. A production job runs base once,
+    persists it, and pays only the delta fold + the id-keyed merge per
+    night — the full rebuild here exists purely as the in-query
+    proof."""
+    ev = (table(spark, sf_dir, "events")
+          .filter(F.col("user_id") % 10 == 0)
+          .select("user_id", "event_id",
+                  F.col("event_type").alias("state"),
+                  F.expr("unix_micros(ts)").alias("us")))
+    cutq = ev.agg(F.expr("cast((min(us) + max(us)) div 2 as bigint)")
+                  .alias("cut"))
+    evc = pin(ev.crossJoin(F.broadcast(cutq)))
+    runs_b = _runs_df(evc.filter(F.col("us") < F.col("cut"))
+                      .select("user_id", "event_id", "state", "us"))
+    ev_d = evc.filter(F.col("us") >= F.col("cut"))
+    runs_d = pin(_runs_df(ev_d.select("user_id", "event_id",
+                                      "state", "us")))
+    runs_f = _runs_df(ev.select("user_id", "event_id", "state", "us"))
+
+    vmax = runs_b.groupBy("user_id").agg(
+        F.max("version").cast("long").alias("vmax"))
+    runs_b = pin(runs_b.join(vmax, "user_id"))
+    closed = (runs_b.filter(F.col("version") < F.col("vmax"))
+              .select("user_id", "version", "state", "valid_from_us",
+                      "n_events"))
+    opn = (runs_b.filter(F.col("version") == F.col("vmax"))
+           .select("user_id", "version", "state", "valid_from_us",
+                   "n_events"))
+    firstd = (runs_d.filter(F.col("version") == 1)
+              .select(F.col("user_id"),
+                      F.col("state").alias("f_state"),
+                      F.col("n_events").alias("f_n")))
+    open_adj = (opn.join(firstd, "user_id", "left")
+                .select("user_id", "version", "state", "valid_from_us",
+                        (F.col("n_events")
+                         + F.when(F.col("f_state") == F.col("state"),
+                                  F.col("f_n")).otherwise(F.lit(0)))
+                        .cast("long").alias("n_events")))
+    o_side = opn.select(F.col("user_id"),
+                        F.col("version").alias("o_version"),
+                        F.col("state").alias("o_state"))
+    tail = (runs_d.join(o_side, "user_id", "left")
+            .join(firstd.select("user_id", "f_state"), "user_id", "left")
+            .filter(F.col("o_version").isNull()
+                    | (F.col("version")
+                       >= F.when(F.col("f_state") == F.col("o_state"),
+                                 F.lit(2)).otherwise(F.lit(1))))
+            .select("user_id",
+                    F.when(F.col("o_version").isNull(), F.col("version"))
+                     .when(F.col("f_state") == F.col("o_state"),
+                           F.col("o_version") + F.col("version") - 1)
+                     .otherwise(F.col("o_version") + F.col("version"))
+                    .cast("long").alias("version"),
+                    "state", "valid_from_us", "n_events"))
+    assembled = closed.unionByName(open_adj).unionByName(tail)
+    inc = pin(_hist_df(assembled))
+    full_h = _hist_df(runs_f)
+
+    i = inc.select(F.col("user_id"), F.col("version"),
+                   *[F.col(c).alias(f"i_{c}") for c in
+                     ("state", "valid_from_us", "valid_to_us",
+                      "n_events", "is_current")])
+    fh = full_h.select(F.col("user_id"), F.col("version"),
+                       *[F.col(c).alias(f"f_{c}") for c in
+                         ("state", "valid_from_us", "valid_to_us",
+                          "n_events", "is_current")])
+    cmp = (i.join(fh, ["user_id", "version"], "full_outer")
+           .select("user_id",
+                   F.when(F.col("i_state").isNotNull()
+                          & F.col("f_state").isNotNull()
+                          & (F.col("i_state") == F.col("f_state"))
+                          & (F.col("i_valid_from_us")
+                             == F.col("f_valid_from_us"))
+                          & F.col("i_valid_to_us").eqNullSafe(
+                              F.col("f_valid_to_us"))
+                          & (F.col("i_n_events") == F.col("f_n_events"))
+                          & (F.col("i_is_current")
+                             == F.col("f_is_current")), 0)
+                   .otherwise(1).alias("mism")))
+    nd = (ev_d.groupBy("user_id")
+          .agg(F.count("*").cast("long").alias("n_delta_events")))
+    per = (inc.groupBy("user_id")
+           .agg(F.count("*").cast("long").alias("n_versions"),
+                F.sum(F.when(~F.col("is_current"), 1).otherwise(0))
+                 .cast("long").alias("n_closed")))
+    return (per.join(nd, "user_id", "left")
+            .join(cmp, "user_id")
+            .groupBy("user_id", "n_versions", "n_closed",
+                     "n_delta_events")
+            .agg((F.sum("mism") == 0).alias("inc_eq_full"))
+            .select("user_id", "n_versions", "n_closed",
+                    F.coalesce("n_delta_events", F.lit(0)).cast("long")
+                    .alias("n_delta_events"),
+                    "inc_eq_full")
+            .orderBy("user_id"))
+
+
+def _render_scd2_inc_oracle() -> None:
+    from ..registry import REGISTRY
+    REGISTRY["scd2_incremental_apply"].oracle = _scd2_inc_oracle()
+
+
+_render_scd2_inc_oracle()
+
+
+# ----------------- sliding-window top-k from mergeable hour summaries
+
+# The TOP-K face of the mergeable sliding-window axis, completing the
+# row (distinct: events_sliding_distinct_hll; quantiles:
+# events_sliding_quantile_hist; moments: events_moments_merge): exact
+# per-hour (user, count) cells are summarized to each hour's top
+# SLT_C entries plus the hour's truncation bound e_h (the C+1-th
+# count; 0 when the hour has <= C users). Every sliding window then
+# MERGES <= SW_HOURS bounded summaries — never raw events — and the
+# frequent-items containment argument (sketch_freq_items_topk, applied
+# per window) makes the head provably exact: for a true top-T user u,
+# est_u >= f_u - D_w (D_w = sum of the window's hour bounds) and
+# f_u >= f_T_true >= est_T, so u survives the est + D_w >= est_T
+# prune; an exact candidate-only verify then ranks the head. Windows
+# failing the guard — D_w > 0 with est_T <= D_w, OR a merged head
+# holding fewer than TOP users (either way an unsummarized user could
+# hide in the true top-T) — fall back to the full exact ranking FOR
+# THAT WINDOW ONLY — a
+# relational, window-scoped version of the freq-items driver guard,
+# so the OUTPUT is the exact top-T for any input, any summary width.
+# On the shipped fixtures every hour fits its summary (max per-hour
+# users 166 < SLT_C at every SF, so every e_h = 0 and every window
+# passes); the truncation, prune, and fallback regimes are exercised
+# by planted tests.
+SLT_C = 256  # per-hour summary width
+SLT_TOP = 5  # report head per window
+
+
+def _sliding_topk_oracle() -> str:
+    from .llm_ext9 import SW_HOURS
+    return f"""
+    WITH b AS (SELECT epoch_us(ts) // 3600000000 AS h, user_id
+               FROM events),
+    hm AS (SELECT max(h) AS hmax FROM b),
+    hrs AS (SELECT DISTINCT h FROM b),
+    wins AS (SELECT h, unnest(range(h, least(h + {SW_HOURS - 1},
+                                             hm.hmax) + 1)) AS w
+             FROM hrs CROSS JOIN hm),
+    nh AS (SELECT w, CAST(count(*) AS BIGINT) AS n_hours
+           FROM wins GROUP BY w),
+    wu AS (SELECT wn.w, b.user_id, CAST(count(*) AS BIGINT) AS n_occ
+           FROM b JOIN wins wn ON wn.h = b.h GROUP BY 1, 2),
+    r AS (SELECT w, user_id, n_occ,
+                 row_number() OVER (PARTITION BY w
+                                    ORDER BY n_occ DESC, user_id)
+                     AS rank
+          FROM wu)
+    SELECT r.w AS window_hour, nh.n_hours,
+           CAST(r.rank AS BIGINT) AS rank,
+           CAST(r.user_id AS BIGINT) AS user_id, r.n_occ
+    FROM r JOIN nh ON nh.w = r.w
+    WHERE r.rank <= {SLT_TOP}
+    ORDER BY window_hour, rank
+    """
+
+
+@register(
+    "events_sliding_topk",
+    oracle=None,  # set below (renders SW_HOURS)
+    tags=("events", "sketch", "frequent-items", "sliding-window",
+          "mergeable"),
+)
+def q_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-{SLT_TOP} users per sliding SW_HOURS-hour window via
+    mergeable hourly summaries (module comment above): one row per
+    (window, rank) with the contributing-hour count, user, and exact
+    event count. The oracle is the plain exact per-window top-T — the
+    per-window containment argument is what makes the summary path
+    oracle-checkable, and the window-scoped fallback is what makes the
+    output exact for ANY input.
+
+    Scale shape: the per-(hour, user) aggregate is the one event-volume
+    pass (partial+final; the summary table a production job persists);
+    window fan-out multiplies SUMMARY rows (<= SLT_C + 1 per hour);
+    the prune bounds (D_w, est_T) are per-window aggregates over
+    summary rows; the exact verify semi-joins the fanned-out hour
+    cells against broadcast candidates BEFORE its per-window
+    aggregate; the fallback arm semi-joins cells against the (empty on
+    healthy data) failing-window set. Heads are per-window rank
+    windows over candidate-bounded rows."""
+    from .llm_ext9 import SW_HOURS
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        F.expr("unix_micros(ts) div 3600000000").cast("long").alias("h"),
+        F.col("user_id").cast("long").alias("user_id"))
+    cells = pin(base.groupBy("h", "user_id")
+                .agg(F.count("*").cast("long").alias("cnt")))
+    hmax = pin(cells.agg(F.max("h").alias("hmax")))
+    wexpr = f"sequence(h, least(h + {SW_HOURS - 1}, hmax))"
+    wr = Window.partitionBy("h").orderBy(F.col("cnt").desc(), "user_id")
+    ranked = cells.withColumn("rk", F.row_number().over(wr))
+    kept = pin(ranked.filter(F.col("rk") <= SLT_C)
+               .select("h", "user_id", "cnt"))
+    errs = (ranked.filter(F.col("rk") == SLT_C + 1)
+            .select("h", F.col("cnt").alias("e_h")))
+    merged = pin(kept.crossJoin(F.broadcast(hmax))
+                 .select(F.explode(F.expr(wexpr)).alias("w"),
+                         "user_id", "cnt")
+                 .groupBy("w", "user_id")
+                 .agg(F.sum("cnt").cast("long").alias("est")))
+    dw = (errs.crossJoin(F.broadcast(hmax))
+          .select(F.explode(F.expr(wexpr)).alias("w"), "e_h")
+          .groupBy("w").agg(F.sum("e_h").cast("long").alias("d")))
+    wt = Window.partitionBy("w").orderBy(F.col("est").desc(), "user_id")
+    est_t = (merged.withColumn("rt", F.row_number().over(wt))
+             .filter(F.col("rt") <= SLT_TOP)
+             .groupBy("w").agg(F.min("est").cast("long").alias("est_t"),
+                               F.count("*").cast("long").alias("n_t")))
+    bounds = pin(est_t.join(dw, "w", "left")
+                 .select("w", "est_t", "n_t",
+                         F.coalesce("d", F.lit(0)).cast("long")
+                         .alias("d")))
+    cand = (merged.join(bounds, "w")
+            .filter(F.col("est") + F.col("d") >= F.col("est_t"))
+            .select("w", "user_id"))
+    fanned = (cells.crossJoin(F.broadcast(hmax))
+              .select(F.explode(F.expr(wexpr)).alias("w"),
+                      "user_id", "cnt"))
+    # the full guard (the freq-items n_out/derr pair, per window): with
+    # D_w = 0 summaries are complete and exact; otherwise the merged
+    # head must be FULL (n_t == TOP) — a window summarizing fewer than
+    # TOP users cannot exclude an unsummarized one — AND est_T > D_w so
+    # no unsummarized user (f <= D_w) can reach the true top-T.
+    passing = (F.col("d") == 0) | ((F.col("n_t") == SLT_TOP)
+                                   & (F.col("est_t") > F.col("d")))
+    pass_w = bounds.filter(passing).select("w")
+    fail_w = bounds.filter(~passing).select("w")
+    exact_pass = (fanned.join(pass_w, "w", "left_semi")
+                  .join(cand, ["w", "user_id"], "left_semi")
+                  .groupBy("w", "user_id")
+                  .agg(F.sum("cnt").cast("long").alias("n_occ")))
+    exact_fail = (fanned.join(fail_w, "w", "left_semi")
+                  .groupBy("w", "user_id")
+                  .agg(F.sum("cnt").cast("long").alias("n_occ")))
+    heads = exact_pass.unionByName(exact_fail)
+    wh = Window.partitionBy("w").orderBy(F.col("n_occ").desc(),
+                                         "user_id")
+    nh = (cells.select("h").distinct()
+          .crossJoin(F.broadcast(hmax))
+          .select(F.explode(F.expr(wexpr)).alias("w"))
+          .groupBy("w").agg(F.count("*").cast("long").alias("n_hours")))
+    return (heads.withColumn("rank", F.row_number().over(wh)
+                             .cast("long"))
+            .filter(F.col("rank") <= SLT_TOP)
+            .join(nh, "w")
+            .select(F.col("w").alias("window_hour"), "n_hours",
+                    "rank", "user_id", "n_occ")
+            .orderBy("window_hour", "rank"))
+
+
+def _render_sliding_topk_oracle() -> None:
+    from ..registry import REGISTRY
+    REGISTRY["events_sliding_topk"].oracle = _sliding_topk_oracle()
+
+
+_render_sliding_topk_oracle()

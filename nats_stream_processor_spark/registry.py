@@ -272,7 +272,8 @@ def oracle_sql() -> dict[str, str]:
 #
 # R13 PRE-ALLOCATION (fill next round's window in this order):
 #  1. the late-r12 behind-window operators (llm_ext13:
-#     sim_ivf_list_balance, quality_gate_agreement — first formal
+#     sim_ivf_list_balance, quality_gate_agreement,
+#     scd2_incremental_apply, events_sliding_topk — first formal
 #     rows) plus any operator whose code changes in round 13 (house
 #     rule);
 #  2. the remaining 28 r7-era rows alphabetically

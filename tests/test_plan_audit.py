@@ -1363,3 +1363,36 @@ def test_gate_agreement_flags_are_map_side_single_scan(spark):
                  if ln.startswith("Input")), "")
             assert "text#" not in input_line, section[:400]
     assert re.search(r"partial_sum|partial_count", p), p[:400]
+
+
+def test_scd2_incremental_apply_windows_user_keyed_filter_at_scan(spark):
+    """scd2_incremental_apply: all three run folds keep the certified
+    scd2 discipline — every window pass user-partitioned (per-key
+    history license), the key-subset filter evaluating before the
+    first exchange — and the apply/theorem layers add only id-keyed
+    joins over version rows plus broadcast 1-row bounds (no
+    cartesian)."""
+    p = plan_str(spark, "scd2_incremental_apply")
+    assert "CartesianProduct" not in p
+    specs = re.findall(r"windowspecdefinition\((\w+)#", p)
+    assert specs and all(s == "user_id" for s in specs), specs
+    filt = re.search(r"\((\d+)\) Filter\nInput[^\n]*\n"
+                     r"Condition[^\n]*% 10", p)
+    assert filt, p[:900]
+    exchanges = [int(n) for n in re.findall(r"\((\d+)\) Exchange", p)]
+    assert exchanges and int(filt.group(1)) < min(exchanges)
+    assert "InMemoryTableScan" in p  # pinned version-row intermediates
+
+
+def test_sliding_topk_fans_out_summaries_not_events(spark):
+    """events_sliding_topk's scale claim, mirroring the sliding-HLL and
+    sliding-quantile audits: the per-(hour, user) aggregate is the one
+    event-volume pass (pinned — every window-layer consumer reads the
+    cache), window fan-out multiplies SUMMARY rows, and the prune /
+    verify / fallback layers are aggregates and semi-joins over those
+    rows — a bounded number of parquet scans in the whole plan and no
+    cartesian (the 1-row hmax bound rides broadcast)."""
+    p = plan_str(spark, "events_sliding_topk")
+    assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" in p, p[:600]
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 2, p[:600]
