@@ -674,7 +674,11 @@ _render_scd2_inc_oracle()
 # On the shipped fixtures every hour fits its summary (max per-hour
 # users 166 < SLT_C at every SF, so every e_h = 0 and every window
 # passes); the truncation, prune, and fallback regimes are exercised
-# by planted tests.
+# by planted tests. STREAMING twin: streaming/topk.py maintains the
+# same per-hour summaries as applyInPandasWithState managed state —
+# summary-exact vs the batch kernel, window heads equal to THIS
+# operator (tests/test_streaming.py) — closing the batch+stream matrix
+# for all four mergeable sliding axes.
 SLT_C = 256  # per-hour summary width
 SLT_TOP = 5  # report head per window
 

@@ -613,6 +613,105 @@ def test_streaming_hourly_quantile_hist_state_matches_batch(spark, tmp_path):
         assert est95 <= op[w].exact_p95 < est95 + SQ_W, w
 
 
+def test_streaming_hourly_topk_summaries_match_batch(spark, tmp_path):
+    """The streaming half of the mergeable TOP-K story
+    (streaming/topk.py), closing the batch+stream matrix for all four
+    mergeable sliding axes: per-hour frequent-items summary state as
+    applyInPandasWithState managed state, fed one parquet file per
+    micro-batch, must end emitting summaries identical to the batch
+    kernel's over the same rows. At this SF every hour fits the width
+    (no truncation rows), so summary equality IS full-state equality
+    (the canonical encoding's equal-dicts <=> equal-bytes law), and the
+    per-window top-T composed from the STREAMING summaries must equal
+    the certified events_sliding_topk operator's heads exactly. A
+    second, single-hour planted corpus with width+1 users exercises the
+    truncation-bound row through the streaming path."""
+    from nats_stream_processor_spark import registry
+    from nats_stream_processor_spark.queries.llm_ext9 import SW_HOURS
+    from nats_stream_processor_spark.queries.llm_ext13 import (SLT_C,
+                                                               SLT_TOP)
+    from nats_stream_processor_spark.streaming import topk as tk
+
+    sf = "/root/testdata/sf0.001"
+    src = registry.table(spark, sf, "events").select("ts", "user_id")
+    pdir = tmp_path / "tk_events"
+    src.repartition(4).write.parquet(str(pdir))
+
+    def run_stream(path, ckpt):
+        stream = (spark.readStream.schema(src.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(str(path)))
+        latest, touches = {}, []
+
+        def collect(bdf, epoch_id):
+            rows = bdf.collect()
+            touches.append({r.h for r in rows})
+            by_h = {}
+            for r in rows:
+                by_h.setdefault(r.h, []).append((r.user_id, r.cnt))
+            latest.update(by_h)
+
+        q = (tk.hourly_topk_summaries(stream)
+             .writeStream.outputMode("update").foreachBatch(collect)
+             .option("checkpointLocation", str(tmp_path / ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        return latest, touches
+
+    latest, touches = run_stream(pdir, "ckpt_tk")
+    assert len([t for t in touches if t]) >= 2, "wanted multiple batches"
+    assert any(t1 & t2 for i, t1 in enumerate(touches)
+               for t2 in touches[i + 1:]), \
+        "no hour was updated across batches — statefulness unexercised"
+
+    batch = {}
+    for r in tk.hourly_topk_summaries_batch(
+            spark.read.parquet(str(pdir))).collect():
+        batch.setdefault(r.h, []).append((r.user_id, r.cnt))
+    assert set(latest) == set(batch)
+    for h in batch:
+        assert sorted(latest[h], key=str) == sorted(batch[h], key=str), h
+        # this SF fits the width -> no truncation row -> the summary IS
+        # the hour's full state
+        assert all(u is not None for u, _ in latest[h]), h
+
+    # per-window heads composed from STREAMING summaries == the
+    # certified batch operator (complete summaries -> est is exact)
+    op = {}
+    for r in registry.REGISTRY["events_sliding_topk"].fn(
+            spark, sf).collect():
+        op.setdefault(r.window_hour, []).append(
+            (r.rank, r.user_id, r.n_occ))
+    registry.release_pins()
+    hmax = max(latest)
+    wu: dict = {}
+    for h, rows in latest.items():
+        for u, c in rows:
+            for w in range(h, min(h + SW_HOURS - 1, hmax) + 1):
+                wu.setdefault(w, {})
+                wu[w][u] = wu[w].get(u, 0) + c
+    assert sorted(wu) == sorted(op)
+    for w, counts in wu.items():
+        head = sorted(counts.items(), key=lambda t: (-t[1], t[0]))
+        expect = [(i + 1, u, c) for i, (u, c) in
+                  enumerate(head[:SLT_TOP])]
+        assert sorted(op[w]) == expect, w
+
+    # planted truncation: one hour, SLT_C + 1 users -> the streaming
+    # path must emit exactly SLT_C kept rows plus the NULL-user bound
+    base_us = 1_700_000_000_000_000
+    rows = [(base_us + u, u) for u in range(SLT_C + 1)]
+    tdir = tmp_path / "tk_trunc"
+    spark.createDataFrame(rows, "us long, user_id long") \
+        .selectExpr("timestamp_micros(us) AS ts", "user_id") \
+        .repartition(2).write.parquet(str(tdir))
+    latest2, _ = run_stream(tdir, "ckpt_tk2")
+    (h2,) = latest2
+    kept = [r for r in latest2[h2] if r[0] is not None]
+    bound = [r for r in latest2[h2] if r[0] is None]
+    assert len(kept) == SLT_C
+    assert bound == [(None, 1)]  # e_h = the (C+1)-th count
+
+
 def test_streaming_hourly_power_sums_match_batch_moments(spark, tmp_path):
     """The streaming half of the mergeable-moments story
     (queries/llm_ext11.hourly_power_sums): the SAME builder that feeds
