@@ -83,6 +83,12 @@ sim_ivf_list_balance / quality_gate_agreement and the streaming
 quantile twin — none in the headline set); streaming posts/s
 measured 3,908.6 (window 1) / 3,447.6 (window 3) vs the r11 tip's
 3,397.0 in the adjacent window — equal-or-faster code.
+
+Late-round-12 final-tip re-measure (after the llm_ext13 wave — four
+behind-window operators plus the quantile and top-k streaming twins;
+still zero headline code touched): 14.535 s headline / 3,754 streaming
+posts/s — inside the control band; the wave adds registry entries and
+imports only, no regression.
 """
 
 from __future__ import annotations
