@@ -676,3 +676,211 @@ def test_power_sum_merge_invariance_under_any_partitioning(vals, k):
                     (s3_ / nd - 3.0 * mean * ex2 + 2.0 * mean ** 3)
                     / (math.sqrt(var) * var))
         assert moments(*direct) == moments(*merged)
+
+
+# ------------------- round-12 mergeable-summary kernels (pure Python)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.dictionaries(st.integers(-2**40, 2**40),
+                       st.integers(1, 2**40), max_size=30))
+def test_hist_codec_roundtrip_and_canonical(hist):
+    """streaming/quantile.py codec: decode(encode(d)) == d, and the
+    encoding is CANONICAL — equal dicts give equal bytes regardless of
+    insertion order (the equal-dicts <=> equal-bytes law the streaming
+    parity test leans on)."""
+    from nats_stream_processor_spark.streaming import quantile as qh
+    blob = qh.hist_encode(hist)
+    assert qh.hist_decode(blob) == hist
+    reordered = dict(sorted(hist.items(), reverse=True))
+    assert qh.hist_encode(reordered) == blob
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.dictionaries(st.integers(-100, 100),
+                                st.integers(1, 1000), max_size=10),
+                min_size=1, max_size=6))
+def test_hist_merge_is_partition_invariant(parts):
+    """Merging per-part histograms in ANY order/grouping equals the
+    histogram of the concatenated data (the mergeability law that makes
+    per-hour summaries window-composable)."""
+    from nats_stream_processor_spark.streaming import quantile as qh
+    total: dict = {}
+    for p in parts:
+        for bk, c in p.items():
+            total[bk] = total.get(bk, 0) + c
+    left: dict = {}
+    for p in parts:
+        left = qh.hist_merge(left, p)
+    right: dict = {}
+    for p in reversed(parts):
+        right = qh.hist_merge(p, right)
+    assert left == total and right == total
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(-10_000, 10_000), min_size=1, max_size=300))
+def test_hist_quantile_containment_theorem(values):
+    """The estimator's theorem, on arbitrary data: for each quantile,
+    est <= exact < est + SQ_W, where exact is the k-th smallest value
+    (k = the operator's integer ceil arithmetic) — the claim the batch
+    oracle pins to literal TRUE."""
+    from nats_stream_processor_spark.queries.llm_ext10 import SQ_W
+    from nats_stream_processor_spark.streaming import quantile as qh
+    hist: dict = {}
+    for v in values:
+        bk = v // SQ_W  # python floor div == F.floor(v / SQ_W) for ints
+        hist[bk] = hist.get(bk, 0) + 1
+    n, est50, est95 = qh.hist_quantiles(hist, SQ_W)
+    assert n == len(values)
+    s = sorted(values)
+    k50 = (n + 1) // 2
+    k95 = (19 * n + 19) // 20
+    for est, k in ((est50, k50), (est95, k95)):
+        exact = s[k - 1]
+        assert est <= exact < est + SQ_W, (est, exact)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.dictionaries(st.integers(0, 2**40), st.integers(1, 2**40),
+                       max_size=40))
+def test_topk_counts_codec_roundtrip_and_canonical(counts):
+    from nats_stream_processor_spark.streaming import topk as tk
+    blob = tk.counts_encode(counts)
+    assert tk.counts_decode(blob) == counts
+    reordered = dict(sorted(counts.items(), reverse=True))
+    assert tk.counts_encode(reordered) == blob
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.dictionaries(st.integers(0, 1000), st.integers(1, 1000),
+                       min_size=1, max_size=40),
+       st.integers(1, 12))
+def test_topk_summary_error_bound_guarantee(counts, width):
+    """The freq-items truncation invariant for ANY hour and ANY width:
+    the summary keeps the top `width` by (count desc, user asc); every
+    user ABSENT from the summary has true count <= the emitted bound
+    e_h; kept counts are exact; and the kept set is a prefix of the
+    deterministic ordering (re-run stable)."""
+    from nats_stream_processor_spark.streaming import topk as tk
+    pdf = tk.summary_rows(7, counts, width)
+    assert (pdf["h"] == 7).all()
+    # raw pandas renders the NULL-user marker as NaN (Arrow converts it
+    # to a real NULL on the Spark path — the streaming test covers that)
+    kept = {int(u): int(c) for u, c in
+            zip(pdf["user_id"], pdf["cnt"]) if pd.notna(u)}
+    bounds = [int(c) for u, c in zip(pdf["user_id"], pdf["cnt"])
+              if pd.isna(u)]
+    ordered = sorted(counts.items(), key=lambda t: (-t[1], t[0]))
+    assert kept == dict(ordered[:width])
+    if len(counts) > width:
+        assert bounds == [ordered[width][1]]
+        e_h = bounds[0]
+        for u, c in ordered[width:]:
+            assert c <= e_h, (u, c, e_h)
+    else:
+        assert bounds == []
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 30),
+                          st.integers(1, 50)),
+                min_size=1, max_size=60),
+       st.integers(1, 8))
+def test_sliding_topk_prune_containment_for_any_width(cells_list, width):
+    """The per-window containment argument behind events_sliding_topk,
+    hammered on arbitrary (hour, user, count) data and ANY summary
+    width: whenever a window passes the guard (D_w = 0, or a FULL
+    merged head with est_T > D_w), the candidate set {est + D_w >=
+    est_T} provably contains the window's true top-T — so the exact
+    candidate-only verify returns the exact head."""
+    TOP = 3
+    SW = 3
+    cells: dict = {}
+    for h, u, c in cells_list:
+        cells[(h, u)] = cells.get((h, u), 0) + c
+    hmax = max(h for h, _ in cells)
+    # per-hour summaries
+    kept: dict = {}
+    e_h: dict = {}
+    by_h: dict = {}
+    for (h, u), c in cells.items():
+        by_h.setdefault(h, []).append((u, c))
+    for h, lst in by_h.items():
+        lst.sort(key=lambda t: (-t[1], t[0]))
+        for u, c in lst[:width]:
+            kept[(h, u)] = c
+        e_h[h] = lst[width][1] if len(lst) > width else 0
+    # window layer
+    wu_true: dict = {}
+    est: dict = {}
+    dw: dict = {}
+    for (h, u), c in cells.items():
+        for w in range(h, min(h + SW - 1, hmax) + 1):
+            wu_true.setdefault(w, {})
+            wu_true[w][u] = wu_true[w].get(u, 0) + c
+    for (h, u), c in kept.items():
+        for w in range(h, min(h + SW - 1, hmax) + 1):
+            est.setdefault(w, {})
+            est[w][u] = est[w].get(u, 0) + c
+    for h, e in e_h.items():
+        for w in range(h, min(h + SW - 1, hmax) + 1):
+            dw[w] = dw.get(w, 0) + e
+    for w, true_counts in wu_true.items():
+        merged = est.get(w, {})
+        head = sorted(merged.items(), key=lambda t: (-t[1], t[0]))[:TOP]
+        d = dw.get(w, 0)
+        if not head:
+            continue
+        est_t = head[-1][1]
+        passes = d == 0 or (len(head) == TOP and est_t > d)
+        if not passes:
+            continue
+        cand = {u for u, e in merged.items() if e + d >= est_t}
+        true_head = sorted(true_counts.items(),
+                           key=lambda t: (-t[1], t[0]))[:TOP]
+        for u, _c in true_head:
+            assert u in cand, (w, u, d, est_t)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 2)),
+                min_size=1, max_size=80),
+       st.integers(1, 10))
+def test_scd2_incremental_merge_equals_full_fold(seq, cut_frac):
+    """The run-algebra theorem behind scd2_incremental_apply, on
+    arbitrary state sequences and ANY cut position: fold the pre-cut
+    events, apply the post-cut events via the merge-or-close rule
+    (same-state first delta run merges into the open run; otherwise the
+    open run closes), and the assembled runs equal the full fold."""
+    def fold(events):
+        runs = []
+        for st_, us in events:
+            if runs and runs[-1][1] == st_:
+                v, s_, vf, n = runs[-1]
+                runs[-1] = (v, s_, vf, n + 1)
+            else:
+                runs.append((len(runs) + 1, st_, us, 1))
+        return runs
+
+    events = [(st_, i) for i, (st_, _u) in enumerate(seq)]
+    cut = (len(events) * cut_frac) // 10
+    base, delta = events[:cut], events[cut:]
+    b_runs, d_runs = fold(base), fold(delta)
+    if not b_runs:
+        assembled = d_runs
+    elif not d_runs:
+        assembled = b_runs
+    else:
+        closed = b_runs[:-1]
+        ov, os_, ovf, on = b_runs[-1]
+        f_v, f_s, f_vf, f_n = d_runs[0]
+        if f_s == os_:
+            open_adj = [(ov, os_, ovf, on + f_n)]
+            tail = [(ov + v - 1, s_, vf, n)
+                    for v, s_, vf, n in d_runs[1:]]
+        else:
+            open_adj = [(ov, os_, ovf, on)]
+            tail = [(ov + v, s_, vf, n) for v, s_, vf, n in d_runs]
+        assembled = closed + open_adj + tail
+    assert assembled == fold(events)
