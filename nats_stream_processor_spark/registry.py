@@ -252,74 +252,79 @@ def oracle_sql() -> dict[str, str]:
 
 
 
-# Round-12 sampled-prefix rotation. The round driver snapshots the FIRST
+# Round-13 sampled-prefix rotation. The round driver snapshots the FIRST
 # 50 entries, so the prefix is curated each round to cover what most needs
-# a formal correctness row. The r12 window holds exactly the composition
-# the r11 verdict (and the r11 comment here) pre-allocated — see the
-# section comments inside SAMPLE_PREFIX_EXPECTED below:
-#  1. the six late-r11 llm_ext12 operators (first formal rows);
-#  2. the operators NEW in round 12 (dedup_span_df_stats — the
-#     SPAN_DF_CAP receipts — and graph_rebuild_execute, the act step
-#     that closes the ANN lifecycle loop);
-#  3. every operator whose code or oracle text changed in round 12
+# a formal correctness row. The r13 window holds exactly the composition
+# the r12 verdict pre-allocated (with the verdict's own off-by-one
+# correction applied: 29 r7-era rows remained after r12, alphabetically
+# from join_left_customer_orders — both counts verified programmatically
+# from CORRECTNESS_r01..r12 against the registry):
+#  1. the four late-r12 llm_ext13 operators (first formal rows);
+#  2. the operators NEW in round 13 (llm_ext14: dedup_drop_plan_execute
+#     — the substring-dedup act step — and sim_ivf_rebalance, the IVF
+#     maintenance act step);
+#  3. every operator whose code or oracle text changed in round 13
 #     (house rule: changed code re-certifies even when
-#     output-identical);
-#  4. the 12 r6-era rows left outside the r11 window — after this
-#     round the r6 era is EMPTY;
-#  5. the alphabetically-first 20 of the 48 r7-era rows.
-# Everything else — formally green in r7-r11 and unchanged — rotates
+#     output-identical): sim_ivf_list_balance's ppm-quantized
+#     assignment + empty-corpus guard is covered by its slot in 1;
+#     the span-pair family's builders were factored into
+#     span_ctes_sql/run_ctes_sql/span_pairs_from/_span_counts for the
+#     execute step (oracles verified md5-identical, but the Spark code
+#     path changed) -> dedup_max_duplicated_run,
+#     dedup_containment_drop_plan, dedup_span_df_stats re-certify;
+#  4. all 29 remaining r7-era rows — after this round the r7 era is
+#     EMPTY;
+#  5. the alphabetically-first 12 of the 47 r8-era rows — the start of
+#     the r8 drain (the remaining 35 lead the r14 fill queue).
+# Everything else — formally green in r8-r12 and unchanged — rotates
 # behind.
 #
-# R13 PRE-ALLOCATION (fill next round's window in this order):
-#  1. the late-r12 behind-window operators (llm_ext13:
-#     sim_ivf_list_balance, quality_gate_agreement,
-#     scd2_incremental_apply, events_sliding_topk — first formal
-#     rows) plus any operator whose code changes in round 13 (house
-#     rule);
-#  2. the remaining 28 r7-era rows alphabetically
-#     (join_range_price_bands .. window_running_revenue) — clearing
-#     the r7 era needs ~28 slots, so round 13 can likely finish it;
-#  3. any remaining slots: the oldest r8-era rows alphabetically.
-# Operators WRITTEN in round 12 (the overflow-fill safety net below
+# R14 PRE-ALLOCATION (fill next round's window in this order):
+#  1. any operator written or changed in round 14 (house rule);
+#  2. the remaining 35 r8-era rows alphabetically
+#     (dedup_incremental_batch .. window_topk_orders_per_segment);
+#  3. any remaining slots: the oldest r9-era rows alphabetically.
+# Operators WRITTEN in round 13 (the overflow-fill safety net below
 # keeps them sampled even if the explicit list ever under-allocates —
 # new code earns its formal row in the round it is written).
-_R12_NEW = ("dedup_span_df_stats", "graph_rebuild_execute")
+_R13_NEW = ("dedup_drop_plan_execute", "sim_ivf_rebalance")
 
 SAMPLE_PREFIX_EXPECTED = [
-    # 1. the six late-r11 llm_ext12 operators — FIRST formal rows,
-    #    exactly as the r11 pre-allocation above ordered
-    "sketch_hll_overlap_matrix", "join_size_estimate_report",
-    "score_auc_report", "sim_hard_negatives",
-    "curation_dedup_aware_split", "scd2_point_in_time_join",
-    # 2. new in round 12 (formal rows in the round they are written)
-    "dedup_span_df_stats", "graph_rebuild_execute",
-    # 3. code changed in round 12 (house rule re-certs): the span pair
-    #    family gained the SPAN_DF_CAP anti-join; scd2_build_intervals'
-    #    oracle gained the event_id tie-break; the graph family's
-    #    shared builders (_graph_ctes tag parameter, _rebuild_curve ->
-    #    _insert_replay factor) changed for graph_rebuild_execute; the
-    #    calibration tail was factored through calibration_from_scored
-    #    for the planted multi-bin/clamp test (oracle byte-identical)
-    "dedup_containment", "dedup_max_duplicated_run",
-    "dedup_containment_drop_plan", "scd2_build_intervals",
-    "graph_nn_descent", "graph_greedy_search", "graph_beam_sweep",
-    "graph_knn_insert", "graph_rebuild_decision", "graph_rebuild_policy",
-    "score_calibration_report",
-    # 4. the 12 remaining r6-era rows — this CLEARS the r6 era
-    "sim_ann_pq", "sim_cosine_topk", "sim_matryoshka_recall",
-    "text_keyphrases_rake", "text_lang_id", "text_quality_scores",
-    "text_redact_pii", "text_repetition_score", "text_token_entropy",
-    "text_token_stats", "text_vocab_topk", "train_val_split",
-    # 5. the alphabetically-first 19 of the 48 r7-era rows — the start
-    #    of the r7 drain (the remaining 29 lead the r13 fill queue)
-    "agg_distinct_per_segment", "agg_having", "agg_percentiles",
-    "array_map_functions", "asof_join_latest_order", "confidence_gate",
-    "cube_returnflag_linestatus", "date_funcs_orders",
-    "dedup_idf_weighted_jaccard", "dedup_sorted_neighborhood",
-    "events_cusum_drift", "events_gap_fill", "events_kleinberg_burst",
-    "events_retention_cohorts", "events_session_windows",
-    "events_sliding_windows", "grouping_sets_priority_status",
-    "join_anti_customers_no_orders", "join_full_outer_nation_counts",
+    # 1. the four late-r12 llm_ext13 operators — FIRST formal rows,
+    #    exactly as the r12 pre-allocation ordered
+    "sim_ivf_list_balance", "quality_gate_agreement",
+    "scd2_incremental_apply", "events_sliding_topk",
+    # 2. new in round 13 (formal rows in the round they are written)
+    "dedup_drop_plan_execute", "sim_ivf_rebalance",
+    # 3. code changed in round 13 (house rule re-certs): the span-pair
+    #    builders were parameterized (span_ctes_sql / run_ctes_sql /
+    #    span_pairs_from / _span_counts) for the execute step — the
+    #    registered oracles are md5-identical, the Spark path changed
+    "dedup_max_duplicated_run", "dedup_containment_drop_plan",
+    "dedup_span_df_stats",
+    # 4. all 29 remaining r7-era rows — this CLEARS the r7 era
+    "join_left_customer_orders", "join_range_price_bands",
+    "join_right_orders_customer", "join_semi_urgent_customers",
+    "json_extract_events", "math_null_funcs",
+    "media_aspect_bucket_batches", "metrics_confidence_histogram",
+    "metrics_pipeline_counters", "metrics_sentiment_distribution",
+    "metrics_top5_topics", "pivot_event_type_counts", "rate_ticks_20s",
+    "rollup_region_nation", "route_subject", "sample_neyman_allocation",
+    "scan_filter_pushdown", "set_ops_customer_years",
+    "sim_mmr_diverse_topk", "sort_global_topk_orders",
+    "string_funcs_parts", "text_extract_coalesce",
+    "text_kneser_ney_bigram", "text_mtld_diversity",
+    "tokenizer_unigram_viterbi", "unpivot_pricing_metrics",
+    "window_lag_daily_orders", "window_rank_dense_ntile",
+    "window_running_revenue",
+    # 5. the alphabetically-first 12 of the 47 r8-era rows — the start
+    #    of the r8 drain (the remaining 35 lead the r14 fill queue)
+    "agg_pricing_summary", "chunk_sliding_tokens",
+    "corpus_source_similarity", "correlated_subquery_max_order",
+    "curation_dsir_weights", "curation_end_to_end",
+    "curation_lang_rebalance", "curation_perplexity_buckets",
+    "curation_quality_by_cluster", "curation_quality_quartiles",
+    "curation_shard_balance", "decontaminate_fuzzy_minhash",
 ]
 
 
@@ -348,6 +353,7 @@ _ext10_names: list[str] = []
 _ext11_names: list[str] = []
 _ext12_names: list[str] = []
 _ext13_names: list[str] = []
+_ext14_names: list[str] = []
 
 
 def _populate() -> None:
@@ -376,7 +382,7 @@ def _populate() -> None:
 def _populate_chain() -> None:
     global _ext3_names, _ext4_names, _ext5_names, _ext6_names, \
         _ext9_names, _ext10_names, _ext11_names, _ext12_names, \
-        _ext13_names
+        _ext13_names, _ext14_names
 
     from .queries import llm  # noqa: F401
     from .queries import advanced  # noqa: F401
@@ -438,11 +444,16 @@ def _populate_chain() -> None:
     _ext12_names = [n for n in REGISTRY if n not in pre]
 
     # Late round-12 additions: landed AFTER the r12 window was fully
-    # allocated — honest behind-window headers in llm_ext13; their first
-    # formal rows lead the r13 window.
+    # allocated — honest behind-window headers stood in llm_ext13
+    # through round 12; their first formal rows lead the r13 window.
     pre = set(REGISTRY)
     from .queries import llm_ext13  # noqa: F401
     _ext13_names = [n for n in REGISTRY if n not in pre]
+
+    # Round-13 additions (certify in the round they are written).
+    pre = set(REGISTRY)
+    from .queries import llm_ext14  # noqa: F401
+    _ext14_names = [n for n in REGISTRY if n not in pre]
 
     # Reorder so the curated prefix leads. Every curated name must exist
     # on a clean import (asserted by test_sample_prefix_has_no_name_drift);
@@ -450,7 +461,7 @@ def _populate_chain() -> None:
     # schemes, and the current-round overflow fill keeps new operators
     # sampled if the explicit list ever under-allocates.
     prefix = [n for n in SAMPLE_PREFIX_EXPECTED if n in REGISTRY]
-    prefix += [n for n in _R12_NEW
+    prefix += [n for n in _R13_NEW
                if n in REGISTRY and n not in prefix][:50 - len(prefix)]
     order = prefix + [n for n in REGISTRY if n not in set(prefix)]
     reordered = {n: REGISTRY[n] for n in order}

@@ -22,9 +22,13 @@ sorted (user, count) pairs (the streaming/quantile.py law: equal dicts
 <=> equal bytes); the emitted summary applies the batch operator's own
 ordering (count desc, user asc) and width. tests/test_streaming.py
 asserts final streaming state byte-identical to the batch kernel over
-the same rows AND that the emitted summaries match the batch operator's
-kept/error relation exactly — so any window-layer consumer (prune,
-verify, fallback) sees identical inputs from either path.
+the same rows — DIRECTLY, by reading the persisted state back through
+Spark's ``statestore`` data source and comparing each hour's blob to
+``counts_encode`` of the hour's recomputed full counts (checked on the
+truncated planted corpus too, where the emitted summary alone could
+not prove it) — AND that the emitted summaries match the batch
+operator's kept/error relation exactly — so any window-layer consumer
+(prune, verify, fallback) sees identical inputs from either path.
 """
 
 from __future__ import annotations

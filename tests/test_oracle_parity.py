@@ -51,51 +51,52 @@ def test_sample_prefix_has_no_name_drift():
     partially-initialized WORKER re-imports don't die — this test is
     where the drift protection actually lives.
 
-    The r12 prefix is fully explicit (50 names: the six late-r11
-    llm_ext12 operators' FIRST formal rows leading — exactly as the
-    r11 verdict pre-allocated — then the operators new in round 12,
-    the round-12 changed-code re-certs, the 12 rows that clear the r6
-    era, and the alphabetically-first r7-era fill), so the assertion
-    is exact equality on the full window — a silent overflow or an
-    unregistered curated name fails here rather than surfacing in the
-    round artifact."""
+    The r13 prefix is fully explicit (50 names: the four late-r12
+    llm_ext13 operators' FIRST formal rows leading — exactly as the
+    r12 verdict pre-allocated — then the two operators new in round
+    13, the round-13 changed-code re-certs, the 29 rows that clear
+    the r7 era, and the alphabetically-first r8-era fill), so the
+    assertion is exact equality on the full window — a silent
+    overflow or an unregistered curated name fails here rather than
+    surfacing in the round artifact."""
     missing = [n for n in registry.SAMPLE_PREFIX_EXPECTED
                if n not in registry.REGISTRY]
     assert not missing, f"prefix names not registered: {missing}"
     assert len(registry.SAMPLE_PREFIX_EXPECTED) == 50
     window = list(registry.REGISTRY)[:50]
     assert window == list(registry.SAMPLE_PREFIX_EXPECTED)
-    # The six llm_ext12 operators must LEAD (first formal rows — the
-    # rotation the r11 verdict pre-allocated), and every operator
-    # written in round 12 must be inside the sampled window — new code
+    # The four llm_ext13 operators must LEAD (first formal rows — the
+    # rotation the r12 verdict pre-allocated), and every operator
+    # written in round 13 must be inside the sampled window — new code
     # earns its formal row in the round it is written.
-    assert window[:6] == ["sketch_hll_overlap_matrix",
-                          "join_size_estimate_report",
-                          "score_auc_report", "sim_hard_negatives",
-                          "curation_dedup_aware_split",
-                          "scd2_point_in_time_join"]
-    assert set(registry._ext12_names) <= set(window), (
-        "an llm_ext12 operator missed its pre-allocated r12 slot")
-    for n in registry._R12_NEW:
+    assert window[:4] == ["sim_ivf_list_balance", "quality_gate_agreement",
+                          "scd2_incremental_apply", "events_sliding_topk"]
+    assert set(registry._ext13_names) <= set(window), (
+        "an llm_ext13 operator missed its pre-allocated r13 slot")
+    assert set(registry._ext14_names) <= set(window), (
+        "a round-13 operator missed the sample window")
+    for n in registry._R13_NEW:
         if n in registry.REGISTRY:
             assert n in window, (
-                f"round-12 operator {n} missed the sample window")
-    # The r6 era must be CLEARED this round: all 12 remaining r6-era
-    # rows are in the window.
-    for n in ("sim_ann_pq", "sim_cosine_topk", "sim_matryoshka_recall",
-              "text_keyphrases_rake", "text_lang_id",
-              "text_quality_scores", "text_redact_pii",
-              "text_repetition_score", "text_token_entropy",
-              "text_token_stats", "text_vocab_topk", "train_val_split"):
-        assert n in window, f"r6-era row {n} missed the clearing window"
-    # Late round-12 operators (llm_ext13) landed AFTER the window was
-    # fully allocated: they must be registered (sweep-checked + pytest
-    # covered) but must NOT displace a curated slot — they lead r13.
-    assert registry._ext13_names, "llm_ext13 must register its operators"
-    for n in registry._ext13_names:
-        assert n in registry.REGISTRY
-        assert n not in window, (
-            f"late operator {n} displaced a curated r12 slot")
+                f"round-13 operator {n} missed the sample window")
+    # The r7 era must be CLEARED this round: all 29 remaining r7-era
+    # rows are in the window (the r12 verdict's corrected count,
+    # alphabetically from join_left_customer_orders).
+    for n in ("join_left_customer_orders", "join_range_price_bands",
+              "join_right_orders_customer", "join_semi_urgent_customers",
+              "json_extract_events", "math_null_funcs",
+              "media_aspect_bucket_batches", "metrics_confidence_histogram",
+              "metrics_pipeline_counters", "metrics_sentiment_distribution",
+              "metrics_top5_topics", "pivot_event_type_counts",
+              "rate_ticks_20s", "rollup_region_nation", "route_subject",
+              "sample_neyman_allocation", "scan_filter_pushdown",
+              "set_ops_customer_years", "sim_mmr_diverse_topk",
+              "sort_global_topk_orders", "string_funcs_parts",
+              "text_extract_coalesce", "text_kneser_ney_bigram",
+              "text_mtld_diversity", "tokenizer_unigram_viterbi",
+              "unpivot_pricing_metrics", "window_lag_daily_orders",
+              "window_rank_dense_ntile", "window_running_revenue"):
+        assert n in window, f"r7-era row {n} missed the clearing window"
 
 
 def test_every_query_module_survives_worker_entry_import():

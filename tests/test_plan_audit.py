@@ -1396,3 +1396,45 @@ def test_sliding_topk_fans_out_summaries_not_events(spark):
     assert "CartesianProduct" not in p
     assert "InMemoryTableScan" in p, p[:600]
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 2, p[:600]
+
+
+def test_drop_execute_inherits_pair_discipline_both_passes(spark):
+    """dedup_drop_plan_execute runs the audited pair builder TWICE
+    (documents, then survivors) — both passes must carry the DF-cap
+    anti-join, no exchange may carry text (the survivor anti-join
+    broadcasts the id-only drop set, so the corpus text stays
+    map-side), the drop set is the only cached intermediate, and the
+    receipt layer is broadcast 1-row joins (no cartesian)."""
+    spark.conf.set("spark.nats_spark.spread.enabled", "false")
+    try:
+        p = plan_str(spark, "dedup_drop_plan_execute")
+    finally:
+        spark.conf.set("spark.nats_spark.spread.enabled", "true")
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"LeftAnti", p)) >= 3, p[:600]  # 2 caps + drop
+    assert "InMemoryTableScan" in p, p[:400]  # the pinned drop set
+    for section in re.split(r"\n\(\d+\) ", p):
+        if section.startswith("Exchange"):
+            input_line = next(
+                (ln for ln in section.splitlines()
+                 if ln.startswith("Input")), "")
+            assert "text#" not in input_line, section[:400]
+
+
+def test_ivf_rebalance_broadcast_centroids_bounded_scans(spark):
+    """sim_ivf_rebalance's scale claim: every centroid/sub-centroid
+    table rides BROADCAST joins against the corpus (never shuffled as
+    a join side), the whole act touches the embeddings scan a bounded
+    number of times with the assignment relation pinned (every
+    consumer — split training, post lists, candidates — reads the
+    cache), and the receipt layer is broadcast 1-row crossJoins, so no
+    cartesian beyond those bounded nested-loops."""
+    spark.conf.set("spark.nats_spark.spread.enabled", "false")
+    try:
+        p = plan_str(spark, "sim_ivf_rebalance")
+    finally:
+        spark.conf.set("spark.nats_spark.spread.enabled", "true")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "InMemoryTableScan" in p, p[:400]  # pinned assignment et al.
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 3, p[:600]

@@ -657,7 +657,30 @@ def test_streaming_hourly_topk_summaries_match_batch(spark, tmp_path):
         q.awaitTermination(180)
         return latest, touches
 
+    def assert_state_bytes_match_batch(path, ckpt):
+        # DIRECT state-store byte check (the docstring's claim, checked
+        # for real): read the final managed state via Spark's statestore
+        # data source and compare each hour's blob byte-for-byte against
+        # counts_encode() of the hour's full counts recomputed from the
+        # same rows — the canonical-encoding law (equal dicts <=> equal
+        # bytes) applied to the ACTUAL persisted state, truncation or
+        # not, rather than inferred from emitted summaries.
+        st = (spark.read.format("statestore")
+              .option("path", str(tmp_path / ckpt)).load())
+        # key = struct<h>, value = struct<groupState: struct<counts>>
+        # (applyInPandasWithState wraps the user state row once)
+        got = {int(r.key[0]): bytes(r.value[0][0]) for r in st.collect()}
+        pdf = (spark.read.parquet(str(path))
+               .selectExpr("unix_micros(ts) div 3600000000 AS h",
+                           "cast(user_id AS long) AS user_id")
+               .toPandas())
+        want: dict = {}
+        for (h, u), c in pdf.groupby(["h", "user_id"]).size().items():
+            want.setdefault(int(h), {})[int(u)] = int(c)
+        assert got == {h: tk.counts_encode(cs) for h, cs in want.items()}
+
     latest, touches = run_stream(pdir, "ckpt_tk")
+    assert_state_bytes_match_batch(pdir, "ckpt_tk")
     assert len([t for t in touches if t]) >= 2, "wanted multiple batches"
     assert any(t1 & t2 for i, t1 in enumerate(touches)
                for t2 in touches[i + 1:]), \
@@ -705,6 +728,9 @@ def test_streaming_hourly_topk_summaries_match_batch(spark, tmp_path):
         .selectExpr("timestamp_micros(us) AS ts", "user_id") \
         .repartition(2).write.parquet(str(tdir))
     latest2, _ = run_stream(tdir, "ckpt_tk2")
+    # here summary != state (one user truncated) — the byte check
+    # proves the state kept the FULL dict, not just the emitted head
+    assert_state_bytes_match_batch(tdir, "ckpt_tk2")
     (h2,) = latest2
     kept = [r for r in latest2[h2] if r[0] is not None]
     bound = [r for r in latest2[h2] if r[0] is None]
