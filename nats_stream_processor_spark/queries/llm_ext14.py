@@ -118,7 +118,9 @@ def q_drop_plan_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     with corpus counts before/after, the dropped-doc count, the tokens
     removed (the drop plan's tokens_saved summed over the distinct drop
     set), the surviving pair count, and the recounted full containments
-    among survivors — 0 on every fixture, by the transitivity theorem.
+    among survivors — 0 for ANY corpus, by the cap-robust transitivity
+    theorem (module comment; property-tested with a tiny cap in
+    tests/test_properties.py).
 
     Scale shape: everything corpus-scale is the audited pair builder,
     run twice (span_pairs_from — equi-join on span_id over the

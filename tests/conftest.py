@@ -7,6 +7,14 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "env_gated: needs a binary/package this container lacks; the skip "
+        "reason names the exact unlock command (select the whole set with "
+        "`pytest -m env_gated -rs`)")
+
+
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
 

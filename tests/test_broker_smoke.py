@@ -22,15 +22,21 @@ import pytest
 NATS_URL = os.environ.get("NATS_URL", "")
 _skip_reason = None
 if not NATS_URL or NATS_URL.startswith("mem://"):
-    _skip_reason = "NATS_URL not set to a real broker"
+    _skip_reason = (
+        "needs a live nats-server with JetStream; unlock with: "
+        "`docker compose up -d nats && NATS_URL=nats://localhost:4222 "
+        "pytest tests/test_broker_smoke.py` (or any reachable broker URL)")
 else:
     try:
         import nats  # noqa: F401
     except ImportError:
-        _skip_reason = "nats-py not installed"
+        _skip_reason = ("needs the nats-py client; unlock with: "
+                        "`pip install nats-py` (broker already configured "
+                        f"at {NATS_URL})")
 
-pytestmark = pytest.mark.skipif(_skip_reason is not None,
-                                reason=_skip_reason or "")
+pytestmark = [pytest.mark.env_gated,
+              pytest.mark.skipif(_skip_reason is not None,
+                                 reason=_skip_reason or "")]
 
 POSTS = [
     {"uri": f"at://smoke/{i}", "cid": f"c{i}", "author": "did:plc:smoke",

@@ -206,3 +206,24 @@ def test_rebalance_oracle_parity_on_planted_corpus(spark, tmp_path):
     (want,) = con.execute(
         registry.REGISTRY["sim_ivf_rebalance"].oracle).fetchall()
     assert tuple(got) == want
+
+
+def test_span_cte_generators_render_certified_oracles():
+    """The r13 refactor law, pinned: span_ctes_sql()/run_ctes_sql() with
+    default (src, tag, lead) must render EXACTLY the text the certified
+    span-family oracles were built from — so parameterizing the chain
+    for the execute step can never drift the certified operators (the
+    md5-identity discipline, as a persistent test)."""
+    assert registry.REGISTRY["dedup_max_duplicated_run"].oracle \
+        .startswith(x10.run_ctes_sql())
+    assert registry.REGISTRY["dedup_containment_drop_plan"].oracle \
+        .startswith(x10.run_ctes_sql())
+    assert registry.REGISTRY["dedup_span_df_stats"].oracle \
+        .startswith(x10.span_ctes_sql())
+    # and the tagged variant is the same chain, only renamed: stripping
+    # the tag and the lead reproduces the default text
+    tagged = x10.run_ctes_sql("surv", "2", lead="")
+    import re as _re
+    untagged = _re.sub(r"\b(t|h|g|sp|ns|hot|spc|m|r|runs|pairs)2\b",
+                       r"\1", tagged).replace("FROM surv", "FROM documents")
+    assert "WITH " + untagged.lstrip() == x10.run_ctes_sql().lstrip()

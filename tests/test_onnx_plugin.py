@@ -29,8 +29,13 @@ def test_softmax_sigmoid_shapes():
     assert s[0] == 0.5 and s[1] > 0.999 and s[2] < 0.001
 
 
-@pytest.mark.skipif(not onnx_classify.HAVE_ONNX,
-                    reason="onnxruntime/transformers not installed")
+@pytest.mark.env_gated
+@pytest.mark.skipif(
+    not onnx_classify.HAVE_ONNX,
+    reason="needs onnxruntime + transformers (and a downloaded model); "
+           "unlock with: `pip install onnxruntime transformers && pytest "
+           "tests/test_onnx_plugin.py::test_onnx_udf_runs` — the scripted-"
+           "fake e2e below covers the plugin path without them")
 def test_onnx_udf_runs(spark):  # pragma: no cover
     udf = onnx_classify.make_onnx_sentiment_udf(
         "model_int8.onnx", "cardiffnlp/twitter-roberta-base-sentiment-latest")

