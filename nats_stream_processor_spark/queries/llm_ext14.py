@@ -1,9 +1,10 @@
-"""Round-13 operators: the two missing ACT steps — substring-dedup
-drop-plan EXECUTE and IVF inverted-list REBALANCE.
+"""Round-13 operators: the missing ACT steps — substring-dedup
+drop-plan EXECUTE and the IVF inverted-list maintenance pair
+(REBALANCE split / MERGE shrink).
 
 CERTIFICATION STATUS: written in round 13, inside the r13 sample
 window (new code earns its formal row in the round it is written —
-registry.SAMPLE_PREFIX_EXPECTED allocates both).
+registry.SAMPLE_PREFIX_EXPECTED allocates all three).
 
 Reference scope note: the reference (/root/reference, a single-purpose
 NATS enrichment daemon, main.py + src/service.py) has no analytics
@@ -52,6 +53,15 @@ and oracle-paired.
   balances the shipped testdata (round-12 lesson), so the genuinely
   overloaded regime is exercised by the planted near-dup-cluster
   corpus in tests.
+- ``sim_ivf_merge`` — the symmetric shrink act: REMOVE the lightest
+  inverted lists (every list at/under half of perfect balance, at
+  least IVM_MIN_MERGES per round, never more than half the index) and
+  reassign their members to the nearest surviving centroid — the
+  faiss remove-centroid maintenance step, no retraining. Shares the
+  base assignment and recall-receipt CTEs with the rebalance act on
+  both engines; the receipt honestly shows the shrink's trade on a
+  balanced corpus (fewer lists, more candidates per probe, recall
+  cost) — the numbers that decide whether the shrink is worth it.
 """
 
 from __future__ import annotations
@@ -196,12 +206,13 @@ def _ppm_rank_sql(dot_expr: str, den_expr: str) -> str:
             f"AS BIGINT)")
 
 
-def _ivf_rebalance_oracle() -> str:
+def _ivf_base_ctes_sql() -> str:
+    """Shared oracle prefix for the two IVF maintenance acts: corpus,
+    trained centroids, ppm-ranked assignment, per-list sizes, total,
+    load factors. Ends at ld(cent_id, n_vecs, load_x1000)."""
     from .llm import IVF_NLIST
-    from .llm_ext13 import IVB_OVERLOAD_X1000
     k = IVF_NLIST
-    dim = sim.EMBED_DIM
-    parts = [f"""
+    return f"""
     WITH e AS (SELECT vec_id, {sim.as_double_sql('embedding')} AS demb
                FROM embeddings),
     n AS (SELECT vec_id, demb, {sim.norm_sql('demb')} AS nrm FROM e),
@@ -225,7 +236,86 @@ def _ivf_rebalance_oracle() -> str:
             FROM sz),
     ld AS (SELECT cent_id, n_vecs,
                   n_vecs * {k} * 1000 // tot.nn AS load_x1000
-           FROM sz CROSS JOIN tot),
+           FROM sz CROSS JOIN tot)"""
+
+
+def _ivf_recall_ctes_sql() -> str:
+    """Shared recall receipts for the two IVF maintenance acts: the
+    certified query panel (vec_id < IVR_NQ) probed at nprobe=IVR_NPROBE
+    against the PRE index (cent/asg) and the POST index (newc/nasg —
+    each act defines those two relations with identical shapes), exact
+    brute-force reference, hit and candidate-row counts. Requires the
+    caller's chain to end in a complete CTE (appended with a leading
+    comma)."""
+    return f"""qv AS (SELECT vec_id AS query_id, demb AS q_demb, nrm AS q_nrm
+           FROM n WHERE vec_id < {IVR_NQ}),
+    prb1 AS (SELECT query_id, cent_id FROM (
+                SELECT q.query_id, c.cent_id,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY {_ppm_rank_sql(
+                               sim.dot_sql('q.q_demb', 'c.c_demb'),
+                               'q.q_nrm * c.c_nrm')} DESC,
+                           c.cent_id) AS r
+                FROM qv q CROSS JOIN cent c)
+             WHERE r <= {IVR_NPROBE}),
+    cand1 AS MATERIALIZED (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               round({sim.dot_sql('q.q_demb', 'a.demb')}
+                     / (q.q_nrm * a.nrm), 6) AS cosine
+        FROM prb1 p JOIN qv q ON q.query_id = p.query_id
+             JOIN asg a ON a.cent_id = p.cent_id
+                       AND a.vec_id != p.query_id),
+    top1 AS (SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) AS rn
+                FROM cand1) WHERE rn <= {IVR_TOPK}),
+    prb2 AS (SELECT query_id, nl_id FROM (
+                SELECT q.query_id, c.nl_id,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY {_ppm_rank_sql(
+                               sim.dot_sql('q.q_demb', 'c.s_demb'),
+                               'q.q_nrm * c.s_nrm')} DESC,
+                           c.nl_id) AS r
+                FROM qv q CROSS JOIN newc c)
+             WHERE r <= {IVR_NPROBE}),
+    cand2 AS MATERIALIZED (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               round({sim.dot_sql('q.q_demb', 'a.demb')}
+                     / (q.q_nrm * a.nrm), 6) AS cosine
+        FROM prb2 p JOIN qv q ON q.query_id = p.query_id
+             JOIN nasg a ON a.nl_id = p.nl_id
+                        AND a.vec_id != p.query_id),
+    top2 AS (SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) AS rn
+                FROM cand2) WHERE rn <= {IVR_TOPK}),
+    brute AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, x.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY round({sim.dot_sql('q.q_demb', 'x.demb')}
+                                      / (q.q_nrm * x.nrm), 6) DESC,
+                                x.vec_id) AS rn
+            FROM qv q JOIN n x ON x.vec_id != q.query_id)
+        WHERE rn <= {IVR_TOPK}),
+    qs AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq
+           FROM brute),
+    h1 AS (SELECT CAST(count(*) AS BIGINT) AS hits FROM top1
+           JOIN brute USING (query_id, neighbor_id)),
+    h2 AS (SELECT CAST(count(*) AS BIGINT) AS hits FROM top2
+           JOIN brute USING (query_id, neighbor_id)),
+    c1 AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand1),
+    c2 AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand2)"""
+
+
+def _ivf_rebalance_oracle() -> str:
+    from .llm import IVF_NLIST
+    from .llm_ext13 import IVB_OVERLOAD_X1000
+    k = IVF_NLIST
+    dim = sim.EMBED_DIM
+    parts = [_ivf_base_ctes_sql() + f""",
     ovl AS (SELECT CAST(count(*) AS BIGINT) AS n_over
             FROM ld WHERE load_x1000 >= {IVB_OVERLOAD_X1000}
                       AND n_vecs >= 2),
@@ -308,67 +398,7 @@ def _ivf_rebalance_oracle() -> str:
     ld2 AS (SELECT nl_id, n_vecs,
                    n_vecs * nl.n_lists * 1000 // tot.nn AS load_x1000
             FROM sz2 CROSS JOIN nl CROSS JOIN tot),
-    qv AS (SELECT vec_id AS query_id, demb AS q_demb, nrm AS q_nrm
-           FROM n WHERE vec_id < {IVR_NQ}),
-    prb1 AS (SELECT query_id, cent_id FROM (
-                SELECT q.query_id, c.cent_id,
-                       row_number() OVER (PARTITION BY q.query_id
-                           ORDER BY {_ppm_rank_sql(
-                               sim.dot_sql('q.q_demb', 'c.c_demb'),
-                               'q.q_nrm * c.c_nrm')} DESC,
-                           c.cent_id) AS r
-                FROM qv q CROSS JOIN cent c)
-             WHERE r <= {IVR_NPROBE}),
-    cand1 AS MATERIALIZED (
-        SELECT p.query_id, a.vec_id AS neighbor_id,
-               round({sim.dot_sql('q.q_demb', 'a.demb')}
-                     / (q.q_nrm * a.nrm), 6) AS cosine
-        FROM prb1 p JOIN qv q ON q.query_id = p.query_id
-             JOIN asg a ON a.cent_id = p.cent_id
-                       AND a.vec_id != p.query_id),
-    top1 AS (SELECT query_id, neighbor_id FROM (
-                SELECT query_id, neighbor_id,
-                       row_number() OVER (PARTITION BY query_id
-                           ORDER BY cosine DESC, neighbor_id) AS rn
-                FROM cand1) WHERE rn <= {IVR_TOPK}),
-    prb2 AS (SELECT query_id, nl_id FROM (
-                SELECT q.query_id, c.nl_id,
-                       row_number() OVER (PARTITION BY q.query_id
-                           ORDER BY {_ppm_rank_sql(
-                               sim.dot_sql('q.q_demb', 'c.s_demb'),
-                               'q.q_nrm * c.s_nrm')} DESC,
-                           c.nl_id) AS r
-                FROM qv q CROSS JOIN newc c)
-             WHERE r <= {IVR_NPROBE}),
-    cand2 AS MATERIALIZED (
-        SELECT p.query_id, a.vec_id AS neighbor_id,
-               round({sim.dot_sql('q.q_demb', 'a.demb')}
-                     / (q.q_nrm * a.nrm), 6) AS cosine
-        FROM prb2 p JOIN qv q ON q.query_id = p.query_id
-             JOIN nasg a ON a.nl_id = p.nl_id
-                        AND a.vec_id != p.query_id),
-    top2 AS (SELECT query_id, neighbor_id FROM (
-                SELECT query_id, neighbor_id,
-                       row_number() OVER (PARTITION BY query_id
-                           ORDER BY cosine DESC, neighbor_id) AS rn
-                FROM cand2) WHERE rn <= {IVR_TOPK}),
-    brute AS MATERIALIZED (
-        SELECT query_id, neighbor_id FROM (
-            SELECT q.query_id, x.vec_id AS neighbor_id,
-                   row_number() OVER (PARTITION BY q.query_id
-                       ORDER BY round({sim.dot_sql('q.q_demb', 'x.demb')}
-                                      / (q.q_nrm * x.nrm), 6) DESC,
-                                x.vec_id) AS rn
-            FROM qv q JOIN n x ON x.vec_id != q.query_id)
-        WHERE rn <= {IVR_TOPK}),
-    qs AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq
-           FROM brute),
-    h1 AS (SELECT CAST(count(*) AS BIGINT) AS hits FROM top1
-           JOIN brute USING (query_id, neighbor_id)),
-    h2 AS (SELECT CAST(count(*) AS BIGINT) AS hits FROM top2
-           JOIN brute USING (query_id, neighbor_id)),
-    c1 AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand1),
-    c2 AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand2)
+    {_ivf_recall_ctes_sql()}
     SELECT CAST({k} AS BIGINT) AS n_lists_before,
            ovl.n_over AS n_overloaded,
            (SELECT CAST(count(*) AS BIGINT) FROM spl) AS n_split,
@@ -396,6 +426,119 @@ def _ivf_rebalance_oracle() -> str:
 def _ppm_rank_col(dot_col, den_col):
     return F.floor(dot_col / den_col * F.lit(1000000.0)
                    + F.lit(0.5)).cast("long")
+
+
+def _ivf_base_frames(spark: SparkSession, sf_dir: str):
+    """Shared Spark-side base for the two IVF maintenance acts: pinned
+    corpus-with-norms, broadcastable trained-centroid table, pinned
+    ppm-ranked assignment, per-list sizes, guarded total, load factors.
+    The Spark twin of _ivf_base_ctes_sql."""
+    from .llm import IVF_NLIST
+    k = IVF_NLIST
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("demb"))
+    n = pin(spread(e).select(
+        "vec_id", "demb", sim.norm(F.col("demb")).alias("nrm")))
+    cents = km.train_ivf_centroids(e, k)
+    cent = spark.createDataFrame(
+        [(i, cents[i]) for i in range(k)],
+        "cent_id int, c_demb array<double>",
+    ).withColumn("c_nrm", sim.norm(F.col("c_demb")))
+    wasg = Window.partitionBy("vec_id").orderBy(
+        F.col("ppm").desc(), "cent_id")
+    asg = pin(
+        n.crossJoin(F.broadcast(cent))
+        .select("vec_id", "demb", "nrm", "cent_id",
+                _ppm_rank_col(sim.dot(F.col("demb"), F.col("c_demb")),
+                              F.col("nrm") * F.col("c_nrm")).alias("ppm"))
+        .withColumn("rc", F.row_number().over(wasg))
+        .filter(F.col("rc") == 1)
+        .select("vec_id", "demb", "nrm", "cent_id"))
+    sz = pin(cent.select("cent_id")
+             .join(asg, "cent_id", "left")
+             .groupBy("cent_id")
+             .agg(F.count("vec_id").cast("long").alias("n_vecs")))
+    tot = sz.agg(F.greatest(F.sum("n_vecs").cast("long"),
+                            F.lit(1).cast("long")).alias("nn"))
+    ld = pin(sz.crossJoin(F.broadcast(tot))
+             .select("cent_id", "n_vecs",
+                     F.expr(f"n_vecs * {k} * 1000 div nn")
+                     .alias("load_x1000")))
+    return n, cent, asg, sz, tot, ld
+
+
+def _ivf_recall_frames(n, cent, asg, newc, nasg):
+    """Shared Spark-side recall receipts (the twin of
+    _ivf_recall_ctes_sql): probe the PRE index (cent/asg) and the POST
+    index (newc/nasg) with the certified query panel, score candidates,
+    compare both top-k sets to the brute-force reference. Returns the
+    1-row frames (qs, h1, h2, c1, c2) with columns
+    (nq, hits1, hits2, pre_cand_rows, post_cand_rows)."""
+    qv = (n.filter(F.col("vec_id") < IVR_NQ)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("demb").alias("q_demb"),
+                  F.col("nrm").alias("q_nrm")))
+    wp1 = Window.partitionBy("query_id").orderBy(
+        F.col("qppm").desc(), "cent_id")
+    prb1 = (qv.crossJoin(F.broadcast(cent))
+            .select("query_id", "q_demb", "q_nrm", "cent_id",
+                    _ppm_rank_col(
+                        sim.dot(F.col("q_demb"), F.col("c_demb")),
+                        F.col("q_nrm") * F.col("c_nrm")).alias("qppm"))
+            .withColumn("r", F.row_number().over(wp1))
+            .filter(F.col("r") <= IVR_NPROBE)
+            .select("query_id", "q_demb", "q_nrm", "cent_id"))
+    cand1 = pin(
+        F.broadcast(prb1)
+        .join(asg.withColumnRenamed("cent_id", "a_cent"),
+              (F.col("a_cent") == F.col("cent_id"))
+              & (F.col("vec_id") != F.col("query_id")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                sim.cosine(sim.dot(F.col("q_demb"), F.col("demb")),
+                           F.col("q_nrm"), F.col("nrm")).alias("cosine")))
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id")
+    top1 = (cand1.withColumn("rn", F.row_number().over(wt))
+            .filter(F.col("rn") <= IVR_TOPK)
+            .select("query_id", "neighbor_id"))
+    wp2 = Window.partitionBy("query_id").orderBy(
+        F.col("qppm").desc(), "nl_id")
+    prb2 = (qv.crossJoin(F.broadcast(newc))
+            .select("query_id", "q_demb", "q_nrm", "nl_id",
+                    _ppm_rank_col(
+                        sim.dot(F.col("q_demb"), F.col("s_demb")),
+                        F.col("q_nrm") * F.col("s_nrm")).alias("qppm"))
+            .withColumn("r", F.row_number().over(wp2))
+            .filter(F.col("r") <= IVR_NPROBE)
+            .select("query_id", "q_demb", "q_nrm", "nl_id"))
+    cand2 = pin(
+        F.broadcast(prb2)
+        .join(nasg.withColumnRenamed("nl_id", "a_nl"),
+              (F.col("a_nl") == F.col("nl_id"))
+              & (F.col("vec_id") != F.col("query_id")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                sim.cosine(sim.dot(F.col("q_demb"), F.col("demb")),
+                           F.col("q_nrm"), F.col("nrm")).alias("cosine")))
+    top2 = (cand2.withColumn("rn", F.row_number().over(wt))
+            .filter(F.col("rn") <= IVR_TOPK)
+            .select("query_id", "neighbor_id"))
+    brute = pin(
+        F.broadcast(qv)
+        .join(n, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                sim.cosine(sim.dot(F.col("q_demb"), F.col("demb")),
+                           F.col("q_nrm"), F.col("nrm")).alias("cosine"))
+        .withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= IVR_TOPK)
+        .select("query_id", "neighbor_id"))
+    qs = brute.agg(F.count_distinct("query_id").cast("long").alias("nq"))
+    h1 = (top1.join(brute, ["query_id", "neighbor_id"])
+          .agg(F.count("*").cast("long").alias("hits1")))
+    h2 = (top2.join(brute, ["query_id", "neighbor_id"])
+          .agg(F.count("*").cast("long").alias("hits2")))
+    c1 = cand1.agg(F.count("*").cast("long").alias("pre_cand_rows"))
+    c2 = cand2.agg(F.count("*").cast("long").alias("post_cand_rows"))
+    return qs, h1, h2, c1, c2
 
 
 @register(
@@ -427,35 +570,7 @@ def q_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ext13 import IVB_OVERLOAD_X1000
     k = IVF_NLIST
 
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", sim.as_double(F.col("embedding")).alias("demb"))
-    n = pin(spread(e).select(
-        "vec_id", "demb", sim.norm(F.col("demb")).alias("nrm")))
-    cents = km.train_ivf_centroids(e, k)
-    cent = spark.createDataFrame(
-        [(i, cents[i]) for i in range(k)],
-        "cent_id int, c_demb array<double>",
-    ).withColumn("c_nrm", sim.norm(F.col("c_demb")))
-    wasg = Window.partitionBy("vec_id").orderBy(
-        F.col("ppm").desc(), "cent_id")
-    asg = pin(
-        n.crossJoin(F.broadcast(cent))
-        .select("vec_id", "demb", "nrm", "cent_id",
-                _ppm_rank_col(sim.dot(F.col("demb"), F.col("c_demb")),
-                              F.col("nrm") * F.col("c_nrm")).alias("ppm"))
-        .withColumn("rc", F.row_number().over(wasg))
-        .filter(F.col("rc") == 1)
-        .select("vec_id", "demb", "nrm", "cent_id"))
-    sz = pin(cent.select("cent_id")
-             .join(asg, "cent_id", "left")
-             .groupBy("cent_id")
-             .agg(F.count("vec_id").cast("long").alias("n_vecs")))
-    tot = sz.agg(F.greatest(F.sum("n_vecs").cast("long"),
-                            F.lit(1).cast("long")).alias("nn"))
-    ld = pin(sz.crossJoin(F.broadcast(tot))
-             .select("cent_id", "n_vecs",
-                     F.expr(f"n_vecs * {k} * 1000 div nn")
-                     .alias("load_x1000")))
+    n, cent, asg, sz, tot, ld = _ivf_base_frames(spark, sf_dir)
     ovl = ld.filter((F.col("load_x1000") >= IVB_OVERLOAD_X1000)
                     & (F.col("n_vecs") >= 2)) \
             .agg(F.count("*").cast("long").alias("n_over"))
@@ -537,70 +652,7 @@ def q_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.expr("n_vecs * n_lists * 1000 div nn")
                    .alias("load_x1000")))
 
-    qv = (n.filter(F.col("vec_id") < IVR_NQ)
-          .select(F.col("vec_id").alias("query_id"),
-                  F.col("demb").alias("q_demb"),
-                  F.col("nrm").alias("q_nrm")))
-    wp1 = Window.partitionBy("query_id").orderBy(
-        F.col("qppm").desc(), "cent_id")
-    prb1 = (qv.crossJoin(F.broadcast(cent))
-            .select("query_id", "q_demb", "q_nrm", "cent_id",
-                    _ppm_rank_col(
-                        sim.dot(F.col("q_demb"), F.col("c_demb")),
-                        F.col("q_nrm") * F.col("c_nrm")).alias("qppm"))
-            .withColumn("r", F.row_number().over(wp1))
-            .filter(F.col("r") <= IVR_NPROBE)
-            .select("query_id", "q_demb", "q_nrm", "cent_id"))
-    cand1 = pin(
-        F.broadcast(prb1)
-        .join(asg.withColumnRenamed("cent_id", "a_cent"),
-              (F.col("a_cent") == F.col("cent_id"))
-              & (F.col("vec_id") != F.col("query_id")))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                sim.cosine(sim.dot(F.col("q_demb"), F.col("demb")),
-                           F.col("q_nrm"), F.col("nrm")).alias("cosine")))
-    wt = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), "neighbor_id")
-    top1 = (cand1.withColumn("rn", F.row_number().over(wt))
-            .filter(F.col("rn") <= IVR_TOPK)
-            .select("query_id", "neighbor_id"))
-    wp2 = Window.partitionBy("query_id").orderBy(
-        F.col("qppm").desc(), "nl_id")
-    prb2 = (qv.crossJoin(F.broadcast(newc))
-            .select("query_id", "q_demb", "q_nrm", "nl_id",
-                    _ppm_rank_col(
-                        sim.dot(F.col("q_demb"), F.col("s_demb")),
-                        F.col("q_nrm") * F.col("s_nrm")).alias("qppm"))
-            .withColumn("r", F.row_number().over(wp2))
-            .filter(F.col("r") <= IVR_NPROBE)
-            .select("query_id", "q_demb", "q_nrm", "nl_id"))
-    cand2 = pin(
-        F.broadcast(prb2)
-        .join(nasg.withColumnRenamed("nl_id", "a_nl"),
-              (F.col("a_nl") == F.col("nl_id"))
-              & (F.col("vec_id") != F.col("query_id")))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                sim.cosine(sim.dot(F.col("q_demb"), F.col("demb")),
-                           F.col("q_nrm"), F.col("nrm")).alias("cosine")))
-    top2 = (cand2.withColumn("rn", F.row_number().over(wt))
-            .filter(F.col("rn") <= IVR_TOPK)
-            .select("query_id", "neighbor_id"))
-    brute = pin(
-        F.broadcast(qv)
-        .join(n, F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                sim.cosine(sim.dot(F.col("q_demb"), F.col("demb")),
-                           F.col("q_nrm"), F.col("nrm")).alias("cosine"))
-        .withColumn("rn", F.row_number().over(wt))
-        .filter(F.col("rn") <= IVR_TOPK)
-        .select("query_id", "neighbor_id"))
-    qs = brute.agg(F.count_distinct("query_id").cast("long").alias("nq"))
-    h1 = (top1.join(brute, ["query_id", "neighbor_id"])
-          .agg(F.count("*").cast("long").alias("hits1")))
-    h2 = (top2.join(brute, ["query_id", "neighbor_id"])
-          .agg(F.count("*").cast("long").alias("hits2")))
-    c1 = cand1.agg(F.count("*").cast("long").alias("pre_cand_rows"))
-    c2 = cand2.agg(F.count("*").cast("long").alias("post_cand_rows"))
+    qs, h1, h2, c1, c2 = _ivf_recall_frames(n, cent, asg, newc, nasg)
     nspl = spl.agg(F.count("*").cast("long").alias("n_split"))
     mx1 = ld.agg(F.max("n_vecs").cast("long").alias("max_list_before"),
                  F.max("load_x1000").cast("long")
@@ -636,3 +688,184 @@ def _render_ivf_rebalance_oracle() -> None:
 
 
 _render_ivf_rebalance_oracle()
+
+
+# ------------------------------- IVF list merge (the shrink act)
+
+# The symmetric maintenance act to sim_ivf_rebalance: REMOVE underloaded
+# inverted lists and reassign their members to the nearest surviving
+# centroid (the faiss remove-centroid maintenance — no retraining).
+# Merge set = every list at or under IVM_UNDER_X1000 (half of perfect
+# balance), with at least the IVM_MIN_MERGES lightest merging every
+# round (amortized mode, mirroring the split side) and never more than
+# half the lists (a shrink step must leave a working index). Receipts
+# mirror the rebalance row: list counts, min list size and min load on
+# each side, probe cost and recall@IVR_TOPK at nprobe=IVR_NPROBE before
+# vs after over the certified query panel.
+IVM_UNDER_X1000 = 500
+IVM_MIN_MERGES = 2
+
+
+def _ivf_merge_oracle() -> str:
+    from .llm import IVF_NLIST
+    k = IVF_NLIST
+    return _ivf_base_ctes_sql() + f""",
+    und AS (SELECT CAST(count(*) AS BIGINT) AS n_under
+            FROM ld WHERE load_x1000 <= {IVM_UNDER_X1000}),
+    mrg AS MATERIALIZED (SELECT cent_id FROM (
+                SELECT cent_id,
+                       row_number() OVER (ORDER BY n_vecs ASC, cent_id)
+                           AS r
+                FROM ld) CROSS JOIN und
+            WHERE r <= least(greatest({IVM_MIN_MERGES}, und.n_under),
+                             {k // 2})),
+    newc AS MATERIALIZED (
+        SELECT CAST(c.cent_id AS BIGINT) AS nl_id,
+               c.c_demb AS s_demb, c.c_nrm AS s_nrm
+        FROM cent c ANTI JOIN mrg USING (cent_id)),
+    movers AS (SELECT a.vec_id, a.demb, a.nrm
+               FROM asg a JOIN mrg ON mrg.cent_id = a.cent_id),
+    reasg AS (SELECT nl_id, vec_id, demb, nrm FROM (
+                SELECT m.vec_id, m.demb, m.nrm, c.nl_id,
+                       row_number() OVER (PARTITION BY m.vec_id
+                           ORDER BY {_ppm_rank_sql(
+                               sim.dot_sql('m.demb', 'c.s_demb'),
+                               'm.nrm * c.s_nrm')} DESC, c.nl_id) AS rc
+                FROM movers m CROSS JOIN newc c)
+            WHERE rc = 1),
+    nasg AS MATERIALIZED (
+        SELECT CAST(a.cent_id AS BIGINT) AS nl_id, a.vec_id, a.demb,
+               a.nrm
+        FROM asg a ANTI JOIN mrg USING (cent_id)
+        UNION ALL
+        SELECT nl_id, vec_id, demb, nrm FROM reasg),
+    sz2 AS (SELECT nc.nl_id, CAST(count(na.vec_id) AS BIGINT) AS n_vecs
+            FROM newc nc LEFT JOIN nasg na ON na.nl_id = nc.nl_id
+            GROUP BY nc.nl_id),
+    nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lists FROM newc),
+    {_ivf_recall_ctes_sql()}
+    SELECT CAST({k} AS BIGINT) AS n_lists_before,
+           und.n_under AS n_under,
+           (SELECT CAST(count(*) AS BIGINT) FROM mrg) AS n_merged,
+           nl.n_lists AS n_lists_after,
+           (SELECT CAST(min(n_vecs) AS BIGINT) FROM ld)
+               AS min_list_before,
+           (SELECT CAST(min(n_vecs) AS BIGINT) FROM sz2)
+               AS min_list_after,
+           (SELECT CAST(min(load_x1000) AS BIGINT) FROM ld)
+               AS min_load_x1000_before,
+           (SELECT CAST(min(n_vecs * nl.n_lists * 1000 // tot.nn)
+                        AS BIGINT)
+            FROM sz2 CROSS JOIN nl CROSS JOIN tot)
+               AS min_load_x1000_after,
+           c1.n_cand AS pre_cand_rows,
+           c2.n_cand AS post_cand_rows,
+           h1.hits * {_PPM} // greatest({IVR_TOPK} * qs.nq, 1)
+               AS pre_recall_ppm,
+           h2.hits * {_PPM} // greatest({IVR_TOPK} * qs.nq, 1)
+               AS post_recall_ppm
+    FROM und CROSS JOIN nl CROSS JOIN c1 CROSS JOIN c2
+         CROSS JOIN h1 CROSS JOIN h2 CROSS JOIN qs
+    """
+
+
+@register(
+    "sim_ivf_merge",
+    oracle=None,  # set below (renders the shared training CTEs)
+    tags=("llm", "ann-ivf", "maintenance", "action"),
+)
+def q_ivf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge (remove) the lightest IVF inverted lists and measure what
+    the shrink bought (module comment above): one row with list counts,
+    the under-floor count, min list size and min load factor on each
+    side, and recall@{IVR_TOPK} at nprobe={IVR_NPROBE} before vs after
+    with each side's candidate-row scan cost. Nearly-empty lists are
+    pure overhead — a probe visiting one wastes its budget — and the
+    remove-and-reassign step is how an IVF index sheds them without
+    retraining.
+
+    Scale shape: the base is the audited shared assignment
+    (_ivf_base_frames — one corpus scan against broadcast centroids,
+    pinned); the merge layer moves ONLY the merged lists' members (a
+    broadcast rank against the <= nlist surviving-centroid table — no
+    retraining, no driver reads beyond the K-bounded centroid list
+    already licensed); receipts and recall reuse the audited rebalance
+    panels (broadcast queries, list-id-keyed candidate joins, 1-row
+    broadcast crossJoins)."""
+    from .llm import IVF_NLIST
+    k = IVF_NLIST
+
+    n, cent, asg, sz, tot, ld = _ivf_base_frames(spark, sf_dir)
+    und = (ld.filter(F.col("load_x1000") <= IVM_UNDER_X1000)
+           .agg(F.count("*").cast("long").alias("n_under")))
+    wmrg = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("n_vecs").asc(), "cent_id")
+    mrg = pin(ld.withColumn("r", F.row_number().over(wmrg))
+              .crossJoin(F.broadcast(und))
+              .filter(F.col("r")
+                      <= F.least(
+                          F.greatest(F.lit(IVM_MIN_MERGES).cast("long"),
+                                     F.col("n_under")),
+                          F.lit(k // 2).cast("long")))
+              .select("cent_id"))
+    newc = pin(cent.join(mrg, "cent_id", "left_anti")
+               .select(F.col("cent_id").cast("long").alias("nl_id"),
+                       F.col("c_demb").alias("s_demb"),
+                       F.col("c_nrm").alias("s_nrm")))
+    movers = asg.join(mrg, "cent_id").select("vec_id", "demb", "nrm")
+    wre = Window.partitionBy("vec_id").orderBy(
+        F.col("rppm").desc(), "nl_id")
+    reasg = (movers.crossJoin(F.broadcast(newc))
+             .select("vec_id", "demb", "nrm", "nl_id",
+                     _ppm_rank_col(
+                         sim.dot(F.col("demb"), F.col("s_demb")),
+                         F.col("nrm") * F.col("s_nrm")).alias("rppm"))
+             .withColumn("rc", F.row_number().over(wre))
+             .filter(F.col("rc") == 1)
+             .select("nl_id", "vec_id", "demb", "nrm"))
+    nasg = pin(
+        asg.join(mrg, "cent_id", "left_anti")
+        .select(F.col("cent_id").cast("long").alias("nl_id"),
+                "vec_id", "demb", "nrm")
+        .unionByName(reasg))
+    sz2 = pin(newc.select("nl_id")
+              .join(nasg, "nl_id", "left")
+              .groupBy("nl_id")
+              .agg(F.count("vec_id").cast("long").alias("n_vecs")))
+    nl = newc.agg(F.count("*").cast("long").alias("n_lists"))
+    qs, h1, h2, c1, c2 = _ivf_recall_frames(n, cent, asg, newc, nasg)
+    nmrg = mrg.agg(F.count("*").cast("long").alias("n_merged"))
+    mn1 = ld.agg(F.min("n_vecs").cast("long").alias("min_list_before"),
+                 F.min("load_x1000").cast("long")
+                 .alias("min_load_x1000_before"))
+    mn2 = (sz2.crossJoin(F.broadcast(nl)).crossJoin(F.broadcast(tot))
+           .agg(F.min("n_vecs").cast("long").alias("min_list_after"),
+                F.min(F.expr("n_vecs * n_lists * 1000 div nn"))
+                .cast("long").alias("min_load_x1000_after")))
+    return (und.crossJoin(F.broadcast(nmrg))
+            .crossJoin(F.broadcast(nl))
+            .crossJoin(F.broadcast(mn1))
+            .crossJoin(F.broadcast(mn2))
+            .crossJoin(F.broadcast(c1))
+            .crossJoin(F.broadcast(c2))
+            .crossJoin(F.broadcast(h1))
+            .crossJoin(F.broadcast(h2))
+            .crossJoin(F.broadcast(qs))
+            .select(F.lit(k).cast("long").alias("n_lists_before"),
+                    "n_under", "n_merged",
+                    F.col("n_lists").alias("n_lists_after"),
+                    "min_list_before", "min_list_after",
+                    "min_load_x1000_before", "min_load_x1000_after",
+                    "pre_cand_rows", "post_cand_rows",
+                    F.expr(f"hits1 * 1000000 div greatest({IVR_TOPK} * nq,"
+                           " 1)").alias("pre_recall_ppm"),
+                    F.expr(f"hits2 * 1000000 div greatest({IVR_TOPK} * nq,"
+                           " 1)").alias("post_recall_ppm")))
+
+
+def _render_ivf_merge_oracle() -> None:
+    from ..registry import REGISTRY
+    REGISTRY["sim_ivf_merge"].oracle = _ivf_merge_oracle()
+
+
+_render_ivf_merge_oracle()

@@ -227,3 +227,71 @@ def test_span_cte_generators_render_certified_oracles():
     untagged = _re.sub(r"\b(t|h|g|sp|ns|hot|spc|m|r|runs|pairs)2\b",
                        r"\1", tagged).replace("FROM surv", "FROM documents")
     assert "WITH " + untagged.lstrip() == x10.run_ctes_sql().lstrip()
+
+
+def test_merge_receipts_structural_invariants(spark):
+    """On the real fixture: every surviving list keeps its members and
+    may only gain reassigned ones, so counts subtract and the min
+    surviving list size can never shrink; at least IVM_MIN_MERGES lists
+    merge (amortized mode) and never more than half the index."""
+    from nats_stream_processor_spark.queries.llm import IVF_NLIST
+    (r,) = _run(spark, "sim_ivf_merge", SF)
+    assert r.n_lists_after == r.n_lists_before - r.n_merged
+    assert x14.IVM_MIN_MERGES <= r.n_merged <= IVF_NLIST // 2
+    assert r.min_list_after >= r.min_list_before
+    assert r.n_under == 0  # k-means balances the real testdata
+    assert r.pre_recall_ppm > 0 and r.post_recall_ppm > 0
+
+
+def _planted_underloaded_embeddings(spark, tmp_path):
+    """16 anchors (the k-means init/sample) plus 200 extra vectors all
+    near anchor 0: lists 1..15 hold ~1 vector each (load far under the
+    floor), list 0 holds ~201 — the nearly-empty-list regime the merge
+    act exists for."""
+    from nats_stream_processor_spark.operators.kmeans import TRAIN_SAMPLE_N
+    dim = sim.EMBED_DIM
+    rows = []
+    for i in range(16):
+        v = [0.0] * dim
+        v[(i * 3) % dim] = 1.0
+        rows.append((i, v))
+    base = TRAIN_SAMPLE_N
+    for j in range(200):
+        v = [0.0] * dim
+        v[0] = 1.0
+        v[30 + (j % 2)] = 0.2
+        rows.append((base + j, v))
+    d = tmp_path / "sf_emb_u"
+    spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.mode("overwrite") \
+        .parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_merge_planted_underloaded_lists(spark, tmp_path):
+    """The genuinely-underloaded regime: ~15 nearly-empty lists. The
+    act must flag them, merge the capped maximum (half the index), and
+    the receipt shows the shrink."""
+    from nats_stream_processor_spark.queries.llm import IVF_NLIST
+    sf_dir = _planted_underloaded_embeddings(spark, tmp_path)
+    (r,) = _run(spark, "sim_ivf_merge", sf_dir)
+    assert r.n_under >= 10
+    assert r.n_merged == IVF_NLIST // 2  # capped shrink
+    assert r.n_lists_after == IVF_NLIST - r.n_merged
+    assert r.min_list_after >= r.min_list_before
+
+
+def test_merge_oracle_parity_on_planted_corpus(spark, tmp_path):
+    """The registered oracle replays the whole shrink act
+    value-for-value on the planted underloaded corpus (the regime the
+    real fixtures never enter)."""
+    sf_dir = _planted_underloaded_embeddings(spark, tmp_path)
+    (got,) = _run(spark, "sim_ivf_merge", sf_dir)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')")
+    (want,) = con.execute(
+        registry.REGISTRY["sim_ivf_merge"].oracle).fetchall()
+    assert tuple(got) == want

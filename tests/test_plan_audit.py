@@ -1438,3 +1438,20 @@ def test_ivf_rebalance_broadcast_centroids_bounded_scans(spark):
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     assert "InMemoryTableScan" in p, p[:400]  # pinned assignment et al.
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 3, p[:600]
+
+
+def test_ivf_merge_moves_only_merged_members_no_retrain(spark):
+    """sim_ivf_merge's scale claim: the base is the shared audited
+    assignment; the shrink layer re-ranks ONLY the merged lists'
+    members against the broadcast surviving-centroid table (no
+    training loop, no extra corpus scan), and receipts ride broadcast
+    1-row joins — bounded parquet scans, no cartesian."""
+    spark.conf.set("spark.nats_spark.spread.enabled", "false")
+    try:
+        p = plan_str(spark, "sim_ivf_merge")
+    finally:
+        spark.conf.set("spark.nats_spark.spread.enabled", "true")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "InMemoryTableScan" in p, p[:400]
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 3, p[:600]
