@@ -869,3 +869,191 @@ def _render_ivf_merge_oracle() -> None:
 
 
 _render_ivf_merge_oracle()
+
+
+# --------------------------- incremental near-dup dedup (batch vs corpus)
+
+# The incremental form of the MinHash+LSH pipeline — how near-dup dedup
+# actually runs in a LIVING pipeline (the near-dup analog of
+# dedup_incremental_batch's exact form): an incoming batch (doc_id above
+# the deterministic 80% cut, the established incremental-fixture
+# convention) probes the EXISTING corpus's band index, and only then
+# dedups within itself. Semantics, set-based and engine-exact:
+#   1. a batch doc whose verified Jaccard vs ANY corpus doc clears
+#      NEAR_DUP_JACCARD is dup_corpus (canon = min matching corpus id);
+#   2. the remaining batch docs form near-dup components among
+#      THEMSELVES (the certified dedup_components rule, restricted to
+#      the survivor graph); a non-minimum member is dup_batch
+#      (canon = component min);
+#   3. everything else keeps (canon = itself).
+# At 100 TB the corpus band index is a persisted table the batch join
+# probes — the corpus is never re-paired against itself (the whole point
+# of the incremental shape); re-deriving the index in-query here keeps
+# the operator self-contained while the PLAN still contains no
+# corpus-x-corpus candidate join (plan-audited).
+
+
+def _inc_near_dup_oracle() -> str:
+    from .llm import NEAR_DUP_JACCARD
+    from ..operators.dedup import (LSH_BANDS, LSH_ROWS, jaccard_sql,
+                                   minhash_signature_sql,
+                                   shingle_ids_tok_sql,
+                                   token_hashes_32_duck_sql)
+    return f"""
+    WITH RECURSIVE
+    cut AS (SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS c
+            FROM documents),
+    t AS (SELECT doc_id,
+                 regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+          FROM documents),
+    h AS (SELECT doc_id, {token_hashes_32_duck_sql('toks')} AS hs FROM t),
+    s AS (SELECT doc_id, {shingle_ids_tok_sql('hs')} AS sids FROM h),
+    sig AS (SELECT doc_id, sids,
+                   {minhash_signature_sql('sids')} AS sig FROM s),
+    bands AS MATERIALIZED (
+        SELECT doc_id, band_idx,
+               array_to_string(list_slice(sig, band_idx * {LSH_ROWS} + 1,
+                                          (band_idx + 1) * {LSH_ROWS}),
+                               '_') AS bucket
+        FROM sig CROSS JOIN
+             (SELECT unnest(range(0, {LSH_BANDS})) AS band_idx) u),
+    cbc AS (SELECT DISTINCT b.doc_id AS bid, a.doc_id AS cid
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+            CROSS JOIN cut
+            WHERE a.doc_id <= cut.c AND b.doc_id > cut.c),
+    dupc AS MATERIALIZED (
+        SELECT bid, min(cid) AS canon
+        FROM cbc JOIN s sa ON sa.doc_id = cid JOIN s sb ON sb.doc_id = bid
+        WHERE {jaccard_sql('sa.sids', 'sb.sids')} >= {NEAR_DUP_JACCARD}
+        GROUP BY bid),
+    cbb AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+            CROSS JOIN cut
+            WHERE a.doc_id > cut.c
+              AND a.doc_id NOT IN (SELECT bid FROM dupc)
+              AND b.doc_id NOT IN (SELECT bid FROM dupc)),
+    pairs AS (SELECT doc_a, doc_b
+              FROM cbb JOIN s sa ON sa.doc_id = doc_a
+                       JOIN s sb ON sb.doc_id = doc_b
+              WHERE {jaccard_sql('sa.sids', 'sb.sids')}
+                    >= {NEAR_DUP_JACCARD}),
+    nodes AS (SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION SELECT doc_b AS doc_id FROM pairs)),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    comp AS (SELECT src AS doc_id, min(dst) AS comp
+             FROM reach GROUP BY src)
+    SELECT d.doc_id,
+           CASE WHEN dupc.canon IS NOT NULL THEN 'dup_corpus'
+                WHEN comp.comp IS NOT NULL AND comp.comp != d.doc_id
+                     THEN 'dup_batch'
+                ELSE 'keep' END AS verdict,
+           CAST(coalesce(dupc.canon, comp.comp, d.doc_id) AS BIGINT)
+               AS canon_id
+    FROM documents d CROSS JOIN cut
+    LEFT JOIN dupc ON dupc.bid = d.doc_id
+    LEFT JOIN comp ON comp.doc_id = d.doc_id
+    WHERE d.doc_id > cut.c
+    ORDER BY d.doc_id
+    """
+
+
+@register(
+    "dedup_incremental_near_dup",
+    oracle=None,  # set below
+    tags=("llm", "dedup-minhash-lsh", "dedup-incremental"),
+)
+def q_inc_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash+LSH near-dup dedup of an incoming batch
+    against an existing corpus (module comment above): one row per
+    batch doc with the verdict (dup_corpus / dup_batch / keep) and its
+    canon — the minimum matching corpus id, the batch component
+    minimum, or itself.
+
+    Scale shape: the certified LSH pipeline end to end — shingle/sig
+    map-side, candidates from (band, bucket)-keyed equi-joins with the
+    batch side as the probe (NO corpus-x-corpus pair join anywhere in
+    the plan: the corpus band rows join only against batch band rows —
+    the incremental advantage, plan-audited), verify joins id-keyed on
+    the pinned shingle table, components only over the batch-survivor
+    pair graph (bounded by batch size, the audited min-label loop)."""
+    from .llm import NEAR_DUP_JACCARD
+    from ..operators.dedup import (connected_components, jaccard,
+                                   minhash_band_explode,
+                                   minhash_signature_col,
+                                   shingle_ids_tok_col,
+                                   token_hashes_32_col)
+
+    d = spread(table(spark, sf_dir, "documents"))
+    cut = d.agg(F.floor(F.max("doc_id") * 0.8).cast("long").alias("c"))
+    sh = pin(d.crossJoin(F.broadcast(cut))
+             .select("doc_id", "c",
+                     token_hashes_32_col(F.col("text")).alias("hs"))
+             .select("doc_id", "c",
+                     shingle_ids_tok_col(F.col("hs")).alias("sids")))
+    sig = sh.select("doc_id", "c", "sids",
+                    minhash_signature_col(F.col("sids")).alias("sig"))
+    bands = pin(minhash_band_explode(
+        sig.select("doc_id", "c", "sig"), "doc_id", "sig")
+        .join(sh.select("doc_id", "c").distinct(), ["doc_id"])
+        .select("doc_id", "c", "band", "bucket"))
+    corp_b = bands.filter(F.col("doc_id") <= F.col("c")) \
+                  .select(F.col("doc_id").alias("cid"), "band", "bucket")
+    bat_b = bands.filter(F.col("doc_id") > F.col("c")) \
+                 .select(F.col("doc_id").alias("bid"), "band", "bucket")
+    cbc = (bat_b.join(corp_b, ["band", "bucket"])
+           .select("bid", "cid").distinct())
+    sa = sh.select(F.col("doc_id").alias("cid"),
+                   F.col("sids").alias("sids_a"))
+    sb = sh.select(F.col("doc_id").alias("bid"),
+                   F.col("sids").alias("sids_b"))
+    dupc = pin(cbc.join(sa, "cid").join(sb, "bid")
+               .filter(jaccard(F.col("sids_a"), F.col("sids_b"))
+                       >= NEAR_DUP_JACCARD)
+               .groupBy("bid")
+               .agg(F.min("cid").alias("canon")))
+    bat_surv = bat_b.join(dupc.select("bid"), "bid", "left_anti")
+    a2 = bat_surv.select(F.col("bid").alias("doc_a"), "band", "bucket")
+    b2 = bat_surv.select(F.col("bid").alias("doc_b"), "band", "bucket")
+    cbb = (a2.join(b2, ["band", "bucket"])
+           .filter(F.col("doc_a") < F.col("doc_b"))
+           .select("doc_a", "doc_b").distinct())
+    pa = sh.select(F.col("doc_id").alias("doc_a"),
+                   F.col("sids").alias("sids_a"))
+    pb = sh.select(F.col("doc_id").alias("doc_b"),
+                   F.col("sids").alias("sids_b"))
+    pairs = (cbb.join(pa, "doc_a").join(pb, "doc_b")
+             .filter(jaccard(F.col("sids_a"), F.col("sids_b"))
+                     >= NEAR_DUP_JACCARD)
+             .select("doc_a", "doc_b"))
+    comp = connected_components(pairs).select(
+        F.col("doc_id").alias("bid"), "comp")
+    batch = sh.filter(F.col("doc_id") > F.col("c")).select("doc_id")
+    return (batch
+            .join(dupc.withColumnRenamed("bid", "doc_id"), "doc_id", "left")
+            .join(comp.withColumnRenamed("bid", "doc_id"), "doc_id", "left")
+            .select("doc_id",
+                    F.when(F.col("canon").isNotNull(), F.lit("dup_corpus"))
+                    .when(F.col("comp").isNotNull()
+                          & (F.col("comp") != F.col("doc_id")),
+                          F.lit("dup_batch"))
+                    .otherwise(F.lit("keep")).alias("verdict"),
+                    F.coalesce("canon", "comp", "doc_id").cast("long")
+                    .alias("canon_id"))
+            .orderBy("doc_id"))
+
+
+def _render_inc_near_dup_oracle() -> None:
+    from ..registry import REGISTRY
+    REGISTRY["dedup_incremental_near_dup"].oracle = _inc_near_dup_oracle()
+
+
+_render_inc_near_dup_oracle()

@@ -261,8 +261,9 @@ def oracle_sql() -> dict[str, str]:
 # from CORRECTNESS_r01..r12 against the registry):
 #  1. the four late-r12 llm_ext13 operators (first formal rows);
 #  2. the operators NEW in round 13 (llm_ext14: dedup_drop_plan_execute
-#     — the substring-dedup act step — and sim_ivf_rebalance /
-#     sim_ivf_merge, the IVF maintenance act pair);
+#     — the substring-dedup act step — sim_ivf_rebalance /
+#     sim_ivf_merge, the IVF maintenance act pair — and
+#     dedup_incremental_near_dup, the incremental LSH form);
 #  3. every operator whose code or oracle text changed in round 13
 #     (house rule: changed code re-certifies even when
 #     output-identical): sim_ivf_list_balance's ppm-quantized
@@ -274,21 +275,21 @@ def oracle_sql() -> dict[str, str]:
 #     dedup_containment_drop_plan, dedup_span_df_stats re-certify;
 #  4. all 29 remaining r7-era rows — after this round the r7 era is
 #     EMPTY;
-#  5. the alphabetically-first 11 of the 47 r8-era rows — the start of
-#     the r8 drain (the remaining 36 lead the r14 fill queue).
+#  5. the alphabetically-first 10 of the 47 r8-era rows — the start of
+#     the r8 drain (the remaining 37 lead the r14 fill queue).
 # Everything else — formally green in r8-r12 and unchanged — rotates
 # behind.
 #
 # R14 PRE-ALLOCATION (fill next round's window in this order):
 #  1. any operator written or changed in round 14 (house rule);
-#  2. the remaining 36 r8-era rows alphabetically
-#     (decontaminate_fuzzy_minhash .. window_topk_orders_per_segment);
+#  2. the remaining 37 r8-era rows alphabetically
+#     (curation_shard_balance .. window_topk_orders_per_segment);
 #  3. any remaining slots: the oldest r9-era rows alphabetically.
 # Operators WRITTEN in round 13 (the overflow-fill safety net below
 # keeps them sampled even if the explicit list ever under-allocates —
 # new code earns its formal row in the round it is written).
 _R13_NEW = ("dedup_drop_plan_execute", "sim_ivf_rebalance",
-            "sim_ivf_merge")
+            "sim_ivf_merge", "dedup_incremental_near_dup")
 
 SAMPLE_PREFIX_EXPECTED = [
     # 1. the four late-r12 llm_ext13 operators — FIRST formal rows,
@@ -297,6 +298,7 @@ SAMPLE_PREFIX_EXPECTED = [
     "scd2_incremental_apply", "events_sliding_topk",
     # 2. new in round 13 (formal rows in the round they are written)
     "dedup_drop_plan_execute", "sim_ivf_rebalance", "sim_ivf_merge",
+    "dedup_incremental_near_dup",
     # 3. code changed in round 13 (house rule re-certs): the span-pair
     #    builders were parameterized (span_ctes_sql / run_ctes_sql /
     #    span_pairs_from / _span_counts) for the execute step — the
@@ -318,14 +320,13 @@ SAMPLE_PREFIX_EXPECTED = [
     "tokenizer_unigram_viterbi", "unpivot_pricing_metrics",
     "window_lag_daily_orders", "window_rank_dense_ntile",
     "window_running_revenue",
-    # 5. the alphabetically-first 11 of the 47 r8-era rows — the start
-    #    of the r8 drain (the remaining 36 lead the r14 fill queue)
+    # 5. the alphabetically-first 10 of the 47 r8-era rows — the start
+    #    of the r8 drain (the remaining 37 lead the r14 fill queue)
     "agg_pricing_summary", "chunk_sliding_tokens",
     "corpus_source_similarity", "correlated_subquery_max_order",
     "curation_dsir_weights", "curation_end_to_end",
     "curation_lang_rebalance", "curation_perplexity_buckets",
     "curation_quality_by_cluster", "curation_quality_quartiles",
-    "curation_shard_balance",
 ]
 
 

@@ -295,3 +295,63 @@ def test_merge_oracle_parity_on_planted_corpus(spark, tmp_path):
     (want,) = con.execute(
         registry.REGISTRY["sim_ivf_merge"].oracle).fetchall()
     assert tuple(got) == want
+
+
+# ------------------------------------------ dedup_incremental_near_dup
+
+def _write_inc_docs(spark, tmp_path):
+    """20 docs, cut = floor(19*0.8) = 15 -> batch = {16..19}. Corpus
+    docs are distinct synthetic token streams; doc 16 duplicates corpus
+    doc 3 (dup_corpus), docs 17/18 duplicate each other but nothing in
+    the corpus (one batch component), doc 19 is novel."""
+    def words(tag, n=30):
+        return " ".join(f"{tag}{i:02d}" for i in range(n))
+    texts = [words(f"c{i}x") for i in range(16)]
+    texts.append(texts[3])            # 16: dup of corpus doc 3
+    b = words("bat")
+    texts.append(b)                   # 17: batch-component canon
+    texts.append(b)                   # 18: dup of 17
+    texts.append(words("nov"))        # 19: novel
+    return _write_docs(spark, tmp_path, texts)
+
+
+def test_inc_near_dup_planted_verdicts(spark, tmp_path):
+    sf_dir = _write_inc_docs(spark, tmp_path)
+    got = {r.doc_id: (r.verdict, r.canon_id)
+           for r in _run(spark, "dedup_incremental_near_dup", sf_dir)}
+    assert got == {16: ("dup_corpus", 3),
+                   17: ("keep", 17),
+                   18: ("dup_batch", 17),
+                   19: ("keep", 19)}
+
+
+def test_inc_near_dup_oracle_parity_on_planted_corpus(spark, tmp_path):
+    """The registered oracle replays the incremental pipeline — the
+    batch-survivor component fixpoint included — value-for-value on the
+    planted corpus where every verdict class is populated."""
+    sf_dir = _write_inc_docs(spark, tmp_path)
+    got = sorted(tuple(r) for r in
+                 _run(spark, "dedup_incremental_near_dup", sf_dir))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet/*.parquet')")
+    want = sorted(tuple(r) for r in con.execute(
+        registry.REGISTRY["dedup_incremental_near_dup"].oracle).fetchall())
+    assert got == want
+
+
+def test_inc_near_dup_consistent_with_full_components(spark):
+    """Cross-operator consistency on the real fixture: a batch doc the
+    incremental operator calls dup_corpus must share a component with
+    its canon in the certified full-corpus dedup_components run (the
+    incremental path can only find a SUBSET of the full pair graph —
+    batch-x-corpus plus batch-survivor pairs — so every verdict it
+    issues must be witnessed by the full run)."""
+    inc = {r.doc_id: (r.verdict, r.canon_id)
+           for r in _run(spark, "dedup_incremental_near_dup", SF)}
+    full = {r.doc_id: r.comp
+            for r in _run(spark, "dedup_components", SF)}
+    for did, (verdict, canon) in inc.items():
+        if verdict == "dup_corpus":
+            assert full.get(did) is not None
+            assert full[did] == full.get(canon, canon), (did, canon)

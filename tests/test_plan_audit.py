@@ -1455,3 +1455,31 @@ def test_ivf_merge_moves_only_merged_members_no_retrain(spark):
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     assert "InMemoryTableScan" in p, p[:400]
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 3, p[:600]
+
+
+def test_inc_near_dup_probes_corpus_never_self_joins_it(spark):
+    """dedup_incremental_near_dup's scale claim: both candidate joins
+    are (band, bucket)-keyed over the PINNED band table with the cut
+    filter applied on every join side — the corpus side appears only
+    opposite a batch-filtered side (doc_id > c), never against itself
+    — and the verify joins are id-keyed over the pinned shingle table.
+    No cartesian; text never crosses an exchange."""
+    spark.conf.set("spark.nats_spark.spread.enabled", "false")
+    try:
+        p = plan_str(spark, "dedup_incremental_near_dup")
+    finally:
+        spark.conf.set("spark.nats_spark.spread.enabled", "true")
+    assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" in p, p[:400]
+    # every band-side of a candidate join is cut-filtered: the batch
+    # predicate (doc_id > c) appears at least twice (corpus probe +
+    # both sides of the within-batch join are batch rows), the corpus
+    # predicate once
+    assert len(re.findall(r"doc_id#\d+L? > c#", p)) >= 2, p[:800]
+    assert len(re.findall(r"doc_id#\d+L? <= c#", p)) >= 1, p[:800]
+    for section in re.split(r"\n\(\d+\) ", p):
+        if section.startswith("Exchange"):
+            input_line = next(
+                (ln for ln in section.splitlines()
+                 if ln.startswith("Input")), "")
+            assert "text#" not in input_line, section[:400]
