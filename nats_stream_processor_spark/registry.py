@@ -37,8 +37,8 @@ REGISTRY: dict[str, QueryEntry] = {}
 # DataFrames persisted by query builders (minhash/simhash signature tables
 # feed multiple plan branches). Harnesses run the whole registry in ONE
 # session, so without release the cached partitions would accumulate across
-# 74 queries; each registry invocation releases the previous query's pins,
-# bounding cache residency to one query at a time. (A query can't unpersist
+# the full registry; each registry invocation releases the previous query's
+# pins, bounding cache residency to one query at a time. (A query can't unpersist
 # its own pins — the action happens later, in the caller.)
 _PINNED: list[DataFrame] = []
 

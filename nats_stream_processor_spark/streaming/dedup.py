@@ -126,7 +126,21 @@ def dedup_keep_batch(df: DataFrame, id_col: str = "doc_id",
     """BATCH twin: the identical kernel over a static frame — the
     determinism oracle for the streaming path (a single-pass corpus
     dedup, keep-first-by-doc_id; equals exact dedup because digest
-    routing is deterministic per shard)."""
+    routing is deterministic per shard).
+
+    Row-exact parity precondition: this twin keeps the GLOBALLY
+    smallest doc_id per digest, while the stream keeps the first-SEEN
+    occurrence (smallest doc_id within the first micro-batch that
+    carries the digest). The two verdicts coincide exactly when
+    micro-batch boundaries partition the doc_id order — i.e. every
+    doc_id in batch i is smaller than every doc_id in batch i+1.
+    Hash-partitioned parquet files do NOT guarantee that;
+    tests/test_streaming.py's planted-duplicates test writes its
+    stream input as doc_id-RANGE files with increasing mtimes so the
+    file-listing trigger order respects it. When batch order is
+    arbitrary, the order-robust laws still hold (and are what the
+    state checks assert): one keeper per digest, and the final state
+    bytes equal the canonical encoding of the full digest set."""
     return (_keyed(df, id_col, text_col, shards)
             .groupBy("shard")
             .applyInPandas(_batch_shard, DD_OUT_SCHEMA))

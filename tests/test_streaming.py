@@ -840,11 +840,20 @@ def test_streaming_dedup_digest_state_matches_batch(spark, tmp_path):
        encoding of each shard's digest set — read back through the
        ``statestore`` data source, the topk-twin discipline;
     3. a TWO-PHASE run (history files first, then a resumed query on
-       new files from the SAME checkpoint — state restore exercised)
-       reproduces the certified dedup_incremental_batch operator's
-       output relation on the batch slice exactly: its fresh rows with
-       identical keep flags, and every batch row it anti-joined away
-       verdicted keep=False by the stream.
+       new files from the SAME checkpoint) reproduces the certified
+       dedup_incremental_batch operator's output relation on the batch
+       slice exactly: its fresh rows with identical keep flags, and
+       every batch row it anti-joined away verdicted keep=False by the
+       stream.
+
+    Scope note: the sf0.001 fixture's 500 texts are all DISTINCT, so
+    no drop verdict fires here and the restored state never collides
+    with a phase-2 digest — these claims pin parity and state bytes on
+    the real fixture shape. The duplicate-handling claims (drops
+    within a micro-batch, across micro-batch files, and against
+    RESTORED state across a checkpoint resume) live in
+    test_streaming_dedup_planted_duplicates_all_regimes, which plants
+    each regime explicitly.
     """
     import zlib
 
@@ -921,3 +930,123 @@ def test_streaming_dedup_digest_state_matches_batch(spark, tmp_path):
     for did, (ck, keep) in phase2.items():
         if did not in op:
             assert not keep, did
+
+
+def test_streaming_dedup_planted_duplicates_all_regimes(spark, tmp_path):
+    """Planted-duplicate regimes for the streaming exact-dedup twin —
+    the claims the pristine-fixture test above cannot exercise (all
+    500 sf0.001 texts are distinct, so it never drops a row):
+
+    - WITHIN one micro-batch: two planted rows share a fresh text in
+      the same file — the smaller doc_id keeps, the larger drops;
+    - ACROSS micro-batch files: a planted row repeats an earlier
+      file's text — dropped in a later trigger of the same run;
+    - ACROSS a checkpoint resume (straddling phase 1/phase 2): a
+      phase-2 row repeats a phase-1 text — dropped ONLY because the
+      restored state still holds the digest.
+
+    Row-exact parity vs dedup_keep_batch (keep-globally-smallest)
+    requires micro-batch order to respect doc_id order (the batch
+    twin's documented precondition), so the stream input is written as
+    doc_id-RANGE chunk files with strictly increasing mtimes — not
+    hash-partitioned — and the final state bytes are checked against
+    the canonical digest-set encoding, which is order-robust.
+    """
+    import os
+    import shutil
+    import zlib
+    from pathlib import Path
+
+    from nats_stream_processor_spark import registry
+    from nats_stream_processor_spark.streaming import dedup as dd
+
+    sf = "/root/testdata/sf0.001"
+    base = {r.doc_id: r.text
+            for r in registry.table(spark, sf, "documents")
+            .select("doc_id", "text").collect()}
+
+    # doc_id-range chunks (every id in chunk i < every id in chunk i+1)
+    chunk0 = sorted((d, t) for d, t in base.items() if d <= 249)
+    chunk1 = sorted((d, t) for d, t in base.items() if d > 249)
+    chunk1 += [(501, "planted within-batch dup text"),
+               (502, "planted within-batch dup text"),  # dup of 501
+               (503, base[5])]  # dup ACROSS files (of chunk0's doc 5)
+    chunk2 = [(600, base[250]),  # straddles phase 1/2 (of chunk1's 250)
+              (601, "planted within-batch dup text"),  # third occurrence
+              (602, "fresh phase-2 text")]
+
+    def write_chunk(dirpath: Path, idx: int, rows) -> None:
+        tmp = dirpath.parent / f"_tmp_{dirpath.name}_{idx}"
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        dirpath.mkdir(parents=True, exist_ok=True)
+        dst = dirpath / f"chunk-{idx:03d}.parquet"
+        shutil.copy(next(tmp.glob("part-*.parquet")), dst)
+        t = 1_700_000_000 + idx  # strictly increasing mtimes: the
+        os.utime(dst, (t, t))    # file-listing order IS the chunk order
+        shutil.rmtree(tmp)
+
+    def run_stream(path, ckpt):
+        src = (spark.readStream
+               .schema("doc_id long, text string")
+               .option("maxFilesPerTrigger", "1").parquet(str(path)))
+        verdicts = {}
+
+        def collect(bdf, epoch_id):
+            for r in bdf.collect():
+                verdicts[r.doc_id] = (r.content_key, r.keep)
+
+        q = (dd.dedup_keep_stream(src)
+             .writeStream.outputMode("update").foreachBatch(collect)
+             .option("checkpointLocation", str(tmp_path / ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        return verdicts
+
+    # --- single run over all three chunks: row-exact batch parity
+    sdir = tmp_path / "pl_docs"
+    for i, rows in enumerate((chunk0, chunk1, chunk2)):
+        write_chunk(sdir, i, rows)
+    got = run_stream(sdir, "ckpt_pl")
+    want = {r.doc_id: (r.content_key, r.keep)
+            for r in dd.dedup_keep_batch(
+                spark.read.parquet(str(sdir))).collect()}
+    assert got == want
+    # each planted regime actually fired
+    assert got[501][1] and not got[502][1]      # within one micro-batch
+    assert not got[503][1]                      # across files, one run
+    assert not got[600][1] and not got[601][1]  # later-file dups
+    assert got[602][1]
+    drops = [d for d, (_, k) in got.items() if not k]
+    assert sorted(drops) == [502, 503, 600, 601]
+
+    # order-robust laws: one keeper per digest (the smallest doc_id),
+    # final state bytes == canonical encoding of the full digest set
+    by_key: dict = {}
+    for did, (ck, keep) in got.items():
+        by_key.setdefault(ck, []).append((did, keep))
+    for ck, rows in by_key.items():
+        assert [d for d, k in rows if k] == [min(d for d, _ in rows)], ck
+    st = (spark.read.format("statestore")
+          .option("path", str(tmp_path / "ckpt_pl")).load())
+    got_state = {int(r.key[0]): bytes(r.value[0][0]) for r in st.collect()}
+    want_state: dict = {}
+    for did, (ck, _) in got.items():
+        shard = zlib.crc32(ck.encode()) % dd.DD_SHARDS
+        want_state.setdefault(shard, set()).add(bytes.fromhex(ck))
+    assert got_state == {s: dd.digests_encode(v)
+                         for s, v in want_state.items()}
+
+    # --- two-phase resume: the straddling dups drop ONLY because the
+    # restored checkpoint state still holds phase-1 digests
+    tdir = tmp_path / "pl_two_phase"
+    write_chunk(tdir, 0, chunk0)
+    write_chunk(tdir, 1, chunk1)
+    phase1 = run_stream(tdir, "ckpt_pl2")
+    assert not phase1[502][1] and not phase1[503][1]
+    write_chunk(tdir, 2, chunk2)
+    phase2 = run_stream(tdir, "ckpt_pl2")
+    assert set(phase2) == {600, 601, 602}
+    assert phase2[600] == got[600] and not phase2[600][1]
+    assert phase2[601] == got[601] and not phase2[601][1]
+    assert phase2[602] == got[602] and phase2[602][1]
