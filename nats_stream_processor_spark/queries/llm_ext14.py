@@ -310,21 +310,18 @@ def _ivf_recall_ctes_sql() -> str:
     c2 AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand2)"""
 
 
-def _ivf_rebalance_oracle() -> str:
-    from .llm import IVF_NLIST
-    from .llm_ext13 import IVB_OVERLOAD_X1000
-    k = IVF_NLIST
+def _ivf_split_act_ctes_sql(out: str = "") -> str:
+    """The split ACT's CTE chain, given base CTEs plus a ``spl``
+    relation of list ids to split: per-list k=2 Lloyd training (the
+    module comment's deterministic discipline), final sub-assignment,
+    and the post-split index as ``{out}newc(nl_id, s_demb, s_nrm)`` /
+    ``{out}nasg(nl_id, vec_id, demb, nrm)``. ``out=""`` renders the
+    exact text sim_ivf_rebalance's oracle registered in round 13
+    (byte-identity pinned by tests/test_llm_ext15.py); the lifecycle
+    operator renders ``out="s"`` so its decision CASE can union
+    branch outputs without name collisions."""
     dim = sim.EMBED_DIM
-    parts = [_ivf_base_ctes_sql() + f""",
-    ovl AS (SELECT CAST(count(*) AS BIGINT) AS n_over
-            FROM ld WHERE load_x1000 >= {IVB_OVERLOAD_X1000}
-                      AND n_vecs >= 2),
-    spl AS MATERIALIZED (SELECT cent_id FROM (
-                SELECT cent_id,
-                       row_number() OVER (ORDER BY n_vecs DESC, cent_id)
-                           AS r
-                FROM ld WHERE n_vecs >= 2) CROSS JOIN ovl
-            WHERE r <= greatest({IVR_MIN_SPLITS}, ovl.n_over)),
+    parts = [f""",
     mem AS MATERIALIZED (
         SELECT a.vec_id, a.demb, a.nrm, a.cent_id
         FROM asg a JOIN spl ON spl.cent_id = a.cent_id),
@@ -376,21 +373,39 @@ def _ivf_rebalance_oracle() -> str:
                            'm.nrm * s.s_nrm')} DESC, s.sub) AS r
             FROM mem m JOIN scn{it} s ON s.cent_id = m.cent_id)
         WHERE r = 1),
-    newc AS MATERIALIZED (SELECT CAST(cent_id * 2 + sub AS BIGINT) AS nl_id,
+    {out}newc AS MATERIALIZED (SELECT CAST(cent_id * 2 + sub AS BIGINT) AS nl_id,
                     s_demb, s_nrm
              FROM scn{it}
              UNION ALL
              SELECT CAST(c.cent_id * 2 AS BIGINT) AS nl_id,
                     c.c_demb AS s_demb, c.c_nrm AS s_nrm
              FROM cent c ANTI JOIN spl USING (cent_id)),
-    nasg AS MATERIALIZED (
+    {out}nasg AS MATERIALIZED (
         SELECT CAST(f.cent_id * 2 + f.sub AS BIGINT) AS nl_id,
                f.vec_id, f.demb, f.nrm
         FROM fa f
         UNION ALL
         SELECT CAST(a.cent_id * 2 AS BIGINT) AS nl_id,
                a.vec_id, a.demb, a.nrm
-        FROM asg a ANTI JOIN spl USING (cent_id)),
+        FROM asg a ANTI JOIN spl USING (cent_id))""")
+    return "".join(parts)
+
+
+def _ivf_rebalance_oracle() -> str:
+    from .llm import IVF_NLIST
+    from .llm_ext13 import IVB_OVERLOAD_X1000
+    k = IVF_NLIST
+    return _ivf_base_ctes_sql() + f""",
+    ovl AS (SELECT CAST(count(*) AS BIGINT) AS n_over
+            FROM ld WHERE load_x1000 >= {IVB_OVERLOAD_X1000}
+                      AND n_vecs >= 2),
+    spl AS MATERIALIZED (SELECT cent_id FROM (
+                SELECT cent_id,
+                       row_number() OVER (ORDER BY n_vecs DESC, cent_id)
+                           AS r
+                FROM ld WHERE n_vecs >= 2) CROSS JOIN ovl
+            WHERE r <= greatest({IVR_MIN_SPLITS}, ovl.n_over))""" \
+        + _ivf_split_act_ctes_sql() + f""",
     sz2 AS (SELECT nc.nl_id, CAST(count(na.vec_id) AS BIGINT) AS n_vecs
             FROM newc nc LEFT JOIN nasg na ON na.nl_id = nc.nl_id
             GROUP BY nc.nl_id),
@@ -419,8 +434,7 @@ def _ivf_rebalance_oracle() -> str:
                AS post_recall_ppm
     FROM ovl CROSS JOIN nl CROSS JOIN c1 CROSS JOIN c2
          CROSS JOIN h1 CROSS JOIN h2 CROSS JOIN qs
-    """)
-    return "".join(parts)
+    """
 
 
 def _ppm_rank_col(dot_col, den_col):
@@ -541,53 +555,15 @@ def _ivf_recall_frames(n, cent, asg, newc, nasg):
     return qs, h1, h2, c1, c2
 
 
-@register(
-    "sim_ivf_rebalance",
-    oracle=None,  # set below (renders the shared training CTEs)
-    tags=("llm", "ann-ivf", "maintenance", "action"),
-)
-def q_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Split the heaviest IVF inverted lists and measure what the split
-    bought (module comment above): one row with list counts before and
-    after, the max list size and max load factor on each side, and
-    recall@{IVR_TOPK} at nprobe={IVR_NPROBE} before vs after with each
-    side's candidate-row scan cost.
-
-    Scale shape: the parent assignment is the audited balance-operator
-    plan (one corpus scan against broadcast centroids, ppm-quantized
-    rank). Split training is per-list-parallel Lloyd's over ONLY the
-    split lists' members — per iteration one broadcast join against
-    the <= 2*nlist sub-centroid table and one (list, sub, dim)-keyed
-    partial+final aggregate; the sub-centroid table itself is
-    K-bounded (<= 2*nlist rows), so reading it to the driver between
-    iterations is the same audited license as
-    km.train_ivf_centroids_distributed (never the members). Probe
-    panels broadcast ({IVR_NQ} queries); candidate joins are
-    list-id-keyed against the assignment relation; receipts are 1-row
-    aggregates crossJoined broadcast. Nothing here scans more than the
-    corpus twice (parent assignment + post-split candidates)."""
-    from .llm import IVF_NLIST
-    from .llm_ext13 import IVB_OVERLOAD_X1000
-    k = IVF_NLIST
-
-    n, cent, asg, sz, tot, ld = _ivf_base_frames(spark, sf_dir)
-    ovl = ld.filter((F.col("load_x1000") >= IVB_OVERLOAD_X1000)
-                    & (F.col("n_vecs") >= 2)) \
-            .agg(F.count("*").cast("long").alias("n_over"))
-    wspl = Window.partitionBy(F.lit(0)).orderBy(
-        F.col("n_vecs").desc(), "cent_id")
-    spl = pin(ld.filter(F.col("n_vecs") >= 2)
-              .withColumn("r", F.row_number().over(wspl))
-              .crossJoin(F.broadcast(ovl))
-              .filter(F.col("r")
-                      <= F.greatest(F.lit(IVR_MIN_SPLITS).cast("long"),
-                                    F.col("n_over")))
-              .select("cent_id"))
+def _ivf_split_frames(spark: SparkSession, cent: DataFrame,
+                      asg: DataFrame, spl: DataFrame):
+    """Spark twin of _ivf_split_act_ctes_sql: split every list in
+    ``spl`` k=2 (per-list-parallel Lloyd, fixed IVR_ITERS iterations,
+    init = the list's two smallest vec_ids) and return the post-split
+    index (newc, nasg), both pinned. The sub-centroid table is
+    <= 2*nlist rows — reading it between iterations is the bounded
+    kmeans license (members never leave the cluster)."""
     mem = pin(asg.join(spl, "cent_id"))
-
-    # k=2 Lloyd within each split list. The sub-centroid table is
-    # <= 2*nlist rows — reading it between iterations is the bounded
-    # kmeans license (members never leave the cluster).
     wi = Window.partitionBy("cent_id").orderBy("vec_id")
     init = (mem.withColumn("r", F.row_number().over(wi))
             .filter(F.col("r") <= 2)
@@ -642,6 +618,52 @@ def q_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             asg.join(spl, "cent_id", "left_anti")
             .select((F.col("cent_id") * 2).cast("long").alias("nl_id"),
                     "vec_id", "demb", "nrm")))
+    return newc, nasg
+
+
+@register(
+    "sim_ivf_rebalance",
+    oracle=None,  # set below (renders the shared training CTEs)
+    tags=("llm", "ann-ivf", "maintenance", "action"),
+)
+def q_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split the heaviest IVF inverted lists and measure what the split
+    bought (module comment above): one row with list counts before and
+    after, the max list size and max load factor on each side, and
+    recall@{IVR_TOPK} at nprobe={IVR_NPROBE} before vs after with each
+    side's candidate-row scan cost.
+
+    Scale shape: the parent assignment is the audited balance-operator
+    plan (one corpus scan against broadcast centroids, ppm-quantized
+    rank). Split training is per-list-parallel Lloyd's over ONLY the
+    split lists' members — per iteration one broadcast join against
+    the <= 2*nlist sub-centroid table and one (list, sub, dim)-keyed
+    partial+final aggregate; the sub-centroid table itself is
+    K-bounded (<= 2*nlist rows), so reading it to the driver between
+    iterations is the same audited license as
+    km.train_ivf_centroids_distributed (never the members). Probe
+    panels broadcast ({IVR_NQ} queries); candidate joins are
+    list-id-keyed against the assignment relation; receipts are 1-row
+    aggregates crossJoined broadcast. Nothing here scans more than the
+    corpus twice (parent assignment + post-split candidates)."""
+    from .llm import IVF_NLIST
+    from .llm_ext13 import IVB_OVERLOAD_X1000
+    k = IVF_NLIST
+
+    n, cent, asg, sz, tot, ld = _ivf_base_frames(spark, sf_dir)
+    ovl = ld.filter((F.col("load_x1000") >= IVB_OVERLOAD_X1000)
+                    & (F.col("n_vecs") >= 2)) \
+            .agg(F.count("*").cast("long").alias("n_over"))
+    wspl = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("n_vecs").desc(), "cent_id")
+    spl = pin(ld.filter(F.col("n_vecs") >= 2)
+              .withColumn("r", F.row_number().over(wspl))
+              .crossJoin(F.broadcast(ovl))
+              .filter(F.col("r")
+                      <= F.greatest(F.lit(IVR_MIN_SPLITS).cast("long"),
+                                    F.col("n_over")))
+              .select("cent_id"))
+    newc, nasg = _ivf_split_frames(spark, cent, asg, spl)
     sz2 = pin(newc.select("nl_id")
               .join(nasg, "nl_id", "left")
               .groupBy("nl_id")
@@ -706,6 +728,39 @@ IVM_UNDER_X1000 = 500
 IVM_MIN_MERGES = 2
 
 
+def _ivf_merge_act_ctes_sql(out: str = "") -> str:
+    """The merge ACT's CTE chain, given base CTEs plus a ``mrg``
+    relation of list ids to remove: surviving centroids, nearest-
+    survivor reassignment of the merged lists' members (no
+    retraining), and the post-merge index as
+    ``{out}newc(nl_id, s_demb, s_nrm)`` /
+    ``{out}nasg(nl_id, vec_id, demb, nrm)``. ``out=""`` renders the
+    exact text sim_ivf_merge's oracle registered in round 13
+    (byte-identity pinned by tests/test_llm_ext15.py); the lifecycle
+    operator renders ``out="m"``."""
+    return f""",
+    {out}newc AS MATERIALIZED (
+        SELECT CAST(c.cent_id AS BIGINT) AS nl_id,
+               c.c_demb AS s_demb, c.c_nrm AS s_nrm
+        FROM cent c ANTI JOIN mrg USING (cent_id)),
+    movers AS (SELECT a.vec_id, a.demb, a.nrm
+               FROM asg a JOIN mrg ON mrg.cent_id = a.cent_id),
+    reasg AS (SELECT nl_id, vec_id, demb, nrm FROM (
+                SELECT m.vec_id, m.demb, m.nrm, c.nl_id,
+                       row_number() OVER (PARTITION BY m.vec_id
+                           ORDER BY {_ppm_rank_sql(
+                               sim.dot_sql('m.demb', 'c.s_demb'),
+                               'm.nrm * c.s_nrm')} DESC, c.nl_id) AS rc
+                FROM movers m CROSS JOIN {out}newc c)
+            WHERE rc = 1),
+    {out}nasg AS MATERIALIZED (
+        SELECT CAST(a.cent_id AS BIGINT) AS nl_id, a.vec_id, a.demb,
+               a.nrm
+        FROM asg a ANTI JOIN mrg USING (cent_id)
+        UNION ALL
+        SELECT nl_id, vec_id, demb, nrm FROM reasg)"""
+
+
 def _ivf_merge_oracle() -> str:
     from .llm import IVF_NLIST
     k = IVF_NLIST
@@ -718,27 +773,8 @@ def _ivf_merge_oracle() -> str:
                            AS r
                 FROM ld) CROSS JOIN und
             WHERE r <= least(greatest({IVM_MIN_MERGES}, und.n_under),
-                             {k // 2})),
-    newc AS MATERIALIZED (
-        SELECT CAST(c.cent_id AS BIGINT) AS nl_id,
-               c.c_demb AS s_demb, c.c_nrm AS s_nrm
-        FROM cent c ANTI JOIN mrg USING (cent_id)),
-    movers AS (SELECT a.vec_id, a.demb, a.nrm
-               FROM asg a JOIN mrg ON mrg.cent_id = a.cent_id),
-    reasg AS (SELECT nl_id, vec_id, demb, nrm FROM (
-                SELECT m.vec_id, m.demb, m.nrm, c.nl_id,
-                       row_number() OVER (PARTITION BY m.vec_id
-                           ORDER BY {_ppm_rank_sql(
-                               sim.dot_sql('m.demb', 'c.s_demb'),
-                               'm.nrm * c.s_nrm')} DESC, c.nl_id) AS rc
-                FROM movers m CROSS JOIN newc c)
-            WHERE rc = 1),
-    nasg AS MATERIALIZED (
-        SELECT CAST(a.cent_id AS BIGINT) AS nl_id, a.vec_id, a.demb,
-               a.nrm
-        FROM asg a ANTI JOIN mrg USING (cent_id)
-        UNION ALL
-        SELECT nl_id, vec_id, demb, nrm FROM reasg),
+                             {k // 2}))""" \
+        + _ivf_merge_act_ctes_sql() + f""",
     sz2 AS (SELECT nc.nl_id, CAST(count(na.vec_id) AS BIGINT) AS n_vecs
             FROM newc nc LEFT JOIN nasg na ON na.nl_id = nc.nl_id
             GROUP BY nc.nl_id),
@@ -767,6 +803,34 @@ def _ivf_merge_oracle() -> str:
     FROM und CROSS JOIN nl CROSS JOIN c1 CROSS JOIN c2
          CROSS JOIN h1 CROSS JOIN h2 CROSS JOIN qs
     """
+
+
+def _ivf_merge_frames(cent: DataFrame, asg: DataFrame, mrg: DataFrame):
+    """Spark twin of _ivf_merge_act_ctes_sql: remove every list in
+    ``mrg``, reassign its members to the nearest surviving centroid
+    (no retraining), and return the post-merge index (newc, nasg),
+    both pinned."""
+    newc = pin(cent.join(mrg, "cent_id", "left_anti")
+               .select(F.col("cent_id").cast("long").alias("nl_id"),
+                       F.col("c_demb").alias("s_demb"),
+                       F.col("c_nrm").alias("s_nrm")))
+    movers = asg.join(mrg, "cent_id").select("vec_id", "demb", "nrm")
+    wre = Window.partitionBy("vec_id").orderBy(
+        F.col("rppm").desc(), "nl_id")
+    reasg = (movers.crossJoin(F.broadcast(newc))
+             .select("vec_id", "demb", "nrm", "nl_id",
+                     _ppm_rank_col(
+                         sim.dot(F.col("demb"), F.col("s_demb")),
+                         F.col("nrm") * F.col("s_nrm")).alias("rppm"))
+             .withColumn("rc", F.row_number().over(wre))
+             .filter(F.col("rc") == 1)
+             .select("nl_id", "vec_id", "demb", "nrm"))
+    nasg = pin(
+        asg.join(mrg, "cent_id", "left_anti")
+        .select(F.col("cent_id").cast("long").alias("nl_id"),
+                "vec_id", "demb", "nrm")
+        .unionByName(reasg))
+    return newc, nasg
 
 
 @register(
@@ -808,26 +872,7 @@ def q_ivf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      F.col("n_under")),
                           F.lit(k // 2).cast("long")))
               .select("cent_id"))
-    newc = pin(cent.join(mrg, "cent_id", "left_anti")
-               .select(F.col("cent_id").cast("long").alias("nl_id"),
-                       F.col("c_demb").alias("s_demb"),
-                       F.col("c_nrm").alias("s_nrm")))
-    movers = asg.join(mrg, "cent_id").select("vec_id", "demb", "nrm")
-    wre = Window.partitionBy("vec_id").orderBy(
-        F.col("rppm").desc(), "nl_id")
-    reasg = (movers.crossJoin(F.broadcast(newc))
-             .select("vec_id", "demb", "nrm", "nl_id",
-                     _ppm_rank_col(
-                         sim.dot(F.col("demb"), F.col("s_demb")),
-                         F.col("nrm") * F.col("s_nrm")).alias("rppm"))
-             .withColumn("rc", F.row_number().over(wre))
-             .filter(F.col("rc") == 1)
-             .select("nl_id", "vec_id", "demb", "nrm"))
-    nasg = pin(
-        asg.join(mrg, "cent_id", "left_anti")
-        .select(F.col("cent_id").cast("long").alias("nl_id"),
-                "vec_id", "demb", "nrm")
-        .unionByName(reasg))
+    newc, nasg = _ivf_merge_frames(cent, asg, mrg)
     sz2 = pin(newc.select("nl_id")
               .join(nasg, "nl_id", "left")
               .groupBy("nl_id")

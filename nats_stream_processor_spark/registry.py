@@ -252,81 +252,71 @@ def oracle_sql() -> dict[str, str]:
 
 
 
-# Round-13 sampled-prefix rotation. The round driver snapshots the FIRST
+# Round-14 sampled-prefix rotation. The round driver snapshots the FIRST
 # 50 entries, so the prefix is curated each round to cover what most needs
-# a formal correctness row. The r13 window holds exactly the composition
-# the r12 verdict pre-allocated (with the verdict's own off-by-one
-# correction applied: 29 r7-era rows remained after r12, alphabetically
-# from join_left_customer_orders — both counts verified programmatically
-# from CORRECTNESS_r01..r12 against the registry):
-#  1. the four late-r12 llm_ext13 operators (first formal rows);
-#  2. the operators NEW in round 13 (llm_ext14: dedup_drop_plan_execute
-#     — the substring-dedup act step — sim_ivf_rebalance /
-#     sim_ivf_merge, the IVF maintenance act pair — and
-#     dedup_incremental_near_dup, the incremental LSH form);
-#  3. every operator whose code or oracle text changed in round 13
-#     (house rule: changed code re-certifies even when
-#     output-identical): sim_ivf_list_balance's ppm-quantized
-#     assignment + empty-corpus guard is covered by its slot in 1;
-#     the span-pair family's builders were factored into
-#     span_ctes_sql/run_ctes_sql/span_pairs_from/_span_counts for the
-#     execute step (oracles verified md5-identical, but the Spark code
-#     path changed) -> dedup_max_duplicated_run,
-#     dedup_containment_drop_plan, dedup_span_df_stats re-certify;
-#  4. all 29 remaining r7-era rows — after this round the r7 era is
-#     EMPTY;
-#  5. the alphabetically-first 10 of the 47 r8-era rows — the start of
-#     the r8 drain (the remaining 37 lead the r14 fill queue).
-# Everything else — formally green in r8-r12 and unchanged — rotates
+# a formal correctness row. The r14 window holds exactly the composition
+# the r13 verdict pre-allocated:
+#  1. the operators NEW in round 14 (llm_ext15: sim_ivf_insert — the
+#     IVF incremental-insert act with the drift receipt — and
+#     sim_ivf_lifecycle, the fused build->detect->decide->act->query
+#     end-to-end receipt);
+#  2. every operator whose code changed in round 14 (house rule:
+#     changed code re-certifies even when output-identical): the
+#     split/merge act chains were factored into
+#     _ivf_split_act_ctes_sql/_ivf_merge_act_ctes_sql and
+#     _ivf_split_frames/_ivf_merge_frames so the lifecycle operator
+#     can reuse them (rendered oracles pinned BYTE-identical by
+#     tests/test_llm_ext15.py's md5 test, but the Spark paths of
+#     sim_ivf_rebalance / sim_ivf_merge changed) -> both re-certify;
+#  3. all 37 remaining r8-era rows alphabetically — after this round
+#     the r8 era is EMPTY;
+#  4. the alphabetically-first 9 of the 48 r9-era rows — the start of
+#     the r9 drain (the remaining 39 lead the r15 fill queue).
+# Everything else — formally green in r9-r13 and unchanged — rotates
 # behind.
 #
-# R14 PRE-ALLOCATION (fill next round's window in this order):
-#  1. any operator written or changed in round 14 (house rule);
-#  2. the remaining 37 r8-era rows alphabetically
-#     (curation_shard_balance .. window_topk_orders_per_segment);
-#  3. any remaining slots: the oldest r9-era rows alphabetically.
-# Operators WRITTEN in round 13 (the overflow-fill safety net below
+# R15 PRE-ALLOCATION (fill next round's window in this order):
+#  1. any operator written or changed in round 15 (house rule);
+#  2. the remaining 39 r9-era rows alphabetically
+#     (curation_curriculum_schedule .. window_topk_orders_per_segment's
+#     r9 successors — i.e. every r9-latest row after corpus_token_gini);
+#  3. any remaining slots: the oldest r10-era rows alphabetically.
+# Operators WRITTEN in round 14 (the overflow-fill safety net below
 # keeps them sampled even if the explicit list ever under-allocates —
 # new code earns its formal row in the round it is written).
-_R13_NEW = ("dedup_drop_plan_execute", "sim_ivf_rebalance",
-            "sim_ivf_merge", "dedup_incremental_near_dup")
+_R14_NEW = ("sim_ivf_insert", "sim_ivf_lifecycle")
 
 SAMPLE_PREFIX_EXPECTED = [
-    # 1. the four late-r12 llm_ext13 operators — FIRST formal rows,
-    #    exactly as the r12 pre-allocation ordered
-    "sim_ivf_list_balance", "quality_gate_agreement",
-    "scd2_incremental_apply", "events_sliding_topk",
-    # 2. new in round 13 (formal rows in the round they are written)
-    "dedup_drop_plan_execute", "sim_ivf_rebalance", "sim_ivf_merge",
-    "dedup_incremental_near_dup",
-    # 3. code changed in round 13 (house rule re-certs): the span-pair
-    #    builders were parameterized (span_ctes_sql / run_ctes_sql /
-    #    span_pairs_from / _span_counts) for the execute step — the
-    #    registered oracles are md5-identical, the Spark path changed
-    "dedup_max_duplicated_run", "dedup_containment_drop_plan",
-    "dedup_span_df_stats",
-    # 4. all 29 remaining r7-era rows — this CLEARS the r7 era
-    "join_left_customer_orders", "join_range_price_bands",
-    "join_right_orders_customer", "join_semi_urgent_customers",
-    "json_extract_events", "math_null_funcs",
-    "media_aspect_bucket_batches", "metrics_confidence_histogram",
-    "metrics_pipeline_counters", "metrics_sentiment_distribution",
-    "metrics_top5_topics", "pivot_event_type_counts", "rate_ticks_20s",
-    "rollup_region_nation", "route_subject", "sample_neyman_allocation",
-    "scan_filter_pushdown", "set_ops_customer_years",
-    "sim_mmr_diverse_topk", "sort_global_topk_orders",
-    "string_funcs_parts", "text_extract_coalesce",
-    "text_kneser_ney_bigram", "text_mtld_diversity",
-    "tokenizer_unigram_viterbi", "unpivot_pricing_metrics",
-    "window_lag_daily_orders", "window_rank_dense_ntile",
-    "window_running_revenue",
-    # 5. the alphabetically-first 10 of the 47 r8-era rows — the start
-    #    of the r8 drain (the remaining 37 lead the r14 fill queue)
-    "agg_pricing_summary", "chunk_sliding_tokens",
-    "corpus_source_similarity", "correlated_subquery_max_order",
-    "curation_dsir_weights", "curation_end_to_end",
-    "curation_lang_rebalance", "curation_perplexity_buckets",
-    "curation_quality_by_cluster", "curation_quality_quartiles",
+    # 1. new in round 14 (formal rows in the round they are written)
+    "sim_ivf_insert", "sim_ivf_lifecycle",
+    # 2. code changed in round 14 (house rule re-certs): the IVF act
+    #    chains were factored for the lifecycle operator — registered
+    #    oracles md5-identical (pinned), the Spark paths changed
+    "sim_ivf_rebalance", "sim_ivf_merge",
+    # 3. all 37 remaining r8-era rows — this CLEARS the r8 era
+    "curation_shard_balance", "decontaminate_fuzzy_minhash",
+    "dedup_chunk_level", "dedup_cluster_size_histogram",
+    "dedup_incremental_batch", "dedup_normalized_exact",
+    "dedup_rate_by_source", "dedup_soft_weights",
+    "dedup_winnowing_overlap", "embed_gram_matrix",
+    "embed_quantize_int8", "enrich_flagship", "events_dau_wau",
+    "events_funnel", "events_hourly_zscore",
+    "events_markov_transitions", "events_outliers_mad",
+    "events_tumbling_hourly", "grouped_agg_weighted_avg",
+    "grouped_map_zscore", "join_revenue_by_region",
+    "media_phash_near_dup", "sample_importance_by_quality",
+    "scalar_subquery_above_avg", "sentiment_classify",
+    "sim_ann_range_search", "sim_crossmodal_recall", "sim_rrf_fusion",
+    "text_flesch_readability", "text_length_histogram",
+    "text_unigram_lm_score", "tokenizer_bpe_top_merges",
+    "tokenizer_wordpiece_apply", "topic_classify", "udtf_tokenize",
+    "window_range_frame", "window_topk_orders_per_segment",
+    # 4. the alphabetically-first 9 of the 48 r9-era rows — the start
+    #    of the r9 drain (the remaining 39 lead the r15 fill queue)
+    "agg_approx_distinct", "agg_collect_sorted", "agg_filtered_counts",
+    "agg_percentile_approx_check", "agg_revenue_q6",
+    "asof_join_next_order", "compact_latest_per_key",
+    "corpus_psi_drift", "corpus_token_gini",
 ]
 
 
@@ -356,6 +346,7 @@ _ext11_names: list[str] = []
 _ext12_names: list[str] = []
 _ext13_names: list[str] = []
 _ext14_names: list[str] = []
+_ext15_names: list[str] = []
 
 
 def _populate() -> None:
@@ -384,7 +375,7 @@ def _populate() -> None:
 def _populate_chain() -> None:
     global _ext3_names, _ext4_names, _ext5_names, _ext6_names, \
         _ext9_names, _ext10_names, _ext11_names, _ext12_names, \
-        _ext13_names, _ext14_names
+        _ext13_names, _ext14_names, _ext15_names
 
     from .queries import llm  # noqa: F401
     from .queries import advanced  # noqa: F401
@@ -457,13 +448,18 @@ def _populate_chain() -> None:
     from .queries import llm_ext14  # noqa: F401
     _ext14_names = [n for n in REGISTRY if n not in pre]
 
+    # Round-14 additions (certify in the round they are written).
+    pre = set(REGISTRY)
+    from .queries import llm_ext15  # noqa: F401
+    _ext15_names = [n for n in REGISTRY if n not in pre]
+
     # Reorder so the curated prefix leads. Every curated name must exist
     # on a clean import (asserted by test_sample_prefix_has_no_name_drift);
     # the soft filter below is only a guard against future partial-import
     # schemes, and the current-round overflow fill keeps new operators
     # sampled if the explicit list ever under-allocates.
     prefix = [n for n in SAMPLE_PREFIX_EXPECTED if n in REGISTRY]
-    prefix += [n for n in _R13_NEW
+    prefix += [n for n in _R14_NEW
                if n in REGISTRY and n not in prefix][:50 - len(prefix)]
     order = prefix + [n for n in REGISTRY if n not in set(prefix)]
     reordered = {n: REGISTRY[n] for n in order}

@@ -51,52 +51,53 @@ def test_sample_prefix_has_no_name_drift():
     partially-initialized WORKER re-imports don't die — this test is
     where the drift protection actually lives.
 
-    The r13 prefix is fully explicit (50 names: the four late-r12
-    llm_ext13 operators' FIRST formal rows leading — exactly as the
-    r12 verdict pre-allocated — then the two operators new in round
-    13, the round-13 changed-code re-certs, the 29 rows that clear
-    the r7 era, and the alphabetically-first r8-era fill), so the
-    assertion is exact equality on the full window — a silent
-    overflow or an unregistered curated name fails here rather than
-    surfacing in the round artifact."""
+    The r14 prefix is fully explicit (50 names: the two operators NEW
+    in round 14 leading, the two round-14 changed-code re-certs — the
+    IVF act-chain factoring, rendered oracles pinned md5-identical —
+    then the 37 rows that clear the r8 era, and the
+    alphabetically-first 9 of the r9-era drain), exactly as the r13
+    verdict pre-allocated, so the assertion is exact equality on the
+    full window — a silent overflow or an unregistered curated name
+    fails here rather than surfacing in the round artifact."""
     missing = [n for n in registry.SAMPLE_PREFIX_EXPECTED
                if n not in registry.REGISTRY]
     assert not missing, f"prefix names not registered: {missing}"
     assert len(registry.SAMPLE_PREFIX_EXPECTED) == 50
     window = list(registry.REGISTRY)[:50]
     assert window == list(registry.SAMPLE_PREFIX_EXPECTED)
-    # The four llm_ext13 operators must LEAD (first formal rows — the
-    # rotation the r12 verdict pre-allocated), and every operator
-    # written in round 13 must be inside the sampled window — new code
-    # earns its formal row in the round it is written.
-    assert window[:4] == ["sim_ivf_list_balance", "quality_gate_agreement",
-                          "scd2_incremental_apply", "events_sliding_topk"]
-    assert set(registry._ext13_names) <= set(window), (
-        "an llm_ext13 operator missed its pre-allocated r13 slot")
-    assert set(registry._ext14_names) <= set(window), (
-        "a round-13 operator missed the sample window")
-    for n in registry._R13_NEW:
+    # Every operator written in round 14 must LEAD the sampled window
+    # (new code earns its formal row in the round it is written), and
+    # the changed-code re-certs follow immediately.
+    assert window[:4] == ["sim_ivf_insert", "sim_ivf_lifecycle",
+                          "sim_ivf_rebalance", "sim_ivf_merge"]
+    assert set(registry._ext15_names) <= set(window), (
+        "a round-14 operator missed the sample window")
+    for n in registry._R14_NEW:
         if n in registry.REGISTRY:
             assert n in window, (
-                f"round-13 operator {n} missed the sample window")
-    # The r7 era must be CLEARED this round: all 29 remaining r7-era
-    # rows are in the window (the r12 verdict's corrected count,
-    # alphabetically from join_left_customer_orders).
-    for n in ("join_left_customer_orders", "join_range_price_bands",
-              "join_right_orders_customer", "join_semi_urgent_customers",
-              "json_extract_events", "math_null_funcs",
-              "media_aspect_bucket_batches", "metrics_confidence_histogram",
-              "metrics_pipeline_counters", "metrics_sentiment_distribution",
-              "metrics_top5_topics", "pivot_event_type_counts",
-              "rate_ticks_20s", "rollup_region_nation", "route_subject",
-              "sample_neyman_allocation", "scan_filter_pushdown",
-              "set_ops_customer_years", "sim_mmr_diverse_topk",
-              "sort_global_topk_orders", "string_funcs_parts",
-              "text_extract_coalesce", "text_kneser_ney_bigram",
-              "text_mtld_diversity", "tokenizer_unigram_viterbi",
-              "unpivot_pricing_metrics", "window_lag_daily_orders",
-              "window_rank_dense_ntile", "window_running_revenue"):
-        assert n in window, f"r7-era row {n} missed the clearing window"
+                f"round-14 operator {n} missed the sample window")
+    # The r8 era must be CLEARED this round: all 37 remaining r8-era
+    # rows are in the window (the r13 verdict's pre-allocated count,
+    # alphabetically from curation_shard_balance).
+    for n in ("curation_shard_balance", "decontaminate_fuzzy_minhash",
+              "dedup_chunk_level", "dedup_cluster_size_histogram",
+              "dedup_incremental_batch", "dedup_normalized_exact",
+              "dedup_rate_by_source", "dedup_soft_weights",
+              "dedup_winnowing_overlap", "embed_gram_matrix",
+              "embed_quantize_int8", "enrich_flagship", "events_dau_wau",
+              "events_funnel", "events_hourly_zscore",
+              "events_markov_transitions", "events_outliers_mad",
+              "events_tumbling_hourly", "grouped_agg_weighted_avg",
+              "grouped_map_zscore", "join_revenue_by_region",
+              "media_phash_near_dup", "sample_importance_by_quality",
+              "scalar_subquery_above_avg", "sentiment_classify",
+              "sim_ann_range_search", "sim_crossmodal_recall",
+              "sim_rrf_fusion", "text_flesch_readability",
+              "text_length_histogram", "text_unigram_lm_score",
+              "tokenizer_bpe_top_merges", "tokenizer_wordpiece_apply",
+              "topic_classify", "udtf_tokenize", "window_range_frame",
+              "window_topk_orders_per_segment"):
+        assert n in window, f"r8-era row {n} missed the clearing window"
 
 
 def test_every_query_module_survives_worker_entry_import():

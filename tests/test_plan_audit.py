@@ -1483,3 +1483,38 @@ def test_inc_near_dup_probes_corpus_never_self_joins_it(spark):
                 (ln for ln in section.splitlines()
                  if ln.startswith("Input")), "")
             assert "text#" not in input_line, section[:400]
+
+
+def test_ivf_insert_single_scan_pinned_assignment(spark):
+    """sim_ivf_insert's scale claim: the whole receipt — pre/post list
+    stats, drift counts, both recall panels, the brute reference —
+    rides ONE embeddings scan (the pinned shared assignment; every
+    other consumer reads the cache), centroids and 1-row receipts ride
+    broadcast joins, and no cartesian appears beyond those bounded
+    nested-loops."""
+    spark.conf.set("spark.nats_spark.spread.enabled", "false")
+    try:
+        p = plan_str(spark, "sim_ivf_insert")
+    finally:
+        spark.conf.set("spark.nats_spark.spread.enabled", "true")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "InMemoryTableScan" in p, p[:400]
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 1, p[:600]
+
+
+def test_ivf_lifecycle_single_scan_all_phases(spark):
+    """sim_ivf_lifecycle's scale claim: build, detect, the chosen act,
+    and BOTH recall panels share one pinned corpus assignment — a
+    single embeddings scan in the whole fused plan (the decision read
+    is a 1-row aggregate on the cache, not a second scan), broadcast
+    centroid/receipt joins, no cartesian."""
+    spark.conf.set("spark.nats_spark.spread.enabled", "false")
+    try:
+        p = plan_str(spark, "sim_ivf_lifecycle")
+    finally:
+        spark.conf.set("spark.nats_spark.spread.enabled", "true")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "InMemoryTableScan" in p, p[:400]
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 1, p[:600]

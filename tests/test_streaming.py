@@ -1050,3 +1050,143 @@ def test_streaming_dedup_planted_duplicates_all_regimes(spark, tmp_path):
     assert phase2[600] == got[600] and not phase2[600][1]
     assert phase2[601] == got[601] and not phase2[601][1]
     assert phase2[602] == got[602] and phase2[602][1]
+
+
+def _near_dup_write_chunk(spark, dirpath, idx, rows):
+    """doc_id-range chunk file with controlled mtime (file-listing
+    trigger order == chunk order), the planted-duplicates discipline."""
+    import os
+    import shutil
+    tmp = dirpath.parent / f"_tmp_{dirpath.name}_{idx}"
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(str(tmp))
+    dirpath.mkdir(parents=True, exist_ok=True)
+    dst = dirpath / f"chunk-{idx:03d}.parquet"
+    shutil.copy(next(tmp.glob("part-*.parquet")), dst)
+    t = 1_700_000_000 + idx
+    os.utime(dst, (t, t))
+    shutil.rmtree(tmp)
+
+
+def _near_dup_run_stream(spark, tmp_path, path, ckpt):
+    from nats_stream_processor_spark.streaming import neardup as nd
+    src = (spark.readStream
+           .schema("doc_id long, text string")
+           .option("maxFilesPerTrigger", "1").parquet(str(path)))
+    verdicts = {}
+
+    def collect(bdf, epoch_id):
+        for r in nd.near_dup_verdicts(bdf).collect():
+            verdicts[r.doc_id] = (r.verdict, r.canon_id)
+
+    q = (nd.near_dup_stream(src)
+         .writeStream.outputMode("update").foreachBatch(collect)
+         .option("checkpointLocation", str(tmp_path / ckpt))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return verdicts
+
+
+def _near_dup_state_check(spark, tmp_path, ckpt, src_dir):
+    """The state-byte law, checked directly: every (band, shard)
+    group's persisted bytes equal the canonical encoding of the banded
+    rows routed to it — i.e. the restored index IS the corpus band
+    index, entry for entry."""
+    from nats_stream_processor_spark.streaming import neardup as nd
+    st = (spark.read.format("statestore")
+          .option("path", str(tmp_path / ckpt)).load())
+    got = {(int(r.key[0]), int(r.key[1])): bytes(r.value[0][0])
+           for r in st.collect()}
+    want: dict = {}
+    for r in nd.banded(spark.read.parquet(str(src_dir))).collect():
+        want.setdefault((int(r.band), int(r.shard)), {})[
+            (r.bucket, int(r.doc_id))] = frozenset(int(s) for s in r.sids)
+    assert got == {k: nd.entries_encode(v) for k, v in want.items()}
+
+
+def test_streaming_near_dup_planted_regimes(spark, tmp_path):
+    """The streaming near-dup twin (streaming/neardup.py) on the
+    planted incremental fixture (the llm_ext14 test regimes): corpus
+    docs 0..15 arrive as two history micro-batches, batch docs 16..19
+    (16 = exact text of corpus doc 3 -> dup_corpus; 17/18 mutual
+    near-dups of each other only -> one dup_batch component; 19 novel
+    -> keep) arrive as ONE micro-batch after a checkpoint RESUME — so
+    every corpus match verdict comes from the RESTORED band index.
+    Phase-2 verdicts must equal the certified
+    dedup_incremental_near_dup operator's rows exactly (its 80% cut on
+    max doc_id 19 is 15 — the same corpus/batch split), and the final
+    state bytes must equal the canonical band-index encoding."""
+    from nats_stream_processor_spark import registry
+
+    def words(tag, n=30):
+        return " ".join(f"{tag}{i:02d}" for i in range(n))
+
+    texts = [words(f"c{i}x") for i in range(16)]
+    texts.append(texts[3])                    # 16: dup of corpus doc 3
+    t17 = words("b17y")
+    texts.append(t17)                         # 17: batch-only dup pair
+    texts.append(t17 + " extraz00")           # 18: near-dup of 17
+    texts.append(words("novelq"))             # 19: novel
+    rows = list(enumerate(texts))
+
+    sdir = tmp_path / "nd_docs"
+    _near_dup_write_chunk(spark, sdir, 0, rows[:8])
+    _near_dup_write_chunk(spark, sdir, 1, rows[8:16])
+    phase1 = _near_dup_run_stream(spark, tmp_path, sdir, "ckpt_nd")
+    assert set(phase1) == set(range(16))
+
+    _near_dup_write_chunk(spark, sdir, 2, rows[16:])
+    phase2 = _near_dup_run_stream(spark, tmp_path, sdir, "ckpt_nd")
+    assert set(phase2) == {16, 17, 18, 19}
+
+    # the operator needs a documents.parquet table dir
+    op_dir = tmp_path / "nd_table"
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(str(op_dir / "documents.parquet"))
+    want = {r.doc_id: (r.verdict, r.canon_id)
+            for r in registry.REGISTRY["dedup_incremental_near_dup"]
+            .fn(spark, str(op_dir)).collect()}
+    registry.release_pins()
+    assert phase2 == want
+    assert phase2[16] == ("dup_corpus", 3)    # via the RESTORED index
+    assert phase2[17] == ("keep", 17)         # component minimum keeps
+    assert phase2[18] == ("dup_batch", 17)
+    assert phase2[19] == ("keep", 19)
+
+    _near_dup_state_check(spark, tmp_path, "ckpt_nd", sdir)
+
+
+def test_streaming_near_dup_real_fixture_two_phase(spark, tmp_path):
+    """The same two-phase parity on the REAL sf0.001 documents: phase 1
+    streams the corpus slice (doc_id <= the 80% cut), phase 2 resumes
+    with the batch slice as one micro-batch; phase-2 verdicts must
+    equal the certified batch operator's sf0.001 output relation, and
+    the state bytes must equal the full band-index encoding."""
+    import math
+
+    from nats_stream_processor_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    docs = registry.table(spark, sf, "documents").select("doc_id", "text")
+    rows = [(r.doc_id, r.text)
+            for r in docs.orderBy("doc_id").collect()]
+    cut = math.floor(max(d for d, _ in rows) * 0.8)
+    corpus = [(d, t) for d, t in rows if d <= cut]
+    batch = [(d, t) for d, t in rows if d > cut]
+
+    sdir = tmp_path / "ndr_docs"
+    half = len(corpus) // 2
+    _near_dup_write_chunk(spark, sdir, 0, corpus[:half])
+    _near_dup_write_chunk(spark, sdir, 1, corpus[half:])
+    _near_dup_run_stream(spark, tmp_path, sdir, "ckpt_ndr")
+    _near_dup_write_chunk(spark, sdir, 2, batch)
+    phase2 = _near_dup_run_stream(spark, tmp_path, sdir, "ckpt_ndr")
+
+    want = {r.doc_id: (r.verdict, r.canon_id)
+            for r in registry.REGISTRY["dedup_incremental_near_dup"]
+            .fn(spark, sf).collect()}
+    registry.release_pins()
+    assert phase2 == want
+
+    _near_dup_state_check(spark, tmp_path, "ckpt_ndr", sdir)
