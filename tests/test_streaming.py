@@ -1190,3 +1190,109 @@ def test_streaming_near_dup_real_fixture_two_phase(spark, tmp_path):
     assert phase2 == want
 
     _near_dup_state_check(spark, tmp_path, "ckpt_ndr", sdir)
+
+
+def test_streaming_ivf_list_counts_match_batch_index(spark, tmp_path):
+    """The streaming IVF list-load monitor (streaming/ivf.py — the
+    streaming face of the round-14 insert act): per-list counts as
+    per-shard managed state, vectors assigned JVM-side against the
+    broadcast trained centroids. Laws checked:
+
+    1. fed the sf0.001 corpus slice (vec_id <= the 80% cut) as two
+       micro-batches, the state counts equal a static-frame assignment
+       of the same slice, and their max equals sim_ivf_insert's
+       max_list_before;
+    2. RESUMED from the checkpoint with the batch slice, the updated
+       counts equal sim_ivf_list_balance's n_vecs column (the full
+       corpus, empty lists aside) and their max equals
+       sim_ivf_insert's max_list_after — the monitor IS the live view
+       of the certified drift receipt;
+    3. state bytes equal the canonical sorted (cent_id, count)
+       encoding per shard, read via the statestore source.
+    """
+    import math
+    import os
+    import shutil
+
+    from nats_stream_processor_spark import registry
+    from nats_stream_processor_spark.streaming import ivf as si
+
+    sf = "/root/testdata/sf0.001"
+    emb = registry.table(spark, sf, "embeddings") \
+        .select("vec_id", "embedding")
+    cent = si.centroid_table(spark, emb)
+    cent.persist().count()
+    cut = math.floor(
+        emb.agg({"vec_id": "max"}).collect()[0][0] * 0.8)
+
+    def write_chunk(dirpath, idx, df):
+        tmp = dirpath.parent / f"_tmp_{dirpath.name}_{idx}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        dirpath.mkdir(parents=True, exist_ok=True)
+        dst = dirpath / f"chunk-{idx:03d}.parquet"
+        shutil.copy(next(tmp.glob("part-*.parquet")), dst)
+        t = 1_700_000_000 + idx
+        os.utime(dst, (t, t))
+        shutil.rmtree(tmp)
+
+    def run_stream(path, ckpt):
+        src = (spark.readStream
+               .schema("vec_id long, embedding array<float>")
+               .option("maxFilesPerTrigger", "1").parquet(str(path)))
+        latest = {}
+
+        def collect(bdf, epoch_id):
+            for r in bdf.collect():
+                latest[r.cent_id] = r.n_vecs
+
+        q = (si.list_counts_stream(src, cent)
+             .writeStream.outputMode("update").foreachBatch(collect)
+             .option("checkpointLocation", str(tmp_path / ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        return latest
+
+    def state_counts(ckpt):
+        st = (spark.read.format("statestore")
+              .option("path", str(tmp_path / ckpt)).load())
+        shard_blobs = {int(r.key[0]): bytes(r.value[0][0])
+                       for r in st.collect()}
+        merged = {}
+        for shard, blob in shard_blobs.items():
+            decoded = si.counts_decode(blob)
+            # the byte law: canonical re-encode round-trips
+            assert si.counts_encode(decoded) == blob
+            for c, n in decoded.items():
+                assert c % si.IVS_SHARDS == shard  # routed correctly
+                merged[c] = n
+        return merged
+
+    sdir = tmp_path / "ivf_vecs"
+    corpus = emb.filter(f"vec_id <= {cut}")
+    half = corpus.count() // 2
+    write_chunk(sdir, 0, corpus.filter(f"vec_id < {half}"))
+    write_chunk(sdir, 1, corpus.filter(f"vec_id >= {half}"))
+    run_stream(sdir, "ckpt_ivf")
+
+    want_pre = {r.cent_id: r.n
+                for r in si.assigned(corpus, cent)
+                .groupBy("cent_id").agg(F.count("*").alias("n"))
+                .collect()}
+    got_pre = state_counts("ckpt_ivf")
+    assert got_pre == want_pre
+
+    (ins,) = registry.REGISTRY["sim_ivf_insert"].fn(spark, sf).collect()
+    registry.release_pins()
+    assert max(got_pre.values()) == ins.max_list_before
+
+    write_chunk(sdir, 2, emb.filter(f"vec_id > {cut}"))
+    run_stream(sdir, "ckpt_ivf")           # checkpoint RESUME
+    got_post = state_counts("ckpt_ivf")
+    assert max(got_post.values()) == ins.max_list_after
+
+    balance = {r.cent_id: r.n_vecs
+               for r in registry.REGISTRY["sim_ivf_list_balance"]
+               .fn(spark, sf).collect()}
+    registry.release_pins()
+    assert got_post == {c: n for c, n in balance.items() if n > 0}
+    cent.unpersist()
