@@ -278,8 +278,8 @@ def oracle_sql() -> dict[str, str]:
 # R15 PRE-ALLOCATION (fill next round's window in this order):
 #  1. any operator written or changed in round 15 (house rule);
 #  2. the remaining 39 r9-era rows alphabetically
-#     (curation_curriculum_schedule .. window_topk_orders_per_segment's
-#     r9 successors — i.e. every r9-latest row after corpus_token_gini);
+#     (curation_curriculum_schedule .. train_quality_logreg — every
+#     r9-latest row after corpus_token_gini);
 #  3. any remaining slots: the oldest r10-era rows alphabetically.
 # Operators WRITTEN in round 14 (the overflow-fill safety net below
 # keeps them sampled even if the explicit list ever under-allocates —
