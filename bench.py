@@ -110,6 +110,21 @@ within the documented same-code noise band on all three axes. No
 headline query's code changed in round 13 (the round added llm_ext14's
 act-step operators and the streaming dedup twin — none in the headline
 set).
+
+Round-14 control (three-number protocol, five windows on a slower
+host — every window's headline sits 8-20% above the r13 recordings,
+uniformly): r14 HEAD 17.622 s / 2,395.7 posts/s / 20,465.5 at 10x;
+r13 tip (b190b8c, fresh worktree) 17.584 s / 3,223.3 / 23,406.5; r14
+HEAD 35.165 s (DISCARD — load average 4.35, host contention, the
+only 2x outlier); r14 HEAD clean 18.452 s / 2,237.8 / 20,794.4; r13
+tip again 16.939 s / 2,999.3 / 17,883.7. Decisive adjacent pair
+(windows 1 vs 2): headline gap 0.2% — equal-code. The streaming axes
+swing +-25% BETWEEN THE TWO r13-TIP WINDOWS THEMSELVES (2,999-3,223
+at 1x, 17,884-23,407 at 10x), so today's 1x/10x spreads are host
+noise with no code attribution possible — and no headline or
+streaming-pipeline code changed in round 14 (the round added
+llm_ext15's IVF insert/lifecycle operators and the near-dup + IVF
+streaming twins; none are imported by the pipeline or headline set).
 """
 
 from __future__ import annotations
