@@ -276,7 +276,10 @@ def oracle_sql() -> dict[str, str]:
 # behind.
 #
 # R15 PRE-ALLOCATION (fill next round's window in this order):
-#  1. any operator written or changed in round 15 (house rule);
+#  1. the late-r14 llm_ext16 operators (sim_eval_rank_quality,
+#     dedup_lsh_band_efficiency — behind-window headers stand until
+#     their first formal rows lead the r15 window), then any operator
+#     written or changed in round 15 (house rule);
 #  2. the remaining 39 r9-era rows alphabetically
 #     (curation_curriculum_schedule .. train_quality_logreg — every
 #     r9-latest row after corpus_token_gini);
@@ -347,6 +350,7 @@ _ext12_names: list[str] = []
 _ext13_names: list[str] = []
 _ext14_names: list[str] = []
 _ext15_names: list[str] = []
+_ext16_names: list[str] = []
 
 
 def _populate() -> None:
@@ -375,7 +379,7 @@ def _populate() -> None:
 def _populate_chain() -> None:
     global _ext3_names, _ext4_names, _ext5_names, _ext6_names, \
         _ext9_names, _ext10_names, _ext11_names, _ext12_names, \
-        _ext13_names, _ext14_names, _ext15_names
+        _ext13_names, _ext14_names, _ext15_names, _ext16_names
 
     from .queries import llm  # noqa: F401
     from .queries import advanced  # noqa: F401
@@ -452,6 +456,13 @@ def _populate_chain() -> None:
     pre = set(REGISTRY)
     from .queries import llm_ext15  # noqa: F401
     _ext15_names = [n for n in REGISTRY if n not in pre]
+
+    # Late round-14 additions: landed AFTER the r14 window was fully
+    # allocated — honest behind-window headers in llm_ext16; their
+    # first formal rows lead the r15 window (pre-allocation above).
+    pre = set(REGISTRY)
+    from .queries import llm_ext16  # noqa: F401
+    _ext16_names = [n for n in REGISTRY if n not in pre]
 
     # Reorder so the curated prefix leads. Every curated name must exist
     # on a clean import (asserted by test_sample_prefix_has_no_name_drift);

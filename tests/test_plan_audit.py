@@ -1518,3 +1518,42 @@ def test_ivf_lifecycle_single_scan_all_phases(spark):
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     assert "InMemoryTableScan" in p, p[:400]
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 1, p[:600]
+
+
+def test_rank_quality_single_scan_broadcast_panel(spark):
+    """sim_eval_rank_quality's scale claim: probed candidates and the
+    brute reference both read the PINNED shared assignment (one
+    embeddings scan in the whole plan), the query panel and discount
+    table ride broadcast joins, metric layers join K-bounded rank
+    rows — no cartesian beyond the bounded nested-loops."""
+    spark.conf.set("spark.nats_spark.spread.enabled", "false")
+    try:
+        p = plan_str(spark, "sim_eval_rank_quality")
+    finally:
+        spark.conf.set("spark.nats_spark.spread.enabled", "true")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "InMemoryTableScan" in p, p[:400]
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 1, p[:600]
+
+
+def test_band_efficiency_banded_join_never_all_pairs(spark):
+    """dedup_lsh_band_efficiency's scale claim: the pair join is
+    (band, bucket)-keyed over the pinned band table — never an
+    all-pairs doc join — verification is id-keyed on the pinned
+    shingle table, and no exchange carries text."""
+    spark.conf.set("spark.nats_spark.spread.enabled", "false")
+    try:
+        p = plan_str(spark, "dedup_lsh_band_efficiency")
+    finally:
+        spark.conf.set("spark.nats_spark.spread.enabled", "true")
+    assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" in p, p[:400]
+    assert re.search(r"\[band#\d+, bucket#\d+\]", p) or \
+        "band#" in p, p[:600]
+    for section in re.split(r"\n\(\d+\) ", p):
+        if section.startswith("Exchange"):
+            input_line = next(
+                (ln for ln in section.splitlines()
+                 if ln.startswith("Input")), "")
+            assert "text#" not in input_line, section[:400]
