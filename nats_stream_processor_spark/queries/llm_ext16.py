@@ -2,7 +2,7 @@
 — the EVAL faces of the two certified approximate families.
 
 CERTIFICATION STATUS: written late in round 14, BEHIND the fully
-allocated r14 sample window (honest header per the house rule). Both
+allocated r14 sample window (honest header per the house rule). These
 names lead the r15 window per the pre-allocation in
 registry.SAMPLE_PREFIX_EXPECTED's comment; until then they are
 verified by the driver-mimic harness at all three SFs plus --plain
@@ -10,8 +10,8 @@ verified by the driver-mimic harness at all three SFs plus --plain
 tests/test_llm_ext16.py.
 
 Reference scope note: the reference (/root/reference, a single-purpose
-NATS enrichment daemon) has no analytics surface; both operators are
-north-star scope, built Spark-first and oracle-paired.
+NATS enrichment daemon) has no analytics surface; all operators here
+are north-star scope, built Spark-first and oracle-paired.
 
 - ``sim_eval_rank_quality`` — the metric a retrieval maintainer
   actually reports: per-query rank-sensitive quality of the IVF index
@@ -28,6 +28,11 @@ north-star scope, built Spark-first and oracle-paired.
   the integer (K+1 - brute_rank) (0 if outside the brute head), and
   IDCG is the same quantized sum over the query's own brute head (so
   short corpora stay exact). ndcg_ppm = dcg * 1e6 // idcg.
+- ``sim_ivf_drift_psi`` — embedding-distribution drift between the
+  corpus and the incoming batch as PSI over the IVF inverted lists
+  (docstring on the operator): the SHAPE-drift complement to
+  sim_ivf_insert's load receipt, following corpus_psi_drift's
+  quantized-PSI discipline over the shared audited assignment.
 - ``dedup_lsh_band_efficiency`` — the empirical tuning curve for the
   MinHash LSH parameters: every VERIFIED near-dup pair (the certified
   pipeline's definition: shared (band, bucket), Jaccard >=
@@ -370,3 +375,107 @@ def _render_band_efficiency_oracle() -> None:
 
 
 _render_band_efficiency_oracle()
+
+
+# ----------------- embedding-distribution drift over IVF lists (PSI)
+
+
+def _ivf_drift_psi_oracle() -> str:
+    return _ivf_base_ctes_sql() + """,
+    cut AS (SELECT coalesce(CAST(floor(max(vec_id) * 0.8) AS BIGINT),
+                            -1) AS c FROM e),
+    cb AS (SELECT CAST(c.cent_id AS BIGINT) AS cent_id,
+                  CAST(count(a.vec_id) FILTER (WHERE a.vec_id <= cut.c)
+                       AS BIGINT) AS n_corpus,
+                  CAST(count(a.vec_id) FILTER (WHERE a.vec_id > cut.c)
+                       AS BIGINT) AS n_batch
+           FROM cent c CROSS JOIN cut
+           LEFT JOIN asg a ON a.cent_id = c.cent_id
+           GROUP BY c.cent_id, cut.c),
+    t AS (SELECT cent_id, n_corpus, n_batch,
+                 CAST(sum(n_corpus) OVER () AS BIGINT) AS tot_c,
+                 CAST(sum(n_batch) OVER () AS BIGINT) AS tot_b,
+                 CAST(count(*) OVER () AS BIGINT) AS nb
+          FROM cb),
+    p AS (SELECT cent_id, n_corpus, n_batch,
+                 CAST(floor(((n_corpus + 1) / CAST(tot_c + nb AS DOUBLE)
+                             - (n_batch + 1) / CAST(tot_b + nb AS DOUBLE))
+                            * ln((n_corpus + 1)
+                                 / CAST(tot_c + nb AS DOUBLE)
+                                 / ((n_batch + 1)
+                                    / CAST(tot_b + nb AS DOUBLE)))
+                            * 1e6 + 0.5) AS BIGINT) AS psi_contrib_ppm
+          FROM t)
+    SELECT cent_id, n_corpus, n_batch, psi_contrib_ppm,
+           CAST(sum(psi_contrib_ppm) OVER () AS BIGINT) AS psi_total_ppm
+    FROM p ORDER BY cent_id
+    """
+
+
+@register(
+    "sim_ivf_drift_psi",
+    oracle=None,  # set below (renders the shared training CTEs)
+    tags=("llm", "ann-ivf", "drift-psi", "diagnostic"),
+)
+def q_ivf_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-DISTRIBUTION drift between the corpus and an incoming
+    batch, measured as PSI over the IVF inverted lists: the lists are
+    a trained, bounded partition of embedding space, so the corpus and
+    batch list-share histograms are directly comparable — drift here
+    means the batch occupies a different region of embedding space
+    than the index was built for, which degrades recall long before
+    any single list overloads. sim_ivf_insert's receipt flags LOAD
+    drift (a hot list); this receipt flags SHAPE drift (a shifted
+    distribution), the complementary signal, with the conventional
+    PSI > 0.1 alarm. One row per list (empty lists included) with
+    corpus/batch counts, the quantized PSI contribution, and the
+    corpus-wide total.
+
+    Determinism and scale follow corpus_psi_drift's certified
+    discipline exactly: Laplace-smoothed shares ((n+1)/(tot+k)), the
+    ln() contribution quantized to an int64 ppm grid per LIST (k
+    chances for libm skew, not one per vector), the total an exact
+    order-free integer sum; the audited shared assignment is the only
+    corpus scan (pinned — the counts, windows and receipt all read
+    the bucket table of <= nlist rows)."""
+    n, cent, asg, sz, tot, ld = _ivf_base_frames(spark, sf_dir)
+    cut = n.agg(F.coalesce(F.floor(F.max("vec_id") * 0.8).cast("long"),
+                           F.lit(-1).cast("long")).alias("c"))
+    cb = (cent.select("cent_id").crossJoin(F.broadcast(cut))
+          .join(asg, "cent_id", "left")
+          .groupBy("cent_id")
+          .agg(F.count(F.when(F.col("vec_id") <= F.col("c"),
+                              F.col("vec_id"))).cast("long")
+               .alias("n_corpus"),
+               F.count(F.when(F.col("vec_id") > F.col("c"),
+                              F.col("vec_id"))).cast("long")
+               .alias("n_batch"))
+          .select(F.col("cent_id").cast("long").alias("cent_id"),
+                  "n_corpus", "n_batch"))
+    w = Window.partitionBy()
+    t = cb.select(
+        "cent_id", "n_corpus", "n_batch",
+        F.sum("n_corpus").over(w).cast("long").alias("tot_c"),
+        F.sum("n_batch").over(w).cast("long").alias("tot_b"),
+        F.count(F.lit(1)).over(w).cast("long").alias("nb"))
+    p_c = (F.col("n_corpus") + 1) / (F.col("tot_c")
+                                     + F.col("nb")).cast("double")
+    p_b = (F.col("n_batch") + 1) / (F.col("tot_b")
+                                    + F.col("nb")).cast("double")
+    contrib = F.floor((p_c - p_b) * F.log(p_c / p_b) * F.lit(1e6)
+                      + F.lit(0.5)).cast("long")
+    p = t.select("cent_id", "n_corpus", "n_batch",
+                 contrib.alias("psi_contrib_ppm"))
+    return (p.select("cent_id", "n_corpus", "n_batch",
+                     "psi_contrib_ppm",
+                     F.sum("psi_contrib_ppm").over(w).cast("long")
+                     .alias("psi_total_ppm"))
+            .orderBy("cent_id"))
+
+
+def _render_ivf_drift_psi_oracle() -> None:
+    from ..registry import REGISTRY
+    REGISTRY["sim_ivf_drift_psi"].oracle = _ivf_drift_psi_oracle()
+
+
+_render_ivf_drift_psi_oracle()

@@ -277,9 +277,10 @@ def oracle_sql() -> dict[str, str]:
 #
 # R15 PRE-ALLOCATION (fill next round's window in this order):
 #  1. the late-r14 llm_ext16 operators (sim_eval_rank_quality,
-#     dedup_lsh_band_efficiency — behind-window headers stand until
-#     their first formal rows lead the r15 window), then any operator
-#     written or changed in round 15 (house rule);
+#     dedup_lsh_band_efficiency, sim_ivf_drift_psi — behind-window
+#     headers stand until their first formal rows lead the r15
+#     window), then any operator written or changed in round 15
+#     (house rule);
 #  2. the remaining 39 r9-era rows alphabetically
 #     (curation_curriculum_schedule .. train_quality_logreg — every
 #     r9-latest row after corpus_token_gini);

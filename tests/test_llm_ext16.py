@@ -4,6 +4,9 @@
   the PERFECT-retrieval regime on a planted clustered corpus (every
   query's brute head lives in its own probed list, so hits@K, MRR and
   nDCG must all saturate), and DuckDB oracle parity on that corpus.
+- sim_ivf_drift_psi: per-list structure + exact-total law on the
+  real fixture, the planted skewed-batch regime blowing the PSI > 0.1
+  alarm with the hot list on top, and DuckDB oracle parity.
 - dedup_lsh_band_efficiency: structural invariants on the real
   fixture, the identical-docs regime (exact duplicates match in ALL
   bands with the theoretical expectation saturated at
@@ -163,4 +166,50 @@ def test_band_efficiency_oracle_parity_on_planted_corpus(spark,
                 f"read_parquet('{sf_dir}/documents.parquet/*.parquet')")
     want = con.execute(
         registry.REGISTRY["dedup_lsh_band_efficiency"].oracle).fetchall()
+    assert got == want
+
+
+# ------------------------------------------------- sim_ivf_drift_psi
+
+def test_ivf_drift_psi_structure_on_fixture(spark):
+    """One row per trained list (empty lists included), counts split
+    the corpus at the 80% cut, every contribution is non-negative
+    (PSI terms are (p-q)ln(p/q) >= 0), and the total is the exact
+    integer sum of the contributions on every row."""
+    from nats_stream_processor_spark.queries.llm import IVF_NLIST
+    rows = _run(spark, "sim_ivf_drift_psi", SF)
+    assert [r.cent_id for r in rows] == list(range(IVF_NLIST))
+    assert sum(r.n_corpus for r in rows) == 400
+    assert sum(r.n_batch for r in rows) == 100
+    tot = sum(r.psi_contrib_ppm for r in rows)
+    for r in rows:
+        assert r.psi_contrib_ppm >= 0
+        assert r.psi_total_ppm == tot
+
+
+def test_ivf_drift_psi_flags_planted_shape_drift(spark, tmp_path):
+    """The regime the receipt exists for: a batch aimed entirely at
+    one list (the llm_ext15 skewed-batch fixture) is a textbook
+    distribution shift — the total PSI must blow through the
+    conventional 0.1 alarm, with the hot list carrying the largest
+    contribution."""
+    from test_llm_ext15 import _planted_skewed_batch_embeddings
+    sf_dir = _planted_skewed_batch_embeddings(spark, tmp_path)
+    rows = _run(spark, "sim_ivf_drift_psi", sf_dir)
+    assert rows[0].psi_total_ppm > 100_000       # PSI > 0.1
+    hot = max(rows, key=lambda r: r.psi_contrib_ppm)
+    assert hot.cent_id == 0                      # the planted target
+    assert hot.n_batch == 100 and hot.psi_contrib_ppm > 0
+
+
+def test_ivf_drift_psi_oracle_parity_on_planted_corpus(spark,
+                                                      tmp_path):
+    from test_llm_ext15 import _planted_skewed_batch_embeddings
+    sf_dir = _planted_skewed_batch_embeddings(spark, tmp_path)
+    got = [tuple(r) for r in _run(spark, "sim_ivf_drift_psi", sf_dir)]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')")
+    want = con.execute(
+        registry.REGISTRY["sim_ivf_drift_psi"].oracle).fetchall()
     assert got == want

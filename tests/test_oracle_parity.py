@@ -78,7 +78,8 @@ def test_sample_prefix_has_no_name_drift():
                 f"round-14 operator {n} missed the sample window")
     # LATE round-14 operators (llm_ext16, behind-window headers) must
     # NOT displace a curated slot — they lead the r15 window instead.
-    r14_late = {"sim_eval_rank_quality", "dedup_lsh_band_efficiency"}
+    r14_late = {"sim_eval_rank_quality", "dedup_lsh_band_efficiency",
+                "sim_ivf_drift_psi"}
     assert r14_late <= set(registry._ext16_names)
     assert not (r14_late & set(window)), (
         "a late-r14 operator displaced a curated r14 slot")

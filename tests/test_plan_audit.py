@@ -1557,3 +1557,18 @@ def test_band_efficiency_banded_join_never_all_pairs(spark):
                 (ln for ln in section.splitlines()
                  if ln.startswith("Input")), "")
             assert "text#" not in input_line, section[:400]
+
+
+def test_ivf_drift_psi_one_scan_bucket_table_windows(spark):
+    """sim_ivf_drift_psi's scale claim: the audited shared assignment
+    is the only corpus scan (pinned); the counts aggregate onto <=
+    nlist keys and every window runs over that bucket table, never the
+    vectors. No cartesian beyond the broadcast 1-row cut join."""
+    spark.conf.set("spark.nats_spark.spread.enabled", "false")
+    try:
+        p = plan_str(spark, "sim_ivf_drift_psi")
+    finally:
+        spark.conf.set("spark.nats_spark.spread.enabled", "true")
+    assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" in p, p[:400]
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 1, p[:600]
