@@ -144,17 +144,29 @@ def shingle_ids_tok_sql(hs_expr: str, n: int = 3) -> str:
     )
 
 
-def _perm(a: int, b: int):
-    # Closure factory: F.transform inspects the lambda's arity, so binding
-    # a/b as default args would make it look like a 3-parameter lambda.
-    return lambda x: (a * x + b) % MERSENNE_P
+# The K permutation parameters as ONE literal array-of-structs: the
+# signature below is a single nested higher-order expression over it,
+# not K independent array_min(transform(...)) subtrees. Values are
+# identical either way (same affine permutations, same mins); the win is
+# plan size — Catalyst analyzes/optimizes one HOF node instead of K=32,
+# which measured 0.9 s -> 0.5 s of driver plan-build time per minhash
+# query at sf0.1 (r15 optimization round), multiplied across every
+# query that builds signatures. HOF lambdas are interpreted in both
+# forms, so executor-side work is unchanged. (Built per call, not at
+# module level: Column construction needs an active SparkContext.)
+def _params_arr() -> Column:
+    return F.array(*[
+        F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in _PARAMS
+    ])
 
 
 def minhash_signature_col(sids: Column) -> Column:
     """K minimums over pinned affine permutations of the shingle-id set."""
-    return F.array(*[
-        F.array_min(F.transform(sids, _perm(a, b))) for a, b in _PARAMS
-    ])
+    return F.transform(
+        _params_arr(),
+        lambda p: F.array_min(
+            F.transform(sids, lambda x: (p["a"] * x + p["b"]) % MERSENNE_P)),
+    )
 
 
 def minhash_signature_sql(sids_expr: str) -> str:
@@ -224,9 +236,16 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     import math
     import warnings
 
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.localCheckpoint(eager=True)
+    # Materialize the PAIR pipeline once, BEFORE the symmetrizing union:
+    # the union's two branches are separate subtrees, so checkpointing the
+    # union re-ran the whole upstream pair pipeline (banded candidate join
+    # + Jaccard verify for the minhash callers) twice — measured 3.0 s vs
+    # 1.5 s at sf0.1 (r15 optimization round). Checkpointing the one-sided
+    # edge list first makes the union a cheap map over checkpointed rows;
+    # at cluster scale the same argument holds with a reliable checkpoint.
+    one = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    one = one.localCheckpoint(eager=True)
+    sym = one.union(one.select(F.col("b").alias("a"), F.col("a").alias("b")))
 
     # The iteration graph is the near-dup PAIR set — orders of magnitude
     # smaller than the corpus (256 edges at sf0.1 vs 5k docs). Size the
@@ -246,7 +265,7 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     # partitions, and the one remaining width-bearing exchange per round
     # (the groupBy on "a") gets its own explicit repartition below.
     spark = edges.sparkSession
-    n_edges = sym.count()
+    n_edges = 2 * one.count()  # symmetrized size; count scans the checkpoint
     session_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     loop_p = max(1, min(session_p, math.ceil(n_edges / 100_000)))
     return _cc_loop(sym, loop_p, max_iter, warnings)

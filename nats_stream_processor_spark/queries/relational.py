@@ -23,7 +23,7 @@ from ..operators.relational import (
     topk_per_group,
 )
 from ..operators.similarity import round6_stable, round6_stable_sql
-from ..registry import register, table
+from ..registry import register, spread, table
 
 
 # ------------------------------------------------------------------ scans
@@ -77,13 +77,25 @@ def q_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: the canonical partial+final hash aggregate. Catalyst
     emits a map-side partial agg, one shuffle on the 2-key group, final agg —
-    the exact plan you want at 100 TB (shuffle carries 6 rows/partition)."""
+    the exact plan you want at 100 TB (shuffle carries 6 rows/partition).
+
+    The gated spread() sits between the scan and the partial aggregate:
+    the decimal sum/avg arithmetic is the CPU-heavy per-row stage here,
+    and the driver's single-row-group test files yield a one-task scan
+    that would run it serially (measured 1.9 s -> 0.9 s at sf0.1, r15
+    optimization round). The explicit 6-column projection keeps the
+    round-robin exchange narrow (guide §2.3: project before the
+    exchange); at real scale the scan has >= parallelism splits and
+    spread() returns the input untouched — plan identity preserved."""
     li = table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(4,2)")
     tax = F.col("l_tax").cast("decimal(4,2)")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        spread(li.filter(F.col("l_shipdate")
+                         <= F.lit("2000-09-02").cast("timestamp"))
+               .select("l_returnflag", "l_linestatus", "l_quantity",
+                       "l_extendedprice", "l_discount", "l_tax"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),

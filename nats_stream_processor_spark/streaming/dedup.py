@@ -104,7 +104,15 @@ def dedup_keep_stream(df: DataFrame, id_col: str = "doc_id",
     as per-shard managed state (module comment above). Update mode; one
     output row per input row; state survives restarts via the
     checkpoint — a resumed query dedups against everything any earlier
-    run saw."""
+    run saw.
+
+    Precondition for ROW-EXACT parity with dedup_keep_batch (which
+    keeps the globally-smallest id per digest): micro-batch arrival
+    order must respect ``id_col`` order — e.g. doc_id-range source
+    files with increasing mtimes. Hash-partitioned or unordered input
+    still satisfies the order-robust laws (exactly one keeper per
+    digest, identical state bytes), but the keeper CHOICE may differ
+    from the batch twin's (it keeps the first seen, r14 advice)."""
     return (_keyed(df, id_col, text_col, shards)
             .groupBy("shard")
             .applyInPandasWithState(

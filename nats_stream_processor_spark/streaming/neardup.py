@@ -137,6 +137,11 @@ def _probe_shard(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         a_ids.append(doc_id)
         b_ids.append(None)
         for cid, csids in by_bucket.get(bucket, ()):
+            # At-least-once robustness: a redelivered doc (checkpoint
+            # loss, id reuse) must not verdict dup_corpus of ITSELF —
+            # same guard as the fresh-pair path below (r14 advice).
+            if cid == doc_id:
+                continue
             if _jaccard_ok(csids, sset):
                 kinds.append("corpus")
                 a_ids.append(doc_id)
