@@ -125,6 +125,24 @@ noise with no code attribution possible — and no headline or
 streaming-pipeline code changed in round 14 (the round added
 llm_ext15's IVF insert/lifecycle operators and the near-dup + IVF
 streaming twins; none are imported by the pipeline or headline set).
+
+Round-15 control (the OPTIMIZATION round — headline code DID change:
+minhash signature plan-size fix, connected_components pre-union
+checkpoint, agg_pricing_summary gated spread; see
+OPTIMIZATION_r15.md): three adjacent windows on a degrading host
+(load 5 -> 9 across them) — r15 HEAD 19.251 s / 3,239.1 / 21,104.8;
+r14 tip (64864eb, fresh worktree) 19.220 s / 2,448.3 / 13,809.5; r15
+HEAD 18.140 s / 1,877.1 / 10,312.3. Headline: HEAD's windows bracket
+the r14 tip (equal-or-better); per-query in the decisive W1-vs-W2
+pair the optimized queries win through the noise
+(dedup_components -15%, dedup_minhash_lsh -7%, _fast -11%). The
+streaming axes fell monotonically WITH LOAD across all three windows
+including between the two HEAD windows (3,239 -> 1,877 at 1x) — no
+attribution, and no streaming-pipeline code changed this round. The
+per-query primary evidence is same-session INTERLEAVED A/Bs
+(OPTIMIZATION_r15.md): agg_pricing old-vs-new alternated twice in one
+session read 2.125/2.054 vs 1.393/1.420 min-of-3 — cross-window
+single-query deltas under ~15% are not attributable on this host.
 """
 
 from __future__ import annotations
