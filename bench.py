@@ -143,6 +143,12 @@ per-query primary evidence is same-session INTERLEAVED A/Bs
 (OPTIMIZATION_r15.md): agg_pricing old-vs-new alternated twice in one
 session read 2.125/2.054 vs 1.393/1.420 min-of-3 — cross-window
 single-query deltas under ~15% are not attributable on this host.
+A second pair after the final-tip sweeps: r15 HEAD 19.784 s /
+1,343.7 / 6,848.4; r14 tip 20.516 s / 3,186.2 / 22,309.0 — decisive
+adjacent pair, HEAD 3.6% faster headline (components -13%,
+lsh_fast -14%); the HEAD streaming reading was one bad window — an
+immediate HEAD stream-only re-run measured 2,528.6 / 21,170.6, back
+inside the r13/r14 same-code band.
 """
 
 from __future__ import annotations
