@@ -29,7 +29,10 @@ NOTES = {
     ),
     "agg_pricing_summary": (
         "Partial HashAggregate before the exchange, final after — map-side "
-        "combine bounds the shuffle by group cardinality, not row count."
+        "combine bounds the shuffle by group cardinality, not row count. "
+        "The gated spread() exchange below the partial agg parallelizes "
+        "the decimal arithmetic on the single-row-group test files; at "
+        "scale the gate removes it (r15 optimization)."
     ),
     "join_revenue_by_region": (
         "region/nation/customer dimensions ride BroadcastHashJoin; the "
