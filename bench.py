@@ -184,12 +184,12 @@ HEADLINE = [
 STREAM_STATE_PARTITIONS = 8
 
 
-def stream_posts_per_sec(spark, sf_dir: str) -> tuple[float, float, int]:
+def stream_posts_per_sec(spark, sf_dir: str) -> tuple[float, float, float, float, int]:
     """The reference's headline metric, measured on OUR streaming path:
     documents corpus as JSON posts -> file-source stream (availableNow) ->
     permissive decode -> sentiment -> gate -> topics -> enrich ->
-    watermarked dedup -> foreachBatch sink. Returns (posts/s,
-    posts/s at 10x corpus, n_posts).
+    watermarked dedup -> foreachBatch sink. Returns (median posts/s,
+    median posts/s at 10x corpus, best posts/s, best at 10x, n_posts).
 
     State shards are sized to the streaming load (STREAM_STATE_PARTITIONS,
     the --state-partitions knob): every micro-batch pays a state-store
@@ -249,12 +249,20 @@ def stream_posts_per_sec(spark, sf_dir: str) -> tuple[float, float, int]:
 
         src = make_src(1)
         one_pass(src, "warm")
-        # best-of-3 warm passes, like the batch side (streaming passes are
-        # short, so a single host-load spike skews any one of them)
-        dt = min(one_pass(src, "a"), one_pass(src, "b"), one_pass(src, "c"))
+        # Round-16 measurement fix (r14 advice #5 via the r15 verdict
+        # item 6): the PRIMARY streaming figure is now the MEDIAN of 3
+        # warm passes — the best-of reading swung 6.8k-22.3k same-code
+        # across r15 windows, and a median is robust to the single
+        # host-load spike that the old min targeted without rewarding a
+        # single lucky pass. The old methodology (min time == best rate;
+        # 10x was min-of-2) is still computed and reported alongside as
+        # *_best so rounds remain comparable. No timed code changed —
+        # one extra 10x pass and a different summary statistic only.
+        d1 = sorted(one_pass(src, t) for t in ("a", "b", "c"))
         src10 = make_src(10)
-        dt10 = min(one_pass(src10, "x10a"), one_pass(src10, "x10b"))
-        return round(n / dt, 1), round(10 * n / dt10, 1), n
+        d10 = sorted(one_pass(src10, t) for t in ("x10a", "x10b", "x10c"))
+        return (round(n / d1[1], 1), round(10 * n / d10[1], 1),
+                round(n / d1[0], 1), round(10 * n / d10[0], 1), n)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(tmp, ignore_errors=True)
@@ -267,13 +275,15 @@ def _stream_only(sf_dir: str) -> int:
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    rps, rps10, _ = stream_posts_per_sec(spark, sf_dir)
-    print(json.dumps({"streaming_posts": rps, "streaming_posts_10x": rps10}))
+    rps, rps10, best, best10, _ = stream_posts_per_sec(spark, sf_dir)
+    print(json.dumps({"streaming_posts": rps, "streaming_posts_10x": rps10,
+                      "streaming_posts_best": best,
+                      "streaming_posts_10x_best": best10}))
     spark.stop()
     return 0
 
 
-def _measure_streaming_isolated(sf_dir: str) -> tuple[float, float]:
+def _measure_streaming_isolated(sf_dir: str) -> tuple[float, float, float, float]:
     """Run the streaming measurement in a CHILD python process with its
     own JVM. Isolation matters in both directions: the 60+ batch plans
     age a JVM enough to cost the short streaming passes ~40% (measured
@@ -291,7 +301,8 @@ def _measure_streaming_isolated(sf_dir: str) -> tuple[float, float]:
         capture_output=True, text=True, env=os.environ.copy(), check=True)
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     d = json.loads(line)
-    return d["streaming_posts"], d["streaming_posts_10x"]
+    return (d["streaming_posts"], d["streaming_posts_10x"],
+            d["streaming_posts_best"], d["streaming_posts_10x_best"])
 
 
 def main() -> int:
@@ -301,7 +312,8 @@ def main() -> int:
 
     # Child JVM measures streaming first and exits before the batch
     # session starts (see _measure_streaming_isolated).
-    stream_rps, stream_rps_10x = _measure_streaming_isolated(sf_dir)
+    (stream_rps, stream_rps_10x,
+     stream_rps_best, stream_rps_10x_best) = _measure_streaming_isolated(sf_dir)
 
     from nats_stream_processor_spark import registry
     from nats_stream_processor_spark.session import get_spark
@@ -358,11 +370,16 @@ def main() -> int:
         # streaming_posts: apples-to-apples with BASELINE.md's 20-40
         # posts/s/pod (~8.6/s/core) — same decode->classify->gate->
         # classify->enrich->dedup pipeline, on Structured Streaming.
+        # streaming_posts / _10x are MEDIAN-of-3 warm passes since r16
+        # (see stream_posts_per_sec); *_best keep the pre-r16 best-of
+        # methodology so cross-round artifacts stay comparable.
         "rows_per_sec": {"enrich_flagship_docs": enrich_rows_per_sec,
                          "streaming_posts": stream_rps,
                          # fixed-overhead-amortized ceiling: same pipeline,
                          # corpus replayed 10x (see stream_posts_per_sec)
-                         "streaming_posts_10x": stream_rps_10x},
+                         "streaming_posts_10x": stream_rps_10x,
+                         "streaming_posts_best": stream_rps_best,
+                         "streaming_posts_10x_best": stream_rps_10x_best},
     }
     print(json.dumps(out))
     spark.stop()

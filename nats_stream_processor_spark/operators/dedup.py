@@ -152,12 +152,34 @@ def shingle_ids_tok_sql(hs_expr: str, n: int = 3) -> str:
 # which measured 0.9 s -> 0.5 s of driver plan-build time per minhash
 # query at sf0.1 (r15 optimization round), multiplied across every
 # query that builds signatures. HOF lambdas are interpreted in both
-# forms, so executor-side work is unchanged. (Built per call, not at
+# forms, so executor-side work is unchanged. (Built lazily, not at
 # module level: Column construction needs an active SparkContext.)
+#
+# Cached per SparkContext (r16): building the 64 literal/struct Columns
+# costs ~64 py4j round-trips, measured ~230 ms per call — ~94% of a
+# signature Column's construction — and ~20 registered queries build a
+# signature on every invocation. A Column is an immutable expression
+# wrapper, so one instance is safely shared across plans; the cache key
+# (applicationId) drops stale entries when the JVM context changes.
+# Driver-side construction caching only — no data, no results.
+_PARAMS_COL_CACHE: dict[str, Column] = {}
+
+
 def _params_arr() -> Column:
-    return F.array(*[
-        F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in _PARAMS
-    ])
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    key = sc.applicationId if sc is not None else None
+    col = _PARAMS_COL_CACHE.get(key) if key is not None else None
+    if col is None:
+        col = F.array(*[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in _PARAMS
+        ])
+        if key is not None:
+            _PARAMS_COL_CACHE.clear()  # stale-context entries
+            _PARAMS_COL_CACHE[key] = col
+    return col
 
 
 def minhash_signature_col(sids: Column) -> Column:
@@ -277,12 +299,25 @@ def _cc_loop(sym: DataFrame, loop_p: int, max_iter: int, warnings) -> DataFrame:
     # round's sym-labels join starts from compatible loop_p-wide hash
     # partitioning and inserts no session-width exchange.
     sym = sym.repartition(loop_p, "b").localCheckpoint(eager=True)
-    labels = (sym.select(F.col("a").alias("node"))
-              .repartition(loop_p, "node").distinct()
-              .withColumn("comp", F.col("node"))
-              .localCheckpoint(eager=True))
-    changed = -1
-    for _ in range(max_iter):
+    # Round 1 folded (r16, guide §2.4): with identity labels the first
+    # round's neighbor-min is just min(b) per a — the same groupBy the
+    # loop would run, minus the join against an identity labels frame.
+    # That also subsumes the old distinct-nodes labels bootstrap (every
+    # node appears as "a" in the symmetrized edge list, and groupBy
+    # yields the distinct node set), saving one shuffle + checkpoint +
+    # join before the loop. comp = least(node, min neighbor), changed =
+    # a neighbor label beat the node's own — exactly round 1's output.
+    first = (sym.repartition(loop_p, "a")
+             .groupBy("a").agg(F.min("b").alias("ncomp"))
+             .select(F.col("a").alias("node"),
+                     F.least(F.col("a"), F.col("ncomp")).alias("comp"),
+                     (F.col("ncomp") < F.col("a")).alias("chg"))
+             .localCheckpoint(eager=True))
+    changed = first.filter("chg").count()
+    labels = first.select("node", "comp")
+    for _ in range(max_iter - 1):
+        if changed == 0:
+            break
         neigh = (
             sym.join(labels, sym["b"] == labels["node"])
             .repartition(loop_p, "a")

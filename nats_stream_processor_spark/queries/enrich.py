@@ -33,7 +33,18 @@ CLASSIFIER_CTE = (
 _S = sentiment_sql_columns()
 _T = topics_sql_columns()
 
-from ..registry import register, spread, table  # noqa: E402
+from ..registry import PY_MIN_SPLIT_BYTES, register, spread, table  # noqa: E402
+
+
+def _docs(spark, sf_dir):
+    """The documents scan, spread with the Python-boundary bytes floor
+    (registry.PY_MIN_SPLIT_BYTES): every query here feeds the text
+    straight into an ArrowEvalPython classifier stage, where ~150-row
+    partitions pay more in per-partition Python dispatch than the
+    extra cores return (r15 scaling probe: faster at 8 cores than 32).
+    No-op at real scale — the spread gate already is."""
+    return spread(table(spark, sf_dir, "documents"),
+                  min_bytes_per_partition=PY_MIN_SPLIT_BYTES)
 
 
 @register(
@@ -54,7 +65,7 @@ from ..registry import register, spread, table  # noqa: E402
     tags=("flagship", "U1", "U2", "F5", "P2", "M4", "M5"),
 )
 def q_enrich_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return enriched_route_counts(spread(table(spark, sf_dir, "documents")), text_col="text")
+    return enriched_route_counts(_docs(spark, sf_dir), text_col="text")
 
 
 @register(
@@ -70,7 +81,7 @@ def q_enrich_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        spread(table(spark, sf_dir, "documents"))
+        _docs(spark, sf_dir)
         .select("doc_id", sentiment_udf(F.col("text")).alias("s"))
         .select(
             "doc_id",
@@ -96,7 +107,7 @@ def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        spread(table(spark, sf_dir, "documents"))
+        _docs(spark, sf_dir)
         .select("doc_id", topics_udf(F.col("text")).alias("t"))
         .select(
             "doc_id",
@@ -119,7 +130,7 @@ def q_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        spread(table(spark, sf_dir, "documents"))
+        _docs(spark, sf_dir)
         .withColumn("s", sentiment_udf(F.col("text")))
         .filter(F.col("s.confidence") >= 0.4)
         .select(
@@ -145,7 +156,7 @@ def q_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_route_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        enrich_posts(spread(table(spark, sf_dir, "documents")), text_col="text")
+        enrich_posts(_docs(spark, sf_dir), text_col="text")
         .select("doc_id", "route_subject")
         .orderBy("doc_id")
     )

@@ -48,7 +48,7 @@ from ..operators.textstats import (
     token_stats_cols,
     token_stats_sql,
 )
-from ..registry import pin, register, spread, table
+from ..registry import PY_MIN_SPLIT_BYTES, pin, register, spread, table
 
 NEAR_DUP_JACCARD = 0.5
 EMB_NEAR_DUP_COS = 0.4
@@ -957,7 +957,12 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas metadata extraction (decode step STUBBED deterministically —
     operators/multimodal.py decode_media). The oracle reproduces the stub
     arithmetic, so schema, batching and values are all verified."""
-    d = with_payload(spread(table(spark, sf_dir, "documents")))
+    # Python-boundary bytes floor (registry.PY_MIN_SPLIT_BYTES): the
+    # payloads go straight into a mapInPandas stage, where tiny Arrow
+    # batches pay more dispatch than the extra cores return (r15 scaling
+    # probe). No-op at real scale, like the spread gate itself.
+    d = with_payload(spread(table(spark, sf_dir, "documents"),
+                            min_bytes_per_partition=PY_MIN_SPLIT_BYTES))
     return media_metadata(d).orderBy("doc_id")
 
 
@@ -982,7 +987,9 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out, Arrow batching, and frame-row schema are production-shaped.
     The oracle replays the slice arithmetic on the hex encoding (DuckDB
     1.0 has no BLOB substring), byte-for-byte identical."""
-    d = with_payload(spread(table(spark, sf_dir, "documents")))
+    # Python-boundary bytes floor — same rationale as q_media_metadata.
+    d = with_payload(spread(table(spark, sf_dir, "documents"),
+                            min_bytes_per_partition=PY_MIN_SPLIT_BYTES))
     return sample_frames(d).orderBy("doc_id", "frame_idx")
 
 
@@ -1062,18 +1069,39 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, cents[i]) for i in range(IVF_NLIST)],
         "cent_id int, c_demb array<double>",
     ).withColumn("c_nrm", sim.norm(F.col("c_demb")))
-    scored_cent = (
-        n.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id", "demb", "nrm", "cent_id",
-            (sim.dot(F.col("demb"), F.col("c_demb"))
-             / (F.col("nrm") * F.col("c_nrm"))).alias("c_cos"),
+    def scored_cent(rows: DataFrame) -> DataFrame:
+        return (
+            rows.crossJoin(F.broadcast(cent))
+            .select(
+                "vec_id", "demb", "nrm", "cent_id",
+                (sim.dot(F.col("demb"), F.col("c_demb"))
+                 / (F.col("nrm") * F.col("c_nrm"))).alias("c_cos"),
+            )
         )
-    )
+
+    # Assignment = rank-1 per vector. A lexicographic struct-max groupBy
+    # (r16, guide §2: partial map-side aggregation, no Sort) replaces the
+    # row_number window over the full corpus: max(struct(c_cos,
+    # -cent_id, ...)) picks exactly the window's (c_cos DESC, cent_id
+    # ASC) winner — (c_cos, -cent_id) is unique per vector, so the
+    # carried demb/nrm never reach the comparison. The streaming IVF
+    # twin already uses this shape.
+    assign = (
+        scored_cent(n).groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("c_cos"),
+                            (-F.col("cent_id")).alias("neg_cent"),
+                            F.col("cent_id"),
+                            F.col("demb"), F.col("nrm"))).alias("b"))
+        .select("vec_id", F.col("b.demb").alias("demb"),
+                F.col("b.nrm").alias("nrm"),
+                F.col("b.cent_id").alias("cent_id")))
+    # The probe panel still needs rank <= nprobe, but only for the
+    # 10-query slice — the window now runs over a pushed-filter scan
+    # (PushedFilters: LessThan(vec_id, 10)), not the whole corpus.
     w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cent_id")
-    ranked = scored_cent.withColumn("rc", F.row_number().over(w))
-    assign = ranked.filter(F.col("rc") == 1).select("vec_id", "demb", "nrm", "cent_id")
-    probes = (ranked.filter((F.col("rc") <= IVF_NPROBE) & (F.col("vec_id") < 10))
+    probes = (scored_cent(n.filter(F.col("vec_id") < 10))
+              .withColumn("rc", F.row_number().over(w))
+              .filter(F.col("rc") <= IVF_NPROBE)
               .select(F.col("vec_id").alias("query_id"),
                       F.col("demb").alias("q_demb"),
                       F.col("nrm").alias("q_nrm"),

@@ -206,18 +206,30 @@ def _ppm_rank_sql(dot_expr: str, den_expr: str) -> str:
             f"AS BIGINT)")
 
 
-def _ivf_base_ctes_sql() -> str:
+def _ivf_base_ctes_sql(mat: bool = False) -> str:
     """Shared oracle prefix for the two IVF maintenance acts: corpus,
     trained centroids, ppm-ranked assignment, per-list sizes, total,
-    load factors. Ends at ld(cent_id, n_vecs, load_x1000)."""
+    load factors. Ends at ld(cent_id, n_vecs, load_x1000).
+
+    ``mat=True`` additionally marks cent/tot/ld MATERIALIZED — pure
+    evaluation hints, identical rows. DuckDB re-evaluates a
+    non-materialized CTE per reference, and ``cent`` sits on top of the
+    whole k-means training chain, so an oracle that references the
+    detect/receipt layer many times (the lifecycle CASE re-reads it
+    ~a dozen times) re-RUNS training per reference — measured 207 s for
+    sim_ivf_lifecycle's oracle at sf0.001 vs ~9 s for the pinned
+    rebalance text. The default stays un-hinted because the round-13
+    certified rebalance/merge oracle texts are md5-pinned byte-for-byte
+    (tests/test_llm_ext15.py)."""
     from .llm import IVF_NLIST
     k = IVF_NLIST
+    m = " MATERIALIZED" if mat else ""
     return f"""
     WITH e AS (SELECT vec_id, {sim.as_double_sql('embedding')} AS demb
                FROM embeddings),
     n AS (SELECT vec_id, demb, {sim.norm_sql('demb')} AS nrm FROM e),
     {km.ivf_train_cte_sql(k)},
-    cent AS (SELECT cent_id, c_demb, {sim.norm_sql('c_demb')} AS c_nrm
+    cent AS{m} (SELECT cent_id, c_demb, {sim.norm_sql('c_demb')} AS c_nrm
              FROM tcent),
     asg AS MATERIALIZED (
         SELECT vec_id, demb, nrm, cent_id FROM (
@@ -232,9 +244,9 @@ def _ivf_base_ctes_sql() -> str:
     sz AS (SELECT c.cent_id, CAST(count(a.vec_id) AS BIGINT) AS n_vecs
            FROM cent c LEFT JOIN asg a ON a.cent_id = c.cent_id
            GROUP BY c.cent_id),
-    tot AS (SELECT greatest(CAST(sum(n_vecs) AS BIGINT), 1) AS nn
+    tot AS{m} (SELECT greatest(CAST(sum(n_vecs) AS BIGINT), 1) AS nn
             FROM sz),
-    ld AS (SELECT cent_id, n_vecs,
+    ld AS{m} (SELECT cent_id, n_vecs,
                   n_vecs * {k} * 1000 // tot.nn AS load_x1000
            FROM sz CROSS JOIN tot)"""
 
@@ -442,6 +454,27 @@ def _ppm_rank_col(dot_col, den_col):
                    + F.lit(0.5)).cast("long")
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a shared IVF frame and TRUNCATE its lineage
+    (localCheckpoint -> LogicalRDD leaf), mirroring the ``MATERIALIZED``
+    the oracle CTEs declare on the same relations.
+
+    Why not pin()/persist: Catalyst analyzes the full UNTRUNCATED tree
+    of every reference (cache substitution happens after analysis), and
+    the act receipts reference the assignment relation through enough
+    layers (act chain -> candidates -> receipts) that the analyzed tree
+    grows multiplicatively — the r16 before-profile rendered
+    sim_ivf_rebalance/merge as 12-14 MB formatted plans (~19k-23k
+    Exchange node renders) with build+exec dominated by plan handling,
+    not data. A checkpoint leaf collapses that to one subtree evaluated
+    once, exactly the computation the MATERIALIZED oracle twin
+    describes. Same discipline as connected_components' loop: local
+    (executor) checkpoint here; at cluster scale a reliable checkpoint
+    dir — or, per the module notes, the assignment IS a persisted table
+    and this frame is a scan of it."""
+    return df.localCheckpoint(eager=True)
+
+
 def _ivf_base_frames(spark: SparkSession, sf_dir: str):
     """Shared Spark-side base for the two IVF maintenance acts: pinned
     corpus-with-norms, broadcastable trained-centroid table, pinned
@@ -460,7 +493,11 @@ def _ivf_base_frames(spark: SparkSession, sf_dir: str):
     ).withColumn("c_nrm", sim.norm(F.col("c_demb")))
     wasg = Window.partitionBy("vec_id").orderBy(
         F.col("ppm").desc(), "cent_id")
-    asg = pin(
+    # asg is MATERIALIZED on the oracle side and referenced by every
+    # downstream layer — checkpoint it (see _materialize) so each
+    # reference analyzes as a leaf instead of replaying the scan +
+    # broadcast-rank subtree through the whole receipt tree.
+    asg = _materialize(
         n.crossJoin(F.broadcast(cent))
         .select("vec_id", "demb", "nrm", "cent_id",
                 _ppm_rank_col(sim.dot(F.col("demb"), F.col("c_demb")),
@@ -486,8 +523,17 @@ def _ivf_recall_frames(n, cent, asg, newc, nasg):
     _ivf_recall_ctes_sql): probe the PRE index (cent/asg) and the POST
     index (newc/nasg) with the certified query panel, score candidates,
     compare both top-k sets to the brute-force reference. Returns the
-    1-row frames (qs, h1, h2, c1, c2) with columns
-    (nq, hits1, hits2, pre_cand_rows, post_cand_rows)."""
+    1-row frames (qs, hc1, hc2) with columns (nq), (hits1,
+    pre_cand_rows), (hits2, post_cand_rows).
+
+    Receipt fusion (r16, guide §2 fewer stages/actions): each side's
+    hit count and candidate count come from ONE aggregate over the
+    scored candidate set — rank every candidate, LEFT-join the brute
+    reference (unique per (query, neighbor), so cardinality is
+    preserved), then count all rows (== the old c-frame) and the rows
+    with rank <= top-k that matched (== the old top-k inner join's
+    count) in the same pass. Halves the receipt frames the callers
+    crossJoin and drops the single-consumer candidate pins."""
     qv = (n.filter(F.col("vec_id") < IVR_NQ)
           .select(F.col("vec_id").alias("query_id"),
                   F.col("demb").alias("q_demb"),
@@ -502,7 +548,7 @@ def _ivf_recall_frames(n, cent, asg, newc, nasg):
             .withColumn("r", F.row_number().over(wp1))
             .filter(F.col("r") <= IVR_NPROBE)
             .select("query_id", "q_demb", "q_nrm", "cent_id"))
-    cand1 = pin(
+    cand1 = (
         F.broadcast(prb1)
         .join(asg.withColumnRenamed("cent_id", "a_cent"),
               (F.col("a_cent") == F.col("cent_id"))
@@ -512,9 +558,6 @@ def _ivf_recall_frames(n, cent, asg, newc, nasg):
                            F.col("q_nrm"), F.col("nrm")).alias("cosine")))
     wt = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), "neighbor_id")
-    top1 = (cand1.withColumn("rn", F.row_number().over(wt))
-            .filter(F.col("rn") <= IVR_TOPK)
-            .select("query_id", "neighbor_id"))
     wp2 = Window.partitionBy("query_id").orderBy(
         F.col("qppm").desc(), "nl_id")
     prb2 = (qv.crossJoin(F.broadcast(newc))
@@ -525,7 +568,7 @@ def _ivf_recall_frames(n, cent, asg, newc, nasg):
             .withColumn("r", F.row_number().over(wp2))
             .filter(F.col("r") <= IVR_NPROBE)
             .select("query_id", "q_demb", "q_nrm", "nl_id"))
-    cand2 = pin(
+    cand2 = (
         F.broadcast(prb2)
         .join(nasg.withColumnRenamed("nl_id", "a_nl"),
               (F.col("a_nl") == F.col("nl_id"))
@@ -533,9 +576,6 @@ def _ivf_recall_frames(n, cent, asg, newc, nasg):
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 sim.cosine(sim.dot(F.col("q_demb"), F.col("demb")),
                            F.col("q_nrm"), F.col("nrm")).alias("cosine")))
-    top2 = (cand2.withColumn("rn", F.row_number().over(wt))
-            .filter(F.col("rn") <= IVR_TOPK)
-            .select("query_id", "neighbor_id"))
     brute = pin(
         F.broadcast(qv)
         .join(n, F.col("vec_id") != F.col("query_id"))
@@ -546,13 +586,20 @@ def _ivf_recall_frames(n, cent, asg, newc, nasg):
         .filter(F.col("rn") <= IVR_TOPK)
         .select("query_id", "neighbor_id"))
     qs = brute.agg(F.count_distinct("query_id").cast("long").alias("nq"))
-    h1 = (top1.join(brute, ["query_id", "neighbor_id"])
-          .agg(F.count("*").cast("long").alias("hits1")))
-    h2 = (top2.join(brute, ["query_id", "neighbor_id"])
-          .agg(F.count("*").cast("long").alias("hits2")))
-    c1 = cand1.agg(F.count("*").cast("long").alias("pre_cand_rows"))
-    c2 = cand2.agg(F.count("*").cast("long").alias("post_cand_rows"))
-    return qs, h1, h2, c1, c2
+    hit = F.broadcast(brute.withColumn("brute_hit", F.lit(1)))
+
+    def _hits_and_cands(cand, hits_name: str, cands_name: str):
+        return (cand.withColumn("rn", F.row_number().over(wt))
+                .join(hit, ["query_id", "neighbor_id"], "left")
+                .agg(F.count(F.when((F.col("rn") <= IVR_TOPK)
+                                    & F.col("brute_hit").isNotNull(),
+                                    F.lit(1)))
+                     .cast("long").alias(hits_name),
+                     F.count("*").cast("long").alias(cands_name)))
+
+    hc1 = _hits_and_cands(cand1, "hits1", "pre_cand_rows")
+    hc2 = _hits_and_cands(cand2, "hits2", "post_cand_rows")
+    return qs, hc1, hc2
 
 
 def _ivf_split_frames(spark: SparkSession, cent: DataFrame,
@@ -611,7 +658,10 @@ def _ivf_split_frames(spark: SparkSession, cent: DataFrame,
             .select((F.col("cent_id") * 2).cast("long").alias("nl_id"),
                     F.col("c_demb").alias("s_demb"),
                     F.col("c_nrm").alias("s_nrm"))))
-    nasg = pin(
+    # nasg is MATERIALIZED on the oracle side and read by both the
+    # post-act candidates and the post-list sizes — checkpoint leaf
+    # (see _materialize).
+    nasg = _materialize(
         fa.select((F.col("cent_id") * 2 + F.col("sub")).cast("long")
                   .alias("nl_id"), "vec_id", "demb", "nrm")
         .unionByName(
@@ -651,14 +701,21 @@ def q_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = IVF_NLIST
 
     n, cent, asg, sz, tot, ld = _ivf_base_frames(spark, sf_dir)
-    ovl = ld.filter((F.col("load_x1000") >= IVB_OVERLOAD_X1000)
-                    & (F.col("n_vecs") >= 2)) \
-            .agg(F.count("*").cast("long").alias("n_over"))
+    # Receipt fusion (r16, guide §2): the overload count and the
+    # before-side max list/load stats are sibling aggregates over the
+    # same pinned ld frame — one multi-aggregate pass instead of two
+    # frames (count over a filter == conditional count).
+    bef = ld.agg(
+        F.count(F.when((F.col("load_x1000") >= IVB_OVERLOAD_X1000)
+                       & (F.col("n_vecs") >= 2), F.lit(1)))
+        .cast("long").alias("n_over"),
+        F.max("n_vecs").cast("long").alias("max_list_before"),
+        F.max("load_x1000").cast("long").alias("max_load_x1000_before"))
     wspl = Window.partitionBy(F.lit(0)).orderBy(
         F.col("n_vecs").desc(), "cent_id")
     spl = pin(ld.filter(F.col("n_vecs") >= 2)
               .withColumn("r", F.row_number().over(wspl))
-              .crossJoin(F.broadcast(ovl))
+              .crossJoin(F.broadcast(bef.select("n_over")))
               .filter(F.col("r")
                       <= F.greatest(F.lit(IVR_MIN_SPLITS).cast("long"),
                                     F.col("n_over")))
@@ -674,22 +731,16 @@ def q_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.expr("n_vecs * n_lists * 1000 div nn")
                    .alias("load_x1000")))
 
-    qs, h1, h2, c1, c2 = _ivf_recall_frames(n, cent, asg, newc, nasg)
+    qs, hc1, hc2 = _ivf_recall_frames(n, cent, asg, newc, nasg)
     nspl = spl.agg(F.count("*").cast("long").alias("n_split"))
-    mx1 = ld.agg(F.max("n_vecs").cast("long").alias("max_list_before"),
-                 F.max("load_x1000").cast("long")
-                 .alias("max_load_x1000_before"))
     mx2 = ld2.agg(F.max("n_vecs").cast("long").alias("max_list_after"),
                   F.max("load_x1000").cast("long")
                   .alias("max_load_x1000_after"))
-    return (ovl.crossJoin(F.broadcast(nspl))
+    return (bef.crossJoin(F.broadcast(nspl))
             .crossJoin(F.broadcast(nl))
-            .crossJoin(F.broadcast(mx1))
             .crossJoin(F.broadcast(mx2))
-            .crossJoin(F.broadcast(c1))
-            .crossJoin(F.broadcast(c2))
-            .crossJoin(F.broadcast(h1))
-            .crossJoin(F.broadcast(h2))
+            .crossJoin(F.broadcast(hc1))
+            .crossJoin(F.broadcast(hc2))
             .crossJoin(F.broadcast(qs))
             .select(F.lit(k).cast("long").alias("n_lists_before"),
                     F.col("n_over").alias("n_overloaded"),
@@ -825,7 +876,9 @@ def _ivf_merge_frames(cent: DataFrame, asg: DataFrame, mrg: DataFrame):
              .withColumn("rc", F.row_number().over(wre))
              .filter(F.col("rc") == 1)
              .select("nl_id", "vec_id", "demb", "nrm"))
-    nasg = pin(
+    # MATERIALIZED on the oracle side; multi-consumer — checkpoint leaf
+    # (see _materialize).
+    nasg = _materialize(
         asg.join(mrg, "cent_id", "left_anti")
         .select(F.col("cent_id").cast("long").alias("nl_id"),
                 "vec_id", "demb", "nrm")
@@ -860,12 +913,17 @@ def q_ivf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = IVF_NLIST
 
     n, cent, asg, sz, tot, ld = _ivf_base_frames(spark, sf_dir)
-    und = (ld.filter(F.col("load_x1000") <= IVM_UNDER_X1000)
-           .agg(F.count("*").cast("long").alias("n_under")))
+    # Receipt fusion (r16, guide §2): under-floor count + before-side
+    # min list/load stats in one pass over the pinned ld frame.
+    bef = ld.agg(
+        F.count(F.when(F.col("load_x1000") <= IVM_UNDER_X1000, F.lit(1)))
+        .cast("long").alias("n_under"),
+        F.min("n_vecs").cast("long").alias("min_list_before"),
+        F.min("load_x1000").cast("long").alias("min_load_x1000_before"))
     wmrg = Window.partitionBy(F.lit(0)).orderBy(
         F.col("n_vecs").asc(), "cent_id")
     mrg = pin(ld.withColumn("r", F.row_number().over(wmrg))
-              .crossJoin(F.broadcast(und))
+              .crossJoin(F.broadcast(bef.select("n_under")))
               .filter(F.col("r")
                       <= F.least(
                           F.greatest(F.lit(IVM_MIN_MERGES).cast("long"),
@@ -878,23 +936,17 @@ def q_ivf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
               .groupBy("nl_id")
               .agg(F.count("vec_id").cast("long").alias("n_vecs")))
     nl = newc.agg(F.count("*").cast("long").alias("n_lists"))
-    qs, h1, h2, c1, c2 = _ivf_recall_frames(n, cent, asg, newc, nasg)
+    qs, hc1, hc2 = _ivf_recall_frames(n, cent, asg, newc, nasg)
     nmrg = mrg.agg(F.count("*").cast("long").alias("n_merged"))
-    mn1 = ld.agg(F.min("n_vecs").cast("long").alias("min_list_before"),
-                 F.min("load_x1000").cast("long")
-                 .alias("min_load_x1000_before"))
     mn2 = (sz2.crossJoin(F.broadcast(nl)).crossJoin(F.broadcast(tot))
            .agg(F.min("n_vecs").cast("long").alias("min_list_after"),
                 F.min(F.expr("n_vecs * n_lists * 1000 div nn"))
                 .cast("long").alias("min_load_x1000_after")))
-    return (und.crossJoin(F.broadcast(nmrg))
+    return (bef.crossJoin(F.broadcast(nmrg))
             .crossJoin(F.broadcast(nl))
-            .crossJoin(F.broadcast(mn1))
             .crossJoin(F.broadcast(mn2))
-            .crossJoin(F.broadcast(c1))
-            .crossJoin(F.broadcast(c2))
-            .crossJoin(F.broadcast(h1))
-            .crossJoin(F.broadcast(h2))
+            .crossJoin(F.broadcast(hc1))
+            .crossJoin(F.broadcast(hc2))
             .crossJoin(F.broadcast(qs))
             .select(F.lit(k).cast("long").alias("n_lists_before"),
                     "n_under", "n_merged",

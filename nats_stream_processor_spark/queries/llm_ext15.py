@@ -87,7 +87,11 @@ def _ivf_insert_oracle() -> str:
     # restriction goes in the (newc, nasg) slot and the receipt maps
     # h1/c1 -> post, h2/c2 -> pre (documented once, asserted by the
     # planted-batch test's pre<=post staleness check).
-    return _ivf_base_ctes_sql() + f""",
+    # mat=True + local MATERIALIZED hints (identical rows, see
+    # _ivf_base_ctes_sql): the receipt layer reads pld/ld several
+    # times, and un-hinted CTE references re-run their upstream chain
+    # per reference in DuckDB — training included.
+    return _ivf_base_ctes_sql(mat=True) + f""",
     cut AS (SELECT coalesce(CAST(floor(max(vec_id) * 0.8) AS BIGINT),
                             -1) AS c FROM e),
     pasg AS MATERIALIZED (
@@ -98,7 +102,7 @@ def _ivf_insert_oracle() -> str:
             GROUP BY c.cent_id),
     ptot AS (SELECT greatest(CAST(sum(n_vecs) AS BIGINT), 1) AS nn
              FROM psz),
-    pld AS (SELECT cent_id, n_vecs,
+    pld AS MATERIALIZED (SELECT cent_id, n_vecs,
                    n_vecs * {k} * 1000 // ptot.nn AS load_x1000
             FROM psz CROSS JOIN ptot),
     ovb AS (SELECT CAST(count(*) AS BIGINT) AS n_overloaded_before
@@ -180,16 +184,28 @@ def q_ivf_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("cent_id", "n_vecs",
                       F.expr(f"n_vecs * {k} * 1000 div nn")
                       .alias("load_x1000")))
-    ovb = pld.filter((F.col("load_x1000") >= IVB_OVERLOAD_X1000)
-                     & (F.col("n_vecs") >= 2)) \
-             .agg(F.count("*").cast("long").alias("n_overloaded_before"))
-    ova = ld.filter((F.col("load_x1000") >= IVB_OVERLOAD_X1000)
-                    & (F.col("n_vecs") >= 2)) \
-            .agg(F.count("*").cast("long").alias("n_overloaded_after"))
-    ncp = pasg.agg(F.count("*").cast("long").alias("n_corpus"))
-    nbt = (asg.crossJoin(F.broadcast(cut))
-           .filter(F.col("vec_id") > F.col("c"))
-           .agg(F.count("*").cast("long").alias("n_batch")))
+    # Receipt fusion (r16, guide §2): sibling 1-row aggregates over the
+    # same pinned frame collapse into single multi-aggregate passes —
+    # overload count + max stats over pld (before) and over ld (after),
+    # and the corpus/batch counts as one conditional-count pass over
+    # the pinned assignment (pasg is exactly asg where vec_id <= c).
+    befp = pld.agg(
+        F.count(F.when((F.col("load_x1000") >= IVB_OVERLOAD_X1000)
+                       & (F.col("n_vecs") >= 2), F.lit(1)))
+        .cast("long").alias("n_overloaded_before"),
+        F.max("n_vecs").cast("long").alias("max_list_before"),
+        F.max("load_x1000").cast("long").alias("max_load_x1000_before"))
+    afta = ld.agg(
+        F.count(F.when((F.col("load_x1000") >= IVB_OVERLOAD_X1000)
+                       & (F.col("n_vecs") >= 2), F.lit(1)))
+        .cast("long").alias("n_overloaded_after"),
+        F.max("n_vecs").cast("long").alias("max_list_after"),
+        F.max("load_x1000").cast("long").alias("max_load_x1000_after"))
+    cnt = (asg.crossJoin(F.broadcast(cut))
+           .agg(F.count(F.when(F.col("vec_id") <= F.col("c"), F.lit(1)))
+                .cast("long").alias("n_corpus"),
+                F.count(F.when(F.col("vec_id") > F.col("c"), F.lit(1)))
+                .cast("long").alias("n_batch")))
     newc = cent.select(F.col("cent_id").cast("long").alias("nl_id"),
                        F.col("c_demb").alias("s_demb"),
                        F.col("c_nrm").alias("s_nrm"))
@@ -197,23 +213,12 @@ def q_ivf_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "vec_id", "demb", "nrm")
     # Slot swap (see _ivf_insert_oracle): the builder's first slot gets
     # the POST-insert index (the base assignment), the second the
-    # PRE-insert corpus slice — so hits1/c1 are post, hits2/c2 are pre.
-    qs, h1, h2, c1, c2 = _ivf_recall_frames(n, cent, asg, newc, nasg)
-    mxb = pld.agg(F.max("n_vecs").cast("long").alias("max_list_before"),
-                  F.max("load_x1000").cast("long")
-                  .alias("max_load_x1000_before"))
-    mxa = ld.agg(F.max("n_vecs").cast("long").alias("max_list_after"),
-                 F.max("load_x1000").cast("long")
-                 .alias("max_load_x1000_after"))
-    return (ncp.crossJoin(F.broadcast(nbt))
-            .crossJoin(F.broadcast(mxb))
-            .crossJoin(F.broadcast(mxa))
-            .crossJoin(F.broadcast(ovb))
-            .crossJoin(F.broadcast(ova))
-            .crossJoin(F.broadcast(c1))
-            .crossJoin(F.broadcast(c2))
-            .crossJoin(F.broadcast(h1))
-            .crossJoin(F.broadcast(h2))
+    # PRE-insert corpus slice — so hits1/hc1 are post, hits2/hc2 are pre.
+    qs, hc1, hc2 = _ivf_recall_frames(n, cent, asg, newc, nasg)
+    return (cnt.crossJoin(F.broadcast(befp))
+            .crossJoin(F.broadcast(afta))
+            .crossJoin(F.broadcast(hc1))
+            .crossJoin(F.broadcast(hc2))
             .crossJoin(F.broadcast(qs))
             .select(F.lit(k).cast("long").alias("n_lists"),
                     "n_corpus", "n_batch",
@@ -248,13 +253,18 @@ def _ivf_lifecycle_oracle() -> str:
     k = IVF_NLIST
     split_chain = _ivf_split_act_ctes_sql(out="s")
     merge_chain = _ivf_merge_act_ctes_sql(out="m")
-    return _ivf_base_ctes_sql() + f""",
-    ovl AS (SELECT CAST(count(*) AS BIGINT) AS n_over
+    # mat=True + MATERIALIZED detect/decision CTEs (identical rows, see
+    # _ivf_base_ctes_sql): this oracle re-reads ``(SELECT act FROM
+    # dec)`` ~a dozen times as branch guards, and without the hints
+    # each read re-derived dec -> ovl/und -> ld -> the whole training
+    # chain — measured 207 s at sf0.001, vs seconds with the hints.
+    return _ivf_base_ctes_sql(mat=True) + f""",
+    ovl AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n_over
             FROM ld WHERE load_x1000 >= {IVB_OVERLOAD_X1000}
                       AND n_vecs >= 2),
-    und AS (SELECT CAST(count(*) AS BIGINT) AS n_under
+    und AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n_under
             FROM ld WHERE load_x1000 <= {IVM_UNDER_X1000}),
-    dec AS (SELECT CASE WHEN ovl.n_over >= 1 THEN 'split'
+    dec AS MATERIALIZED (SELECT CASE WHEN ovl.n_over >= 1 THEN 'split'
                         WHEN und.n_under >= 1 THEN 'merge'
                         ELSE 'hold' END AS act
             FROM ovl CROSS JOIN und),
@@ -302,7 +312,7 @@ def _ivf_lifecycle_oracle() -> str:
             FROM newc nc LEFT JOIN nasg na ON na.nl_id = nc.nl_id
             GROUP BY nc.nl_id),
     nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lists FROM newc),
-    ld2 AS (SELECT nl_id, n_vecs,
+    ld2 AS MATERIALIZED (SELECT nl_id, n_vecs,
                    n_vecs * nl.n_lists * 1000 // tot.nn AS load_x1000
             FROM sz2 CROSS JOIN nl CROSS JOIN tot),
     {_ivf_recall_ctes_sql()}
@@ -363,14 +373,21 @@ def q_ivf_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = IVF_NLIST
 
     n, cent, asg, sz, tot, ld = _ivf_base_frames(spark, sf_dir)
-    ovl = ld.filter((F.col("load_x1000") >= IVB_OVERLOAD_X1000)
-                    & (F.col("n_vecs") >= 2)) \
-            .agg(F.count("*").cast("long").alias("n_over"))
-    und = ld.filter(F.col("load_x1000") <= IVM_UNDER_X1000) \
-            .agg(F.count("*").cast("long").alias("n_under"))
+    # Receipt fusion (r16, guide §2): the detect counts and the
+    # before-side load extrema are sibling aggregates over the same
+    # pinned ld frame — one multi-aggregate pass, and the 1-row
+    # decision read below becomes a single-stage job (no 1-row join).
+    det = ld.agg(
+        F.count(F.when((F.col("load_x1000") >= IVB_OVERLOAD_X1000)
+                       & (F.col("n_vecs") >= 2), F.lit(1)))
+        .cast("long").alias("n_over"),
+        F.count(F.when(F.col("load_x1000") <= IVM_UNDER_X1000, F.lit(1)))
+        .cast("long").alias("n_under"),
+        F.max("load_x1000").cast("long").alias("max_load_x1000_before"),
+        F.min("load_x1000").cast("long").alias("min_load_x1000_before"))
     # 1-row decision read (K-bounded license, see docstring): the
     # branch changes the PLAN shape, so it must resolve at build time.
-    verdict = ovl.crossJoin(F.broadcast(und)).collect()[0]
+    verdict = det.collect()[0]
     act = ("split" if verdict.n_over >= 1
            else "merge" if verdict.n_under >= 1 else "hold")
     if act == "split":
@@ -378,7 +395,7 @@ def q_ivf_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_vecs").desc(), "cent_id")
         spl = pin(ld.filter(F.col("n_vecs") >= 2)
                   .withColumn("r", F.row_number().over(wspl))
-                  .crossJoin(F.broadcast(ovl))
+                  .crossJoin(F.broadcast(det.select("n_over")))
                   .filter(F.col("r")
                           <= F.greatest(
                               F.lit(IVR_MIN_SPLITS).cast("long"),
@@ -390,7 +407,7 @@ def q_ivf_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         wmrg = Window.partitionBy(F.lit(0)).orderBy(
             F.col("n_vecs").asc(), "cent_id")
         mrg = pin(ld.withColumn("r", F.row_number().over(wmrg))
-                  .crossJoin(F.broadcast(und))
+                  .crossJoin(F.broadcast(det.select("n_under")))
                   .filter(F.col("r")
                           <= F.least(
                               F.greatest(
@@ -417,24 +434,16 @@ def q_ivf_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("nl_id", "n_vecs",
                    F.expr("n_vecs * n_lists * 1000 div nn")
                    .alias("load_x1000")))
-    qs, h1, h2, c1, c2 = _ivf_recall_frames(n, cent, asg, newc, nasg)
-    mx1 = ld.agg(F.max("load_x1000").cast("long")
-                 .alias("max_load_x1000_before"),
-                 F.min("load_x1000").cast("long")
-                 .alias("min_load_x1000_before"))
+    qs, hc1, hc2 = _ivf_recall_frames(n, cent, asg, newc, nasg)
     mx2 = ld2.agg(F.max("load_x1000").cast("long")
                   .alias("max_load_x1000_after"),
                   F.min("load_x1000").cast("long")
                   .alias("min_load_x1000_after"))
-    return (ovl.crossJoin(F.broadcast(und))
-            .crossJoin(F.broadcast(nact))
+    return (det.crossJoin(F.broadcast(nact))
             .crossJoin(F.broadcast(nldf))
-            .crossJoin(F.broadcast(mx1))
             .crossJoin(F.broadcast(mx2))
-            .crossJoin(F.broadcast(c1))
-            .crossJoin(F.broadcast(c2))
-            .crossJoin(F.broadcast(h1))
-            .crossJoin(F.broadcast(h2))
+            .crossJoin(F.broadcast(hc1))
+            .crossJoin(F.broadcast(hc2))
             .crossJoin(F.broadcast(qs))
             .select(F.lit(act).alias("act"),
                     F.col("n_over").alias("n_overloaded"),

@@ -156,17 +156,39 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     are engine-specific, so the raw estimates can't be hash-compared; instead
     we emit the exact counts (oracle-checkable) plus a Spark-side assertion
     that the HLL estimate lands within 5% of exact — the oracle emits literal
-    TRUE, so an out-of-tolerance sketch flips the boolean and fails the hash."""
-    hll = (
-        table(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_partkey").alias("exact_parts"),
-            F.countDistinct("l_suppkey").alias("exact_supps"),
-            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-            F.approx_count_distinct("l_suppkey", 0.01).alias("approx_supps"),
+    TRUE, so an out-of-tolerance sketch flips the boolean and fails the hash.
+
+    Two-level form (r16, guide §2.3/§5): the single groupBy carrying two
+    countDistinct columns planned as a 4x Expand of the scan (one replica
+    per distinct class) feeding one hash aggregate — at sf0.1 that was the
+    slowest registry sweep query (6 s), and repartitioning the expanded
+    rows made it WORSE (r15 A/B: 17 s). Instead each column pre-distincts
+    per group (partial map-side distinct, no Expand, gated spread() so the
+    single-split local scan parallelizes), then counts the survivors;
+    approx_count_distinct moves onto the pre-distinct rows, which is
+    value-identical because HLL register updates are insertion-idempotent
+    (duplicates touch the same register with the same value) and both
+    forms ignore nulls — count(col) after distinct == countDistinct(col).
+    The two 3-row group branches re-join null-safely (group sets are
+    identical by construction; eqNullSafe keeps a NULL group if one ever
+    appears, exactly as the single groupBy would)."""
+    base = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_partkey", "l_suppkey")
+
+    def per_col(col: str, exact: str, approx: str) -> DataFrame:
+        return (
+            spread(base.select("l_returnflag", col))
+            .distinct()
+            .groupBy("l_returnflag")
+            .agg(F.count(col).alias(exact),
+                 F.approx_count_distinct(col, 0.01).alias(approx))
         )
-    )
+
+    p = per_col("l_partkey", "exact_parts", "approx_parts")
+    s = per_col("l_suppkey", "exact_supps", "approx_supps")
+    hll = (p.join(s.withColumnRenamed("l_returnflag", "rf_s"),
+                  p["l_returnflag"].eqNullSafe(F.col("rf_s")))
+           .drop("rf_s"))
     within = lambda approx, exact: (  # noqa: E731
         F.abs(F.col(approx) - F.col(exact)) / F.col(exact) <= F.lit(0.05)
     )

@@ -17,6 +17,7 @@ bottom of this module), grouped by domain:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -206,7 +207,51 @@ def _estimated_scan_partitions(spark: SparkSession, df: DataFrame) -> int | None
     return est
 
 
-def spread(df: DataFrame, n: int | None = None) -> DataFrame:
+# Input-bytes floor for Python-boundary stages (opt-in per call site,
+# see spread()): fanning a tiny scan out to every core makes each Arrow
+# batch so small that Python-worker dispatch dominates — the r15 scaling
+# probe measured enrich_flagship/media_frame_sample FASTER at 8 cores
+# than 32 (0.67x / 0.63x) on ~150-row partitions. Partitions never drop
+# below this many INPUT bytes, so the fan-out caps at data_size/floor
+# locally; at real scale scan splits are >= maxPartitionBytes and the
+# spread gate is a no-op anyway, so the floor never binds.
+PY_MIN_SPLIT_BYTES = int(os.environ.get(
+    "SPARK_GRAFT_PY_MIN_SPLIT_BYTES", str(64 * 1024)))
+
+_SCAN_BYTES_CACHE: dict[tuple, int] = {}
+
+
+def _estimated_scan_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes behind a file scan (memoized os.stat, same
+    cheap discipline as _estimated_scan_partitions); None for non-file
+    or non-local sources."""
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    key = tuple(sorted(files))
+    hit = _SCAN_BYTES_CACHE.get(key)
+    if hit is not None:
+        return hit
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return None
+        try:
+            total += os.path.getsize(u.path)
+        except OSError:
+            return None
+    _SCAN_BYTES_CACHE[key] = total
+    return total
+
+
+def spread(df: DataFrame, n: int | None = None,
+           min_bytes_per_partition: int | None = None) -> DataFrame:
     """Round-robin repartition to the session's default parallelism —
     ONLY when the input is under-partitioned.
 
@@ -221,9 +266,22 @@ def spread(df: DataFrame, n: int | None = None) -> DataFrame:
     ``false``), the input is returned untouched, plan identity preserved.
     The partition count comes from a memoized file-size estimate
     (_estimated_scan_partitions); only non-file inputs fall back to asking
-    the planner via ``df.rdd``. Apply before CPU-bound per-row work, never
-    before joins/aggs that manage their own partitioning.
+    the planner via ``df.rdd``. Apply before CPU-bound per-row work or
+    before a PARTIAL aggregate (the round-robin exchange feeds the
+    map-side partial agg, which keeps its own hash exchange for the final
+    agg — q_pricing_summary's shape); never immediately before joins or
+    final aggs that manage their own partitioning.
+
+    ``min_bytes_per_partition`` (opt-in, for Python-boundary stages —
+    see PY_MIN_SPLIT_BYTES): cap the fan-out so no partition carries
+    fewer input bytes than the floor. Pass it where the downstream work
+    is an Arrow/pandas stage whose per-partition dispatch overhead beats
+    the parallelism gain on tiny batches; leave unset for JVM-side
+    CPU-bound work (shingling, hashing), where full fan-out wins even on
+    small inputs.
     """
+    import math
+
     spark = df.sparkSession
     try:
         enabled = spark.conf.get("spark.nats_spark.spread.enabled", "true")
@@ -232,6 +290,12 @@ def spread(df: DataFrame, n: int | None = None) -> DataFrame:
     if str(enabled).lower() == "false":
         return df
     target = n or spark.sparkContext.defaultParallelism
+    if min_bytes_per_partition:
+        nbytes = (_estimated_scan_bytes(df)
+                  if _is_scan_narrow_plan(df) else None)
+        if nbytes is not None:
+            target = max(1, min(target,
+                                math.ceil(nbytes / min_bytes_per_partition)))
     current = (_estimated_scan_partitions(spark, df)
                if _is_scan_narrow_plan(df) else None)
     if current is None:

@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import os
+import subprocess
 import sys
 
 import pytest
@@ -17,6 +18,56 @@ def pytest_configure(config):
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
+
+
+# ---------------------------------------------------------------------
+# Sharded oracle-parity sweep (see tests/test_oracle_parity.py).
+#
+# The worker processes LAUNCH at collection time — as soon as we know
+# the parity tests are selected — so the 8-way sweep overlaps the
+# serial test files that run before test_oracle_parity.py is reached
+# (alphabetical order puts it ~60% through the suite). By join time the
+# workers are normally already done, taking the whole 14-minute serial
+# sweep off the suite's critical path. CPU math: the workers are
+# local[4] JVMs over sf0.001 — they share the box with the one local[4]
+# session the serial tests use, which is exactly the oversubscription a
+# 32-core host absorbs.
+
+_PARITY_SHARDS: list[tuple[subprocess.Popen, list[str]]] = []
+_PARITY_N_WORKERS = int(os.environ.get("SPARK_GRAFT_PARITY_WORKERS")
+                        or max(1, min(8, (os.cpu_count() or 4) // 4)))
+
+
+def _launch_parity_workers() -> None:
+    from nats_stream_processor_spark import registry
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(root, "tests", "_parity_worker.py")
+    names = list(registry.REGISTRY)
+    for i in range(_PARITY_N_WORKERS):
+        shard = names[i::_PARITY_N_WORKERS]
+        p = subprocess.Popen(
+            [sys.executable, worker, SF_SMOKE, *shard],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, cwd=root)
+        _PARITY_SHARDS.append((p, shard))
+
+
+def pytest_collection_modifyitems(session, config, items):
+    if any("test_query_matches_oracle" in it.nodeid for it in items):
+        _launch_parity_workers()
+
+
+def pytest_sessionfinish(session, exitstatus):
+    # -x / --maxfail can abort before the parity tests join the workers;
+    # never leave orphaned JVMs behind.
+    for p, _ in _PARITY_SHARDS:
+        if p.poll() is None:
+            p.kill()
+
+
+def parity_shards() -> list[tuple[subprocess.Popen, list[str]]]:
+    return _PARITY_SHARDS
 
 
 @pytest.fixture(scope="session")

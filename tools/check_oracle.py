@@ -73,16 +73,23 @@ def _spark_num_kind(dt, has_null: bool) -> str | None:
     return None
 
 
-def dtype_drift(e, con, scols, srows, sdf) -> list[str]:
+def dtype_drift(oracle_rel_sql, con, scols, srows, sdf) -> list[str]:
     """Detect int-vs-float dtype drift between the Spark result and the
     DuckDB oracle as PANDAS would see them — the class behind the r3
     driver hash mismatches: DuckDB sum(BIGINT) returns HUGEINT, which
     fetchdf() materializes as float64, so a dtype-faithful hasher renders
     "1234.0" against Spark's int64 "1234". fetchall() hides this (HUGEINT
-    comes back as a Python int), hence the separate probe."""
+    comes back as a Python int), hence the separate probe.
+
+    ``oracle_rel_sql`` is any SQL yielding the oracle result with its
+    original types — since r16, check_one passes a scan of the temp
+    table it materialized once (a CTAS preserves result types exactly,
+    HUGEINT included), so the probe no longer re-executes the full
+    oracle: the heavy training-CTE oracles ran TWICE per check before,
+    which was a large share of the parity sweep's wall time."""
     import decimal
     try:
-        odf = con.execute(e.oracle).fetchdf()
+        odf = con.execute(oracle_rel_sql).fetchdf()
     except Exception as ex:
         return [f"dtype probe duckdb error: {str(ex)[:200]}"]
     nulls = {c: any(r[i] is None for r in srows) for i, c in enumerate(scols)}
@@ -146,7 +153,13 @@ def check_one(spark, con, name: str, sf_dir: str, explain: bool = False,
         hazards = driver_canon_hazard(scols, srows, "spark") if strict else []
         return "; ".join(hazards) if hazards else None
     try:
-        cur = con.execute(e.oracle)
+        # Materialize the oracle ONCE (CTAS keeps result types exact —
+        # HUGEINT stays HUGEINT); the value fetch and the strict-mode
+        # pandas dtype probe both read the temp table instead of
+        # re-running the query (see dtype_drift).
+        con.execute("CREATE OR REPLACE TEMP TABLE _oracle_result AS "
+                    + e.oracle)
+        cur = con.execute("SELECT * FROM _oracle_result")
         ocols = [d[0] for d in cur.description]
         orows = cur.fetchall()
     except Exception as ex:
@@ -155,7 +168,8 @@ def check_one(spark, con, name: str, sf_dir: str, explain: bool = False,
     if strict:
         problems.extend(driver_canon_hazard(scols, srows, "spark"))
         problems.extend(driver_canon_hazard(ocols, orows, "oracle"))
-        problems.extend(dtype_drift(e, con, scols, srows, sdf))
+        problems.extend(dtype_drift("SELECT * FROM _oracle_result", con,
+                                    scols, srows, sdf))
     if sorted(scols) != sorted(ocols):
         problems.append(f"schema {sorted(scols)} != {sorted(ocols)}")
     if len(srows) != len(orows):

@@ -1,13 +1,16 @@
-"""Round-15 optimization profiling harness.
+"""Round-16 optimization profiling harness (same methodology as
+tools/profile_r15.py).
 
 For each named query: time DataFrame CONSTRUCTION (driver-side work:
 planning, any licensed driver loops like k-means training or CC rounds)
 and EXECUTION (noop sink) separately, capture the formatted physical
 plan, and count plan features (Exchange / join strategies / Python eval
-nodes / scans). Writes plans to plans/r15/<query>_<tag>.txt.
+nodes / scans). Writes plans to plans/r16/<query>_<tag>.txt.
 
-    python tools/profile_r15.py before enrich_flagship dedup_components ...
-    python tools/profile_r15.py after --all-headline
+    python tools/profile_r16.py before enrich_flagship dedup_components ...
+    python tools/profile_r16.py after --all-headline
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 \
+        python tools/profile_r16.py ivf_before sim_ivf_rebalance ...
 """
 
 from __future__ import annotations
@@ -49,7 +52,7 @@ FEATURES = {
 
 def main() -> int:
     if len(sys.argv) < 2:
-        print("usage: profile_r15.py <tag> [--all-headline | name ...]",
+        print("usage: profile_r16.py <tag> [--all-headline | name ...]",
               file=sys.stderr)
         return 2
     tag = sys.argv[1]
@@ -68,7 +71,7 @@ def main() -> int:
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     plans_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r15")
+        os.path.abspath(__file__))), "plans", "r16")
     os.makedirs(plans_dir, exist_ok=True)
 
     # Warmup: one unmeasured pass (JIT/codegen), same as bench.py.
@@ -78,7 +81,7 @@ def main() -> int:
 
     rows = {}
     for n in names:
-        spark.sparkContext.setJobDescription(f"r15-profile:{n}")
+        spark.sparkContext.setJobDescription(f"r16-profile:{n}")
         best = None
         for _ in range(3):
             t0 = time.time()
