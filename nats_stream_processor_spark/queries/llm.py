@@ -1069,39 +1069,28 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, cents[i]) for i in range(IVF_NLIST)],
         "cent_id int, c_demb array<double>",
     ).withColumn("c_nrm", sim.norm(F.col("c_demb")))
-    def scored_cent(rows: DataFrame) -> DataFrame:
-        return (
-            rows.crossJoin(F.broadcast(cent))
-            .select(
-                "vec_id", "demb", "nrm", "cent_id",
-                (sim.dot(F.col("demb"), F.col("c_demb"))
-                 / (F.col("nrm") * F.col("c_nrm"))).alias("c_cos"),
-            )
+    # NOTE (r16, losing A/B — do not retry): replacing this rank-1
+    # window with a lexicographic struct-max groupBy (max(struct(c_cos,
+    # -cent_id, cent_id, demb, nrm))) measured CONSISTENTLY slower
+    # (1.62-1.66 s vs 1.28 s in adjacent driver windows at sf0.1): an
+    # aggregation buffer holding the 64-dim array is not a mutable
+    # fixed-width type, so HashAggregate's fast path is unavailable and
+    # the agg plans as a SortAggregate — i.e. it still sorts, but now
+    # shuffles struct-wrapped vectors through partial+final too. The
+    # streaming twin uses the struct-max shape because streaming cannot
+    # run a non-time window at all, not because it is faster.
+    scored_cent = (
+        n.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "demb", "nrm", "cent_id",
+            (sim.dot(F.col("demb"), F.col("c_demb"))
+             / (F.col("nrm") * F.col("c_nrm"))).alias("c_cos"),
         )
-
-    # Assignment = rank-1 per vector. A lexicographic struct-max groupBy
-    # (r16, guide §2: partial map-side aggregation, no Sort) replaces the
-    # row_number window over the full corpus: max(struct(c_cos,
-    # -cent_id, ...)) picks exactly the window's (c_cos DESC, cent_id
-    # ASC) winner — (c_cos, -cent_id) is unique per vector, so the
-    # carried demb/nrm never reach the comparison. The streaming IVF
-    # twin already uses this shape.
-    assign = (
-        scored_cent(n).groupBy("vec_id")
-        .agg(F.max(F.struct(F.col("c_cos"),
-                            (-F.col("cent_id")).alias("neg_cent"),
-                            F.col("cent_id"),
-                            F.col("demb"), F.col("nrm"))).alias("b"))
-        .select("vec_id", F.col("b.demb").alias("demb"),
-                F.col("b.nrm").alias("nrm"),
-                F.col("b.cent_id").alias("cent_id")))
-    # The probe panel still needs rank <= nprobe, but only for the
-    # 10-query slice — the window now runs over a pushed-filter scan
-    # (PushedFilters: LessThan(vec_id, 10)), not the whole corpus.
+    )
     w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cent_id")
-    probes = (scored_cent(n.filter(F.col("vec_id") < 10))
-              .withColumn("rc", F.row_number().over(w))
-              .filter(F.col("rc") <= IVF_NPROBE)
+    ranked = scored_cent.withColumn("rc", F.row_number().over(w))
+    assign = ranked.filter(F.col("rc") == 1).select("vec_id", "demb", "nrm", "cent_id")
+    probes = (ranked.filter((F.col("rc") <= IVF_NPROBE) & (F.col("vec_id") < 10))
               .select(F.col("vec_id").alias("query_id"),
                       F.col("demb").alias("q_demb"),
                       F.col("nrm").alias("q_nrm"),
