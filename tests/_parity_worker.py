@@ -11,9 +11,14 @@ processes — each with a fresh JVM and its own DuckDB — so the suite fits
 the verify window and no session serves more than its shard.
 
 Protocol: argv = [sf_dir, name, name, ...]; one JSON line per query on
-stdout: {"name": ..., "problem": null | str, "sec": float}. A worker
-that dies mid-shard has reported every query it finished; the parent
-marks the rest failed with this process's stderr tail.
+stdout: {"name": ..., "problem": null | str, "sec": float,
+"cartesian": bool | null}. The cartesian flag is the query's simple
+physical plan probed for CartesianProduct (captured from the DataFrame
+the parity check already built — see check_oracle.check_one), so the
+registry-wide cartesian audit in tests/test_plan_audit.py rides this
+sweep instead of re-building all 273 plans serially. A worker that
+dies mid-shard has reported every query it finished; the parent marks
+the rest failed with this process's stderr tail.
 
 Run one shard by hand:
 
@@ -57,14 +62,16 @@ def main() -> int:
     rc = 0
     for name in names:
         t0 = time.time()
+        sink: dict = {}
         try:
-            problem = check_one(spark, con, name, sf_dir)
+            problem = check_one(spark, con, name, sf_dir, plan_sink=sink)
         except Exception as ex:  # check_one catches engine errors itself
             problem = f"worker exception: {type(ex).__name__}: {str(ex)[:300]}"
         if problem:
             rc = 1
         print(json.dumps({"name": name, "problem": problem,
-                          "sec": round(time.time() - t0, 2)}), flush=True)
+                          "sec": round(time.time() - t0, 2),
+                          "cartesian": sink.get("cartesian")}), flush=True)
     spark.stop()
     return rc
 

@@ -49,7 +49,12 @@ def _launch_parity_workers() -> None:
         p = subprocess.Popen(
             [sys.executable, worker, SF_SMOKE, *shard],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-            text=True, cwd=root)
+            text=True, cwd=root,
+            # The workers have huge slack (the sweep finishes in a
+            # fraction of the serial files' window) — deprioritize them
+            # so they back-fill idle cores instead of stealing cycles
+            # from the foreground tests they overlap.
+            preexec_fn=lambda: os.nice(10))
         _PARITY_SHARDS.append((p, shard))
 
 
@@ -68,6 +73,50 @@ def pytest_sessionfinish(session, exitstatus):
 
 def parity_shards() -> list[tuple[subprocess.Popen, list[str]]]:
     return _PARITY_SHARDS
+
+
+_PARITY_JOINED: dict[str, dict] | None = None
+_PARITY_TIMEOUT_S = 1800
+
+
+def parity_join() -> dict[str, dict]:
+    """Join the sharded sweep once and cache the per-query records
+    ({"problem": str | None, "sec": float, "cartesian": bool | None});
+    both the oracle-parity tests and the registry-wide plan audit read
+    this. A worker that died mid-shard yields a synthetic failure record
+    for each unreported query, carrying its stderr tail."""
+    import json
+
+    global _PARITY_JOINED
+    if _PARITY_JOINED is not None:
+        return _PARITY_JOINED
+    if not _PARITY_SHARDS:  # direct single-file invocation fallback
+        _launch_parity_workers()
+    results: dict[str, dict] = {}
+    for p, shard in _PARITY_SHARDS:
+        try:
+            out, err = p.communicate(timeout=_PARITY_TIMEOUT_S)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, err = p.communicate()
+            err = (err or "") + "\n[parity worker timed out]"
+        for line in out.splitlines():
+            if not line.startswith("{"):
+                continue
+            try:
+                d = json.loads(line)
+            except ValueError:
+                continue
+            results[d["name"]] = d
+        for name in shard:
+            if name not in results:
+                results[name] = {
+                    "problem": (
+                        f"parity worker died before reaching this query "
+                        f"(rc={p.returncode}): ...{(err or '')[-400:]}"),
+                    "sec": None, "cartesian": None}
+    _PARITY_JOINED = results
+    return results
 
 
 @pytest.fixture(scope="session")

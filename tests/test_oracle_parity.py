@@ -32,9 +32,9 @@ from nats_stream_processor_spark import registry  # noqa: E402
 # shards; on a 4-core box it degrades to the serial shape (1 worker,
 # still a fresh JVM). Override with SPARK_GRAFT_PARITY_WORKERS. The
 # workers LAUNCH at collection time (conftest.py) so the sweep overlaps
-# the test files that run before this one; this fixture only JOINS
-# them.
-_WORKER_TIMEOUT_S = 1800
+# the test files that run before this one; conftest.parity_join() joins
+# them once and caches per-query records for this fixture AND the
+# registry-wide cartesian audit in test_plan_audit.py.
 
 
 @pytest.fixture(scope="session")
@@ -43,34 +43,9 @@ def parity_results():
     query, computed by the sharded sweep. Shards are round-robin over
     registry order, which spreads the expensive leading sample-window
     operators (the IVF receipts) across workers."""
-    import json
-
     import conftest
 
-    if not conftest.parity_shards():  # direct invocation fallback
-        conftest._launch_parity_workers()
-    results: dict[str, str | None] = {}
-    for p, shard in conftest.parity_shards():
-        try:
-            out, err = p.communicate(timeout=_WORKER_TIMEOUT_S)
-        except subprocess.TimeoutExpired:
-            p.kill()
-            out, err = p.communicate()
-            err = (err or "") + "\n[parity worker timed out]"
-        for line in out.splitlines():
-            if not line.startswith("{"):
-                continue
-            try:
-                d = json.loads(line)
-            except ValueError:
-                continue
-            results[d["name"]] = d["problem"]
-        for name in shard:
-            if name not in results:
-                results[name] = (
-                    f"parity worker died before reaching this query "
-                    f"(rc={p.returncode}): ...{(err or '')[-400:]}")
-    return results
+    return {n: d["problem"] for n, d in conftest.parity_join().items()}
 
 
 @pytest.mark.parametrize("name", list(registry.REGISTRY))
@@ -175,17 +150,25 @@ def test_every_query_module_survives_worker_entry_import():
     import pathlib
     import subprocess
     import sys
+    from concurrent.futures import ThreadPoolExecutor
     qdir = (pathlib.Path(__file__).resolve().parent.parent
             / "nats_stream_processor_spark" / "queries")
     mods = sorted(p.stem for p in qdir.glob("*.py") if p.stem != "__init__")
     assert len(mods) >= 10
-    for m in mods:
+
+    # Each probe is an independent fresh interpreter; launch them in
+    # parallel (the checks are unchanged — this was ~23 s serial).
+    def probe(m: str):
         r = subprocess.run(
             [sys.executable, "-c",
              f"import nats_stream_processor_spark.queries.{m}"],
             capture_output=True, text=True,
             cwd=str(qdir.parent.parent), timeout=120)
-        assert r.returncode == 0, f"{m}: {r.stderr[-800:]}"
+        return m, r
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for m, r in pool.map(probe, mods):
+            assert r.returncode == 0, f"{m}: {r.stderr[-800:]}"
 
 
 def test_coverage_doc_matches_registry():

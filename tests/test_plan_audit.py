@@ -28,15 +28,28 @@ def plan_str(spark, name: str, mode: str = "formatted") -> str:
     return buf.getvalue()
 
 
-def test_no_cartesian_product_anywhere(spark):
+def test_no_cartesian_product_anywhere():
     """No registry query may plan a CartesianProduct. Theta/cross-shaped
     joins (range bands, IVF centroid scoring) must ride a broadcast
     nested-loop with a tiny build side instead — a true cartesian is the
-    one join shape that cannot survive any scale-up."""
-    offenders = []
-    for name in registry.REGISTRY:
-        if "CartesianProduct" in plan_str(spark, name, "simple"):
-            offenders.append(name)
+    one join shape that cannot survive any scale-up.
+
+    Since r16 the per-query probe ("CartesianProduct" in the simple
+    physical plan, same session shape) is captured by the sharded
+    oracle-parity workers from the DataFrame each check already built
+    (check_oracle.check_one plan_sink) — this test reads that sweep
+    instead of serially re-building all 273 plans in a second pass,
+    which took ~230 s of the old suite's 56 minutes. A query whose
+    worker died reports cartesian=None and fails here by name."""
+    import conftest
+
+    rows = conftest.parity_join()
+    missing = [n for n in registry.REGISTRY
+               if rows.get(n, {}).get("cartesian") is None]
+    assert missing == [], (
+        f"no plan probe for {missing}: "
+        f"{[rows.get(n, {}).get('problem') for n in missing[:3]]}")
+    offenders = [n for n in registry.REGISTRY if rows[n]["cartesian"]]
     assert offenders == []
 
 

@@ -133,9 +133,16 @@ def driver_canon_hazard(cols: list[str], rows: list[tuple],
 
 
 def check_one(spark, con, name: str, sf_dir: str, explain: bool = False,
-              strict: bool = True) -> str | None:
+              strict: bool = True, plan_sink: dict | None = None) -> str | None:
     """Run one registry query vs its oracle; return a failure description or
-    None on pass. Rows-only entries pass when they produce >= 1 row."""
+    None on pass. Rows-only entries pass when they produce >= 1 row.
+
+    ``plan_sink``: when given, receives {"cartesian": bool} from the
+    query's pre-execution simple plan — captured here because the plan
+    already exists on the DataFrame being checked, so registry-wide plan
+    sweeps (tests/test_plan_audit.py's cartesian audit) can ride the
+    sharded parity workers instead of re-building all 273 plans
+    serially in a second pass."""
     from nats_stream_processor_spark import registry
 
     e = registry.REGISTRY[name]
@@ -143,6 +150,12 @@ def check_one(spark, con, name: str, sf_dir: str, explain: bool = False,
         sdf = e.fn(spark, sf_dir)
         if explain:
             sdf.explain("formatted")
+        if plan_sink is not None:
+            plan_sink["cartesian"] = (
+                "CartesianProduct"
+                in sdf._jdf.queryExecution().explainString(
+                    spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                    .fromString("simple")))
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
     except Exception as ex:
